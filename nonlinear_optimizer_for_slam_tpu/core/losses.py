@@ -1,0 +1,129 @@
+"""Robust loss functions.
+
+A loss maps the *squared* residual norm ``s = ||r||^2`` to
+``(rho(s), rho'(s), rho''(s))``. The Gauss-Newton reweighting uses
+``w = rho'(s)``: the weight multiplies both the gradient J^T r and the
+(upper-triangle) Hessian J^T J, while the accumulated cost uses ``rho(s)``
+(reference: mahalanobis_distance_minimizer_analytic.cc:36-48).
+
+Implemented losses mirror the reference set
+(reference: nonlinear_optimizer/loss_function.h:11-77) plus the Cauchy loss
+required by the benchmark configuration. All are branch-free jnp functions
+(``jnp.where`` instead of ``if``) so they vectorize on the VPU and can be
+fused into the factor kernels.
+
+Each loss is a frozen dataclass registered as a JAX pytree, so it can be
+passed through ``jit`` / ``shard_map`` boundaries and its parameters can be
+traced values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _register(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_pytree_node(
+        cls,
+        lambda obj: (tuple(getattr(obj, n) for n in fields), None),
+        lambda aux, children: cls(*children),
+    )
+    return cls
+
+
+class LossFunction:
+    """Base class. Subclasses implement ``evaluate``."""
+
+    def evaluate(self, squared_residual: Array) -> Tuple[Array, Array, Array]:
+        """Return (rho, rho', rho'') elementwise over ``squared_residual``."""
+        raise NotImplementedError
+
+    def __call__(self, squared_residual: Array) -> Tuple[Array, Array, Array]:
+        return self.evaluate(squared_residual)
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class TrivialLoss(LossFunction):
+    """rho(s) = s. The no-loss path of the reference solvers
+    (mahalanobis_distance_minimizer_analytic.cc:44-47)."""
+
+    def evaluate(self, s: Array):
+        one = jnp.ones_like(s)
+        return s, one, jnp.zeros_like(s)
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class ExponentialLoss(LossFunction):
+    """NDT score function: rho(s) = c1 * (1 - exp(-c2 * s)).
+
+    rho'  = 2*c1*c2 * exp(-c2*s)   [reference stores 2*c1*c2 as two_c1c2_]
+    rho'' = -2*c2 * rho'
+
+    Reference: loss_function.h:20-47. Note the reference's rho' carries the
+    factor 2 (it differentiates w.r.t. the residual norm convention used by
+    its weight application); we reproduce it exactly for cost/step parity.
+    """
+
+    c1: float = 1.0
+    c2: float = 1.0
+
+    def evaluate(self, s: Array):
+        c1 = jnp.asarray(self.c1, dtype=s.dtype)
+        c2 = jnp.asarray(self.c2, dtype=s.dtype)
+        exp_term = jnp.exp(-c2 * s)
+        rho = c1 - c1 * exp_term
+        d_rho = 2.0 * c1 * c2 * exp_term
+        dd_rho = -2.0 * c2 * d_rho
+        return rho, d_rho, dd_rho
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class HuberLoss(LossFunction):
+    """Huber loss on the squared residual.
+
+    For s <= delta^2: (s, 1, 0)
+    For s >  delta^2: (2*delta*sqrt(s) - delta^2, delta/sqrt(s), ...)
+
+    Reference: loss_function.h:49-77 (its SIMD overload is an empty stub;
+    here the vectorized path is first-class). Branches become jnp.where
+    masks; sqrt is guarded so the gradient is NaN-free at s = 0.
+    """
+
+    threshold: float = 1.0
+
+    def evaluate(self, s: Array):
+        delta = jnp.asarray(self.threshold, dtype=s.dtype)
+        sq_delta = delta * delta
+        outlier = s > sq_delta
+        safe_s = jnp.where(outlier, s, sq_delta)
+        root = jnp.sqrt(safe_s)
+        rho = jnp.where(outlier, 2.0 * delta * root - sq_delta, s)
+        d_rho = jnp.where(outlier, delta / root, jnp.ones_like(s))
+        dd_rho = jnp.where(outlier, -0.5 * delta / (safe_s * root), jnp.zeros_like(s))
+        return rho, d_rho, dd_rho
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class CauchyLoss(LossFunction):
+    """Cauchy (Lorentzian) loss: rho(s) = c^2 * log(1 + s/c^2)."""
+
+    scale: float = 1.0
+
+    def evaluate(self, s: Array):
+        c2 = jnp.asarray(self.scale, dtype=s.dtype) ** 2
+        inv = 1.0 / (1.0 + s / c2)
+        rho = c2 * jnp.log1p(s / c2)
+        d_rho = inv
+        dd_rho = -(inv * inv) / c2
+        return rho, d_rho, dd_rho

@@ -1,0 +1,75 @@
+"""Correspondence search: local points -> nearby NDT voxels.
+
+The reference builds a FLANN kd-tree over valid NDT means each outer-ICP
+iteration and does a radius search (r = 1.0, up to 2 neighbors) per warped
+point (mahalanobis tests/simple_optimization_test.cc:296-342).
+
+On TPU the map is tiny (tens to thousands of voxels) while the point set is
+large, so the TPU-native formulation is a dense (N, M) distance computation
+— one matmul that rides the MXU — followed by ``lax.top_k``: brute force
+beats tree traversal by orders of magnitude at these shapes and keeps the
+whole matching step on-device with static shapes (no host round-trip
+between matching and solving). The returned batch has N*k rows with a
+validity mask instead of a ragged correspondence list.
+
+FLANN's radius search returns the (up to) k nearest neighbors within the
+radius; dense top-k + radius mask selects exactly the same set.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.mahalanobis import MahalanobisData
+
+Array = jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("num_neighbors",))
+def match_point_cloud(
+    ndt_means: Array,  # (M, 3) valid-voxel means
+    ndt_sqrt_infos: Array,  # (M, 3, 3)
+    local_points: Array,  # (N, 3)
+    points_mask: Array,  # (N,) 1.0 = real point (padding support)
+    rotation: Array,  # (3, 3) current pose estimate
+    translation: Array,  # (3,)
+    search_radius: float = 1.0,
+    num_neighbors: int = 2,
+) -> MahalanobisData:
+    """Warp points by the current pose and match each to its nearest
+    ``num_neighbors`` NDT voxels within ``search_radius``.
+
+    Returns a MahalanobisData of N * num_neighbors correspondences whose
+    mask zeroes out-of-radius / padded entries. Correspondences carry the
+    LOCAL (unwarped) point, as in the reference (:321-324).
+    """
+    warped = local_points @ rotation.T + translation  # (N, 3)
+
+    # Squared distances via the expanded form: one (N, 3) x (3, M) matmul.
+    d2 = (
+        jnp.sum(warped * warped, axis=1, keepdims=True)
+        - 2.0 * warped @ ndt_means.T
+        + jnp.sum(ndt_means * ndt_means, axis=1)[None, :]
+    )  # (N, M)
+
+    neg_d2, idx = jax.lax.top_k(-d2, num_neighbors)  # (N, k)
+    within = (-neg_d2) <= search_radius * search_radius
+    mask = within.astype(local_points.dtype) * points_mask[:, None]
+
+    n, k = idx.shape
+    flat_idx = idx.reshape(n * k)
+    return MahalanobisData(
+        points=jnp.repeat(local_points, k, axis=0),
+        means=ndt_means[flat_idx],
+        sqrt_infos=ndt_sqrt_infos[flat_idx],
+        mask=mask.reshape(n * k),
+    )
+
+
+def match_counts(data: MahalanobisData) -> Array:
+    """Number of real correspondences in a matched batch."""
+    return jnp.sum(data.mask)

@@ -1,0 +1,160 @@
+"""Generic damped Gauss-Newton / Levenberg-Marquardt driver.
+
+One whole ``solve`` is a single XLA program: the iteration loop is a
+``lax.while_loop`` whose body evaluates the fused factor quadratic
+(H, g, cost), damps, solves the normal equations, retracts the parameters
+on their manifold, and adapts lambda — the data never leaves the device.
+
+The control policy reproduces the reference loop EXACTLY
+(reference: mahalanobis_distance_minimizer_analytic.cc:84-152):
+
+  1. (H, g, cost) <- evaluate at current params
+  2. H[k,k] *= (1 + lambda)
+  3. delta = solve(H, -g)
+  4. params <- retract(params, delta)        # update happens BEFORE checks
+  5. break if ||delta|| < parameter_tolerance
+  6. break if ||g|| < gradient_tolerance
+  7. lambda *= (cost > previous_cost ? 2.0 : 0.6), clamped to
+     [min_lambda, max_lambda]; previous_cost <- cost
+
+Note the quirks kept for trace parity: convergence is checked AFTER the
+update; ``previous_cost`` starts at dtype-max (so the first adaptation
+always shrinks lambda); a converging iteration leaves lambda and
+previous_cost untouched; ``function_tolerance`` exists in Options but is
+never read by the reference loop — same here.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.options import MinimizerType, Options
+from .linear import damp_hessian, solve_normal_equations
+
+Array = jax.Array
+Params = any  # pytree
+
+
+class IterationRecord(NamedTuple):
+    """Per-iteration observability record (the reference only ever printed
+    the final 'COST: <c>, iter: <n>' line; SURVEY section 5 asks for
+    structured per-iteration records)."""
+
+    cost: Array  # (max_iterations,)
+    lam: Array
+    gradient_norm: Array
+    step_norm: Array
+
+
+class Summary(NamedTuple):
+    """Solve summary (the reference declares an empty Summary struct,
+    pose_optimizer/pose_optimizer.h:63 — this is the real one)."""
+
+    final_cost: Array  # cost of the last completed iteration ("COST" print)
+    iterations: Array  # number of iterations executed
+    final_lambda: Array
+    converged: Array  # True if a tolerance fired before max_iterations
+    records: IterationRecord
+
+
+class _State(NamedTuple):
+    params: Params
+    lam: Array
+    previous_cost: Array
+    iteration: Array
+    done: Array
+    records: IterationRecord
+
+
+def solve(
+    eval_quadratic: Callable[[Params], Tuple[Array, Array, Array]],
+    retract: Callable[[Params, Array], Params],
+    params0: Params,
+    options: Options,
+) -> Tuple[Params, Summary]:
+    """Run the solver. ``eval_quadratic(params) -> (H, g, cost)``;
+    ``retract(params, delta) -> params`` applies a local step on the
+    parameter manifold. Jit-safe; call under ``jax.jit`` for one fused
+    device program."""
+    oh = options.optimization_handle
+    ch = options.convergence_handle
+    max_it = options.max_iterations
+
+    leaves = jax.tree_util.tree_leaves(params0)
+    dtype = leaves[0].dtype
+
+    def records_init():
+        nan = jnp.full((max_it,), jnp.nan, dtype=dtype)
+        return IterationRecord(nan, nan, nan, nan)
+
+    gd_step = jnp.asarray(oh.gradient_descent_step, dtype)
+
+    def body(state: _State) -> _State:
+        hessian, gradient, cost = eval_quadratic(state.params)
+
+        if options.minimizer_type == MinimizerType.GRADIENT_DESCENT:
+            delta = -gd_step * gradient
+        else:
+            damped = damp_hessian(hessian, state.lam)
+            delta = solve_normal_equations(
+                damped, -gradient, options.linear_solver_type
+            )
+
+        new_params = retract(state.params, delta)
+
+        step_norm = jnp.linalg.norm(delta)
+        grad_norm = jnp.linalg.norm(gradient)
+        converged = (step_norm < ch.parameter_tolerance) | (
+            grad_norm < ch.gradient_tolerance
+        )
+
+        increase = cost > state.previous_cost
+        adapted = jnp.where(
+            increase,
+            state.lam * oh.lambda_increase_factor,
+            state.lam * oh.lambda_decrease_factor,
+        )
+        adapted = jnp.clip(adapted, oh.min_lambda, oh.max_lambda)
+        # A converging iteration breaks before the lambda/previous_cost
+        # update (reference: .._analytic.cc:138-148).
+        new_lam = jnp.where(converged, state.lam, adapted)
+        new_prev = jnp.where(converged, state.previous_cost, cost)
+
+        it = state.iteration
+        rec = IterationRecord(
+            state.records.cost.at[it].set(cost),
+            state.records.lam.at[it].set(state.lam),
+            state.records.gradient_norm.at[it].set(grad_norm),
+            state.records.step_norm.at[it].set(step_norm),
+        )
+        return _State(new_params, new_lam, new_prev, it + 1, converged, rec)
+
+    def cond(state: _State) -> Array:
+        return (state.iteration < max_it) & (~state.done)
+
+    init = _State(
+        params=params0,
+        lam=jnp.asarray(oh.initial_lambda, dtype),
+        previous_cost=jnp.asarray(jnp.finfo(dtype).max, dtype),
+        iteration=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        records=records_init(),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    # Reference reports previous_cost and the iteration counter at exit
+    # (.._analytic.cc:150-151). On a tolerance break the counter is the
+    # 0-based index of the breaking iteration — i.e. iteration - 1 here,
+    # because our counter increments before exiting the body.
+    iterations = jnp.where(final.done, final.iteration - 1, final.iteration)
+    summary = Summary(
+        final_cost=final.previous_cost,
+        iterations=iterations,
+        final_lambda=final.lam,
+        converged=final.done,
+        records=final.records,
+    )
+    return final.params, summary

@@ -1,0 +1,289 @@
+"""User-facing minimizer classes.
+
+These mirror the reference's module entry points —
+``MahalanobisDistanceMinimizer*::Solve`` (6-DoF and 3-DoF planar),
+``ReprojectionErrorMinimizer*::Solve`` — but instead of one class per
+execution backend (scalar / SIMD / threaded: the reference's class zoo,
+SURVEY section 2.3), a single class takes ``backend=`` ("jnp" | "pallas")
+and an optional ``mesh=`` for multi-chip sharded evaluation. Every backend
+optimizes the identical objective; parity across backends is the test
+criterion, exactly like the reference's variant-parity methodology.
+
+The full LM loop is jitted into ONE XLA program per (options, data-bucket)
+combination; correspondence counts are padded to bucket multiples with
+masked tails to bound recompilation across outer-ICP iterations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from ..core.losses import LossFunction
+from ..core.options import Options
+from ..core.pose import Pose, Pose2
+from ..ops import mahalanobis, point_to_plane, reprojection
+from ..ops.reprojection import CameraIntrinsics
+from . import lm
+from .manifolds import SE2Params, SE3Params, se2_retract, se3_retract
+
+Array = jax.Array
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+class _MinimizerBase:
+    """Shared plumbing: loss, backend, dtype, padding, jit cache."""
+
+    def __init__(
+        self,
+        backend: str = "jnp",
+        dtype=jnp.float32,
+        pad_multiple: int = 1024,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        if backend not in ("jnp", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        self.dtype = dtype
+        self.pad_multiple = pad_multiple
+        self.mesh = mesh
+        self.loss_function: Optional[LossFunction] = None
+
+    def set_loss_function(self, loss: Optional[LossFunction]):
+        """Reference: MahalanobisDistanceMinimizer::SetLossFunction
+        (mahalanobis_distance_minimizer.cc:15-18)."""
+        self.loss_function = loss
+        return self
+
+    def _pad(self, n: int) -> int:
+        m = self.pad_multiple
+        if self.mesh is not None:
+            m *= self.mesh.devices.size
+        return _round_up(max(n, 1), m)
+
+
+class MahalanobisDistanceMinimizer(_MinimizerBase):
+    """6-DoF NDT scan-to-map alignment
+    (reference: mahalanobis_distance_minimizer_analytic{,_simd}.cc)."""
+
+    def solve(
+        self,
+        options: Options,
+        data: mahalanobis.MahalanobisData,
+        pose: Pose,
+    ) -> Tuple[Pose, lm.Summary]:
+        data = data.astype(self.dtype).pad_to(self._pad(data.num_factors))
+        t0 = jnp.asarray(pose.translation, self.dtype)
+        q0 = jnp.asarray(pose.quaternion(), self.dtype)
+        params, summary = _maha6_solve(
+            t0, q0, data, self.loss_function, options, self.backend, self.mesh
+        )
+        out = Pose(
+            np.asarray(lie.quat_to_rotmat(params.quaternion), dtype=np.float64),
+            np.asarray(params.translation, dtype=np.float64),
+        )
+        return out, summary
+
+
+class MahalanobisDistanceMinimizer3DOF(_MinimizerBase):
+    """3-DoF planar (x, y, yaw) NDT alignment
+    (reference: mahalanobis_distance_minimizer_analytic_3dof{,_simd}.cc).
+
+    Like the reference, takes/returns a full SE(3) pose: the planar pose is
+    extracted from the top-left block and embedded back at the end
+    (.._analytic_3dof.cc:22-25,104-105)."""
+
+    def solve(
+        self,
+        options: Options,
+        data: mahalanobis.MahalanobisData,
+        pose: Pose,
+    ) -> Tuple[Pose, lm.Summary]:
+        data = data.astype(self.dtype).pad_to(self._pad(data.num_factors))
+        t0 = jnp.asarray(pose.translation[:2], self.dtype)
+        theta0 = jnp.asarray(
+            np.arctan2(pose.rotation[1, 0], pose.rotation[0, 0]), self.dtype
+        )
+        params, summary = _maha3_solve(
+            t0, theta0, data, self.loss_function, options, self.backend, self.mesh
+        )
+        out = pose.copy()
+        out.translation = out.translation.copy()
+        out.rotation = out.rotation.copy()
+        out.translation[:2] = np.asarray(params.translation, dtype=np.float64)
+        out.rotation[:2, :2] = np.asarray(lie.rot2(params.theta), dtype=np.float64)
+        return out, summary
+
+
+class ReprojectionErrorMinimizer(_MinimizerBase):
+    """6-DoF pose from 3D-2D correspondences
+    (reference: reprojection_error_minimizer_analytic{,_simd}.cc)."""
+
+    def solve(
+        self,
+        options: Options,
+        data: reprojection.ReprojectionData,
+        intrinsics: CameraIntrinsics,
+        pose: Pose,
+    ) -> Tuple[Pose, lm.Summary]:
+        data = data.astype(self.dtype).pad_to(self._pad(data.num_factors))
+        intr = CameraIntrinsics(
+            *(jnp.asarray(v, self.dtype) for v in intrinsics[:6]),
+            intrinsics.width,
+            intrinsics.height,
+        )
+        t0 = jnp.asarray(pose.translation, self.dtype)
+        q0 = jnp.asarray(pose.quaternion(), self.dtype)
+        params, summary = _reproj_solve(
+            t0, q0, data, intr, self.loss_function, options, self.backend, self.mesh
+        )
+        out = Pose(
+            np.asarray(lie.quat_to_rotmat(params.quaternion), dtype=np.float64),
+            np.asarray(params.translation, dtype=np.float64),
+        )
+        return out, summary
+
+
+class PointToPlaneMinimizer(_MinimizerBase):
+    """6-DoF point-to-plane ICP (the reference's TBD module, implemented;
+    factor math from pose_optimizer/cost_functors.h:106-157)."""
+
+    def solve(
+        self,
+        options: Options,
+        data: point_to_plane.PointToPlaneData,
+        pose: Pose,
+    ) -> Tuple[Pose, lm.Summary]:
+        data = data.astype(self.dtype).pad_to(self._pad(data.num_factors))
+        t0 = jnp.asarray(pose.translation, self.dtype)
+        q0 = jnp.asarray(pose.quaternion(), self.dtype)
+        params, summary = _p2p_solve(
+            t0, q0, data, self.loss_function, options, self.backend, self.mesh
+        )
+        out = Pose(
+            np.asarray(lie.quat_to_rotmat(params.quaternion), dtype=np.float64),
+            np.asarray(params.translation, dtype=np.float64),
+        )
+        return out, summary
+
+
+# ----------------------------------------------------------------------------
+# Jitted solve cores. Static args: loss (pytree of scalars is traced — the
+# loss OBJECT structure is static), options, backend, mesh.
+# ----------------------------------------------------------------------------
+
+
+def _select_maha6_eval(backend: str):
+    if backend == "pallas":
+        from ..ops import pallas_kernels
+
+        return pallas_kernels.maha6_eval_quadratic
+    return mahalanobis.eval_quadratic
+
+
+def _select_maha3_eval(backend: str):
+    if backend == "pallas":
+        from ..ops import pallas_kernels
+
+        return pallas_kernels.maha3_eval_quadratic
+    return mahalanobis.eval_quadratic_3dof
+
+
+def _select_reproj_eval(backend: str):
+    if backend == "pallas":
+        from ..ops import pallas_kernels
+
+        return pallas_kernels.reproj_eval_quadratic
+    return reprojection.eval_quadratic
+
+
+def _maybe_shard(solve_fn, mesh, data, *prefix_args):
+    """Run ``solve_fn(data, *prefix_args)`` either directly or as a
+    shard_map over the factor axis of ``data`` with replicated params.
+    Inside the shard the per-device partial (H, g, cost) is psummed, so
+    the LM control flow stays replicated and bitwise-identical across
+    devices (the TPU analog of the reference's future-sum reduction,
+    mahalanobis_distance_minimizer_analytic.cc:114-119)."""
+    from ..parallel.sharded import shard_solve
+
+    if mesh is None:
+        return solve_fn(data, *prefix_args, psum_axis=None)
+    return shard_solve(solve_fn, mesh, data, *prefix_args)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _maha6_solve(t0, q0, data, loss, options, backend, mesh):
+    eval_fn = _select_maha6_eval(backend)
+
+    def solve_fn(data_shard, *, psum_axis):
+        def quad(params: SE3Params):
+            R = lie.quat_to_rotmat(params.quaternion)
+            H, g, c = eval_fn(R, params.translation, data_shard, loss)
+            if psum_axis is not None:
+                H, g, c = jax.lax.psum((H, g, c), psum_axis)
+            return H, g, c
+
+        return lm.solve(quad, se3_retract, SE3Params(t0, q0), options)
+
+    return _maybe_shard(solve_fn, mesh, data)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _maha3_solve(t0, theta0, data, loss, options, backend, mesh):
+    eval_fn = _select_maha3_eval(backend)
+
+    def solve_fn(data_shard, *, psum_axis):
+        def quad(params: SE2Params):
+            R2 = lie.rot2(params.theta)
+            H, g, c = eval_fn(R2, params.translation, data_shard, loss)
+            if psum_axis is not None:
+                H, g, c = jax.lax.psum((H, g, c), psum_axis)
+            return H, g, c
+
+        return lm.solve(quad, se2_retract, SE2Params(t0, theta0), options)
+
+    return _maybe_shard(solve_fn, mesh, data)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _reproj_solve(t0, q0, data, intrinsics, loss, options, backend, mesh):
+    eval_fn = _select_reproj_eval(backend)
+
+    def solve_fn(data_shard, intr, *, psum_axis):
+        def quad(params: SE3Params):
+            R = lie.quat_to_rotmat(params.quaternion)
+            H, g, c = eval_fn(R, params.translation, data_shard, intr, loss)
+            if psum_axis is not None:
+                H, g, c = jax.lax.psum((H, g, c), psum_axis)
+            return H, g, c
+
+        return lm.solve(quad, se3_retract, SE3Params(t0, q0), options)
+
+    return _maybe_shard(solve_fn, mesh, data, intrinsics)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _p2p_solve(t0, q0, data, loss, options, backend, mesh):
+    del backend  # single backend so far
+
+    def solve_fn(data_shard, *, psum_axis):
+        def quad(params: SE3Params):
+            R = lie.quat_to_rotmat(params.quaternion)
+            H, g, c = point_to_plane.eval_quadratic(
+                R, params.translation, data_shard, loss
+            )
+            if psum_axis is not None:
+                H, g, c = jax.lax.psum((H, g, c), psum_axis)
+            return H, g, c
+
+        return lm.solve(quad, se3_retract, SE3Params(t0, q0), options)
+
+    return _maybe_shard(solve_fn, mesh, data)
