@@ -1,0 +1,98 @@
+"""Headline benchmark: full 6-DoF NDT scan-to-map registration on the
+reference workload (the "maha simple" benchmark).
+
+Workload (identical to reference mahalanobis tests/simple_optimization_test.cc):
+  ~954,605-point synthetic room -> 96-voxel NDT map (1.0 m), scan = 0.1 m
+  voxel filter warped by the true pose, outer ICP loop (re-matching) with
+  inner LM solves (40 iters max, exponential loss).
+
+Baseline to beat: 58.9 ms total solve wall time — the reference's AVX2
+analytic-SIMD variant on an i7-10700 (results/maha_amd64_simple.txt,
+BASELINE.md). vs_baseline is the speedup ratio (baseline_ms / ours_ms).
+
+Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MS = 58.9  # reference analytic SIMD, maha simple (BASELINE.md)
+NUM_TIMED_RUNS = 20
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    import nonlinear_optimizer_for_slam_tpu as nls
+    from nonlinear_optimizer_for_slam_tpu.core import ExponentialLoss, Options
+    from nonlinear_optimizer_for_slam_tpu.pipelines import ndt, registration
+    from nonlinear_optimizer_for_slam_tpu.utils import testing
+
+    log(f"devices: {jax.devices()}")
+
+    t0 = time.perf_counter()
+    points = testing.generate_room_points()  # ~954,605 pts (reference world)
+    ndt_map = ndt.build_ndt_map(points, 1.0)
+    true_pose = testing.maha_true_pose()
+    scan = ndt.filter_points(points, 0.1)
+    local = true_pose.inverse().apply(scan)
+    log(
+        f"fixture: {points.shape[0]} raw pts, {int(ndt_map.valid.sum())} valid "
+        f"voxels, {local.shape[0]} scan pts ({time.perf_counter() - t0:.1f}s host build)"
+    )
+
+    minimizer = nls.MahalanobisDistanceMinimizer().set_loss_function(
+        ExponentialLoss(c1=1.0, c2=1.0)
+    )
+    options = Options()
+
+    def run():
+        return registration.register_ndt(
+            ndt_map, local, nls.Pose.identity(), minimizer, options
+        )
+
+    # Warm-up: compile matching + solve programs.
+    t0 = time.perf_counter()
+    res = run()
+    warm_s = time.perf_counter() - t0
+    t_err = np.linalg.norm(res.pose.translation - true_pose.translation)
+    total_inner = sum(int(s.iterations) + 1 for s in res.summaries)
+    log(
+        f"warm-up: {warm_s:.2f}s (incl. compile), outer={res.outer_iterations}, "
+        f"inner LM iters={total_inner}, t_err={t_err * 1000:.2f} mm, "
+        f"final cost={float(res.summaries[-1].final_cost):.1f}"
+    )
+    assert t_err < 0.05, f"registration diverged: {t_err}"
+
+    times = []
+    for _ in range(NUM_TIMED_RUNS):
+        t0 = time.perf_counter()
+        run()
+        times.append((time.perf_counter() - t0) * 1000.0)
+    times = np.asarray(times)
+    best, median = float(times.min()), float(np.median(times))
+    log(f"total solve wall ms over {NUM_TIMED_RUNS} runs: best={best:.2f} "
+        f"median={median:.2f} mean={times.mean():.2f}")
+    log(f"inner LM iterations/s (median run): {total_inner / (median / 1000.0):.0f}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "maha6_ndt_registration_total_solve",
+                "value": round(median, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / median, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

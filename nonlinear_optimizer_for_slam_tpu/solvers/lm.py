@@ -53,7 +53,11 @@ class Summary(NamedTuple):
     """Solve summary (the reference declares an empty Summary struct,
     pose_optimizer/pose_optimizer.h:63 — this is the real one)."""
 
-    final_cost: Array  # cost of the last completed iteration ("COST" print)
+    final_cost: Array  # cost evaluated in the last executed iteration
+    reported_cost: Array  # the reference's "COST:" print = previous_cost,
+    # which lags final_cost by one iteration (and is the dtype-max sentinel
+    # if the solve converges in its very first iteration — the reference
+    # would print the same, .._analytic.cc:150)
     iterations: Array  # number of iterations executed
     final_lambda: Array
     converged: Array  # True if a tolerance fired before max_iterations
@@ -64,6 +68,7 @@ class _State(NamedTuple):
     params: Params
     lam: Array
     previous_cost: Array
+    last_cost: Array
     iteration: Array
     done: Array
     records: IterationRecord
@@ -103,6 +108,14 @@ def solve(
                 damped, -gradient, options.linear_solver_type
             )
 
+        # Degenerate-system guard: a singular damped H (e.g. zero factors
+        # after masking) yields a non-finite step; treat it as a zero step
+        # so the solve converges in place instead of exploding. (The
+        # reference has no such guard — its behavior there is UB garbage.)
+        delta = jnp.where(
+            jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta)
+        )
+
         new_params = retract(state.params, delta)
 
         step_norm = jnp.linalg.norm(delta)
@@ -130,7 +143,7 @@ def solve(
             state.records.gradient_norm.at[it].set(grad_norm),
             state.records.step_norm.at[it].set(step_norm),
         )
-        return _State(new_params, new_lam, new_prev, it + 1, converged, rec)
+        return _State(new_params, new_lam, new_prev, cost, it + 1, converged, rec)
 
     def cond(state: _State) -> Array:
         return (state.iteration < max_it) & (~state.done)
@@ -139,6 +152,7 @@ def solve(
         params=params0,
         lam=jnp.asarray(oh.initial_lambda, dtype),
         previous_cost=jnp.asarray(jnp.finfo(dtype).max, dtype),
+        last_cost=jnp.asarray(jnp.finfo(dtype).max, dtype),
         iteration=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         records=records_init(),
@@ -151,7 +165,8 @@ def solve(
     # because our counter increments before exiting the body.
     iterations = jnp.where(final.done, final.iteration - 1, final.iteration)
     summary = Summary(
-        final_cost=final.previous_cost,
+        final_cost=final.last_cost,
+        reported_cost=final.previous_cost,
         iterations=iterations,
         final_lambda=final.lam,
         converged=final.done,

@@ -1,0 +1,180 @@
+"""End-to-end minimizer tests on the reference's synthetic fixtures.
+
+Acceptance mirrors the reference results (SURVEY section 6, "cost-parity
+facts"): estimated poses land within millimeters / 1e-4 quat of the truth,
+and the analytic path agrees with the autodiff oracle (the in-repo Ceres)
+on identical correspondences.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nonlinear_optimizer_for_slam_tpu as nls
+from nonlinear_optimizer_for_slam_tpu.core import ExponentialLoss, Options, lie
+from nonlinear_optimizer_for_slam_tpu.ops import mahalanobis, reprojection
+from nonlinear_optimizer_for_slam_tpu.pipelines import matching, ndt
+from nonlinear_optimizer_for_slam_tpu.solvers import autodiff
+from nonlinear_optimizer_for_slam_tpu.solvers.manifolds import SE3Params, se3_retract
+from nonlinear_optimizer_for_slam_tpu.utils import testing
+
+
+@pytest.fixture(scope="module")
+def small_world():
+    """Scaled-down room (2 cm grid vs the reference's 1 cm) so CPU tests
+    stay fast; same structure and scan filter as the reference world
+    (tests/simple_optimization_test.cc:170-204). NOTE: a 5 cm grid is too
+    coarse — its NDT covariances make the exponential loss saturate at the
+    identity-pose initial error and registration stalls at ~0.2 m."""
+    pts = testing.generate_room_points(point_step=0.02)
+    ndt_map = ndt.build_ndt_map(pts, 1.0)
+    true_pose = testing.maha_true_pose()
+    scan = ndt.filter_points(pts, 0.1)
+    local = true_pose.inverse().apply(scan)
+    return ndt_map, local, true_pose
+
+
+def _match(ndt_map, local, pose, dtype=jnp.float32):
+    valid = ndt_map.valid_only()
+    return matching.match_point_cloud(
+        jnp.asarray(valid.means, dtype),
+        jnp.asarray(valid.sqrt_informations, dtype),
+        jnp.asarray(local, dtype),
+        jnp.ones(local.shape[0], dtype),
+        jnp.asarray(pose.rotation, dtype),
+        jnp.asarray(pose.translation, dtype),
+    )
+
+
+def test_maha6_single_solve_improves_pose(small_world):
+    ndt_map, local, true_pose = small_world
+    data = _match(ndt_map, local, nls.Pose.identity())
+    minimizer = nls.MahalanobisDistanceMinimizer().set_loss_function(
+        ExponentialLoss()
+    )
+    pose, summary = minimizer.solve(Options(), data, nls.Pose.identity())
+    err0 = np.linalg.norm(true_pose.translation)
+    err = np.linalg.norm(pose.translation - true_pose.translation)
+    # a single inner solve on identity-pose correspondences improves but
+    # cannot fully converge — that is the outer ICP loop's job
+    assert err < 0.75 * err0
+    assert np.isfinite(float(summary.final_cost))
+
+
+def test_maha6_registration_converges(small_world):
+    ndt_map, local, true_pose = small_world
+    from nonlinear_optimizer_for_slam_tpu.pipelines import registration
+
+    minimizer = nls.MahalanobisDistanceMinimizer().set_loss_function(
+        ExponentialLoss()
+    )
+    res = registration.register_ndt(
+        ndt_map, local, nls.Pose.identity(), minimizer, Options()
+    )
+    t_err = np.linalg.norm(res.pose.translation - true_pose.translation)
+    q_est = res.pose.quaternion()
+    q_true = true_pose.quaternion()
+    q_err = min(np.linalg.norm(q_est - q_true), np.linalg.norm(q_est + q_true))
+    # reference variants land within ~5 mm / 1e-4 quat (SURVEY section 6);
+    # the 5 cm test world is coarser than the 1 cm reference world, so the
+    # bound here is looser but still sub-voxel by 2 orders of magnitude.
+    assert t_err < 0.03, t_err
+    assert q_err < 0.005, q_err
+
+
+def test_maha6_analytic_matches_autodiff_oracle(small_world):
+    """The oracle pattern (SURVEY section 4): same correspondences, same
+    options, analytic-J LM vs autodiff-J LM -> same pose and cost."""
+    ndt_map, local, true_pose = small_world
+    data = _match(ndt_map, local, nls.Pose.identity(), dtype=jnp.float64)
+    loss = ExponentialLoss()
+    options = Options()
+
+    minimizer = nls.MahalanobisDistanceMinimizer(dtype=jnp.float64)
+    minimizer.set_loss_function(loss)
+    pose_a, sum_a = minimizer.solve(options, data, nls.Pose.identity())
+
+    def residual_fn(params: SE3Params):
+        R = lie.quat_to_rotmat(params.quaternion)
+        r = mahalanobis.residuals(R, params.translation, data)
+        return r * data.mask[:, None]
+
+    params0 = SE3Params(jnp.zeros(3, jnp.float64), jnp.asarray([1.0, 0, 0, 0], jnp.float64))
+    params_o, sum_o = autodiff.solve(
+        residual_fn, se3_retract, params0, 6, options, loss=loss, mask=data.mask
+    )
+
+    np.testing.assert_allclose(
+        pose_a.translation, np.asarray(params_o.translation), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(sum_a.final_cost), float(sum_o.final_cost), rtol=1e-8
+    )
+
+
+def test_maha3_planar_registration(small_world):
+    """3-DoF planar solve on a planar true pose (the reference's
+    3dof_6dof_comparison_test setup)."""
+    ndt_map, local, true_pose = small_world  # true pose IS planar (z-axis yaw)
+    from nonlinear_optimizer_for_slam_tpu.pipelines import registration
+
+    minimizer = nls.MahalanobisDistanceMinimizer3DOF().set_loss_function(
+        ExponentialLoss()
+    )
+    res = registration.register_ndt(
+        ndt_map, local, nls.Pose.identity(), minimizer, Options()
+    )
+    t_err = np.linalg.norm(res.pose.translation[:2] - true_pose.translation[:2])
+    assert t_err < 0.03, t_err
+    # z row untouched by the planar solver
+    assert res.pose.translation[2] == 0.0
+
+
+def test_reprojection_full_fixture():
+    """The 630-point reference fixture: analytic solver reaches ~1e-11 cost
+    within ~6 iterations and matches truth to ~1e-6
+    (reference: results/reproj_amd64.txt)."""
+    points, pixels, intrinsics, true_pose = testing.generate_reprojection_fixture()
+    assert points.shape[0] == 651 or points.shape[0] == 630  # grid size
+    data = reprojection.ReprojectionData(
+        local_points=jnp.asarray(points),
+        matched_pixels=jnp.asarray(pixels),
+        mask=jnp.ones(points.shape[0]),
+    )
+    minimizer = nls.ReprojectionErrorMinimizer(dtype=jnp.float64)
+    minimizer.set_loss_function(ExponentialLoss(c1=1.0, c2=1.0))
+    pose, summary = minimizer.solve(
+        Options(), data, intrinsics, nls.Pose.identity()
+    )
+    # the solver estimates the query-from-reference transform, i.e. the
+    # INVERSE of the fixture's true pose (the warp applied was
+    # true_pose^{-1}, testing.generate_reprojection_fixture)
+    expected = true_pose.inverse()
+    t_err = np.linalg.norm(pose.translation - expected.translation)
+    assert t_err < 1e-5, t_err
+    assert float(summary.final_cost) < 1e-9
+    assert int(summary.iterations) <= 10  # reference: 6 iterations
+
+
+def test_point_to_plane_solve(rng):
+    """Synthetic plane-anchored factors recover a perturbed pose."""
+    from nonlinear_optimizer_for_slam_tpu.ops import point_to_plane
+
+    n = 500
+    pts = rng.uniform(-2, 2, size=(n, 3))
+    normals = rng.normal(size=(n, 3))
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    true_pose = nls.Pose.from_axis_angle(0.05, [0.3, -0.2, 1.0], [0.1, -0.05, 0.2])
+    # plane anchors chosen so the warped point lies exactly on each plane
+    anchors = true_pose.apply(pts)
+    data = point_to_plane.PointToPlaneData(
+        points=jnp.asarray(pts),
+        means=jnp.asarray(anchors),
+        normals=jnp.asarray(normals),
+        mask=jnp.ones(n),
+    )
+    minimizer = nls.PointToPlaneMinimizer(dtype=jnp.float64)
+    pose, summary = minimizer.solve(Options(), data, nls.Pose.identity())
+    np.testing.assert_allclose(pose.translation, true_pose.translation, atol=1e-6)
+    np.testing.assert_allclose(pose.rotation, true_pose.rotation, atol=1e-6)
