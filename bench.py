@@ -30,9 +30,12 @@ def log(*a):
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import nonlinear_optimizer_for_slam_tpu as nls
     from nonlinear_optimizer_for_slam_tpu.core import ExponentialLoss, Options
-    from nonlinear_optimizer_for_slam_tpu.pipelines import ndt, registration
+    from nonlinear_optimizer_for_slam_tpu.pipelines import fused_registration, ndt
     from nonlinear_optimizer_for_slam_tpu.utils import testing
 
     log(f"devices: {jax.devices()}")
@@ -48,26 +51,23 @@ def main():
         f"voxels, {local.shape[0]} scan pts ({time.perf_counter() - t0:.1f}s host build)"
     )
 
-    minimizer = nls.MahalanobisDistanceMinimizer().set_loss_function(
-        ExponentialLoss(c1=1.0, c2=1.0)
+    registrar = fused_registration.NdtRegistrar(
+        ndt_map, Options(), ExponentialLoss(c1=1.0, c2=1.0)
     )
-    options = Options()
 
     def run():
-        return registration.register_ndt(
-            ndt_map, local, nls.Pose.identity(), minimizer, options
-        )
+        return registrar.register(local, nls.Pose.identity())
 
-    # Warm-up: compile matching + solve programs.
+    # Warm-up: compile the single fused registration program.
     t0 = time.perf_counter()
     res = run()
     warm_s = time.perf_counter() - t0
     t_err = np.linalg.norm(res.pose.translation - true_pose.translation)
-    total_inner = sum(int(s.iterations) + 1 for s in res.summaries)
+    total_inner = int(res.inner_iterations.sum()) + res.outer_iterations
     log(
         f"warm-up: {warm_s:.2f}s (incl. compile), outer={res.outer_iterations}, "
         f"inner LM iters={total_inner}, t_err={t_err * 1000:.2f} mm, "
-        f"final cost={float(res.summaries[-1].final_cost):.1f}"
+        f"final cost={res.final_cost:.1f}"
     )
     assert t_err < 0.05, f"registration diverged: {t_err}"
 

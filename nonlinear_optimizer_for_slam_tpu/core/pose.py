@@ -10,7 +10,56 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import lie
+# NOTE: host-side pose math is PURE NUMPY on purpose. Routing it through
+# the jnp functions in core.lie would eagerly dispatch ~30 tiny ops to the
+# accelerator per conversion (~50-70 ms per solve call on TPU, measured) —
+# dominating the actual 5 ms jitted solve. Device code uses core.lie; the
+# host uses these numpy twins.
+
+
+def np_quat_to_rotmat(q: np.ndarray) -> np.ndarray:
+    """(w, x, y, z) unit quaternion -> 3x3 rotation matrix (numpy)."""
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def np_rotmat_to_quat(R: np.ndarray) -> np.ndarray:
+    """3x3 rotation matrix -> unit quaternion (w, x, y, z) (numpy,
+    Shepperd-style best-candidate selection)."""
+    m00, m01, m02 = R[0]
+    m10, m11, m12 = R[1]
+    m20, m21, m22 = R[2]
+    tr = m00 + m11 + m22
+    scores = np.array(
+        [1.0 + tr, 1.0 + m00 - m11 - m22, 1.0 - m00 + m11 - m22, 1.0 - m00 - m11 + m22]
+    )
+    best = int(np.argmax(scores))
+    s = 2.0 * np.sqrt(max(scores[best], 0.0) + 1e-30)
+    if best == 0:
+        q = np.array([0.25 * s, (m21 - m12) / s, (m02 - m20) / s, (m10 - m01) / s])
+    elif best == 1:
+        q = np.array([(m21 - m12) / s, 0.25 * s, (m01 + m10) / s, (m02 + m20) / s])
+    elif best == 2:
+        q = np.array([(m02 - m20) / s, (m01 + m10) / s, 0.25 * s, (m12 + m21) / s])
+    else:
+        q = np.array([(m10 - m01) / s, (m02 + m20) / s, (m12 + m21) / s, 0.25 * s])
+    return q / np.linalg.norm(q)
+
+
+def np_axis_angle_to_quat(w: np.ndarray) -> np.ndarray:
+    """Axis-angle 3-vector -> (w, x, y, z); same small-angle branch as the
+    reference ComputeQuaternion (mahalanobis_distance_minimizer.cc:20-33)."""
+    theta = np.linalg.norm(w)
+    if theta < 1e-6:
+        return np.concatenate([[1.0], 0.5 * np.asarray(w)])
+    half = 0.5 * theta
+    return np.concatenate([[np.cos(half)], np.sin(half) / theta * np.asarray(w)])
 
 
 class Pose:
@@ -40,14 +89,14 @@ class Pose:
     @staticmethod
     def from_quat_trans(q, t) -> "Pose":
         q = np.asarray(q, dtype=np.float64)
-        return Pose(np.asarray(lie.quat_to_rotmat(q)), t)
+        return Pose(np_quat_to_rotmat(q), t)
 
     @staticmethod
     def from_axis_angle(angle: float, axis, translation=None) -> "Pose":
         axis = np.asarray(axis, dtype=np.float64)
         axis = axis / np.linalg.norm(axis)
-        q = np.asarray(lie.so3_exp_quaternion(angle * axis))
-        return Pose(np.asarray(lie.quat_to_rotmat(q)), translation)
+        q = np_axis_angle_to_quat(angle * axis)
+        return Pose(np_quat_to_rotmat(q), translation)
 
     def matrix(self) -> np.ndarray:
         T = np.eye(4)
@@ -57,7 +106,7 @@ class Pose:
 
     def quaternion(self) -> np.ndarray:
         """Quaternion (w, x, y, z)."""
-        return np.asarray(lie.rotmat_to_quat(self.rotation))
+        return np_rotmat_to_quat(self.rotation)
 
     def inverse(self) -> "Pose":
         Rt = self.rotation.T

@@ -19,7 +19,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import lie
+from ..core import pose as pose_mod
 from ..core.options import Options
 from ..core.pose import Pose
 from ..solvers.lm import Summary
@@ -76,7 +76,7 @@ def register_ndt(
         summaries.append(summary)
 
         diff = pose.inverse() * last_pose
-        dq = np.asarray(lie.rotmat_to_quat(diff.rotation))
+        dq = pose_mod.np_rotmat_to_quat(diff.rotation)
         if (
             np.linalg.norm(diff.translation) < outer_tolerance
             and np.linalg.norm(dq[1:]) < outer_tolerance

@@ -39,6 +39,17 @@ def _round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def _pose_from_params(params: "SE3Params") -> Pose:
+    """Device SE3Params -> host Pose with ONE device-to-host transfer per
+    leaf and pure-numpy quaternion math (eager jnp lie calls here cost
+    ~50 ms/solve in tiny TPU dispatches — see core/pose.py note)."""
+    from ..core.pose import np_quat_to_rotmat
+
+    q = np.asarray(params.quaternion, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    return Pose(np_quat_to_rotmat(q), np.asarray(params.translation, dtype=np.float64))
+
+
 class _MinimizerBase:
     """Shared plumbing: loss, backend, dtype, padding, jit cache."""
 
@@ -80,16 +91,20 @@ class MahalanobisDistanceMinimizer(_MinimizerBase):
         data: mahalanobis.MahalanobisData,
         pose: Pose,
     ) -> Tuple[Pose, lm.Summary]:
-        data = data.astype(self.dtype).pad_to(self._pad(data.num_factors))
         t0 = jnp.asarray(pose.translation, self.dtype)
         q0 = jnp.asarray(pose.quaternion(), self.dtype)
         params, summary = _maha6_solve(
-            t0, q0, data, self.loss_function, options, self.backend, self.mesh
+            t0,
+            q0,
+            data,
+            self.loss_function,
+            options,
+            self.backend,
+            self.mesh,
+            self._pad(data.num_factors),
+            _dtype_name(self.dtype),
         )
-        out = Pose(
-            np.asarray(lie.quat_to_rotmat(params.quaternion), dtype=np.float64),
-            np.asarray(params.translation, dtype=np.float64),
-        )
+        out = _pose_from_params(params)
         return out, summary
 
 
@@ -107,19 +122,28 @@ class MahalanobisDistanceMinimizer3DOF(_MinimizerBase):
         data: mahalanobis.MahalanobisData,
         pose: Pose,
     ) -> Tuple[Pose, lm.Summary]:
-        data = data.astype(self.dtype).pad_to(self._pad(data.num_factors))
         t0 = jnp.asarray(pose.translation[:2], self.dtype)
         theta0 = jnp.asarray(
             np.arctan2(pose.rotation[1, 0], pose.rotation[0, 0]), self.dtype
         )
         params, summary = _maha3_solve(
-            t0, theta0, data, self.loss_function, options, self.backend, self.mesh
+            t0,
+            theta0,
+            data,
+            self.loss_function,
+            options,
+            self.backend,
+            self.mesh,
+            self._pad(data.num_factors),
+            _dtype_name(self.dtype),
         )
         out = pose.copy()
         out.translation = out.translation.copy()
         out.rotation = out.rotation.copy()
         out.translation[:2] = np.asarray(params.translation, dtype=np.float64)
-        out.rotation[:2, :2] = np.asarray(lie.rot2(params.theta), dtype=np.float64)
+        theta = float(params.theta)
+        c, s = np.cos(theta), np.sin(theta)
+        out.rotation[:2, :2] = np.array([[c, -s], [s, c]])
         return out, summary
 
 
@@ -134,7 +158,6 @@ class ReprojectionErrorMinimizer(_MinimizerBase):
         intrinsics: CameraIntrinsics,
         pose: Pose,
     ) -> Tuple[Pose, lm.Summary]:
-        data = data.astype(self.dtype).pad_to(self._pad(data.num_factors))
         intr = CameraIntrinsics(
             *(jnp.asarray(v, self.dtype) for v in intrinsics[:6]),
             intrinsics.width,
@@ -143,12 +166,18 @@ class ReprojectionErrorMinimizer(_MinimizerBase):
         t0 = jnp.asarray(pose.translation, self.dtype)
         q0 = jnp.asarray(pose.quaternion(), self.dtype)
         params, summary = _reproj_solve(
-            t0, q0, data, intr, self.loss_function, options, self.backend, self.mesh
+            t0,
+            q0,
+            data,
+            intr,
+            self.loss_function,
+            options,
+            self.backend,
+            self.mesh,
+            self._pad(data.num_factors),
+            _dtype_name(self.dtype),
         )
-        out = Pose(
-            np.asarray(lie.quat_to_rotmat(params.quaternion), dtype=np.float64),
-            np.asarray(params.translation, dtype=np.float64),
-        )
+        out = _pose_from_params(params)
         return out, summary
 
 
@@ -162,47 +191,38 @@ class PointToPlaneMinimizer(_MinimizerBase):
         data: point_to_plane.PointToPlaneData,
         pose: Pose,
     ) -> Tuple[Pose, lm.Summary]:
-        data = data.astype(self.dtype).pad_to(self._pad(data.num_factors))
         t0 = jnp.asarray(pose.translation, self.dtype)
         q0 = jnp.asarray(pose.quaternion(), self.dtype)
         params, summary = _p2p_solve(
-            t0, q0, data, self.loss_function, options, self.backend, self.mesh
+            t0,
+            q0,
+            data,
+            self.loss_function,
+            options,
+            self.backend,
+            self.mesh,
+            self._pad(data.num_factors),
+            _dtype_name(self.dtype),
         )
-        out = Pose(
-            np.asarray(lie.quat_to_rotmat(params.quaternion), dtype=np.float64),
-            np.asarray(params.translation, dtype=np.float64),
-        )
+        out = _pose_from_params(params)
         return out, summary
 
 
 # ----------------------------------------------------------------------------
-# Jitted solve cores. Static args: loss (pytree of scalars is traced — the
-# loss OBJECT structure is static), options, backend, mesh.
+# Jitted solve cores. Static args: options, backend, mesh, pad target n,
+# dtype name (loss is a pytree whose scalar leaves are traced). The dtype
+# cast and the mask-padded resize happen INSIDE the jitted program so the
+# host never pays eager-dispatch latency for them.
 # ----------------------------------------------------------------------------
 
 
-def _select_maha6_eval(backend: str):
-    if backend == "pallas":
-        from ..ops import pallas_kernels
-
-        return pallas_kernels.maha6_eval_quadratic
-    return mahalanobis.eval_quadratic
+def _dtype_name(dtype) -> str:
+    return jnp.dtype(dtype).name
 
 
-def _select_maha3_eval(backend: str):
-    if backend == "pallas":
-        from ..ops import pallas_kernels
-
-        return pallas_kernels.maha3_eval_quadratic
-    return mahalanobis.eval_quadratic_3dof
-
-
-def _select_reproj_eval(backend: str):
-    if backend == "pallas":
-        from ..ops import pallas_kernels
-
-        return pallas_kernels.reproj_eval_quadratic
-    return reprojection.eval_quadratic
+def _prepare(data, pad_n: int, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    return data.astype(dtype).pad_to(pad_n)
 
 
 def _maybe_shard(solve_fn, mesh, data, *prefix_args):
@@ -219,14 +239,27 @@ def _maybe_shard(solve_fn, mesh, data, *prefix_args):
     return shard_solve(solve_fn, mesh, data, *prefix_args)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _maha6_solve(t0, q0, data, loss, options, backend, mesh):
-    eval_fn = _select_maha6_eval(backend)
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _maha6_solve(t0, q0, data, loss, options, backend, mesh, pad_n, dtype_name):
+    data = _prepare(data, pad_n, dtype_name)
 
     def solve_fn(data_shard, *, psum_axis):
+        if backend == "pallas":
+            from ..ops import pallas_kernels
+
+            # pack ONCE per solve (outside the LM while_loop)
+            packed = pallas_kernels.pack_maha6(data_shard)
+            eval_fn = lambda R, t: pallas_kernels.maha6_eval_quadratic_packed(
+                R, t, packed, loss
+            )
+        else:
+            eval_fn = lambda R, t: mahalanobis.eval_quadratic(
+                R, t, data_shard, loss
+            )
+
         def quad(params: SE3Params):
             R = lie.quat_to_rotmat(params.quaternion)
-            H, g, c = eval_fn(R, params.translation, data_shard, loss)
+            H, g, c = eval_fn(R, params.translation)
             if psum_axis is not None:
                 H, g, c = jax.lax.psum((H, g, c), psum_axis)
             return H, g, c
@@ -236,14 +269,26 @@ def _maha6_solve(t0, q0, data, loss, options, backend, mesh):
     return _maybe_shard(solve_fn, mesh, data)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _maha3_solve(t0, theta0, data, loss, options, backend, mesh):
-    eval_fn = _select_maha3_eval(backend)
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _maha3_solve(t0, theta0, data, loss, options, backend, mesh, pad_n, dtype_name):
+    data = _prepare(data, pad_n, dtype_name)
 
     def solve_fn(data_shard, *, psum_axis):
+        if backend == "pallas":
+            from ..ops import pallas_kernels
+
+            packed = pallas_kernels.pack_maha6(data_shard)
+            eval_fn = lambda R2, t2: pallas_kernels.maha3_eval_quadratic_packed(
+                R2, t2, packed, loss
+            )
+        else:
+            eval_fn = lambda R2, t2: mahalanobis.eval_quadratic_3dof(
+                R2, t2, data_shard, loss
+            )
+
         def quad(params: SE2Params):
             R2 = lie.rot2(params.theta)
-            H, g, c = eval_fn(R2, params.translation, data_shard, loss)
+            H, g, c = eval_fn(R2, params.translation)
             if psum_axis is not None:
                 H, g, c = jax.lax.psum((H, g, c), psum_axis)
             return H, g, c
@@ -253,14 +298,28 @@ def _maha3_solve(t0, theta0, data, loss, options, backend, mesh):
     return _maybe_shard(solve_fn, mesh, data)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
-def _reproj_solve(t0, q0, data, intrinsics, loss, options, backend, mesh):
-    eval_fn = _select_reproj_eval(backend)
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _reproj_solve(
+    t0, q0, data, intrinsics, loss, options, backend, mesh, pad_n, dtype_name
+):
+    data = _prepare(data, pad_n, dtype_name)
 
     def solve_fn(data_shard, intr, *, psum_axis):
+        if backend == "pallas":
+            from ..ops import pallas_kernels
+
+            packed = pallas_kernels.pack_reproj(data_shard)
+            eval_fn = lambda R, t: pallas_kernels.reproj_eval_quadratic_packed(
+                R, t, packed, intr, loss
+            )
+        else:
+            eval_fn = lambda R, t: reprojection.eval_quadratic(
+                R, t, data_shard, intr, loss
+            )
+
         def quad(params: SE3Params):
             R = lie.quat_to_rotmat(params.quaternion)
-            H, g, c = eval_fn(R, params.translation, data_shard, intr, loss)
+            H, g, c = eval_fn(R, params.translation)
             if psum_axis is not None:
                 H, g, c = jax.lax.psum((H, g, c), psum_axis)
             return H, g, c
@@ -270,9 +329,10 @@ def _reproj_solve(t0, q0, data, intrinsics, loss, options, backend, mesh):
     return _maybe_shard(solve_fn, mesh, data, intrinsics)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _p2p_solve(t0, q0, data, loss, options, backend, mesh):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _p2p_solve(t0, q0, data, loss, options, backend, mesh, pad_n, dtype_name):
     del backend  # single backend so far
+    data = _prepare(data, pad_n, dtype_name)
 
     def solve_fn(data_shard, *, psum_axis):
         def quad(params: SE3Params):

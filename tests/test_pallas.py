@@ -1,0 +1,152 @@
+"""Pallas kernel parity tests (interpreter mode on the CPU test mesh).
+
+The same kernel code that compiles on TPU runs interpreted here; parity
+with the jnp/XLA evaluation path is the correctness criterion — exactly
+the reference's SIMD-vs-scalar variant-parity methodology
+(simd_implementation_comparison_test.cc, results/maha_amd64.txt)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nonlinear_optimizer_for_slam_tpu as nls
+from nonlinear_optimizer_for_slam_tpu.core import (
+    ExponentialLoss,
+    HuberLoss,
+    Options,
+    TrivialLoss,
+    lie,
+)
+from nonlinear_optimizer_for_slam_tpu.ops import (
+    mahalanobis,
+    pallas_kernels as pk,
+    reprojection,
+)
+
+F32 = jnp.float32
+
+
+@pytest.fixture(scope="module")
+def maha_data(rng):
+    n = 700  # deliberately not a LANE_BLOCK multiple: exercises padding
+    return mahalanobis.MahalanobisData(
+        points=jnp.asarray(rng.normal(size=(n, 3)), F32),
+        means=jnp.asarray(rng.normal(size=(n, 3)), F32),
+        sqrt_infos=jnp.asarray(rng.normal(size=(n, 3, 3)), F32),
+        mask=jnp.asarray((rng.uniform(size=n) > 0.1), F32),
+    )
+
+
+@pytest.fixture(scope="module")
+def pose_f32(rng):
+    q = np.asarray(lie.quat_normalize(jnp.asarray(rng.normal(size=4))))
+    R = jnp.asarray(np.asarray(lie.quat_to_rotmat(jnp.asarray(q))), F32)
+    t = jnp.asarray(rng.normal(size=3), F32)
+    return R, t
+
+
+LOSSES = [None, TrivialLoss(), ExponentialLoss(c1=1.3, c2=0.4), HuberLoss(2.0)]
+
+
+@pytest.mark.parametrize("loss", LOSSES, ids=lambda l: type(l).__name__)
+def test_maha6_kernel_matches_jnp(maha_data, pose_f32, loss):
+    R, t = pose_f32
+    H1, g1, c1 = mahalanobis.eval_quadratic(R, t, maha_data, loss)
+    H2, g2, c2 = pk.maha6_eval_quadratic(R, t, maha_data, loss)
+    np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=2e-5)
+
+
+def test_maha3_kernel_matches_jnp(maha_data, rng):
+    R2 = jnp.asarray(np.asarray(lie.rot2(jnp.asarray(0.6))), F32)
+    t2 = jnp.asarray(rng.normal(size=2), F32)
+    loss = ExponentialLoss()
+    H1, g1, c1 = mahalanobis.eval_quadratic_3dof(R2, t2, maha_data, loss)
+    H2, g2, c2 = pk.maha3_eval_quadratic(R2, t2, maha_data, loss)
+    np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=2e-5)
+
+
+def test_reproj_kernel_matches_jnp(rng, pose_f32):
+    n = 630
+    data = reprojection.ReprojectionData(
+        local_points=jnp.asarray(
+            rng.normal(size=(n, 3)) + np.array([0, 0, 4.0]), F32
+        ),
+        matched_pixels=jnp.asarray(rng.uniform(0, 640, size=(n, 2)), F32),
+        mask=jnp.ones((n,), F32),
+    )
+    intr = reprojection.CameraIntrinsics.create(
+        jnp.asarray(525.0, F32),
+        jnp.asarray(525.0, F32),
+        jnp.asarray(320.0, F32),
+        jnp.asarray(240.0, F32),
+    )
+    R, t = pose_f32
+    loss = ExponentialLoss()
+    H1, g1, c1 = reprojection.eval_quadratic(R, t, data, intr, loss)
+    H2, g2, c2 = pk.reproj_eval_quadratic(R, t, data, intr, loss)
+    np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=2e-5)
+
+
+def test_pallas_backend_solve_matches_jnp_backend(maha_data):
+    """Full LM solve through the public API, backend parity."""
+    opts = Options()
+    loss = ExponentialLoss()
+    # make the problem consistent so both backends take identical paths
+    true_pose = nls.Pose.from_axis_angle(0.06, [0, 0, 1.0], [0.1, -0.08, 0.15])
+    data = mahalanobis.MahalanobisData(
+        points=maha_data.points,
+        means=jnp.asarray(true_pose.apply(np.asarray(maha_data.points)), F32),
+        sqrt_infos=jnp.asarray(
+            np.tile(np.eye(3, dtype=np.float32), (maha_data.num_factors, 1, 1))
+        ),
+        mask=maha_data.mask,
+    )
+    m1 = nls.MahalanobisDistanceMinimizer(backend="jnp").set_loss_function(loss)
+    m2 = nls.MahalanobisDistanceMinimizer(backend="pallas").set_loss_function(loss)
+    p1, s1 = m1.solve(opts, data, nls.Pose.identity())
+    p2, s2 = m2.solve(opts, data, nls.Pose.identity())
+    np.testing.assert_allclose(p2.translation, p1.translation, atol=1e-5)
+    np.testing.assert_allclose(p2.rotation, p1.rotation, atol=1e-5)
+    np.testing.assert_allclose(p2.translation, true_pose.translation, atol=1e-3)
+
+
+def test_fused_registration_matches_host_loop():
+    """Device-resident ICP == host-driven ICP on the same world."""
+    from nonlinear_optimizer_for_slam_tpu.pipelines import (
+        fused_registration,
+        ndt,
+        registration,
+    )
+    from nonlinear_optimizer_for_slam_tpu.utils import testing
+
+    pts = testing.generate_room_points(point_step=0.02)
+    ndt_map = ndt.build_ndt_map(pts, 1.0)
+    true_pose = testing.maha_true_pose()
+    local = true_pose.inverse().apply(ndt.filter_points(pts, 0.1))
+
+    loss = ExponentialLoss()
+    opts = Options()
+
+    host = registration.register_ndt(
+        ndt_map,
+        local,
+        nls.Pose.identity(),
+        nls.MahalanobisDistanceMinimizer().set_loss_function(loss),
+        opts,
+    )
+    fused = fused_registration.register_ndt_fused(
+        ndt_map, local, nls.Pose.identity(), opts, loss
+    )
+    np.testing.assert_allclose(
+        fused.pose.translation, host.pose.translation, atol=1e-4
+    )
+    np.testing.assert_allclose(fused.pose.rotation, host.pose.rotation, atol=1e-4)
+    t_err = np.linalg.norm(fused.pose.translation - true_pose.translation)
+    assert t_err < 0.03, t_err
