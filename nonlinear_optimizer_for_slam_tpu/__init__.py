@@ -23,9 +23,11 @@ from .core import (
     TrivialLoss,
 )
 from .solvers import (
+    ConstraintType,
     MahalanobisDistanceMinimizer,
     MahalanobisDistanceMinimizer3DOF,
     PointToPlaneMinimizer,
+    PoseGraphOptimizer,
     ReprojectionErrorMinimizer,
     Summary,
 )

@@ -58,9 +58,20 @@ def relative_pose_residual(
     t_rel: Array,
     q_rel: Array,
 ) -> Array:
-    """6-D residual of one edge; all quaternion math stays in ambient
-    coordinates (no normalization), matching Ceres autodiff over raw
-    quaternion blocks."""
+    """6-D residual of one edge, quaternions normalized before use.
+
+    DELIBERATE deviation from the reference functor (which feeds raw
+    ambient quaternions to Eigen ops, ceres_cost_functor.h:44-52): without
+    normalization the quaternion SCALE couples into the translation
+    residual through the non-orthogonal R(q), and a damped-GN solver that
+    exploits it reaches zero cost at poses that stop satisfying the
+    constraints once the quaternions are renormalized on write-back. The
+    reference only works because Ceres' trust region happens to keep
+    ``|q|`` near 1. Normalizing here makes quaternion scale an EXACT gauge
+    direction (handled by the solver's Tikhonov floor) and makes the
+    renormalize-on-writeback step residual-preserving."""
+    q_ref = lie.quat_normalize(q_ref)
+    q_query = lie.quat_normalize(q_query)
     r_t = (p_query - p_ref) - lie.quat_rotate(q_ref, t_rel)
     err_q = lie.quat_multiply(lie.quat_multiply(lie.quat_conjugate(q_query), q_ref), q_rel)
     r_q = 2.0 * err_q[..., 1:]
@@ -75,10 +86,16 @@ def switchable_residual(
     t_rel: Array,
     q_rel: Array,
     switch: Array,
+    penalty_scale: float = SWITCH_PENALTY_SCALE,
 ) -> Array:
-    """7-D switchable-constraint residual (reference: ceres_cost_functor.h:83-97)."""
+    """7-D switchable-constraint residual (reference: ceres_cost_functor.h:83-97).
+
+    ``penalty_scale`` defaults to the reference's 1e-9 — which is too weak
+    to keep INLIER loop switches at 1 (the reference's own comment admits
+    this: "Scaling is necessary to avoid the switch parameter to be too
+    small"); pass ~1.0 for a discriminating Suenderhauf-style prior."""
     r6 = relative_pose_residual(p_ref, q_ref, p_query, q_query, t_rel, q_rel) * switch
-    penalty = (1.0 - switch) * SWITCH_PENALTY_SCALE
+    penalty = (1.0 - switch) * penalty_scale
     return jnp.concatenate([r6, penalty[None]], axis=-1)
 
 
@@ -87,6 +104,7 @@ def edge_residuals(
     quaternions: Array,  # (N, 4)
     switches: Array,  # (E,)
     edges: PoseGraphEdges,
+    penalty_scale: float = SWITCH_PENALTY_SCALE,
 ) -> Array:
     """Batched per-edge residuals (E, 7).
 
@@ -107,7 +125,7 @@ def edge_residuals(
     loop = edges.is_loop[..., None]
     scaled = jnp.where(loop > 0, r6 * s, r6)
     penalty = jnp.where(
-        edges.is_loop > 0, (1.0 - switches) * SWITCH_PENALTY_SCALE, jnp.zeros_like(switches)
+        edges.is_loop > 0, (1.0 - switches) * penalty_scale, jnp.zeros_like(switches)
     )
     r = jnp.concatenate([scaled, penalty[..., None]], axis=-1)
     return r * edges.mask[..., None]
@@ -118,6 +136,7 @@ def edge_residuals_and_jacobians(
     quaternions: Array,
     switches: Array,
     edges: PoseGraphEdges,
+    penalty_scale: float = SWITCH_PENALTY_SCALE,
 ) -> Tuple[Array, Array, Array, Array]:
     """Per-edge residuals and Jacobian blocks via forward-mode autodiff.
 
@@ -132,7 +151,7 @@ def edge_residuals_and_jacobians(
         def res(p_r_, q_r_, p_q_, q_q_, s_):
             r6 = relative_pose_residual(p_r_, q_r_, p_q_, q_q_, t_rel, q_rel)
             scaled = jnp.where(loop > 0, r6 * s_, r6)
-            penalty = jnp.where(loop > 0, (1.0 - s_) * SWITCH_PENALTY_SCALE, 0.0)
+            penalty = jnp.where(loop > 0, (1.0 - s_) * penalty_scale, 0.0)
             return jnp.concatenate([scaled, penalty[None]]) * m
 
         r = res(p_r, q_r, p_q, q_q, s)

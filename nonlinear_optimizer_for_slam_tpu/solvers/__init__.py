@@ -1,4 +1,4 @@
-from . import autodiff, linear, lm, manifolds
+from . import autodiff, linear, lm, manifolds, pose_graph
 from .lm import Summary
 from .minimizers import (
     MahalanobisDistanceMinimizer,
@@ -6,15 +6,19 @@ from .minimizers import (
     PointToPlaneMinimizer,
     ReprojectionErrorMinimizer,
 )
+from .pose_graph import ConstraintType, PoseGraphOptimizer
 
 __all__ = [
     "autodiff",
     "linear",
     "lm",
     "manifolds",
+    "pose_graph",
     "Summary",
+    "ConstraintType",
     "MahalanobisDistanceMinimizer",
     "MahalanobisDistanceMinimizer3DOF",
     "PointToPlaneMinimizer",
+    "PoseGraphOptimizer",
     "ReprojectionErrorMinimizer",
 ]
