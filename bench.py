@@ -42,9 +42,16 @@ def main():
 
     t0 = time.perf_counter()
     points = testing.generate_room_points()  # ~954,605 pts (reference world)
-    ndt_map = ndt.build_ndt_map(points, 1.0)
+    try:  # native C++ pipeline (~300x faster); numpy fallback
+        from nonlinear_optimizer_for_slam_tpu import native
+
+        ndt_map = native.build_ndt_map(points, 1.0)
+        scan = native.filter_points(points, 0.1)
+    except Exception as e:  # pragma: no cover
+        log(f"native pipeline unavailable ({e}); numpy fallback")
+        ndt_map = ndt.build_ndt_map(points, 1.0)
+        scan = ndt.filter_points(points, 0.1)
     true_pose = testing.maha_true_pose()
-    scan = ndt.filter_points(points, 0.1)
     local = true_pose.inverse().apply(scan)
     log(
         f"fixture: {points.shape[0]} raw pts, {int(ndt_map.valid.sum())} valid "

@@ -1,0 +1,249 @@
+// Native host-side NDT map builder + voxel-grid filter.
+//
+// TPU-native framework's C++ runtime piece: the host data pipeline that
+// feeds the device solvers. Plays the role of the reference's in-test map
+// construction (reference: mahalanobis_distance_minimizer/tests/
+// simple_optimization_test.cc:206-294) and of its MultiThreadExecutor
+// (multi_thread_executor.h): points are partitioned across worker threads,
+// each accumulates voxel statistics into a thread-local open-address hash
+// map, and the partials merge into the global map — the same
+// chunk/partial/reduce shape the device solvers use with shard_map/psum.
+//
+// Semantics match pipelines/ndt.py (the numpy oracle) exactly:
+//   key          = floor(p / resolution) per axis
+//   valid        = count >= min_points && lambda_max >= min_eigenvalue
+//   flooring     = lambda_{0,1} = max(lambda_{0,1}, ratio * lambda_2),
+//                  then a 1e-12 floor keeps sqrt finite on invalid voxels
+//   sqrt_info    = D^{-1/2} V   (the reference's quirky row scaling —
+//                  simple_optimization_test.cc:275 — reproduced verbatim;
+//                  eigenvector SIGNS may differ from numpy; information
+//                  S^T S and all solver quantities are sign-invariant)
+//   information  = S S^T with S = D^{-1/2} V  (matches the numpy
+//                  einsum("mki,mkj->mij", S, S))
+//
+// Eigendecomposition: cyclic Jacobi on the symmetric 3x3 covariance —
+// branch-light, dependency-free, and accurate to ~1e-14 in a handful of
+// sweeps. Eigenvalues sorted ascending like numpy.linalg.eigh.
+//
+// No Eigen/FLANN dependency: the framework's correspondence search lives
+// on-device (pipelines/matching.py); this file only needs the hash
+// accumulation and the tiny eigensolver.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct VoxelStats {
+  double sum[3] = {0, 0, 0};
+  double moment[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+  int64_t count = 0;
+
+  void add(const double* p) {
+    ++count;
+    for (int i = 0; i < 3; ++i) sum[i] += p[i];
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j) moment[3 * i + j] += p[i] * p[j];
+  }
+  void merge(const VoxelStats& o) {
+    count += o.count;
+    for (int i = 0; i < 3; ++i) sum[i] += o.sum[i];
+    for (int i = 0; i < 9; ++i) moment[i] += o.moment[i];
+  }
+};
+
+// Pack the integer voxel triple into one 64-bit key (21 bits per axis,
+// range +/- 2^20 voxels — +/-1000 km at 1 m resolution).
+inline uint64_t pack_key(int64_t ix, int64_t iy, int64_t iz) {
+  const uint64_t bias = 1ull << 20;
+  return ((uint64_t)(ix + bias) & 0x1FFFFF) |
+         (((uint64_t)(iy + bias) & 0x1FFFFF) << 21) |
+         (((uint64_t)(iz + bias) & 0x1FFFFF) << 42);
+}
+
+using VoxelMap = std::unordered_map<uint64_t, VoxelStats>;
+
+void accumulate_range(const double* points, int64_t begin, int64_t end,
+                      double inv_res, VoxelMap* map) {
+  map->reserve(1024);
+  for (int64_t k = begin; k < end; ++k) {
+    const double* p = points + 3 * k;
+    const int64_t ix = (int64_t)std::floor(p[0] * inv_res);
+    const int64_t iy = (int64_t)std::floor(p[1] * inv_res);
+    const int64_t iz = (int64_t)std::floor(p[2] * inv_res);
+    (*map)[pack_key(ix, iy, iz)].add(p);
+  }
+}
+
+// Cyclic Jacobi eigendecomposition of a symmetric 3x3 matrix.
+// On return: eval ascending, evec[,col] the matching eigenvectors
+// (columns, like numpy.linalg.eigh).
+void eigh3(const double A_in[9], double eval_out[3], double evec_out[9]) {
+  double a[3][3];
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) a[i][j] = A_in[3 * i + j];
+  double v[3][3] = {{1, 0, 0}, {0, 1, 0}, {0, 0, 1}};
+
+  for (int sweep = 0; sweep < 32; ++sweep) {
+    double off = std::fabs(a[0][1]) + std::fabs(a[0][2]) + std::fabs(a[1][2]);
+    if (off < 1e-15) break;
+    for (int p = 0; p < 2; ++p) {
+      for (int q = p + 1; q < 3; ++q) {
+        if (std::fabs(a[p][q]) < 1e-300) continue;
+        const double theta = (a[q][q] - a[p][p]) / (2.0 * a[p][q]);
+        const double t = (theta >= 0 ? 1.0 : -1.0) /
+                         (std::fabs(theta) + std::sqrt(theta * theta + 1.0));
+        const double c = 1.0 / std::sqrt(t * t + 1.0);
+        const double s = t * c;
+        // A <- J^T A J
+        for (int k = 0; k < 3; ++k) {
+          const double akp = a[k][p], akq = a[k][q];
+          a[k][p] = c * akp - s * akq;
+          a[k][q] = s * akp + c * akq;
+        }
+        for (int k = 0; k < 3; ++k) {
+          const double apk = a[p][k], aqk = a[q][k];
+          a[p][k] = c * apk - s * aqk;
+          a[q][k] = s * apk + c * aqk;
+        }
+        for (int k = 0; k < 3; ++k) {
+          const double vkp = v[k][p], vkq = v[k][q];
+          v[k][p] = c * vkp - s * vkq;
+          v[k][q] = s * vkp + c * vkq;
+        }
+      }
+    }
+  }
+  int order[3] = {0, 1, 2};
+  double d[3] = {a[0][0], a[1][1], a[2][2]};
+  std::sort(order, order + 3, [&](int x, int y) { return d[x] < d[y]; });
+  for (int i = 0; i < 3; ++i) {
+    eval_out[i] = d[order[i]];
+    for (int r = 0; r < 3; ++r) evec_out[3 * r + i] = v[r][order[i]];
+  }
+  // Canonical sign: largest-|entry| component of each eigenvector positive
+  // (must match pipelines/ndt.py — the row-scaled sqrt-information is
+  // sign-dependent).
+  for (int c = 0; c < 3; ++c) {
+    int arg = 0;
+    for (int r = 1; r < 3; ++r)
+      if (std::fabs(evec_out[3 * r + c]) > std::fabs(evec_out[3 * arg + c]))
+        arg = r;
+    if (evec_out[3 * arg + c] < 0)
+      for (int r = 0; r < 3; ++r) evec_out[3 * r + c] = -evec_out[3 * r + c];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build an NDT map from n points (row-major (n, 3) float64).
+// Outputs are caller-allocated with capacity max_voxels rows:
+//   means (max_voxels, 3), sqrt_infos (max_voxels, 3, 3),
+//   infos (max_voxels, 3, 3), counts (max_voxels), valid (max_voxels).
+// Voxels are emitted in ascending packed-key order (deterministic).
+// Returns the number of voxels, or -1 if it would exceed max_voxels.
+int64_t nls_build_ndt_map(const double* points, int64_t n, double resolution,
+                          int64_t min_points, double min_eigenvalue,
+                          double eigenvalue_ratio, int64_t max_voxels,
+                          double* means, double* sqrt_infos, double* infos,
+                          int64_t* counts, uint8_t* valid, int num_threads) {
+  const double inv_res = 1.0 / resolution;
+  if (num_threads < 1) num_threads = 1;
+  const int64_t chunk = (n + num_threads - 1) / num_threads;
+
+  std::vector<VoxelMap> partials((size_t)num_threads);
+  if (num_threads == 1 || n < 4096) {
+    accumulate_range(points, 0, n, inv_res, &partials[0]);
+  } else {
+    std::vector<std::thread> workers;
+    for (int t = 0; t < num_threads; ++t) {
+      const int64_t b = t * chunk;
+      const int64_t e = std::min(n, b + chunk);
+      if (b >= e) break;
+      workers.emplace_back(accumulate_range, points, b, e, inv_res,
+                           &partials[(size_t)t]);
+    }
+    for (auto& w : workers) w.join();
+  }
+
+  VoxelMap& global = partials[0];
+  for (size_t t = 1; t < partials.size(); ++t) {
+    for (auto& kv : partials[t]) global[kv.first].merge(kv.second);
+    partials[t].clear();
+  }
+
+  std::vector<uint64_t> keys;
+  keys.reserve(global.size());
+  for (auto& kv : global) keys.push_back(kv.first);
+  std::sort(keys.begin(), keys.end());
+
+  const int64_t m = (int64_t)keys.size();
+  if (m > max_voxels) return -1;
+
+  for (int64_t vi = 0; vi < m; ++vi) {
+    const VoxelStats& st = global[keys[vi]];
+    const double inv_count = 1.0 / (double)st.count;
+    double mean[3], cov[9];
+    for (int i = 0; i < 3; ++i) mean[i] = st.sum[i] * inv_count;
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j)
+        cov[3 * i + j] = st.moment[3 * i + j] * inv_count - mean[i] * mean[j];
+
+    double eval[3], evec[9];
+    eigh3(cov, eval, evec);
+
+    const bool ok =
+        st.count >= min_points && eval[2] >= min_eigenvalue;
+
+    double floored[3];
+    const double floor_v = eigenvalue_ratio * eval[2];
+    floored[0] = std::max(std::max(eval[0], floor_v), 1e-12);
+    floored[1] = std::max(std::max(eval[1], floor_v), 1e-12);
+    floored[2] = std::max(eval[2], 1e-12);
+
+    double* S = sqrt_infos + 9 * vi;
+    for (int r = 0; r < 3; ++r) {
+      const double scale = 1.0 / std::sqrt(floored[r]);
+      for (int c = 0; c < 3; ++c) S[3 * r + c] = scale * evec[3 * r + c];
+    }
+    double* I = infos + 9 * vi;
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j) {
+        double acc = 0.0;
+        for (int k = 0; k < 3; ++k) acc += S[3 * k + i] * S[3 * k + j];
+        I[3 * i + j] = acc;
+      }
+    for (int i = 0; i < 3; ++i) means[3 * vi + i] = mean[i];
+    counts[vi] = st.count;
+    valid[vi] = ok ? 1 : 0;
+  }
+  return m;
+}
+
+// Voxel-grid downsample keeping the FIRST point landing in each voxel, in
+// input order (reference: tests/simple_optimization_test.cc:206-224).
+// keep_indices must have capacity n; returns number kept.
+int64_t nls_voxel_filter(const double* points, int64_t n, double voxel,
+                         int64_t* keep_indices) {
+  const double inv = 1.0 / voxel;
+  std::unordered_map<uint64_t, char> seen;
+  seen.reserve((size_t)(n / 4 + 16));
+  int64_t kept = 0;
+  for (int64_t k = 0; k < n; ++k) {
+    const double* p = points + 3 * k;
+    const uint64_t key =
+        pack_key((int64_t)std::floor(p[0] * inv), (int64_t)std::floor(p[1] * inv),
+                 (int64_t)std::floor(p[2] * inv));
+    if (seen.emplace(key, 1).second) keep_indices[kept++] = k;
+  }
+  return kept;
+}
+
+}  // extern "C"

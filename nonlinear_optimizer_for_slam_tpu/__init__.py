@@ -23,6 +23,8 @@ from .core import (
     TrivialLoss,
 )
 from .solvers import (
+    BAData,
+    BundleAdjuster,
     ConstraintType,
     MahalanobisDistanceMinimizer,
     MahalanobisDistanceMinimizer3DOF,

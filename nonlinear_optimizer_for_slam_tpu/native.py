@@ -1,0 +1,147 @@
+"""ctypes bindings for the native host-runtime components (native/).
+
+The C++ library provides the multithreaded NDT map builder and voxel
+filter (native/ndt_builder.cc) — the host data pipeline feeding the
+device solvers, playing the role of the reference's C++ map construction
+and MultiThreadExecutor fan-out. The numpy implementations in
+pipelines/ndt.py remain the portable fallback and correctness oracle.
+
+Build: ``make -C native/`` (or ``ensure_built()``); g++ only, no Eigen.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+from .pipelines.ndt import (
+    MIN_EIGENVALUE,
+    MIN_EIGENVALUE_RATIO,
+    MIN_POINTS_PER_VOXEL,
+    NdtMap,
+)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libnls_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def ensure_built(force: bool = False) -> str:
+    """Build the native library if missing; returns the .so path."""
+    if force or not os.path.exists(_SO_PATH):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    return _SO_PATH
+
+
+def load(build_if_missing: bool = True) -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if build_if_missing:
+        ensure_built()
+    lib = ctypes.CDLL(_SO_PATH)
+
+    lib.nls_build_ndt_map.restype = ctypes.c_int64
+    lib.nls_build_ndt_map.argtypes = [
+        ctypes.POINTER(ctypes.c_double),  # points
+        ctypes.c_int64,  # n
+        ctypes.c_double,  # resolution
+        ctypes.c_int64,  # min_points
+        ctypes.c_double,  # min_eigenvalue
+        ctypes.c_double,  # eigenvalue_ratio
+        ctypes.c_int64,  # max_voxels
+        ctypes.POINTER(ctypes.c_double),  # means
+        ctypes.POINTER(ctypes.c_double),  # sqrt_infos
+        ctypes.POINTER(ctypes.c_double),  # infos
+        ctypes.POINTER(ctypes.c_int64),  # counts
+        ctypes.POINTER(ctypes.c_uint8),  # valid
+        ctypes.c_int,  # num_threads
+    ]
+    lib.nls_voxel_filter.restype = ctypes.c_int64
+    lib.nls_voxel_filter.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def build_ndt_map(
+    points: np.ndarray,
+    voxel_resolution: float,
+    num_threads: int = 0,
+    max_voxels: int = 1 << 20,
+) -> NdtMap:
+    """Native equivalent of pipelines.ndt.build_ndt_map.
+
+    ``num_threads=0`` uses the host CPU count (the MultiThreadExecutor
+    analog; each thread accumulates a voxel-map partial, merged at the
+    end)."""
+    lib = load()
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    n = pts.shape[0]
+    if num_threads <= 0:
+        num_threads = os.cpu_count() or 1
+
+    means = np.empty((max_voxels, 3))
+    sqrt_infos = np.empty((max_voxels, 3, 3))
+    infos = np.empty((max_voxels, 3, 3))
+    counts = np.empty(max_voxels, dtype=np.int64)
+    valid = np.empty(max_voxels, dtype=np.uint8)
+
+    m = lib.nls_build_ndt_map(
+        _ptr(pts, ctypes.c_double),
+        n,
+        voxel_resolution,
+        MIN_POINTS_PER_VOXEL,
+        MIN_EIGENVALUE,
+        MIN_EIGENVALUE_RATIO,
+        max_voxels,
+        _ptr(means, ctypes.c_double),
+        _ptr(sqrt_infos, ctypes.c_double),
+        _ptr(infos, ctypes.c_double),
+        _ptr(counts, ctypes.c_int64),
+        _ptr(valid, ctypes.c_uint8),
+        num_threads,
+    )
+    if m < 0:
+        raise RuntimeError(f"more than {max_voxels} voxels; raise max_voxels")
+    return NdtMap(
+        means=means[:m].copy(),
+        sqrt_informations=sqrt_infos[:m].copy(),
+        informations=infos[:m].copy(),
+        counts=counts[:m].copy(),
+        valid=valid[:m].astype(bool),
+    )
+
+
+def filter_points(points: np.ndarray, filter_voxel_size: float) -> np.ndarray:
+    """Native equivalent of pipelines.ndt.filter_points (first point per
+    voxel, input order)."""
+    lib = load()
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    n = pts.shape[0]
+    keep = np.empty(n, dtype=np.int64)
+    kept = lib.nls_voxel_filter(
+        _ptr(pts, ctypes.c_double), n, filter_voxel_size, _ptr(keep, ctypes.c_int64)
+    )
+    return pts[keep[:kept]]

@@ -93,6 +93,19 @@ def build_ndt_map(points: np.ndarray, voxel_resolution: float) -> NdtMap:
 
     eigvals, eigvecs = np.linalg.eigh(covs)  # ascending, columns = vectors
 
+    # Canonicalize eigenvector signs (largest-|entry| component positive).
+    # The reference's row-scaled S = D^{-1/2} V makes S^T S SIGN-dependent
+    # (flipping an eigenvector column conjugates the information matrix by
+    # diag(+-1)), so a deterministic convention is required for parity
+    # between this numpy oracle, the native C++ builder, and across LAPACK
+    # versions.
+    argmax = np.argmax(np.abs(eigvecs), axis=1)  # (M, 3) row index per col
+    signs = np.sign(
+        np.take_along_axis(eigvecs, argmax[:, None, :], axis=1)[:, 0, :]
+    )
+    signs = np.where(signs == 0, 1.0, signs)
+    eigvecs = eigvecs * signs[:, None, :]
+
     valid = (counts >= MIN_POINTS_PER_VOXEL) & (eigvals[:, 2] >= MIN_EIGENVALUE)
 
     floored = eigvals.copy()

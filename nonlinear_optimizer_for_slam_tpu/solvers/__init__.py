@@ -1,4 +1,4 @@
-from . import autodiff, linear, lm, manifolds, pose_graph
+from . import autodiff, bundle_adjustment, linear, lm, manifolds, pose_graph
 from .lm import Summary
 from .minimizers import (
     MahalanobisDistanceMinimizer,
@@ -6,10 +6,14 @@ from .minimizers import (
     PointToPlaneMinimizer,
     ReprojectionErrorMinimizer,
 )
+from .bundle_adjustment import BAData, BundleAdjuster
 from .pose_graph import ConstraintType, PoseGraphOptimizer
 
 __all__ = [
     "autodiff",
+    "bundle_adjustment",
+    "BAData",
+    "BundleAdjuster",
     "linear",
     "lm",
     "manifolds",

@@ -1,0 +1,327 @@
+"""Schur-complement bundle adjustment: joint camera + landmark solve.
+
+New capability beyond the reference repo (its README lists BA as absent;
+BASELINE.json config 5 requires it). The design is the TPU-native
+camera-landmark bipartite solve:
+
+- every observation evaluates in one batch: residual r (O, 2) on the
+  normalized image plane and analytic Jacobians J_c (O, 2, 6) w.r.t. its
+  camera and J_l (O, 2, 3) w.r.t. its landmark (same projection math and
+  depth gating as the reprojection factor,
+  reference: reprojection_error_minimizer_analytic.cc:105-163);
+- per-landmark 3x3 blocks V_j and per-camera 6x6 blocks U_i accumulate by
+  segment-sum over the observation axis; V_j inverts batched (vmapped
+  Cholesky) — the classic Schur trick with all landmark work elementwise
+  over the landmark axis;
+- the reduced camera system S = U - G V^{-1} G^T (G = scatter of the 6x3
+  cross blocks) assembles with MXU einsums and solves dense (6C x 6C);
+- landmark back-substitution is again batched over landmarks.
+
+The LM policy loop is the reference's exactly (damping H_diag *= 1 + lam
+applied to BOTH U and V diagonals, lambda in [1e-6, 1e-2] x2.0/x0.6,
+mahalanobis_distance_minimizer_analytic.cc:84-152), so BA converges with
+the same trace semantics as every other module.
+
+Multi-chip scaling path (SURVEY section 5): shard the observation and
+landmark axes; U, S, g_c partials psum over ICI; the reduced camera solve
+replicates. The Schur reduction happens BEFORE communication, so the
+collective payload is only the (6C)^2 reduced system.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+
+from ..core import lie
+from ..core.losses import LossFunction
+from ..core.options import Options
+from ..ops.reprojection import MIN_DEPTH, CameraIntrinsics
+from .lm import IterationRecord, Summary
+
+Array = jax.Array
+
+
+class BAData(NamedTuple):
+    """SoA observation batch for bundle adjustment."""
+
+    camera_indices: Array  # (O,) int32
+    landmark_indices: Array  # (O,) int32
+    pixels: Array  # (O, 2) observed pixels
+    mask: Array  # (O,) 1.0 = real observation
+
+    @property
+    def num_observations(self) -> int:
+        return self.camera_indices.shape[0]
+
+
+class BAParams(NamedTuple):
+    translations: Array  # (C, 3)
+    quaternions: Array  # (C, 4) (w, x, y, z)
+    landmarks: Array  # (M, 3)
+
+
+def _observation_residuals_jacobians(
+    params: BAParams, data: BAData, intr: CameraIntrinsics
+):
+    """Batched (r (O,2), J_c (O,2,6), J_l (O,2,3)) with depth gating."""
+    R_all = lie.quat_to_rotmat(params.quaternions)  # (C, 3, 3)
+    R = R_all[data.camera_indices]  # (O, 3, 3)
+    t = params.translations[data.camera_indices]  # (O, 3)
+    X = params.landmarks[data.landmark_indices]  # (O, 3)
+    p = data.pixels
+
+    Xw = jnp.einsum("oij,oj->oi", R, X) + t
+    zw = Xw[..., 2]
+    valid = ((zw >= MIN_DEPTH) & (data.mask > 0)).astype(Xw.dtype)
+    safe_z = jnp.where(zw >= MIN_DEPTH, zw, jnp.ones_like(zw))
+    inv_z = 1.0 / safe_z
+    inv_z2 = inv_z * inv_z
+
+    proj = Xw[..., :2] * inv_z[..., None]
+    matched = jnp.stack(
+        [
+            intr.inv_fx * (p[..., 0] - intr.cx),
+            intr.inv_fy * (p[..., 1] - intr.cy),
+        ],
+        axis=-1,
+    )
+    r = (proj - matched) * valid[..., None]
+
+    zero = jnp.zeros_like(inv_z)
+    dK = jnp.stack(
+        [
+            jnp.stack([inv_z, zero, -Xw[..., 0] * inv_z2], axis=-1),
+            jnp.stack([zero, inv_z, -Xw[..., 1] * inv_z2], axis=-1),
+        ],
+        axis=-2,
+    )  # (O, 2, 3)
+
+    # camera Jacobian [dK | -dK R skew(X)] (translation, then rotation)
+    x, y, z = X[..., 0:1], X[..., 1:2], X[..., 2:3]
+    col0 = R[..., 1] * z - R[..., 2] * y  # (O, 3) columns of R skew(X)
+    col1 = R[..., 2] * x - R[..., 0] * z
+    col2 = R[..., 0] * y - R[..., 1] * x
+    Rskew = jnp.stack([col0, col1, col2], axis=-1)  # (O, 3, 3)
+    J_rot = -jnp.einsum("odk,okc->odc", dK, Rskew)
+    J_c = jnp.concatenate([dK, J_rot], axis=-1) * valid[..., None, None]
+
+    # landmark Jacobian dK @ R
+    J_l = jnp.einsum("odk,okc->odc", dK, R) * valid[..., None, None]
+    return r, J_c, J_l, valid
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _ba_solve(
+    params0: BAParams,
+    data: BAData,
+    intr: CameraIntrinsics,
+    loss,  # Optional[LossFunction] pytree
+    cam_free_mask,  # (C,) 1.0 = free camera, 0.0 = gauge-fixed
+    num_cameras: int,
+    num_landmarks: int,
+    options: Options,
+):
+    C, M = num_cameras, num_landmarks
+    oh = options.optimization_handle
+    ch = options.convergence_handle
+    dtype = params0.translations.dtype
+    cam_idx = data.camera_indices
+    lm_idx = data.landmark_indices
+    obs_free = cam_free_mask[cam_idx]  # (O,)
+
+    def schur_step(params: BAParams, lam):
+        r, J_c, J_l, valid = _observation_residuals_jacobians(params, data, intr)
+        # gauge fixing: fixed cameras contribute no camera derivatives
+        J_c = J_c * obs_free[:, None, None]
+        sq = jnp.sum(r * r, axis=-1)
+        if loss is None:
+            rho, w = sq, jnp.ones_like(sq)
+        else:
+            rho, w, _ = loss.evaluate(sq)
+        w = w * valid
+        rho = rho * valid
+        cost = jnp.sum(rho)
+
+        with jax.default_matmul_precision("highest"):
+            # per-observation blocks
+            JcW = J_c * w[:, None, None]
+            U_o = jnp.einsum("odi,odj->oij", JcW, J_c)  # (O, 6, 6)
+            V_o = jnp.einsum("odi,odj->oij", J_l * w[:, None, None], J_l)
+            W_o = jnp.einsum("odi,odj->oij", JcW, J_l)  # (O, 6, 3)
+            gc_o = jnp.einsum("odi,od->oi", JcW, r)  # (O, 6)
+            gl_o = jnp.einsum("odi,od->oi", J_l * w[:, None, None], r)
+
+            # segment-sum into per-camera / per-landmark blocks
+            U = jnp.zeros((C, 6, 6), dtype).at[cam_idx].add(U_o)
+            V = jnp.zeros((M, 3, 3), dtype).at[lm_idx].add(V_o)
+            g_c = jnp.zeros((C, 6), dtype).at[cam_idx].add(gc_o)
+            g_l = jnp.zeros((M, 3), dtype).at[lm_idx].add(gl_o)
+
+            # LM damping: diag *= (1 + lam) on both blocks (reference
+            # policy); small floor keeps unobserved landmarks invertible
+            eye3 = jnp.eye(3, dtype=dtype)
+            eye6 = jnp.eye(6, dtype=dtype)
+            U = U + lam * U * eye6
+            # identity blocks on gauge-fixed cameras keep S invertible
+            # (their g is zero, so their step stays exactly zero)
+            U = U + (1.0 - cam_free_mask)[:, None, None] * eye6
+            V = V + lam * V * eye3 + 1e-8 * eye3
+
+            V_inv = jnp.linalg.inv(V)  # batched (M, 3, 3)
+
+            # cross-block scatter G (M, C*6, 3) and Schur terms
+            G = jnp.zeros((M, C, 6, 3), dtype).at[lm_idx, cam_idx].add(W_o)
+            GV = jnp.einsum("mcik,mkl->mcil", G, V_inv)  # (M, C, 6, 3)
+            # S = U - sum_m GV G^T   (dense (C,6,C,6))
+            S = jnp.zeros((C, 6, C, 6), dtype)
+            S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(U)
+            S = S - jnp.einsum("mcik,mdjk->cidj", GV, G)
+            rhs = g_c - jnp.einsum("mcik,mk->ci", GV, g_l)  # (C, 6)
+
+            Smat = S.reshape(C * 6, C * 6)
+            factor = jsl.cho_factor(Smat, lower=True)
+            dc = jsl.cho_solve(factor, -rhs.reshape(C * 6)).reshape(C, 6)
+
+            # landmark back-substitution:
+            # dl = -V^{-1} (g_l + sum_c W^T dc)
+            Wt_dc = jnp.einsum("mcik,ci->mk", G, dc)  # (M, 3)
+            dl = -jnp.einsum("mkl,ml->mk", V_inv, g_l + Wt_dc)
+
+        return dc, dl, cost, g_c, g_l
+
+    def retract(params: BAParams, dc, dl):
+        t = params.translations + dc[:, :3]
+        dq = lie.so3_exp_quaternion(dc[:, 3:6])
+        q = lie.quat_normalize(lie.quat_multiply(params.quaternions, dq))
+        return BAParams(t, q, params.landmarks + dl)
+
+    max_it = options.max_iterations
+
+    def records_init():
+        nan = jnp.full((max_it,), jnp.nan, dtype)
+        return IterationRecord(nan, nan, nan, nan)
+
+    def body(state):
+        params, lam, prev_cost, last_cost, it, done, rec = state
+        dc, dl, cost, g_c, g_l = schur_step(params, lam)
+        finite = jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dl))
+        dc = jnp.where(finite, dc, jnp.zeros_like(dc))
+        dl = jnp.where(finite, dl, jnp.zeros_like(dl))
+        new_params = retract(params, dc, dl)
+
+        step_norm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dl * dl))
+        grad_norm = jnp.sqrt(jnp.sum(g_c * g_c) + jnp.sum(g_l * g_l))
+        converged = (step_norm < ch.parameter_tolerance) | (
+            grad_norm < ch.gradient_tolerance
+        )
+        increase = cost > prev_cost
+        adapted = jnp.where(
+            increase, lam * oh.lambda_increase_factor, lam * oh.lambda_decrease_factor
+        )
+        adapted = jnp.clip(adapted, oh.min_lambda, oh.max_lambda)
+        new_lam = jnp.where(converged, lam, adapted)
+        new_prev = jnp.where(converged, prev_cost, cost)
+        rec = IterationRecord(
+            rec.cost.at[it].set(cost),
+            rec.lam.at[it].set(lam),
+            rec.gradient_norm.at[it].set(grad_norm),
+            rec.step_norm.at[it].set(step_norm),
+        )
+        return (new_params, new_lam, new_prev, cost, it + 1, converged, rec)
+
+    def cond(state):
+        return (state[4] < max_it) & (~state[5])
+
+    init = (
+        params0,
+        jnp.asarray(oh.initial_lambda, dtype),
+        jnp.asarray(jnp.finfo(dtype).max, dtype),
+        jnp.asarray(jnp.finfo(dtype).max, dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        records_init(),
+    )
+    params, lam, prev_cost, last_cost, it, done, rec = jax.lax.while_loop(
+        cond, body, init
+    )
+    iterations = jnp.where(done, it - 1, it)
+    summary = Summary(
+        final_cost=last_cost,
+        reported_cost=prev_cost,
+        iterations=iterations,
+        final_lambda=lam,
+        converged=done,
+        records=rec,
+    )
+    return params, summary
+
+
+class BundleAdjuster:
+    """Joint camera-landmark refinement via Schur complement."""
+
+    def __init__(self, dtype=jnp.float64):
+        self.dtype = dtype
+        self.loss_function: Optional[LossFunction] = None
+
+    def set_loss_function(self, loss: Optional[LossFunction]):
+        self.loss_function = loss
+        return self
+
+    def solve(
+        self,
+        options: Options,
+        data: BAData,
+        intrinsics: CameraIntrinsics,
+        camera_poses,  # list[Pose] length C
+        landmarks: np.ndarray,  # (M, 3)
+        fixed_cameras=(0,),
+    ):
+        """Returns (optimized_poses, optimized_landmarks, summary).
+
+        ``fixed_cameras`` pins gauge freedom (default: camera 0; pass two
+        cameras to also pin scale in monocular problems)."""
+        from ..core.pose import Pose, np_quat_to_rotmat
+
+        dtype = self.dtype
+        C = len(camera_poses)
+        M = landmarks.shape[0]
+        free = np.ones(C)
+        for ci in fixed_cameras:
+            free[ci] = 0.0
+        params0 = BAParams(
+            translations=jnp.asarray(
+                np.stack([p.translation for p in camera_poses]), dtype
+            ),
+            quaternions=jnp.asarray(
+                np.stack([p.quaternion() for p in camera_poses]), dtype
+            ),
+            landmarks=jnp.asarray(landmarks, dtype),
+        )
+        intr = CameraIntrinsics(
+            *(jnp.asarray(v, dtype) for v in intrinsics[:6]),
+            intrinsics.width,
+            intrinsics.height,
+        )
+        params, summary = _ba_solve(
+            params0,
+            data,
+            intr,
+            self.loss_function,
+            jnp.asarray(free, dtype),
+            C,
+            M,
+            options,
+        )
+        ts = np.asarray(params.translations, np.float64)
+        qs = np.asarray(params.quaternions, np.float64)
+        poses = []
+        for i in range(C):
+            q = qs[i] / np.linalg.norm(qs[i])
+            poses.append(Pose(np_quat_to_rotmat(q), ts[i]))
+        return poses, np.asarray(params.landmarks, np.float64), summary

@@ -1,0 +1,118 @@
+"""Native (C++) host-runtime parity tests vs the numpy oracle.
+
+Parity caveat, inherited from the reference: sqrt_information is the
+quirky row-scaled S = D^{-1/2} V (simple_optimization_test.cc:275), which
+makes S^T S depend on the arbitrary eigenbasis whenever the covariance
+spectrum is degenerate (every flat wall/floor voxel has a repeated
+in-plane eigenvalue). Exact matrix parity is therefore only required on
+voxels with well-separated eigenvalues; on all voxels the invariants
+(means, counts, validity, information eigenvalues = floored 1/lambda)
+must agree, and end-to-end registration must land on the same pose.
+"""
+
+import numpy as np
+import pytest
+
+from nonlinear_optimizer_for_slam_tpu import native
+from nonlinear_optimizer_for_slam_tpu.pipelines import ndt
+from nonlinear_optimizer_for_slam_tpu.utils import testing
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable (no g++?)"
+)
+
+
+def _match_order(m_a, m_b, resolution=1.0):
+    ka = [tuple(np.floor(mu / resolution).astype(int)) for mu in m_a.means]
+    kb = [tuple(np.floor(mu / resolution).astype(int)) for mu in m_b.means]
+    assert set(ka) == set(kb)
+    bi = {k: i for i, k in enumerate(kb)}
+    order = np.array([bi[k] for k in ka])
+    return order
+
+
+def test_filter_points_exact(rng):
+    pts = rng.uniform(-5, 5, size=(20000, 3))
+    f_np = ndt.filter_points(pts, 0.3)
+    f_nat = native.filter_points(pts, 0.3)
+    np.testing.assert_allclose(f_nat, f_np)
+
+
+def test_ndt_map_invariants_random_cloud(rng):
+    pts = rng.uniform(-4, 4, size=(50000, 3))
+    m_np = ndt.build_ndt_map(pts, 1.0)
+    m_nat = native.build_ndt_map(pts, 1.0)
+    order = _match_order(m_np, m_nat)
+    np.testing.assert_allclose(m_nat.means[order], m_np.means, atol=1e-10)
+    np.testing.assert_array_equal(m_nat.counts[order], m_np.counts)
+    np.testing.assert_array_equal(m_nat.valid[order], m_np.valid)
+    # information eigenvalues are the floored 1/lambda — basis-invariant
+    e_np = np.sort(np.linalg.eigvalsh(m_np.informations), axis=1)
+    e_nat = np.sort(np.linalg.eigvalsh(m_nat.informations[order]), axis=1)
+    np.testing.assert_allclose(e_nat, e_np, rtol=1e-8)
+
+
+def test_ndt_map_exact_on_nondegenerate_voxels(rng):
+    # anisotropic cloud -> well-separated eigenvalues in every voxel
+    base = rng.normal(size=(40000, 3)) * np.array([0.45, 0.25, 0.1])
+    offsets = rng.integers(-3, 3, size=(40000, 3)).astype(float)
+    pts = base + offsets + 0.5
+    m_np = ndt.build_ndt_map(pts, 1.0)
+    m_nat = native.build_ndt_map(pts, 1.0)
+    order = _match_order(m_np, m_nat)
+
+    covs_sep = []
+    for i in range(m_np.num_voxels):
+        ev = np.linalg.eigvalsh(np.linalg.inv(m_np.informations[i]))
+        gaps = np.diff(np.sort(ev))
+        covs_sep.append(np.min(gaps / np.max(ev)) > 1e-3)
+    covs_sep = np.array(covs_sep)
+    assert covs_sep.sum() > 0
+    np.testing.assert_allclose(
+        m_nat.informations[order][covs_sep],
+        m_np.informations[covs_sep],
+        rtol=1e-6,
+        atol=1e-8,
+    )
+
+
+def test_room_world_registration_with_native_map():
+    """End-to-end: the native-built map drives registration to the same
+    pose as the numpy-built map (the degenerate-basis freedom does not
+    change the optimum meaningfully)."""
+    import jax.numpy as jnp
+
+    import nonlinear_optimizer_for_slam_tpu as nls
+    from nonlinear_optimizer_for_slam_tpu.core import ExponentialLoss, Options
+    from nonlinear_optimizer_for_slam_tpu.pipelines import registration
+
+    pts = testing.generate_room_points(point_step=0.02)
+    true_pose = testing.maha_true_pose()
+    local = native.filter_points(pts, 0.1)
+    local = true_pose.inverse().apply(local)
+
+    m_nat = native.build_ndt_map(pts, 1.0)
+    minimizer = nls.MahalanobisDistanceMinimizer().set_loss_function(
+        ExponentialLoss()
+    )
+    res = registration.register_ndt(
+        m_nat, local, nls.Pose.identity(), minimizer, Options()
+    )
+    t_err = np.linalg.norm(res.pose.translation - true_pose.translation)
+    assert t_err < 0.03, t_err
+
+
+def test_native_speedup():
+    """The native builder must beat numpy substantially (it is the
+    reference's performance-motivated C++ component)."""
+    import time
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 5, size=(500000, 3))
+    t0 = time.perf_counter()
+    ndt.build_ndt_map(pts, 1.0)
+    t_np = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    native.build_ndt_map(pts, 1.0)
+    t_nat = time.perf_counter() - t0
+    assert t_nat < t_np, (t_nat, t_np)
