@@ -1,4 +1,4 @@
-from . import autodiff, bundle_adjustment, linear, lm, manifolds, pose_graph
+from . import autodiff, bundle_adjustment, linear, lm, manifolds, pose_graph, problem
 from .lm import Summary
 from .minimizers import (
     MahalanobisDistanceMinimizer,
@@ -8,6 +8,7 @@ from .minimizers import (
 )
 from .bundle_adjustment import BAData, BundleAdjuster
 from .pose_graph import ConstraintType, PoseGraphOptimizer
+from .problem import GenericOptions, PoseOptimizer, Problem
 
 __all__ = [
     "autodiff",
@@ -18,6 +19,10 @@ __all__ = [
     "lm",
     "manifolds",
     "pose_graph",
+    "problem",
+    "GenericOptions",
+    "PoseOptimizer",
+    "Problem",
     "Summary",
     "ConstraintType",
     "MahalanobisDistanceMinimizer",

@@ -1,11 +1,14 @@
-from . import testing, time_checker
+from . import bimap, testing, time_checker
+from .bimap import UnorderedBimap
 from .time_checker import TimeChecker, TimeCheckerManager, check_exec_time, device_time
 
 __all__ = [
+    "bimap",
     "testing",
     "time_checker",
     "TimeChecker",
     "TimeCheckerManager",
+    "UnorderedBimap",
     "check_exec_time",
     "device_time",
 ]
