@@ -35,7 +35,7 @@ from ..core.options import Options
 from ..core.pose import Pose, np_quat_to_rotmat
 from ..ops import pallas_kernels as pk
 from ..solvers import lm
-from ..solvers.manifolds import SE3Params, se3_retract
+from ..solvers.manifolds import SE2Params, SE3Params, se2_retract, se3_retract
 from .ndt import NdtMap
 from .registration import OUTER_MAX_ITERATIONS, OUTER_TOLERANCE
 
@@ -53,18 +53,10 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_neighbors",
-        "max_outer",
-        "options",
-    ),
-)
-def _fused_register(
+def _fused_register_impl(
     means_T,  # (3, M) valid voxel means, transposed
     infos_T,  # (9, M) sqrt-informations row-major, transposed
-    points,  # (N, 3) local scan points
+    points,  # (N, 3) local scan points (per-shard when sharded)
     points_T,  # (3, N) same, transposed
     points_mask,  # (N,)
     t0,  # (3,)
@@ -75,6 +67,8 @@ def _fused_register(
     num_neighbors: int,
     max_outer: int,
     options: Options,
+    planar: bool = False,
+    psum_axis=None,
 ):
     n = points.shape[0]
     k = num_neighbors
@@ -116,11 +110,42 @@ def _fused_register(
         return jnp.pad(packed, ((0, 0), (0, lanes - n * k)))
 
     def inner_solve(t, q, packed):
-        def quad(params: SE3Params):
-            R = lie.quat_to_rotmat(params.quaternion)
-            return pk.maha6_eval_quadratic_packed(R, params.translation, packed, loss)
+        """Full 6-DoF LM, or the planar (x, y, yaw) reduction when
+        ``planar`` (reference: mahalanobis 3dof variants). The planar path
+        extracts (t_xy, theta) from the SE(3) state and embeds the result
+        back, keeping z/roll/pitch frozen
+        (.._analytic_3dof.cc:22-25,104-105)."""
+        def maybe_psum(hgc):
+            if psum_axis is not None:
+                return jax.lax.psum(hgc, psum_axis)
+            return hgc
 
-        return lm.solve(quad, se3_retract, SE3Params(t, q), options)
+        if not planar:
+            def quad(params: SE3Params):
+                R = lie.quat_to_rotmat(params.quaternion)
+                return maybe_psum(
+                    pk.maha6_eval_quadratic_packed(R, params.translation, packed, loss)
+                )
+
+            return lm.solve(quad, se3_retract, SE3Params(t, q), options)
+
+        theta0 = 2.0 * jnp.arctan2(q[3], q[0])  # yaw of a z-axis rotation
+
+        def quad2(params: SE2Params):
+            R2 = lie.rot2(params.theta)
+            return maybe_psum(
+                pk.maha3_eval_quadratic_packed(R2, params.translation, packed, loss)
+            )
+
+        params2, summary = lm.solve(
+            quad2, se2_retract, SE2Params(t[:2], theta0), options
+        )
+        t_new = jnp.concatenate([params2.translation, t[2:]])
+        half = 0.5 * params2.theta
+        q_new = jnp.stack(
+            [jnp.cos(half), jnp.zeros_like(half), jnp.zeros_like(half), jnp.sin(half)]
+        )
+        return SE3Params(t_new, q_new), summary
 
     def outer_body(carry):
         t, q, it, done, inner_its, costs, final_cost = carry
@@ -167,6 +192,75 @@ def _fused_register(
     return t, q, it, inner_its, costs, final_cost
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_neighbors", "max_outer", "options", "planar"),
+)
+def _fused_register(
+    means_T, infos_T, points, points_T, points_mask, t0, q0, loss,
+    search_radius, outer_tol, num_neighbors, max_outer, options, planar=False,
+):
+    return _fused_register_impl(
+        means_T, infos_T, points, points_T, points_mask, t0, q0, loss,
+        search_radius, outer_tol, num_neighbors, max_outer, options, planar,
+        psum_axis=None,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_neighbors", "max_outer", "options", "planar", "mesh"),
+)
+def _fused_register_sharded(
+    means_T, infos_T, points, points_T, points_mask, t0, q0, loss,
+    search_radius, outer_tol, num_neighbors, max_outer, options, planar, mesh,
+):
+    """Multi-chip fused registration: scan points shard over the mesh's
+    factor axis (each device matches and evaluates its own block against
+    the replicated map), the (H, g, cost) partials psum over ICI inside
+    the inner LM loop, and the outer ICP control flow stays replicated —
+    one XLA program across the whole slice (SURVEY section 2.8)."""
+    from ..parallel.mesh import FACTOR_AXIS
+
+    P = jax.sharding.PartitionSpec
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    def local_fn(
+        means_T_, infos_T_, points_s, points_T_s, pmask_s, t0_, q0_, loss_,
+        radius_, tol_,
+    ):
+        return _fused_register_impl(
+            means_T_, infos_T_, points_s, points_T_s, pmask_s, t0_, q0_, loss_,
+            radius_, tol_, num_neighbors, max_outer, options, planar,
+            psum_axis=FACTOR_AXIS,
+        )
+
+    loss_specs = jax.tree_util.tree_map(lambda _: P(), loss)
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(
+            P(),                 # means_T replicated (map is tiny)
+            P(),                 # infos_T replicated
+            P(FACTOR_AXIS),      # points (N, 3) -> rows sharded
+            P(None, FACTOR_AXIS),  # points_T (3, N) -> lanes sharded
+            P(FACTOR_AXIS),      # mask
+            P(), P(), loss_specs, P(), P(),
+        ),
+        out_specs=P(),
+    )
+    try:
+        fn = shard_map(local_fn, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older check_rep spelling
+        fn = shard_map(local_fn, check_rep=False, **kwargs)
+    return fn(
+        means_T, infos_T, points, points_T, points_mask, t0, q0, loss,
+        search_radius, outer_tol,
+    )
+
+
 class NdtRegistrar:
     """Scan-to-map registrar with device-resident map state.
 
@@ -186,9 +280,13 @@ class NdtRegistrar:
         max_outer_iterations: int = OUTER_MAX_ITERATIONS,
         outer_tolerance: float = OUTER_TOLERANCE,
         dtype=jnp.float32,
+        planar: bool = False,
+        mesh=None,
     ):
         valid = ndt_map.valid_only()
         self.dtype = dtype
+        self.planar = planar
+        self.mesh = mesh
         self.means_T = jnp.asarray(valid.means.T, dtype)
         self.infos_T = jnp.asarray(valid.sqrt_informations.reshape(-1, 9).T, dtype)
         self.options = options
@@ -203,11 +301,21 @@ class NdtRegistrar:
     ) -> FusedRegistrationResult:
         dtype = self.dtype
         pts_np = np.ascontiguousarray(np.asarray(local_points))
+        mask_np = np.ones(pts_np.shape[0])
+        if self.mesh is not None:
+            # equal shard sizes: pad the point set to a device-count
+            # multiple with masked zeros
+            d = self.mesh.devices.size
+            n_pad = _round_up(pts_np.shape[0], d)
+            extra = n_pad - pts_np.shape[0]
+            if extra:
+                pts_np = np.concatenate([pts_np, np.zeros((extra, 3))])
+                mask_np = np.concatenate([mask_np, np.zeros(extra)])
         points = jnp.asarray(pts_np, dtype)
         points_T = jnp.asarray(pts_np.T, dtype)
-        pmask = jnp.ones(points.shape[0], dtype)
+        pmask = jnp.asarray(mask_np, dtype)
 
-        t, q, it, inner_its, costs, final_cost = _fused_register(
+        args = (
             self.means_T,
             self.infos_T,
             points,
@@ -221,7 +329,14 @@ class NdtRegistrar:
             self.num_neighbors,
             self.max_outer_iterations,
             self.options,
+            self.planar,
         )
+        if self.mesh is None:
+            t, q, it, inner_its, costs, final_cost = _fused_register(*args)
+        else:
+            t, q, it, inner_its, costs, final_cost = _fused_register_sharded(
+                *args, self.mesh
+            )
         # ONE host sync for everything
         t, q, it, inner_its, costs, final_cost = jax.device_get(
             (t, q, it, inner_its, costs, final_cost)
