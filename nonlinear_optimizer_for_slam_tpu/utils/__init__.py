@@ -1,9 +1,10 @@
-from . import bimap, testing, time_checker
+from . import bimap, checkpoint, testing, time_checker
 from .bimap import UnorderedBimap
 from .time_checker import TimeChecker, TimeCheckerManager, check_exec_time, device_time
 
 __all__ = [
     "bimap",
+    "checkpoint",
     "testing",
     "time_checker",
     "TimeChecker",

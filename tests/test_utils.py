@@ -57,3 +57,47 @@ def test_bimap_roundtrip_and_deletes():
     assert bm.delete_by_key(2)
     assert len(bm) == 0
     assert not bm.delete_by_value("missing")
+
+
+def test_checkpoint_ndt_map_roundtrip(tmp_path, rng):
+    import numpy as np
+
+    from nonlinear_optimizer_for_slam_tpu.pipelines import ndt
+    from nonlinear_optimizer_for_slam_tpu.utils import checkpoint
+
+    pts = rng.uniform(-3, 3, size=(5000, 3))
+    m = ndt.build_ndt_map(pts, 1.0)
+    p = str(tmp_path / "map.npz")
+    checkpoint.save_ndt_map(p, m)
+    m2 = checkpoint.load_ndt_map(p)
+    np.testing.assert_allclose(m2.means, m.means)
+    np.testing.assert_allclose(m2.sqrt_informations, m.sqrt_informations)
+    np.testing.assert_array_equal(m2.valid, m.valid)
+
+
+def test_checkpoint_pose_roundtrip(tmp_path):
+    import numpy as np
+
+    import nonlinear_optimizer_for_slam_tpu as nls
+    from nonlinear_optimizer_for_slam_tpu.utils import checkpoint
+
+    pose = nls.Pose.from_axis_angle(0.3, [1.0, 2.0, 3.0], [0.1, 0.2, 0.3])
+    p = str(tmp_path / "pose.npz")
+    checkpoint.save_pose(p, pose, outer_iteration=np.asarray(4), costs=np.arange(3.0))
+    pose2, extras = checkpoint.load_pose(p)
+    np.testing.assert_allclose(pose2.matrix(), pose.matrix())
+    assert int(extras["outer_iteration"]) == 4
+    np.testing.assert_allclose(extras["costs"], [0.0, 1.0, 2.0])
+
+
+def test_checkpoint_kind_mismatch(tmp_path, rng):
+    import pytest as _pytest
+
+    from nonlinear_optimizer_for_slam_tpu.pipelines import ndt
+    from nonlinear_optimizer_for_slam_tpu.utils import checkpoint
+
+    pts = rng.uniform(-1, 1, size=(500, 3))
+    p = str(tmp_path / "map.npz")
+    checkpoint.save_ndt_map(p, ndt.build_ndt_map(pts, 1.0))
+    with _pytest.raises(ValueError):
+        checkpoint.load_pose(p)
