@@ -89,6 +89,19 @@ def main():
         f"median={median:.2f} mean={times.mean():.2f}")
     log(f"inner LM iterations/s (median run): {total_inner / (median / 1000.0):.0f}")
 
+    # throughput mode: pipeline 10 registrations, block once (a SLAM
+    # stream with scans in flight; dispatch latency amortizes away)
+    import jax as _jax
+
+    t0 = time.perf_counter()
+    outs = [
+        registrar.register_async(local, nls.Pose.identity()) for _ in range(10)
+    ]
+    _jax.block_until_ready(outs)
+    thr = (time.perf_counter() - t0) / 10 * 1000.0
+    log(f"pipelined throughput: {thr:.2f} ms/registration "
+        f"({1000.0 / thr:.0f} scans/s; vs_baseline {BASELINE_MS / thr:.1f}x)")
+
     print(
         json.dumps(
             {

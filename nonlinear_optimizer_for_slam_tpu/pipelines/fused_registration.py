@@ -296,9 +296,31 @@ class NdtRegistrar:
         self.num_neighbors = num_neighbors
         self.max_outer_iterations = max_outer_iterations
 
+    def register_async(self, local_points, initial_pose: Pose):
+        """Launch the fused program WITHOUT a host sync; returns device
+        values. Use for pipelining many scans (throughput mode); pass the
+        result to :meth:`finalize`. Latency mode = :meth:`register`."""
+        return self._launch(local_points, initial_pose)
+
+    @staticmethod
+    def finalize(device_out) -> FusedRegistrationResult:
+        t, q, it, inner_its, costs, final_cost = jax.device_get(device_out)
+        qn = np.asarray(q, np.float64)
+        qn /= np.linalg.norm(qn)
+        return FusedRegistrationResult(
+            pose=Pose(np_quat_to_rotmat(qn), np.asarray(t, np.float64)),
+            outer_iterations=int(it),
+            final_cost=float(final_cost),
+            inner_iterations=np.asarray(inner_its),
+            costs=np.asarray(costs),
+        )
+
     def register(
         self, local_points, initial_pose: Pose
     ) -> FusedRegistrationResult:
+        return self.finalize(self._launch(local_points, initial_pose))
+
+    def _launch(self, local_points, initial_pose: Pose):
         dtype = self.dtype
         pts_np = np.ascontiguousarray(np.asarray(local_points))
         mask_np = np.ones(pts_np.shape[0])
@@ -337,19 +359,7 @@ class NdtRegistrar:
             t, q, it, inner_its, costs, final_cost = _fused_register_sharded(
                 *args, self.mesh
             )
-        # ONE host sync for everything
-        t, q, it, inner_its, costs, final_cost = jax.device_get(
-            (t, q, it, inner_its, costs, final_cost)
-        )
-        qn = np.asarray(q, np.float64)
-        qn /= np.linalg.norm(qn)
-        return FusedRegistrationResult(
-            pose=Pose(np_quat_to_rotmat(qn), np.asarray(t, np.float64)),
-            outer_iterations=int(it),
-            final_cost=float(final_cost),
-            inner_iterations=np.asarray(inner_its),
-            costs=np.asarray(costs),
-        )
+        return (t, q, it, inner_its, costs, final_cost)
 
 
 def register_ndt_fused(
