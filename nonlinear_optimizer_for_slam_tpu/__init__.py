@@ -30,6 +30,7 @@ from .solvers import (
     MahalanobisDistanceMinimizer3DOF,
     PointToPlaneMinimizer,
     PoseGraphOptimizer,
+    PoseGraphOptimizer2D,
     ReprojectionErrorMinimizer,
     Summary,
 )

@@ -7,7 +7,7 @@ from .minimizers import (
     ReprojectionErrorMinimizer,
 )
 from .bundle_adjustment import BAData, BundleAdjuster
-from .pose_graph import ConstraintType, PoseGraphOptimizer
+from .pose_graph import ConstraintType, PoseGraphOptimizer, PoseGraphOptimizer2D
 from .problem import GenericOptions, PoseOptimizer, Problem
 
 __all__ = [
@@ -29,5 +29,6 @@ __all__ = [
     "MahalanobisDistanceMinimizer3DOF",
     "PointToPlaneMinimizer",
     "PoseGraphOptimizer",
+    "PoseGraphOptimizer2D",
     "ReprojectionErrorMinimizer",
 ]

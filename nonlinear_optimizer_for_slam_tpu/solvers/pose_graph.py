@@ -31,7 +31,7 @@ API mirrors the reference base class (pose_graph_optimizer.h:21-108).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -289,4 +289,211 @@ class PoseGraphOptimizer:
         for i, pi in enumerate(indices):
             q = quat[i] / np.linalg.norm(quat[i])  # renormalize on write-back
             self._poses[pi] = Pose(np_quat_to_rotmat(q), pos[i])
+        return summary, np.asarray(sw, np.float64)
+
+
+# ----------------------------------------------------------------------------
+# SE(2) pose graph (BASELINE config 4: "2D and 3D relative-pose graph").
+# The reference repo has no 2D graph module; this follows the standard
+# g2o-style SE(2) edge with the same switchable-constraint treatment and
+# the same batched one-hot dense-GN assembly as the 3D solver above.
+# ----------------------------------------------------------------------------
+
+
+class PoseGraph2DEdges(NamedTuple):
+    reference_indices: Array  # (E,)
+    query_indices: Array  # (E,)
+    relative_xyt: Array  # (E, 3) (dx, dy, dtheta) in the reference frame
+    is_loop: Array  # (E,)
+    mask: Array  # (E,)
+
+
+def se2_edge_residual(xyt_ref: Array, xyt_query: Array, rel: Array) -> Array:
+    """r = [R(th_r)^T (p_q - p_r) - t_rel ; wrap(th_q - th_r - th_rel)]."""
+    c, s = jnp.cos(xyt_ref[2]), jnp.sin(xyt_ref[2])
+    dp = xyt_query[:2] - xyt_ref[:2]
+    local = jnp.stack([c * dp[0] + s * dp[1], -s * dp[0] + c * dp[1]])
+    dth = xyt_query[2] - xyt_ref[2] - rel[2]
+    # branch-free angle wrap
+    dth = jnp.arctan2(jnp.sin(dth), jnp.cos(dth))
+    return jnp.concatenate([local - rel[:2], dth[None]])
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _pose_graph_2d_solve(
+    xyt0,  # (P, 3)
+    switches0,  # (L,)
+    edges: PoseGraph2DEdges,
+    free_mask,  # (P,)
+    switch_penalty,
+    num_poses: int,
+    num_loops: int,
+    options: Options,
+):
+    P = num_poses
+    L = num_loops
+    dim = 3 * P + L
+    dtype = xyt0.dtype
+    E = edges.num_edges if hasattr(edges, "num_edges") else edges.mask.shape[0]
+
+    eye_p = jnp.eye(P, dtype=dtype)
+    onehot_ref = eye_p[edges.reference_indices]
+    onehot_query = eye_p[edges.query_indices]
+    if L > 0:
+        loop_slot = jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1
+        eye_l = jnp.eye(L, dtype=dtype)
+        onehot_switch = jnp.where(
+            (edges.is_loop > 0)[:, None], eye_l[jnp.clip(loop_slot, 0, L - 1)], 0.0
+        )
+    else:
+        loop_slot = jnp.zeros((E,), jnp.int32)
+        onehot_switch = jnp.zeros((E, 0), dtype)
+
+    col_mask = jnp.concatenate(
+        [jnp.repeat(free_mask, 3), jnp.ones((L,), dtype)]
+    )
+
+    def quad(x):
+        xyt = x[: 3 * P].reshape(P, 3)
+        sw = x[3 * P :]
+        sw_full = sw[loop_slot] if L > 0 else jnp.zeros((E,), dtype)
+
+        def one_edge(ref_xyt, query_xyt, rel, s, loop, m):
+            def res(ref_, query_, s_):
+                r3 = se2_edge_residual(ref_, query_, rel)
+                scaled = jnp.where(loop > 0, r3 * s_, r3)
+                penalty = jnp.where(loop > 0, (1.0 - s_) * switch_penalty, 0.0)
+                return jnp.concatenate([scaled, penalty[None]]) * m  # (4,)
+
+            r = res(ref_xyt, query_xyt, sw_of := s)
+            j_ref, j_query, j_s = jax.jacfwd(res, argnums=(0, 1, 2))(
+                ref_xyt, query_xyt, s
+            )
+            return r, j_ref, j_query, j_s
+
+        r, J_ref, J_query, J_s = jax.vmap(one_edge)(
+            xyt[edges.reference_indices],
+            xyt[edges.query_indices],
+            edges.relative_xyt,
+            sw_full,
+            edges.is_loop,
+            edges.mask,
+        )  # (E,4), (E,4,3), (E,4,3), (E,4)
+
+        Jx = (
+            J_ref[:, :, None, :] * onehot_ref[:, None, :, None]
+            + J_query[:, :, None, :] * onehot_query[:, None, :, None]
+        ).reshape(E, 4, 3 * P)
+        Js = J_s[:, :, None] * onehot_switch[:, None, :]
+        J_full = jnp.concatenate([Jx, Js], axis=-1) * col_mask[None, None, :]
+        Jmat = J_full.reshape(E * 4, dim)
+        rvec = r.reshape(E * 4)
+        with jax.default_matmul_precision("highest"):
+            H = Jmat.T @ Jmat
+            g = Jmat.T @ rvec
+        H = H + jnp.diag(1.0 - col_mask) + 1e-10 * jnp.eye(dim, dtype=dtype)
+        return H, g, jnp.sum(rvec * rvec)
+
+    def retract(x, delta):
+        return x + delta * col_mask
+
+    x0 = jnp.concatenate([xyt0.reshape(-1), switches0])
+    x, summary = lm.solve(quad, retract, x0, options)
+    return x[: 3 * P].reshape(P, 3), x[3 * P :], summary
+
+
+class PoseGraphOptimizer2D:
+    """SE(2) pose-graph optimizer; same API shape as the 3D one."""
+
+    def __init__(self, dtype=jnp.float64, switch_penalty: float = None):
+        from ..ops.relative_pose import SWITCH_PENALTY_SCALE
+
+        self.dtype = dtype
+        self.switch_penalty = (
+            SWITCH_PENALTY_SCALE if switch_penalty is None else switch_penalty
+        )
+        self._poses: Dict[int, "np.ndarray"] = {}  # index -> (x, y, theta)
+        self._constant: set = set()
+        self._constraints: List[dict] = []
+
+    def set_pose(self, index: int, xyt) -> None:
+        self._poses[index] = np.asarray(xyt, dtype=np.float64).copy()
+
+    def set_pose_constant(self, index: int) -> None:
+        if index not in self._poses:
+            raise KeyError(f"pose {index} not registered")
+        self._constant.add(index)
+
+    def set_constraint(
+        self,
+        reference_index: int,
+        query_index: int,
+        relative_xyt,
+        constraint_type: int = ConstraintType.ODOMETRY,
+    ) -> None:
+        if reference_index not in self._poses or query_index not in self._poses:
+            raise KeyError("constraint endpoints must be registered poses")
+        if reference_index == query_index:
+            raise ValueError("self-constraint is not allowed")
+        self._constraints.append(
+            dict(
+                reference_index=reference_index,
+                query_index=query_index,
+                relative_xyt=np.asarray(relative_xyt, np.float64).copy(),
+                type=constraint_type,
+            )
+        )
+
+    def get_pose(self, index: int) -> "np.ndarray":
+        return self._poses[index].copy()
+
+    def solve(self, options: Optional[Options] = None):
+        if options is None:
+            options = Options().replace(max_iterations=500)
+        indices = sorted(self._poses)
+        index_of = {pi: i for i, pi in enumerate(indices)}
+        P = len(indices)
+        xyt = np.stack([self._poses[pi] for pi in indices])
+
+        E = len(self._constraints)
+        is_loop = np.array(
+            [1.0 if c["type"] == ConstraintType.LOOP else 0.0 for c in self._constraints]
+        )
+        L = int(is_loop.sum())
+        dtype = self.dtype
+        edges = PoseGraph2DEdges(
+            reference_indices=jnp.asarray(
+                [index_of[c["reference_index"]] for c in self._constraints],
+                jnp.int32,
+            ),
+            query_indices=jnp.asarray(
+                [index_of[c["query_index"]] for c in self._constraints], jnp.int32
+            ),
+            relative_xyt=jnp.asarray(
+                np.stack([c["relative_xyt"] for c in self._constraints]), dtype
+            ),
+            is_loop=jnp.asarray(is_loop, dtype),
+            mask=jnp.ones((E,), dtype),
+        )
+        free = np.ones(P)
+        for pi in self._constant:
+            free[index_of[pi]] = 0.0
+
+        out_xyt, sw, summary = _pose_graph_2d_solve(
+            jnp.asarray(xyt, dtype),
+            jnp.ones((L,), dtype),
+            edges,
+            jnp.asarray(free, dtype),
+            jnp.asarray(self.switch_penalty, dtype),
+            P,
+            L,
+            options,
+        )
+        out = np.asarray(out_xyt, np.float64)
+        for i, pi in enumerate(indices):
+            # wrap theta on write-back (the SE(2) analog of quaternion
+            # renormalization)
+            o = out[i].copy()
+            o[2] = float(np.arctan2(np.sin(o[2]), np.cos(o[2])))
+            self._poses[pi] = o
         return summary, np.asarray(sw, np.float64)
