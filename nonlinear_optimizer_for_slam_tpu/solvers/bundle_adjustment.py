@@ -318,10 +318,13 @@ class BundleAdjuster:
             M,
             options,
         )
-        ts = np.asarray(params.translations, np.float64)
-        qs = np.asarray(params.quaternions, np.float64)
+        ts, qs, lms = jax.device_get(
+            (params.translations, params.quaternions, params.landmarks)
+        )  # one batched fetch (each separate fetch costs a ~30 ms quantum)
+        ts = np.asarray(ts, np.float64)
+        qs = np.asarray(qs, np.float64)
         poses = []
         for i in range(C):
             q = qs[i] / np.linalg.norm(qs[i])
             poses.append(Pose(np_quat_to_rotmat(q), ts[i]))
-        return poses, np.asarray(params.landmarks, np.float64), summary
+        return poses, np.asarray(lms, np.float64), summary

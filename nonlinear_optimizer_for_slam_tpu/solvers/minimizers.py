@@ -40,14 +40,17 @@ def _round_up(n: int, multiple: int) -> int:
 
 
 def _pose_from_params(params: "SE3Params") -> Pose:
-    """Device SE3Params -> host Pose with ONE device-to-host transfer per
-    leaf and pure-numpy quaternion math (eager jnp lie calls here cost
-    ~50 ms/solve in tiny TPU dispatches — see core/pose.py note)."""
+    """Device SE3Params -> host Pose with ONE batched device_get and
+    pure-numpy quaternion math. Two separate np.asarray fetches cost 2x
+    the runtime's completion-poll quantum (~30 ms each in degraded mode);
+    one batched get pays it once. Eager jnp lie calls here would cost
+    ~50 ms/solve in tiny dispatches — see core/pose.py note."""
     from ..core.pose import np_quat_to_rotmat
 
-    q = np.asarray(params.quaternion, dtype=np.float64)
+    t, q = jax.device_get((params.translation, params.quaternion))
+    q = np.asarray(q, np.float64)
     q = q / np.linalg.norm(q)
-    return Pose(np_quat_to_rotmat(q), np.asarray(params.translation, dtype=np.float64))
+    return Pose(np_quat_to_rotmat(q), np.asarray(t, np.float64))
 
 
 class _MinimizerBase:
@@ -140,8 +143,9 @@ class MahalanobisDistanceMinimizer3DOF(_MinimizerBase):
         out = pose.copy()
         out.translation = out.translation.copy()
         out.rotation = out.rotation.copy()
-        out.translation[:2] = np.asarray(params.translation, dtype=np.float64)
-        theta = float(params.theta)
+        t2, theta = jax.device_get((params.translation, params.theta))
+        out.translation[:2] = np.asarray(t2, np.float64)
+        theta = float(theta)
         c, s = np.cos(theta), np.sin(theta)
         out.rotation[:2, :2] = np.array([[c, -s], [s, c]])
         return out, summary

@@ -284,6 +284,9 @@ class PoseGraphOptimizer:
             L,
             options,
         )
+        # one batched device->host fetch (separate fetches each pay the
+        # runtime's ~30 ms completion-poll quantum)
+        pos, quat, sw = jax.device_get((pos, quat, sw))
         pos = np.asarray(pos, np.float64)
         quat = np.asarray(quat, np.float64)
         for i, pi in enumerate(indices):

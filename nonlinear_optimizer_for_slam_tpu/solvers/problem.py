@@ -324,6 +324,7 @@ class PoseOptimizer:
 
         from ..core.pose import np_quat_to_rotmat
 
+        t, q = jax.device_get((t, q))  # one batched fetch
         qn = np.array(q, np.float64)
         qn /= np.linalg.norm(qn)
         out = Pose(np_quat_to_rotmat(qn), np.asarray(t, np.float64))
