@@ -16,7 +16,11 @@ enums exist but are never read (every solver hard-codes the damped-GN loop
 and its own linear solve) — this framework dispatches on them for real.
 ``GAUSS_NEWTON`` and ``LEVENBERG_MARQUARDT`` both select the reference's
 damped loop (that is what the reference's "Gauss-Newton" actually is);
-``GRADIENT_DESCENT`` takes plain first-order steps.
+``GRADIENT_DESCENT`` takes plain first-order steps. ``QUASI_NEWTON``
+aliases the damped loop as well: with exact J^T J available every
+iteration at batch cost, a secant approximation would be strictly worse —
+the enum value exists for reference API parity (options.h:6-11, where it
+is equally unimplemented).
 """
 
 from __future__ import annotations
