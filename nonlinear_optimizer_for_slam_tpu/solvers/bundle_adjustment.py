@@ -116,17 +116,23 @@ def _observation_residuals_jacobians(
     return r, J_c, J_l, valid
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
-def _ba_solve(
+def _ba_solve_impl(
     params0: BAParams,
     data: BAData,
     intr: CameraIntrinsics,
     loss,  # Optional[LossFunction] pytree
     cam_free_mask,  # (C,) 1.0 = free camera, 0.0 = gauge-fixed
     num_cameras: int,
-    num_landmarks: int,
+    num_landmarks: int,  # LOCAL landmark count when sharded
     options: Options,
+    psum_axis=None,
 ):
+    """Core Schur LM loop. With ``psum_axis`` set, landmarks and
+    observations are SHARDED over that mesh axis: V/G/g_l/back-
+    substitution stay local per shard, while the reduced camera system
+    (U, S cross terms, g_c, rhs) and the convergence scalars psum over
+    ICI — the Schur reduction happens BEFORE communication, so the
+    collective payload is only the (6C)^2 system (SURVEY section 5)."""
     C, M = num_cameras, num_landmarks
     oh = options.optimization_handle
     ch = options.convergence_handle
@@ -179,10 +185,24 @@ def _ba_solve(
             G = jnp.zeros((M, C, 6, 3), dtype).at[lm_idx, cam_idx].add(W_o)
             GV = jnp.einsum("mcik,mkl->mcil", G, V_inv)  # (M, C, 6, 3)
             # S = U - sum_m GV G^T   (dense (C,6,C,6))
-            S = jnp.zeros((C, 6, C, 6), dtype)
+            S_cross = -jnp.einsum("mcik,mdjk->cidj", GV, G)
+            rhs_cross = -jnp.einsum("mcik,mk->ci", GV, g_l)  # (C, 6)
+
+            if psum_axis is not None:
+                # one fused collective for the whole reduced system
+                U, S_cross, g_c, rhs_cross, cost = jax.lax.psum(
+                    (U, S_cross, g_c, rhs_cross, cost), psum_axis
+                )
+                # re-apply the single global identity for fixed cameras
+                # (each shard added it before the psum)
+                n_shards = jax.lax.psum(1, psum_axis)
+                U = U - (n_shards - 1) * (
+                    (1.0 - cam_free_mask)[:, None, None] * eye6
+                )
+
+            S = S_cross
             S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(U)
-            S = S - jnp.einsum("mcik,mdjk->cidj", GV, G)
-            rhs = g_c - jnp.einsum("mcik,mk->ci", GV, g_l)  # (C, 6)
+            rhs = g_c + rhs_cross
 
             Smat = S.reshape(C * 6, C * 6)
             factor = jsl.cho_factor(Smat, lower=True)
@@ -215,8 +235,13 @@ def _ba_solve(
         dl = jnp.where(finite, dl, jnp.zeros_like(dl))
         new_params = retract(params, dc, dl)
 
-        step_norm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dl * dl))
-        grad_norm = jnp.sqrt(jnp.sum(g_c * g_c) + jnp.sum(g_l * g_l))
+        dl_sq = jnp.sum(dl * dl)
+        gl_sq = jnp.sum(g_l * g_l)
+        if psum_axis is not None:
+            dl_sq, gl_sq = jax.lax.psum((dl_sq, gl_sq), psum_axis)
+        # g_c is already the global gradient after the in-step psum
+        step_norm = jnp.sqrt(jnp.sum(dc * dc) + dl_sq)
+        grad_norm = jnp.sqrt(jnp.sum(g_c * g_c) + gl_sq)
         converged = (step_norm < ch.parameter_tolerance) | (
             grad_norm < ch.gradient_tolerance
         )
@@ -262,16 +287,108 @@ def _ba_solve(
     return params, summary
 
 
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _ba_solve(
+    params0, data, intr, loss, cam_free_mask, num_cameras, num_landmarks, options
+):
+    return _ba_solve_impl(
+        params0, data, intr, loss, cam_free_mask, num_cameras, num_landmarks,
+        options, psum_axis=None,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _ba_solve_sharded(
+    params0, data, intr, loss, cam_free_mask, num_cameras, local_landmarks,
+    options, mesh,
+):
+    """Landmark-sharded BA: BAParams.landmarks, the observation batch, and
+    all landmark-side blocks shard over the mesh's factor axis; camera
+    state replicates. Host-side prep (BundleAdjuster.solve) sorts
+    observations into per-shard blocks with LOCAL landmark indices."""
+    from ..parallel.mesh import FACTOR_AXIS
+
+    P = jax.sharding.PartitionSpec
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    def local_fn(params, data_s, intr_, loss_, free_):
+        return _ba_solve_impl(
+            params, data_s, intr_, loss_, free_, num_cameras, local_landmarks,
+            options, psum_axis=FACTOR_AXIS,
+        )
+
+    params_specs = BAParams(P(), P(), P(FACTOR_AXIS))
+    data_specs = BAData(
+        P(FACTOR_AXIS), P(FACTOR_AXIS), P(FACTOR_AXIS), P(FACTOR_AXIS)
+    )
+    intr_specs = jax.tree_util.tree_map(lambda _: P(), intr)
+    loss_specs = jax.tree_util.tree_map(lambda _: P(), loss)
+    out_params_specs = BAParams(P(), P(), P(FACTOR_AXIS))
+    summary_specs = Summary(
+        P(), P(), P(), P(), P(), IterationRecord(P(), P(), P(), P())
+    )
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(params_specs, data_specs, intr_specs, loss_specs, P()),
+        out_specs=(out_params_specs, summary_specs),
+    )
+    try:
+        fn = shard_map(local_fn, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover
+        fn = shard_map(local_fn, check_rep=False, **kwargs)
+    return fn(params0, data, intr, loss, cam_free_mask)
+
+
 class BundleAdjuster:
     """Joint camera-landmark refinement via Schur complement."""
 
-    def __init__(self, dtype=jnp.float64):
+    def __init__(self, dtype=jnp.float64, mesh=None):
+        """``mesh``: optional factor mesh — landmarks + observations shard
+        across it, camera state replicates, the reduced camera system
+        psums over ICI (the multi-host BA of BASELINE config 5)."""
         self.dtype = dtype
+        self.mesh = mesh
         self.loss_function: Optional[LossFunction] = None
 
     def set_loss_function(self, loss: Optional[LossFunction]):
         self.loss_function = loss
         return self
+
+    @staticmethod
+    def _shard_prep(data: BAData, M: int, num_shards: int):
+        """Sort observations into per-landmark-range shard blocks with
+        LOCAL landmark indices; equal block sizes via masked padding.
+        Returns (data_flat, M_pad, local_M)."""
+        local_M = -(-M // num_shards)
+        M_pad = local_M * num_shards
+        cam = np.asarray(data.camera_indices)
+        lm = np.asarray(data.landmark_indices)
+        px = np.asarray(data.pixels)
+        mask = np.asarray(data.mask)
+        shard_of = lm // local_M
+
+        per_shard = [np.nonzero(shard_of == d)[0] for d in range(num_shards)]
+        O_shard = max((len(ix) for ix in per_shard), default=1) or 1
+        cam_out = np.zeros((num_shards, O_shard), np.int32)
+        lm_out = np.zeros((num_shards, O_shard), np.int32)
+        px_out = np.zeros((num_shards, O_shard, 2), px.dtype)
+        mask_out = np.zeros((num_shards, O_shard), mask.dtype)
+        for d, ix in enumerate(per_shard):
+            k = len(ix)
+            cam_out[d, :k] = cam[ix]
+            lm_out[d, :k] = lm[ix] - d * local_M  # LOCAL index
+            px_out[d, :k] = px[ix]
+            mask_out[d, :k] = mask[ix]
+        flat = BAData(
+            camera_indices=jnp.asarray(cam_out.reshape(-1)),
+            landmark_indices=jnp.asarray(lm_out.reshape(-1)),
+            pixels=jnp.asarray(px_out.reshape(-1, 2)),
+            mask=jnp.asarray(mask_out.reshape(-1)),
+        )
+        return flat, M_pad, local_M
 
     def solve(
         self,
@@ -294,30 +411,52 @@ class BundleAdjuster:
         free = np.ones(C)
         for ci in fixed_cameras:
             free[ci] = 0.0
-        params0 = BAParams(
-            translations=jnp.asarray(
-                np.stack([p.translation for p in camera_poses]), dtype
-            ),
-            quaternions=jnp.asarray(
-                np.stack([p.quaternion() for p in camera_poses]), dtype
-            ),
-            landmarks=jnp.asarray(landmarks, dtype),
-        )
         intr = CameraIntrinsics(
             *(jnp.asarray(v, dtype) for v in intrinsics[:6]),
             intrinsics.width,
             intrinsics.height,
         )
-        params, summary = _ba_solve(
-            params0,
-            data,
-            intr,
-            self.loss_function,
-            jnp.asarray(free, dtype),
-            C,
-            M,
-            options,
-        )
+        t_arr = jnp.asarray(np.stack([p.translation for p in camera_poses]), dtype)
+        q_arr = jnp.asarray(np.stack([p.quaternion() for p in camera_poses]), dtype)
+
+        if self.mesh is None:
+            params0 = BAParams(t_arr, q_arr, jnp.asarray(landmarks, dtype))
+            params, summary = _ba_solve(
+                params0,
+                data,
+                intr,
+                self.loss_function,
+                jnp.asarray(free, dtype),
+                C,
+                M,
+                options,
+            )
+        else:
+            D = self.mesh.devices.size
+            data_flat, M_pad, local_M = self._shard_prep(data, M, D)
+            lms_pad = np.zeros((M_pad, 3))
+            lms_pad[:M] = np.asarray(landmarks)
+            params0 = BAParams(t_arr, q_arr, jnp.asarray(lms_pad, dtype))
+            data_flat = BAData(
+                data_flat.camera_indices,
+                data_flat.landmark_indices,
+                data_flat.pixels.astype(dtype),
+                data_flat.mask.astype(dtype),
+            )
+            params, summary = _ba_solve_sharded(
+                params0,
+                data_flat,
+                intr,
+                self.loss_function,
+                jnp.asarray(free, dtype),
+                C,
+                local_M,
+                options,
+                self.mesh,
+            )
+            params = BAParams(
+                params.translations, params.quaternions, params.landmarks[:M]
+            )
         ts, qs, lms = jax.device_get(
             (params.translations, params.quaternions, params.landmarks)
         )  # one batched fetch (each separate fetch costs a ~30 ms quantum)

@@ -203,3 +203,36 @@ def test_schur_step_equals_dense_step(rng):
 
     np.testing.assert_allclose(dc.ravel(), delta_dense[: 6 * C], rtol=1e-6, atol=1e-10)
     np.testing.assert_allclose(dl.ravel(), delta_dense[6 * C :], rtol=1e-6, atol=1e-10)
+
+
+def test_sharded_ba_matches_single_device(rng):
+    """Landmark-sharded BA over the 8-device CPU mesh == single-device BA
+    (the multi-host path of BASELINE config 5)."""
+    import jax
+
+    from nonlinear_optimizer_for_slam_tpu.parallel import make_factor_mesh
+
+    assert len(jax.devices()) == 8
+    intr, data, true_poses, noisy_poses, true_lms, noisy_lms = _make_rig(
+        rng, num_cameras=5, num_landmarks=100
+    )
+    opts = Options().replace(max_iterations=25)
+
+    ba1 = BundleAdjuster()
+    p1, l1, s1 = ba1.solve(
+        opts, data, intr, noisy_poses, noisy_lms, fixed_cameras=(0, 1)
+    )
+
+    ba2 = BundleAdjuster(mesh=make_factor_mesh())
+    p2, l2, s2 = ba2.solve(
+        opts, data, intr, noisy_poses, noisy_lms, fixed_cameras=(0, 1)
+    )
+
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(b.translation, a.translation, atol=1e-8)
+        np.testing.assert_allclose(b.rotation, a.rotation, atol=1e-8)
+    np.testing.assert_allclose(l2, l1, atol=1e-7)
+    assert int(s2.iterations) == int(s1.iterations)
+    np.testing.assert_allclose(
+        float(s2.final_cost), float(s1.final_cost), rtol=1e-10
+    )
