@@ -523,3 +523,132 @@ def reproj_eval_quadratic(
     return reproj_eval_quadratic_packed(
         rotation, translation, pack_reproj(data), intrinsics, loss
     )
+
+
+# ----------------------------------------------------------------------------
+# Point-to-plane kernel
+# ----------------------------------------------------------------------------
+# Packed layout (16, N): rows 0-2 p, 3-5 mu (plane anchor), 6-8 n (plane
+# normal), 9 mask, 10-15 zero pad (16 sublanes keep f32 tiling aligned).
+
+_P2P_OUT = 28  # 21 H upper + 6 g + 1 cost
+
+
+def _p2p_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
+    """Fused point-to-plane quadratic: r = n.(R p + t - mu), J = [n^T |
+    -n^T R skew(p)] (reference: pose_optimizer/cost_functors.h:106-157)."""
+    R = [params_ref[k] for k in range(9)]
+    t = [params_ref[9 + k] for k in range(3)]
+    la, lb = params_ref[12], params_ref[13]
+
+    p = [packed_ref[k, :] for k in range(3)]
+    mu = [packed_ref[3 + k, :] for k in range(3)]
+    n = [packed_ref[6 + k, :] for k in range(3)]
+    mask = packed_ref[9, :]
+
+    e = [
+        R[3 * i + 0] * p[0] + R[3 * i + 1] * p[1] + R[3 * i + 2] * p[2]
+        + t[i] - mu[i]
+        for i in range(3)
+    ]
+    r = n[0] * e[0] + n[1] * e[1] + n[2] * e[2]
+    sq = r * r
+    rho, w = _eval_loss(loss_code, sq, la, lb)
+    w = w * mask
+    rho = rho * mask
+
+    # R skew(p) columns via cross products; J_rot[c] = -(n . col_c)
+    J = [None] * 6
+    J[0], J[1], J[2] = n[0], n[1], n[2]
+    for c in range(3):
+        if c == 0:
+            col = [R[3 * i + 1] * p[2] - R[3 * i + 2] * p[1] for i in range(3)]
+        elif c == 1:
+            col = [R[3 * i + 2] * p[0] - R[3 * i + 0] * p[2] for i in range(3)]
+        else:
+            col = [R[3 * i + 0] * p[1] - R[3 * i + 1] * p[0] for i in range(3)]
+        J[3 + c] = -(n[0] * col[0] + n[1] * col[1] + n[2] * col[2])
+
+    parts = []
+    for a_ in range(6):
+        for b_ in range(a_, 6):
+            parts.append(jnp.sum(w * J[a_] * J[b_]))
+    for a_ in range(6):
+        parts.append(jnp.sum(w * J[a_] * r))
+    parts.append(jnp.sum(rho))
+    partial = jnp.stack(parts)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] = out_ref[:] + partial
+
+
+def pack_p2p(data) -> Array:
+    from .point_to_plane import PointToPlaneData  # noqa: F401 (typing aid)
+
+    n = data.points.shape[0]
+    n_pad = _round_up(max(n, 1), LANE_BLOCK)
+    rows = jnp.concatenate(
+        [
+            data.points,
+            data.means,
+            data.normals,
+            data.mask[:, None],
+            jnp.zeros((n, 6), data.points.dtype),
+        ],
+        axis=1,
+    )  # (N, 16)
+    packed = rows.T.astype(jnp.float32)
+    if n_pad != n:
+        packed = jnp.pad(packed, ((0, 0), (0, n_pad - n)))
+    return packed
+
+
+@functools.partial(jax.jit, static_argnames=("loss_code",))
+def _p2p_pallas(params_vec: Array, packed: Array, loss_code: int) -> Array:
+    n = packed.shape[1]
+    grid = n // LANE_BLOCK
+    return pl.pallas_call(
+        functools.partial(_p2p_kernel, loss_code=loss_code),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (16, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((_P2P_OUT,), lambda i: (0,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_P2P_OUT,), jnp.float32),
+        interpret=_interpret(),
+    )(params_vec, packed)
+
+
+def p2p_eval_quadratic_packed(
+    rotation: Array,
+    translation: Array,
+    packed: Array,
+    loss: Optional[LossFunction],
+) -> Tuple[Array, Array, Array]:
+    loss_code, (a, b) = _loss_static(loss)
+    params_vec = jnp.concatenate(
+        [
+            rotation.reshape(9).astype(jnp.float32),
+            translation.astype(jnp.float32),
+            jnp.asarray([a, b], jnp.float32).reshape(2),
+            jnp.zeros(2, jnp.float32),
+        ]
+    )
+    out = _p2p_pallas(params_vec, packed, loss_code)
+    return unpack_symmetric(out[:21], 6), out[21:27], out[27]
+
+
+def p2p_eval_quadratic(
+    rotation: Array,
+    translation: Array,
+    data,
+    loss: Optional[LossFunction],
+) -> Tuple[Array, Array, Array]:
+    """Drop-in replacement for ops.point_to_plane.eval_quadratic."""
+    return p2p_eval_quadratic_packed(rotation, translation, pack_p2p(data), loss)

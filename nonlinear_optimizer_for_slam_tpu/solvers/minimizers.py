@@ -335,15 +335,24 @@ def _reproj_solve(
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def _p2p_solve(t0, q0, data, loss, options, backend, mesh, pad_n, dtype_name):
-    del backend  # single backend so far
     data = _prepare(data, pad_n, dtype_name)
 
     def solve_fn(data_shard, *, psum_axis):
+        if backend == "pallas":
+            from ..ops import pallas_kernels
+
+            packed = pallas_kernels.pack_p2p(data_shard)
+            eval_fn = lambda R, t: pallas_kernels.p2p_eval_quadratic_packed(
+                R, t, packed, loss
+            )
+        else:
+            eval_fn = lambda R, t: point_to_plane.eval_quadratic(
+                R, t, data_shard, loss
+            )
+
         def quad(params: SE3Params):
             R = lie.quat_to_rotmat(params.quaternion)
-            H, g, c = point_to_plane.eval_quadratic(
-                R, params.translation, data_shard, loss
-            )
+            H, g, c = eval_fn(R, params.translation)
             if psum_axis is not None:
                 H, g, c = jax.lax.psum((H, g, c), psum_axis)
             return H, g, c

@@ -150,3 +150,43 @@ def test_fused_registration_matches_host_loop():
     np.testing.assert_allclose(fused.pose.rotation, host.pose.rotation, atol=1e-4)
     t_err = np.linalg.norm(fused.pose.translation - true_pose.translation)
     assert t_err < 0.03, t_err
+
+
+def test_p2p_kernel_matches_jnp(rng, pose_f32):
+    from nonlinear_optimizer_for_slam_tpu.ops import point_to_plane
+
+    n = 500
+    normals = rng.normal(size=(n, 3))
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    data = point_to_plane.PointToPlaneData(
+        points=jnp.asarray(rng.normal(size=(n, 3)), F32),
+        means=jnp.asarray(rng.normal(size=(n, 3)), F32),
+        normals=jnp.asarray(normals, F32),
+        mask=jnp.asarray((rng.uniform(size=n) > 0.1), F32),
+    )
+    R, t = pose_f32
+    loss = HuberLoss(1.0)
+    H1, g1, c1 = point_to_plane.eval_quadratic(R, t, data, loss)
+    H2, g2, c2 = pk.p2p_eval_quadratic(R, t, data, loss)
+    np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=2e-5)
+
+
+def test_p2p_pallas_backend_solve(rng):
+    from nonlinear_optimizer_for_slam_tpu.ops import point_to_plane
+
+    n = 400
+    pts = rng.uniform(-2, 2, size=(n, 3))
+    normals = rng.normal(size=(n, 3))
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    true_pose = nls.Pose.from_axis_angle(0.04, [0.1, -0.2, 1.0], [0.1, -0.05, 0.2])
+    data = point_to_plane.PointToPlaneData(
+        points=jnp.asarray(pts, F32),
+        means=jnp.asarray(true_pose.apply(pts), F32),
+        normals=jnp.asarray(normals, F32),
+        mask=jnp.ones(n, F32),
+    )
+    m = nls.PointToPlaneMinimizer(backend="pallas")
+    pose, summary = m.solve(Options(), data, nls.Pose.identity())
+    np.testing.assert_allclose(pose.translation, true_pose.translation, atol=1e-4)
