@@ -14,7 +14,7 @@ convergence check ride on the host between them.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -23,7 +23,7 @@ from ..core import pose as pose_mod
 from ..core.options import Options
 from ..core.pose import Pose
 from ..solvers.lm import Summary
-from ..solvers.minimizers import MahalanobisDistanceMinimizer, _MinimizerBase
+from ..solvers.minimizers import _MinimizerBase
 from . import matching
 from .ndt import NdtMap
 

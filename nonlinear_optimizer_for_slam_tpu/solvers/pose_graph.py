@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.options import Options
-from ..core.pose import Pose, np_rotmat_to_quat, np_quat_to_rotmat
+from ..core.pose import Pose, np_quat_to_rotmat
 from ..ops.relative_pose import PoseGraphEdges, edge_residuals_and_jacobians
 from . import lm
 
@@ -158,14 +158,29 @@ class PoseGraphOptimizer:
     """Mirror of the reference API (pose_graph_optimizer.h:21-108) with a
     real analytic solve."""
 
-    def __init__(self, dtype=jnp.float64, switch_penalty: float = None):
+    def __init__(
+        self,
+        dtype=jnp.float64,
+        switch_penalty: float = None,
+        solver: str = "dense",
+        cg_iterations: int = 250,
+    ):
         """``switch_penalty`` weights the (1 - s) prior row of loop-closure
         switch variables. Default = the reference's 1e-9
         (SWITCH_PENALTY_SCALE) for trace parity; use ~1.0 to make inlier
-        loops keep s near 1 while outliers switch off."""
+        loops keep s near 1 while outliers switch off.
+
+        ``solver``: "dense" materializes the (7P+L)^2 normal matrix (best
+        up to a few thousand poses); "cg" is the matrix-free Krylov path
+        with O(E) memory for large graphs (``cg_iterations`` per LM step).
+        """
         from ..ops.relative_pose import SWITCH_PENALTY_SCALE
 
+        if solver not in ("dense", "cg"):
+            raise ValueError(f"unknown solver {solver!r}")
         self.dtype = dtype
+        self.solver = solver
+        self.cg_iterations = cg_iterations
         self.switch_penalty = (
             SWITCH_PENALTY_SCALE if switch_penalty is None else switch_penalty
         )
@@ -273,17 +288,31 @@ class PoseGraphOptimizer:
         # switch variables initialized to 1.0 (inlier)
         switches0 = jnp.ones((L,), dtype)
 
-        pos, quat, sw, summary = _pose_graph_solve(
-            jnp.asarray(positions, dtype),
-            jnp.asarray(quaternions, dtype),
-            switches0,
-            edges,
-            jnp.asarray(free, dtype),
-            jnp.asarray(self.switch_penalty, dtype),
-            P,
-            L,
-            options,
-        )
+        if self.solver == "cg":
+            pos, quat, sw, summary = _pose_graph_solve_cg(
+                jnp.asarray(positions, dtype),
+                jnp.asarray(quaternions, dtype),
+                switches0,
+                edges,
+                jnp.asarray(free, dtype),
+                jnp.asarray(self.switch_penalty, dtype),
+                P,
+                L,
+                options,
+                self.cg_iterations,
+            )
+        else:
+            pos, quat, sw, summary = _pose_graph_solve(
+                jnp.asarray(positions, dtype),
+                jnp.asarray(quaternions, dtype),
+                switches0,
+                edges,
+                jnp.asarray(free, dtype),
+                jnp.asarray(self.switch_penalty, dtype),
+                P,
+                L,
+                options,
+            )
         # one batched device->host fetch (separate fetches each pay the
         # runtime's ~30 ms completion-poll quantum)
         pos, quat, sw = jax.device_get((pos, quat, sw))
@@ -500,3 +529,163 @@ class PoseGraphOptimizer2D:
             o[2] = float(np.arctan2(np.sin(o[2]), np.cos(o[2])))
             self._poses[pi] = o
         return summary, np.asarray(sw, np.float64)
+
+
+# ----------------------------------------------------------------------------
+# Matrix-free CG solve for LARGE graphs.
+# The dense path materializes the (7P+L)^2 normal matrix via one-hot
+# scatter — ideal on the MXU up to a few thousand poses, quadratic memory
+# beyond. This path never forms H: the damped-normal-equation matvec is
+# two edge-batched contractions (gather -> per-edge 7x7 block matvec ->
+# scatter-add), so memory is O(E) and the solve scales to 100k+ poses.
+# This realizes the reference's unwritten "sparse Hessian / Sparse
+# Cholesky" TODO (pose_graph_optimizer_analytic.cc:12-51) the TPU way:
+# Krylov iterations of batched gathers instead of sparse factorization.
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _pose_graph_solve_cg(
+    positions0,
+    quaternions0,
+    switches0,
+    edges: PoseGraphEdges,
+    free_mask,
+    switch_penalty,
+    num_poses: int,
+    num_loops: int,
+    options: Options,
+    cg_iterations: int,
+):
+    P, L = num_poses, num_loops
+    dtype = positions0.dtype
+    E = edges.mask.shape[0]
+    ref_i = edges.reference_indices
+    qry_i = edges.query_indices
+    oh = options.optimization_handle
+    ch = options.convergence_handle
+
+    if L > 0:
+        loop_slot = jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1
+    else:
+        loop_slot = jnp.zeros((E,), jnp.int32)
+    is_loop = edges.is_loop > 0
+
+    free_ref = free_mask[ref_i]  # (E,)
+    free_qry = free_mask[qry_i]
+
+    def eval_parts(pose_params, switches):
+        pos = pose_params[:, :3]
+        quat = pose_params[:, 3:]
+        sw_full = switches[loop_slot] if L > 0 else jnp.zeros((E,), dtype)
+        r, J_ref, J_query, J_s = edge_residuals_and_jacobians(
+            pos, quat, sw_full, edges, switch_penalty
+        )
+        # gauge fixing: fixed poses contribute no derivatives
+        J_ref = J_ref * free_ref[:, None, None]
+        J_query = J_query * free_qry[:, None, None]
+        return r, J_ref, J_query, J_s
+
+    def scatter_jt(J_ref, J_query, J_s, y):
+        """(Jt y) as a pytree ((P,7), (L,))."""
+        gp = jnp.zeros((P, 7), dtype)
+        gp = gp.at[ref_i].add(jnp.einsum("edi,ed->ei", J_ref, y))
+        gp = gp.at[qry_i].add(jnp.einsum("edi,ed->ei", J_query, y))
+        if L > 0:
+            gs_e = jnp.sum(J_s * y, axis=1) * is_loop
+            gs = jnp.zeros((L,), dtype).at[loop_slot].add(gs_e)
+        else:
+            gs = jnp.zeros((0,), dtype)
+        return gp, gs
+
+    def body(state):
+        pose_params, switches, lam, prev_cost, last_cost, it, done = state
+        r, J_ref, J_query, J_s = eval_parts(pose_params, switches)
+        cost = jnp.sum(r * r)
+        g_p, g_s = scatter_jt(J_ref, J_query, J_s, r)
+
+        # diag(J^T J) for multiplicative damping
+        d_p = jnp.zeros((P, 7), dtype)
+        d_p = d_p.at[ref_i].add(jnp.sum(J_ref * J_ref, axis=1))
+        d_p = d_p.at[qry_i].add(jnp.sum(J_query * J_query, axis=1))
+        if L > 0:
+            d_s = jnp.zeros((L,), dtype).at[loop_slot].add(
+                jnp.sum(J_s * J_s, axis=1) * is_loop
+            )
+        else:
+            d_s = jnp.zeros((0,), dtype)
+        fixed_p = (1.0 - free_mask)[:, None]
+
+        def matvec(v):
+            vp, vs = v
+            Jv = jnp.einsum("edi,ei->ed", J_ref, vp[ref_i]) + jnp.einsum(
+                "edi,ei->ed", J_query, vp[qry_i]
+            )
+            if L > 0:
+                Jv = Jv + J_s * (vs[loop_slot] * is_loop)[:, None]
+            hp, hs = scatter_jt(J_ref, J_query, J_s, Jv)
+            hp = hp + lam * d_p * vp + fixed_p * vp + 1e-8 * vp
+            hs = hs + lam * d_s * vs + 1e-8 * vs
+            return hp, hs
+
+        # Jacobi preconditioner: diag(H) = (1 + lam) diag(JtJ) + gauge
+        # identity + floor — long chains are too ill-conditioned for
+        # unpreconditioned CG at practical iteration counts
+        pre_p = (1.0 + lam) * d_p + fixed_p + 1e-8
+        pre_s = (1.0 + lam) * d_s + 1e-8
+
+        def precond(v):
+            return v[0] / pre_p, v[1] / pre_s
+
+        delta, _ = jax.scipy.sparse.linalg.cg(
+            matvec, (-g_p, -g_s), maxiter=cg_iterations, M=precond
+        )
+        dp, ds = delta
+        finite = jnp.all(jnp.isfinite(dp)) & jnp.all(jnp.isfinite(ds))
+        dp = jnp.where(finite, dp, jnp.zeros_like(dp))
+        ds = jnp.where(finite, ds, jnp.zeros_like(ds))
+
+        new_pose = pose_params + dp
+        new_sw = switches + ds
+
+        step_norm = jnp.sqrt(jnp.sum(dp * dp) + jnp.sum(ds * ds))
+        grad_norm = jnp.sqrt(jnp.sum(g_p * g_p) + jnp.sum(g_s * g_s))
+        converged = (step_norm < ch.parameter_tolerance) | (
+            grad_norm < ch.gradient_tolerance
+        )
+        adapted = jnp.where(
+            cost > prev_cost,
+            lam * oh.lambda_increase_factor,
+            lam * oh.lambda_decrease_factor,
+        )
+        adapted = jnp.clip(adapted, oh.min_lambda, oh.max_lambda)
+        lam_new = jnp.where(converged, lam, adapted)
+        prev_new = jnp.where(converged, prev_cost, cost)
+        return (new_pose, new_sw, lam_new, prev_new, cost, it + 1, converged)
+
+    def cond(state):
+        return (state[5] < options.max_iterations) & (~state[6])
+
+    pose0 = jnp.concatenate([positions0, quaternions0], axis=1)  # (P, 7)
+    init = (
+        pose0,
+        switches0,
+        jnp.asarray(oh.initial_lambda, dtype),
+        jnp.asarray(jnp.finfo(dtype).max, dtype),
+        jnp.asarray(jnp.finfo(dtype).max, dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+    )
+    pose_params, switches, lam, prev_cost, last_cost, it, done = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    nan = jnp.full((options.max_iterations,), jnp.nan, dtype)
+    summary = lm.Summary(
+        final_cost=last_cost,
+        reported_cost=prev_cost,
+        iterations=jnp.where(done, it - 1, it),
+        final_lambda=lam,
+        converged=done,
+        records=lm.IterationRecord(nan, nan, nan, nan),
+    )
+    return pose_params[:, :3], pose_params[:, 3:], switches, summary

@@ -162,3 +162,52 @@ def test_matches_scipy_oracle(fixture):
     # stops at its 1e-6 gradient tolerance (~1e-9 cost) — compare with an
     # absolute slack at the floor
     assert ours <= max(scipy_cost * 1.05, 1e-8), (ours, scipy_cost)
+
+
+def test_cg_solver_matches_dense(fixture):
+    """Matrix-free CG path lands on the same solution as the dense path
+    on the 80-pose fixture (CG truncation tolerance)."""
+    opt_d = _build(fixture, switch_penalty=0.03)
+    opt_c = _build(fixture, switch_penalty=0.03, solver="cg")
+    s_d, sw_d = opt_d.solve()
+    s_c, sw_c = opt_c.solve()
+    for i in range(80):
+        np.testing.assert_allclose(
+            opt_c.get_pose(i).translation, opt_d.get_pose(i).translation, atol=5e-4
+        )
+    np.testing.assert_allclose(sw_c, sw_d, atol=5e-3)
+
+
+def test_cg_solver_scales_to_large_graph():
+    """2,000-pose chain + loops: the dense path would need a 14,008^2
+    normal matrix (~1.5 GB at f64); CG solves in O(E) memory."""
+    rng = np.random.default_rng(2)
+    P = 2000
+    true_pos = np.cumsum(0.2 * rng.normal(size=(P, 3)), axis=0)
+    noisy_pos = true_pos + np.where(
+        np.arange(P)[:, None] > 0, 0.05 * rng.normal(size=(P, 3)), 0.0
+    )
+    opt = PoseGraphOptimizer(solver="cg", cg_iterations=150, switch_penalty=0.03)
+    for i in range(P):
+        opt.set_pose(i, nls.Pose(np.eye(3), noisy_pos[i]))
+    opt.set_pose_constant(0)
+    for i in range(P - 1):
+        rel = nls.Pose(np.eye(3), true_pos[i + 1] - true_pos[i])
+        opt.set_constraint(i, i + 1, rel)
+    # a few long-range loops pin the drift down
+    for a, b in [(0, P // 2), (P // 4, 3 * P // 4), (10, P - 10)]:
+        rel = nls.Pose(np.eye(3), true_pos[b] - true_pos[a])
+        opt.set_constraint(a, b, rel, ConstraintType.LOOP)
+    opts = Options().replace(max_iterations=30)
+    summary, _ = opt.solve(opts)
+    err_before = max(
+        np.linalg.norm(noisy_pos[i] - true_pos[i]) for i in range(P)
+    )
+    err = max(
+        np.linalg.norm(opt.get_pose(i).translation - true_pos[i]) for i in range(P)
+    )
+    # truncated-Krylov LM converges linearly on a 2000-chain's
+    # low-frequency modes; a >10x error reduction in 30 inexact Newton
+    # steps is the expected behavior, not exact convergence
+    assert err < 0.1 * err_before, (err, err_before)
+    assert float(summary.final_cost) < 1e-6
