@@ -270,11 +270,154 @@ def bench_reproj(runs):
     )
 
 
+def bench_pose_graph(runs):
+    """80-pose reference fixture (dense + CG paths) — BASELINE config 4."""
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_graph import (
+        ConstraintType,
+        PoseGraphOptimizer,
+    )
+
+    true_poses, noisy, constraints = testing.generate_pose_graph_fixture()
+
+    def build(**kw):
+        opt = PoseGraphOptimizer(dtype=jnp.float32, switch_penalty=0.03, **kw)
+        for i, p in enumerate(noisy):
+            opt.set_pose(i, p)
+        opt.set_pose_constant(0)
+        for c in constraints:
+            opt.set_constraint(
+                c["reference_index"], c["query_index"], c["relative_pose"],
+                ConstraintType.LOOP if c["is_loop"] else ConstraintType.ODOMETRY,
+            )
+        return opt
+
+    opts = Options().replace(max_iterations=100)
+    rows = []
+    opt = build()
+    ms, (summary, sw) = timed(lambda: opt.solve(opts), runs)
+    err = max(
+        np.linalg.norm(opt.get_pose(i).translation - true_poses[i].translation)
+        for i in range(80)
+    )
+    rows.append(
+        ("dense, 80-pose ref fixture", f"{ms:.2f} ms",
+         f"{float(summary.final_cost):.2e}",
+         f"maxerr={err * 1e3:.1f}mm outlier_sw={sw[-1]:.3f}")
+    )
+    log(f"  dense: {ms:.2f} ms")
+
+    # PCG on ITS domain: a graph too large for the dense normal matrix
+    # (5,000 poses -> 35,000^2 dense H). NOTE: at f32 on the small
+    # adversarial fixture, truncated-CG steps can land in the known
+    # drag-the-outlier basin — dense is the right tool there.
+    rng = np.random.default_rng(2)
+    P = 5000
+    true_pos = np.cumsum(0.2 * rng.normal(size=(P, 3)), axis=0)
+    noisy_pos = true_pos + np.where(
+        np.arange(P)[:, None] > 0, 0.05 * rng.normal(size=(P, 3)), 0.0
+    )
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_graph import (
+        PoseGraphOptimizer as PGO,
+    )
+
+    big = PGO(dtype=jnp.float32, solver="cg", cg_iterations=200, switch_penalty=0.03)
+    for i in range(P):
+        big.set_pose(i, nls.Pose(np.eye(3), noisy_pos[i]))
+    big.set_pose_constant(0)
+    for i in range(P - 1):
+        big.set_constraint(i, i + 1, nls.Pose(np.eye(3), true_pos[i + 1] - true_pos[i]))
+    for a, b in [(0, P // 2), (P // 4, 3 * P // 4), (10, P - 10)]:
+        big.set_constraint(
+            a, b, nls.Pose(np.eye(3), true_pos[b] - true_pos[a]), ConstraintType.LOOP
+        )
+    big_opts = Options().replace(max_iterations=30)
+    ms, (summary, _) = timed(lambda: big.solve(big_opts), max(1, runs // 2))
+    err0 = max(np.linalg.norm(noisy_pos[i] - true_pos[i]) for i in range(P))
+    err = max(
+        np.linalg.norm(big.get_pose(i).translation - true_pos[i]) for i in range(P)
+    )
+    rows.append(
+        (f"matrix-free PCG, {P} poses", f"{ms:.2f} ms",
+         f"{float(summary.final_cost):.2e}",
+         f"err {err0 * 1e3:.0f}mm -> {err * 1e3:.1f}mm")
+    )
+    log(f"  pcg {P} poses: {ms:.2f} ms")
+    return table(
+        "pose graph (reference: Ceres-only stub, no recorded time)",
+        rows,
+        ("variant", "solve", "final cost", "result"),
+    )
+
+
+def bench_bundle_adjustment(runs):
+    """8-camera/300-landmark Schur BA — BASELINE config 5."""
+    from nonlinear_optimizer_for_slam_tpu.solvers.bundle_adjustment import (
+        BAData,
+        BundleAdjuster,
+    )
+
+    rng = np.random.default_rng(0)
+    C, M = 8, 300
+    intr = reprojection.CameraIntrinsics.create(525.0, 525.0, 320.0, 240.0, 640, 480)
+    lms = np.stack(
+        [rng.uniform(-2, 2, M), rng.uniform(-1.5, 1.5, M), rng.uniform(4, 8, M)], 1
+    )
+    true_poses = [
+        nls.Pose.from_axis_angle(0.05 * (i - C / 2), [0, 1.0, 0], [0.4 * i - 1.6, 0.05 * i, 0.0])
+        for i in range(C)
+    ]
+    ci, li, px = [], [], []
+    for c, pose in enumerate(true_poses):
+        pc = pose.inverse().apply(lms)
+        uv = np.stack([525 * pc[:, 0] / pc[:, 2] + 320, 525 * pc[:, 1] / pc[:, 2] + 240], 1)
+        vis = (pc[:, 2] > 0.5) & (uv[:, 0] >= 0) & (uv[:, 0] < 640) & (uv[:, 1] >= 0) & (uv[:, 1] < 480)
+        for l in np.nonzero(vis)[0]:
+            ci.append(c); li.append(l); px.append(uv[l])
+    data = BAData(
+        jnp.asarray(np.array(ci, np.int32)),
+        jnp.asarray(np.array(li, np.int32)),
+        jnp.asarray(np.stack(px), jnp.float32),
+        jnp.ones(len(ci), jnp.float32),
+    )
+    solver_true = [p.inverse() for p in true_poses]
+    noisy = [solver_true[0].copy(), solver_true[1].copy()]
+    for p in solver_true[2:]:
+        noisy.append(
+            p * nls.Pose.from_axis_angle(0.05 * rng.normal(), rng.normal(size=3), 0.05 * rng.normal(size=3))
+        )
+    noisy_lms = lms + 0.05 * rng.normal(size=lms.shape)
+
+    ba = BundleAdjuster(dtype=jnp.float32)
+    opts = Options().replace(max_iterations=60)
+    ms, (poses, out_lms, summary) = timed(
+        lambda: ba.solve(opts, data, intr, noisy, noisy_lms, fixed_cameras=(0, 1)),
+        runs,
+    )
+    err = max(
+        np.linalg.norm(e.translation - t.translation)
+        for e, t in zip(poses, solver_true)
+    )
+    rows = [
+        ("Schur complement (batched)", f"{ms:.2f} ms",
+         f"{float(summary.final_cost):.2e}",
+         f"obs={len(ci)} cam_err={err:.2e} iters={int(summary.iterations)}")
+    ]
+    log(f"  schur BA: {ms:.2f} ms")
+    return table(
+        "bundle adjustment: 8 cameras x 300 landmarks "
+        "(new capability; reference has none)",
+        rows,
+        ("variant", "solve", "final cost", "result"),
+    )
+
+
 BENCHES = {
     "maha_simple": bench_maha_simple,
     "maha_3dof_6dof": bench_maha_3dof_6dof,
     "backend_ablation": bench_backend_ablation,
     "reproj": bench_reproj,
+    "pose_graph": bench_pose_graph,
+    "bundle_adjustment": bench_bundle_adjustment,
 }
 
 
