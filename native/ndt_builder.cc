@@ -247,3 +247,106 @@ int64_t nls_voxel_filter(const double* points, int64_t n, double voxel,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Correspondence search + kernel-buffer packing (the FLANN analog,
+// reference: mahalanobis tests/simple_optimization_test.cc:296-342).
+//
+// For each warped local point, finds the num_neighbors nearest voxel means
+// within `radius` by linear scan (the map is tiny — tens to thousands of
+// voxels — so a scan beats a kd-tree and vectorizes trivially), and writes
+// the packed transposed-SoA float32 buffer the Pallas kernels consume
+// directly (rows: p(3) | mu(3) | S(9) | mask; see ops/pallas_kernels.py).
+// Threaded over points (the MultiThreadExecutor analog).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+void match_pack_range(const double* points, int64_t begin, int64_t end,
+                      const double* R, const double* t, const double* means,
+                      const double* sqrt_infos, int64_t m, double radius_sq,
+                      int k, int64_t lanes, float* packed) {
+  for (int64_t i = begin; i < end; ++i) {
+    const double* p = points + 3 * i;
+    const double wx = R[0] * p[0] + R[1] * p[1] + R[2] * p[2] + t[0];
+    const double wy = R[3] * p[0] + R[4] * p[1] + R[5] * p[2] + t[1];
+    const double wz = R[6] * p[0] + R[7] * p[1] + R[8] * p[2] + t[2];
+
+    // top-k (k <= 4) nearest by insertion into a tiny sorted list
+    double best_d[4] = {1e300, 1e300, 1e300, 1e300};
+    int64_t best_j[4] = {-1, -1, -1, -1};
+    for (int64_t j = 0; j < m; ++j) {
+      const double dx = wx - means[3 * j];
+      const double dy = wy - means[3 * j + 1];
+      const double dz = wz - means[3 * j + 2];
+      const double d = dx * dx + dy * dy + dz * dz;
+      if (d < best_d[k - 1]) {
+        int slot = k - 1;
+        while (slot > 0 && d < best_d[slot - 1]) {
+          best_d[slot] = best_d[slot - 1];
+          best_j[slot] = best_j[slot - 1];
+          --slot;
+        }
+        best_d[slot] = d;
+        best_j[slot] = j;
+      }
+    }
+    for (int s = 0; s < k; ++s) {
+      const int64_t lane = i * k + s;
+      const int64_t j = best_j[s];
+      const bool ok = j >= 0 && best_d[s] <= radius_sq;
+      packed[0 * lanes + lane] = (float)p[0];
+      packed[1 * lanes + lane] = (float)p[1];
+      packed[2 * lanes + lane] = (float)p[2];
+      if (ok) {
+        packed[3 * lanes + lane] = (float)means[3 * j];
+        packed[4 * lanes + lane] = (float)means[3 * j + 1];
+        packed[5 * lanes + lane] = (float)means[3 * j + 2];
+        const double* S = sqrt_infos + 9 * j;
+        for (int r = 0; r < 9; ++r)
+          packed[(6 + r) * lanes + lane] = (float)S[r];
+        packed[15 * lanes + lane] = 1.0f;
+      } else {
+        for (int r = 3; r < 15; ++r) packed[r * lanes + lane] = 0.0f;
+        packed[15 * lanes + lane] = 0.0f;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// packed_out must be (16, lanes) float32, lanes >= n * k; lanes beyond
+// n * k are zero-filled (masked padding). Returns n * k.
+int64_t nls_match_and_pack(const double* points, int64_t n, const double* R,
+                           const double* t, const double* means,
+                           const double* sqrt_infos, int64_t m, double radius,
+                           int k, int64_t lanes, float* packed_out,
+                           int num_threads) {
+  if (k < 1 || k > 4 || lanes < n * k) return -1;
+  const double radius_sq = radius * radius;
+  // zero the tail lanes (and rows) once
+  std::memset(packed_out, 0, sizeof(float) * 16 * (size_t)lanes);
+
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads == 1 || n < 2048) {
+    match_pack_range(points, 0, n, R, t, means, sqrt_infos, m, radius_sq, k,
+                     lanes, packed_out);
+  } else {
+    std::vector<std::thread> workers;
+    const int64_t chunk = (n + num_threads - 1) / num_threads;
+    for (int w = 0; w < num_threads; ++w) {
+      const int64_t b = w * chunk;
+      const int64_t e = std::min(n, b + chunk);
+      if (b >= e) break;
+      workers.emplace_back(match_pack_range, points, b, e, R, t, means,
+                           sqrt_infos, m, radius_sq, k, lanes, packed_out);
+    }
+    for (auto& th : workers) th.join();
+  }
+  return n * k;
+}
+
+}  // extern "C"

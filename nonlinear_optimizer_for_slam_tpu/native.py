@@ -145,3 +145,70 @@ def filter_points(points: np.ndarray, filter_voxel_size: float) -> np.ndarray:
         _ptr(pts, ctypes.c_double), n, filter_voxel_size, _ptr(keep, ctypes.c_int64)
     )
     return pts[keep[:kept]]
+
+
+def _bind_match(lib):
+    if getattr(lib, "_match_bound", False):
+        return
+    lib.nls_match_and_pack.restype = ctypes.c_int64
+    lib.nls_match_and_pack.argtypes = [
+        ctypes.POINTER(ctypes.c_double),  # points
+        ctypes.c_int64,  # n
+        ctypes.POINTER(ctypes.c_double),  # R (3x3)
+        ctypes.POINTER(ctypes.c_double),  # t (3)
+        ctypes.POINTER(ctypes.c_double),  # means
+        ctypes.POINTER(ctypes.c_double),  # sqrt_infos
+        ctypes.c_int64,  # m
+        ctypes.c_double,  # radius
+        ctypes.c_int,  # k
+        ctypes.c_int64,  # lanes
+        ctypes.POINTER(ctypes.c_float),  # packed_out
+        ctypes.c_int,  # num_threads
+    ]
+    lib._match_bound = True
+
+
+def match_and_pack(
+    points: np.ndarray,
+    rotation: np.ndarray,
+    translation: np.ndarray,
+    means: np.ndarray,
+    sqrt_infos: np.ndarray,
+    radius: float,
+    num_neighbors: int,
+    lanes: int,
+    out: np.ndarray = None,
+    num_threads: int = 0,
+) -> np.ndarray:
+    """Correspondence search + packed (16, lanes) float32 kernel buffer
+    (the FLANN analog, reference simple_optimization_test.cc:296-342;
+    layout documented in ops/pallas_kernels.py). ``out`` may be a reusable
+    preallocated (16, lanes) float32 array."""
+    lib = load()
+    _bind_match(lib)
+    pts = np.ascontiguousarray(points, np.float64)
+    R = np.ascontiguousarray(rotation, np.float64)
+    t = np.ascontiguousarray(translation, np.float64)
+    mu = np.ascontiguousarray(means, np.float64)
+    S = np.ascontiguousarray(sqrt_infos.reshape(means.shape[0], 9), np.float64)
+    if out is None:
+        out = np.empty((16, lanes), np.float32)
+    if num_threads <= 0:
+        num_threads = os.cpu_count() or 1
+    res = lib.nls_match_and_pack(
+        _ptr(pts, ctypes.c_double),
+        pts.shape[0],
+        _ptr(R, ctypes.c_double),
+        _ptr(t, ctypes.c_double),
+        _ptr(mu, ctypes.c_double),
+        _ptr(S, ctypes.c_double),
+        mu.shape[0],
+        radius,
+        num_neighbors,
+        lanes,
+        _ptr(out, ctypes.c_float),
+        num_threads,
+    )
+    if res < 0:
+        raise ValueError("nls_match_and_pack: bad k or insufficient lanes")
+    return out

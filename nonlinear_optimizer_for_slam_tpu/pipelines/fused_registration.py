@@ -34,7 +34,6 @@ from ..core.losses import LossFunction
 from ..core.options import Options
 from ..core.pose import Pose, np_quat_to_rotmat
 from ..ops import pallas_kernels as pk
-from ..solvers import lm
 from ..solvers.manifolds import SE2Params, SE3Params, se2_retract, se3_retract
 from .ndt import NdtMap
 from .registration import OUTER_MAX_ITERATIONS, OUTER_TOLERANCE
@@ -109,75 +108,139 @@ def _fused_register_impl(
         ).astype(jnp.float32)
         return jnp.pad(packed, ((0, 0), (0, lanes - n * k)))
 
-    def inner_solve(t, q, packed):
-        """Full 6-DoF LM, or the planar (x, y, yaw) reduction when
-        ``planar`` (reference: mahalanobis 3dof variants). The planar path
-        extracts (t_xy, theta) from the SE(3) state and embeds the result
-        back, keeping z/roll/pitch frozen
-        (.._analytic_3dof.cc:22-25,104-105)."""
-        def maybe_psum(hgc):
-            if psum_axis is not None:
-                return jax.lax.psum(hgc, psum_axis)
-            return hgc
+    # ------------------------------------------------------------------
+    # FLATTENED state machine: ONE while_loop, one LM iteration per step,
+    # re-matching under lax.cond when the inner solve converges.
+    #
+    # Why flat: a Pallas kernel inside a NESTED lax.while_loop trips this
+    # TPU runtime into a permanent ~30 ms completion-poll mode for every
+    # subsequent dispatch (measured: nested trivial loops fine; nested
+    # loop + pallas -> 29 ms forever; single loop + pallas -> 0.2 ms).
+    # Flat structure keeps the whole registration at its real device time.
+    # ------------------------------------------------------------------
+    oh = options.optimization_handle
+    ch = options.convergence_handle
+    max_inner = options.max_iterations
 
+    def maybe_psum(hgc):
+        if psum_axis is not None:
+            return jax.lax.psum(hgc, psum_axis)
+        return hgc
+
+    from ..solvers.linear import damp_hessian, solve_normal_equations
+
+    def lm_step(t, q, packed, lam):
+        """One damped-GN step (reference policy,
+        mahalanobis_distance_minimizer_analytic.cc:84-152). Returns
+        (t', q', cost, step_norm, grad_norm)."""
         if not planar:
-            def quad(params: SE3Params):
-                R = lie.quat_to_rotmat(params.quaternion)
-                return maybe_psum(
-                    pk.maha6_eval_quadratic_packed(R, params.translation, packed, loss)
-                )
-
-            return lm.solve(quad, se3_retract, SE3Params(t, q), options)
-
-        theta0 = 2.0 * jnp.arctan2(q[3], q[0])  # yaw of a z-axis rotation
-
-        def quad2(params: SE2Params):
-            R2 = lie.rot2(params.theta)
-            return maybe_psum(
-                pk.maha3_eval_quadratic_packed(R2, params.translation, packed, loss)
+            R = lie.quat_to_rotmat(q)
+            H, g, cost = maybe_psum(
+                pk.maha6_eval_quadratic_packed(R, t, packed, loss)
             )
-
-        params2, summary = lm.solve(
-            quad2, se2_retract, SE2Params(t[:2], theta0), options
+            damped = damp_hessian(H, lam)
+            delta = solve_normal_equations(damped, -g, options.linear_solver_type)
+            delta = jnp.where(
+                jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta)
+            )
+            params = se3_retract(SE3Params(t, q), delta)
+            return (
+                params.translation,
+                params.quaternion,
+                cost,
+                jnp.linalg.norm(delta),
+                jnp.linalg.norm(g),
+            )
+        # planar: (x, y, yaw) with z/roll/pitch frozen
+        # (.._analytic_3dof.cc:22-25,104-105)
+        theta = 2.0 * jnp.arctan2(q[3], q[0])
+        R2 = lie.rot2(theta)
+        H, g, cost = maybe_psum(
+            pk.maha3_eval_quadratic_packed(R2, t[:2], packed, loss)
         )
-        t_new = jnp.concatenate([params2.translation, t[2:]])
-        half = 0.5 * params2.theta
+        damped = damp_hessian(H, lam)
+        delta = solve_normal_equations(damped, -g, options.linear_solver_type)
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
+        p2 = se2_retract(SE2Params(t[:2], theta), delta)
+        t_new = jnp.concatenate([p2.translation, t[2:]])
+        half = 0.5 * p2.theta
         q_new = jnp.stack(
             [jnp.cos(half), jnp.zeros_like(half), jnp.zeros_like(half), jnp.sin(half)]
         )
-        return SE3Params(t_new, q_new), summary
+        return t_new, q_new, cost, jnp.linalg.norm(delta), jnp.linalg.norm(g)
 
-    def outer_body(carry):
-        t, q, it, done, inner_its, costs, final_cost = carry
-        packed = match(t, q)
-        params, summary = inner_solve(t, q, packed)
-        t_new, q_new = params.translation, params.quaternion
+    fmax = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
-        # pose delta: diff = new^{-1} * old (reference :563-568)
-        dq = lie.quat_multiply(lie.quat_conjugate(q_new), q)
-        R_new_T = lie.quat_to_rotmat(q_new).T
-        dt = R_new_T @ (t - t_new)
-        converged = (jnp.linalg.norm(dt) < outer_tol) & (
+    def body(carry):
+        (
+            t, q, lam, prev_cost, inner_it,
+            packed, t_anchor, q_anchor,
+            outer_it, done, inner_its, costs, final_cost,
+        ) = carry
+
+        t_new, q_new, cost, step_norm, grad_norm = lm_step(t, q, packed, lam)
+
+        lm_converged = (step_norm < ch.parameter_tolerance) | (
+            grad_norm < ch.gradient_tolerance
+        )
+        inner_done = lm_converged | (inner_it + 1 >= max_inner)
+
+        # lambda adaptation for the continuing case
+        adapted = jnp.where(
+            cost > prev_cost,
+            lam * oh.lambda_increase_factor,
+            lam * oh.lambda_decrease_factor,
+        )
+        adapted = jnp.clip(adapted, oh.min_lambda, oh.max_lambda)
+
+        # outer convergence: diff = new^{-1} * anchor (reference :563-568)
+        dq = lie.quat_multiply(lie.quat_conjugate(q_new), q_anchor)
+        dt = lie.quat_to_rotmat(q_new).T @ (t_anchor - t_new)
+        outer_conv = (jnp.linalg.norm(dt) < outer_tol) & (
             jnp.linalg.norm(dq[1:]) < outer_tol
         )
+        outer_done = outer_conv | (outer_it + 1 >= max_outer)
+        new_done = inner_done & outer_done
 
-        inner_its = inner_its.at[it].set(summary.iterations)
-        costs = costs.at[it].set(summary.final_cost)
+        # re-match only when starting a new inner solve
+        rematch = inner_done & (~outer_done)
+        packed_new = jax.lax.cond(
+            rematch, lambda: match(t_new, q_new), lambda: packed
+        )
+
+        # diagnostics per completed inner solve
+        rec_iters = jnp.where(lm_converged, inner_it, inner_it + 1)
+        inner_its = jnp.where(
+            inner_done, inner_its.at[outer_it].set(rec_iters), inner_its
+        )
+        costs = jnp.where(inner_done, costs.at[outer_it].set(cost), costs)
+
         return (
             t_new,
             q_new,
-            it + 1,
-            converged,
+            jnp.where(inner_done, jnp.asarray(oh.initial_lambda, dtype), adapted),
+            jnp.where(inner_done, fmax, cost),
+            jnp.where(inner_done, 0, inner_it + 1),
+            packed_new,
+            jnp.where(inner_done, t_new, t_anchor),
+            jnp.where(inner_done, q_new, q_anchor),
+            outer_it + inner_done.astype(jnp.int32),
+            new_done,
             inner_its,
             costs,
-            summary.final_cost,
+            jnp.where(inner_done, cost, final_cost),
         )
 
-    def outer_cond(carry):
-        _, _, it, done, *_ = carry
-        return (it < max_outer) & (~done)
+    def cond(carry):
+        return ~carry[9]
 
     init = (
+        t0,
+        q0,
+        jnp.asarray(oh.initial_lambda, dtype),
+        fmax,
+        jnp.asarray(0, jnp.int32),
+        match(t0, q0),
         t0,
         q0,
         jnp.asarray(0, jnp.int32),
@@ -186,10 +249,11 @@ def _fused_register_impl(
         jnp.full((max_outer,), jnp.nan, dtype),
         jnp.asarray(jnp.nan, dtype),
     )
-    t, q, it, done, inner_its, costs, final_cost = jax.lax.while_loop(
-        outer_cond, outer_body, init
-    )
-    return t, q, it, inner_its, costs, final_cost
+    out = jax.lax.while_loop(cond, body, init)
+    t, q = out[0], out[1]
+    outer_it = out[8]
+    inner_its, costs, final_cost = out[10], out[11], out[12]
+    return t, q, outer_it, inner_its, costs, final_cost
 
 
 @functools.partial(
@@ -386,3 +450,160 @@ def register_ndt_fused(
         dtype,
     )
     return registrar.register(local_points, initial_pose)
+
+
+# ----------------------------------------------------------------------------
+# Hybrid registrar: NATIVE host matching + one clean device LM program.
+#
+# Empirically on this TPU runtime, any XLA program mixing the Pallas eval
+# with gather/top_k/cond/second-loop structures flips the process into a
+# permanent ~30 ms per-dispatch completion-poll mode (see CLAUDE.md). The
+# single-while+pallas LM program alone stays at real device speed
+# (~0.2 ms for 40 iterations). This registrar therefore does what the
+# reference does (host-side correspondence search, FLANN analog) with the
+# native C++ matcher writing the packed kernel buffer directly, and keeps
+# the device program pristine.
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("options", "planar"))
+def _packed_lm_solve(t0, q0, packed, loss, options, planar=False):
+    """Single-while LM over a prepacked correspondence buffer. Returns
+    (t, q, iterations, final_cost) only — no record arrays to transfer."""
+    from ..solvers import lm as lm_mod
+
+    if not planar:
+        def quad(params: SE3Params):
+            R = lie.quat_to_rotmat(params.quaternion)
+            return pk.maha6_eval_quadratic_packed(R, params.translation, packed, loss)
+
+        params, summary = lm_mod.solve(quad, se3_retract, SE3Params(t0, q0), options)
+        return (
+            params.translation,
+            params.quaternion,
+            summary.iterations,
+            summary.final_cost,
+        )
+
+    theta0 = 2.0 * jnp.arctan2(q0[3], q0[0])
+
+    def quad2(params: SE2Params):
+        R2 = lie.rot2(params.theta)
+        return pk.maha3_eval_quadratic_packed(R2, params.translation, packed, loss)
+
+    params2, summary = lm_mod.solve(
+        quad2, se2_retract, SE2Params(t0[:2], theta0), options
+    )
+    t_new = jnp.concatenate([params2.translation, t0[2:]])
+    half = 0.5 * params2.theta
+    q_new = jnp.stack(
+        [jnp.cos(half), jnp.zeros_like(half), jnp.zeros_like(half), jnp.sin(half)]
+    )
+    return t_new, q_new, summary.iterations, summary.final_cost
+
+
+class HybridRegistrar:
+    """Scan-to-map registration: native C++ matching on the host, Pallas
+    LM solving on the device — the reference's exact host/device split
+    (MatchPointCloud / Solve seam, SURVEY section 3.1). Same semantics
+    and API as NdtRegistrar.
+
+    When to use which: on directly-attached TPU hardware this path's
+    per-iteration cost is host matching (~0.2 ms threaded) + one small
+    upload + a ~0.2 ms device solve, making it the lowest-latency serial
+    option. Through a relayed/tunneled runtime the per-outer-iteration
+    1.3 MB buffer upload dominates (measured ~45 ms/iteration at ~30 MB/s
+    effective), and the single-dispatch NdtRegistrar — which uploads the
+    scan once — wins."""
+
+    def __init__(
+        self,
+        ndt_map: NdtMap,
+        options: Options,
+        loss: Optional[LossFunction] = None,
+        search_radius: float = 1.0,
+        num_neighbors: int = 2,
+        max_outer_iterations: int = OUTER_MAX_ITERATIONS,
+        outer_tolerance: float = OUTER_TOLERANCE,
+        planar: bool = False,
+        num_threads: int = 0,
+    ):
+        from .. import native
+
+        native.load()  # raise early if the native library is unavailable
+        valid = ndt_map.valid_only()
+        self.means = np.ascontiguousarray(valid.means)
+        self.sqrt_infos = np.ascontiguousarray(valid.sqrt_informations)
+        self.options = options
+        self.loss = loss
+        self.search_radius = search_radius
+        self.num_neighbors = num_neighbors
+        self.max_outer_iterations = max_outer_iterations
+        self.outer_tolerance = outer_tolerance
+        self.planar = planar
+        self.num_threads = num_threads
+        self._buf = None  # reused packed buffer
+
+    def register(self, local_points, initial_pose: Pose) -> FusedRegistrationResult:
+        from .. import native
+        from ..core.pose import np_rotmat_to_quat
+
+        pts = np.ascontiguousarray(np.asarray(local_points, np.float64))
+        n = pts.shape[0]
+        k = self.num_neighbors
+        lanes = _round_up(n * k, pk.LANE_BLOCK)
+        if self._buf is None or self._buf.shape[1] != lanes:
+            self._buf = np.empty((16, lanes), np.float32)
+
+        pose = initial_pose.copy()
+        last = pose.copy()
+        max_outer = self.max_outer_iterations
+        inner_its = np.zeros(max_outer, np.int32)
+        costs = np.full(max_outer, np.nan)
+        outer_it = 0
+        final_cost = np.nan
+        for outer_it in range(max_outer):
+            packed = native.match_and_pack(
+                pts,
+                pose.rotation,
+                pose.translation,
+                self.means,
+                self.sqrt_infos,
+                self.search_radius,
+                k,
+                lanes,
+                out=self._buf,
+                num_threads=self.num_threads,
+            )
+            t, q, iters, cost = _packed_lm_solve(
+                jnp.asarray(pose.translation, jnp.float32),
+                jnp.asarray(pose.quaternion(), jnp.float32),
+                jnp.asarray(packed),
+                self.loss,
+                self.options,
+                self.planar,
+            )
+            t, q, iters, cost = jax.device_get((t, q, iters, cost))
+            qn = np.asarray(q, np.float64)
+            qn /= np.linalg.norm(qn)
+            pose = Pose(np_quat_to_rotmat(qn), np.asarray(t, np.float64))
+            inner_its[outer_it] = int(iters)
+            costs[outer_it] = float(cost)
+            final_cost = float(cost)
+
+            diff = pose.inverse() * last
+            dq = np_rotmat_to_quat(diff.rotation)
+            if (
+                np.linalg.norm(diff.translation) < self.outer_tolerance
+                and np.linalg.norm(dq[1:]) < self.outer_tolerance
+            ):
+                break
+            last = pose.copy()
+
+        return FusedRegistrationResult(
+            pose=pose,
+            outer_iterations=outer_it + 1,
+            final_cost=final_cost,
+            inner_iterations=inner_its,
+            costs=costs,
+        )

@@ -116,3 +116,66 @@ def test_native_speedup():
     native.build_ndt_map(pts, 1.0)
     t_nat = time.perf_counter() - t0
     assert t_nat < t_np, (t_nat, t_np)
+
+
+def test_match_and_pack_parity_with_device_matching(rng):
+    """Native matcher output == on-device matching + packing, on active
+    (unmasked) lanes; masks identical."""
+    import jax.numpy as jnp
+
+    from nonlinear_optimizer_for_slam_tpu.ops import pallas_kernels as pk
+    from nonlinear_optimizer_for_slam_tpu.pipelines import matching
+
+    M, N = 96, 1000
+    means = rng.uniform(-4, 4, (M, 3))
+    S = rng.normal(size=(M, 3, 3))
+    pts = rng.uniform(-4, 4, (N, 3))
+    R = np.eye(3)
+    t = np.array([0.1, -0.2, 0.3])
+    packed_nat = native.match_and_pack(pts, R, t, means, S, 1.5, 2, 4096)
+    data = matching.match_point_cloud(
+        jnp.asarray(means, jnp.float32),
+        jnp.asarray(S, jnp.float32),
+        jnp.asarray(pts, jnp.float32),
+        jnp.ones(N, jnp.float32),
+        jnp.asarray(R, jnp.float32),
+        jnp.asarray(t, jnp.float32),
+        search_radius=1.5,
+        num_neighbors=2,
+    )
+    packed_dev = np.asarray(pk.pack_maha6(data))
+    np.testing.assert_array_equal(packed_nat[15], packed_dev[15])
+    both = packed_nat[15] > 0
+    np.testing.assert_allclose(
+        packed_nat[:, both], packed_dev[:, both], atol=1e-6
+    )
+
+
+def test_hybrid_registrar_matches_fused():
+    """Host-matching hybrid pipeline lands on the same pose as the fully
+    fused device pipeline."""
+    import jax.numpy as jnp
+
+    import nonlinear_optimizer_for_slam_tpu as nls
+    from nonlinear_optimizer_for_slam_tpu.core import ExponentialLoss, Options
+    from nonlinear_optimizer_for_slam_tpu.pipelines import fused_registration
+
+    pts = testing.generate_room_points(point_step=0.02)
+    ndt_map = native.build_ndt_map(pts, 1.0)
+    true_pose = testing.maha_true_pose()
+    local = true_pose.inverse().apply(native.filter_points(pts, 0.1))
+    opts = Options()
+    loss = ExponentialLoss()
+
+    fused = fused_registration.NdtRegistrar(ndt_map, opts, loss).register(
+        local, nls.Pose.identity()
+    )
+    hybrid = fused_registration.HybridRegistrar(ndt_map, opts, loss).register(
+        local, nls.Pose.identity()
+    )
+    np.testing.assert_allclose(
+        hybrid.pose.translation, fused.pose.translation, atol=1e-4
+    )
+    np.testing.assert_allclose(hybrid.pose.rotation, fused.pose.rotation, atol=1e-4)
+    t_err = np.linalg.norm(hybrid.pose.translation - true_pose.translation)
+    assert t_err < 0.03, t_err
