@@ -1,14 +1,25 @@
-from . import matching, ndt, registration
+from . import fused_registration, matching, ndt, registration
+from .fused_registration import (
+    FusedRegistrationResult,
+    HybridRegistrar,
+    NdtRegistrar,
+    register_ndt_fused,
+)
 from .ndt import NdtMap, build_ndt_map, filter_points
 from .registration import RegistrationResult, register_ndt
 
 __all__ = [
+    "fused_registration",
     "matching",
     "ndt",
     "registration",
+    "FusedRegistrationResult",
+    "HybridRegistrar",
     "NdtMap",
+    "NdtRegistrar",
+    "RegistrationResult",
     "build_ndt_map",
     "filter_points",
-    "RegistrationResult",
     "register_ndt",
+    "register_ndt_fused",
 ]
