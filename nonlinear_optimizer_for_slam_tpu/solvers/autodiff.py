@@ -62,3 +62,37 @@ def solve(
         )
 
     return lm.solve(quad, retract, params0, options)
+
+
+def solve_scalar_rho(
+    residual_fn: Callable,
+    retract: Callable,
+    params0,
+    tangent_dim: int,
+    options: Options,
+    loss: LossFunction,
+    mask: Optional[Array] = None,
+):
+    """The reference's "redundant for-each" Ceres formulation
+    (MahalanobisDistanceMinimizerCeres::SolveByRedundantForEach,
+    mahalanobis_distance_minimizer_ceres.cc, functor at
+    ceres_cost_functor.h:135-180): each factor contributes ONE scalar
+    residual sqrt(rho(||r_i||^2)) with the robust loss folded INTO the
+    residual instead of into the reweighting — so the plain sum of
+    squares equals the robustified cost. Slower (the reference measured
+    it ~3-7x slower than its batch formulation) but optimizes the same
+    objective; kept as a formulation-ablation oracle."""
+
+    def scalar_residual_fn(params):
+        r = residual_fn(params)  # (N, D)
+        sq = jnp.sum(r * r, axis=-1)
+        rho, _, _ = loss.evaluate(sq)
+        # guard the sqrt gradient at rho = 0
+        return jnp.sqrt(jnp.maximum(rho, 1e-30))[:, None]  # (N, 1)
+
+    def quad(params):
+        return quadratic_via_autodiff(
+            scalar_residual_fn, retract, params, tangent_dim, None, mask
+        )
+
+    return lm.solve(quad, retract, params0, options)

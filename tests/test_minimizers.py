@@ -178,3 +178,45 @@ def test_point_to_plane_solve(rng):
     pose, summary = minimizer.solve(Options(), data, nls.Pose.identity())
     np.testing.assert_allclose(pose.translation, true_pose.translation, atol=1e-6)
     np.testing.assert_allclose(pose.rotation, true_pose.rotation, atol=1e-6)
+
+
+def test_redundant_scalar_rho_formulation_matches(rng):
+    """The reference's 'redundant for-each' Ceres formulation (one scalar
+    sqrt(rho) residual per factor, ceres_cost_functor.h:135-180) optimizes
+    the identical objective: on a consistent problem both formulations
+    land on the same minimum (the reference's formulation-parity check,
+    results/maha_amd64_simple.txt). NOTE the single-solve TRAJECTORIES
+    differ (GN on sqrt-rho vs reweighted GN), so parity is asserted at a
+    shared optimum, not mid-descent."""
+    n = 500
+    pts = rng.uniform(-2, 2, size=(n, 3))
+    true_pose = nls.Pose.from_axis_angle(0.06, [0, 0, 1.0], [0.12, -0.08, 0.2])
+    data = mahalanobis.MahalanobisData(
+        points=jnp.asarray(pts, jnp.float64),
+        means=jnp.asarray(true_pose.apply(pts), jnp.float64),
+        sqrt_infos=jnp.asarray(np.tile(np.eye(3), (n, 1, 1)), jnp.float64),
+        mask=jnp.ones(n, jnp.float64),
+    )
+    loss = ExponentialLoss()
+    options = Options()
+
+    minimizer = nls.MahalanobisDistanceMinimizer(dtype=jnp.float64)
+    minimizer.set_loss_function(loss)
+    pose_a, sum_a = minimizer.solve(options, data, nls.Pose.identity())
+
+    def residual_fn(params: SE3Params):
+        R = lie.quat_to_rotmat(params.quaternion)
+        return mahalanobis.residuals(R, params.translation, data) * data.mask[:, None]
+
+    params0 = SE3Params(
+        jnp.zeros(3, jnp.float64), jnp.asarray([1.0, 0, 0, 0], jnp.float64)
+    )
+    params_r, sum_r = autodiff.solve_scalar_rho(
+        residual_fn, se3_retract, params0, 6, options, loss=loss, mask=data.mask
+    )
+    np.testing.assert_allclose(
+        pose_a.translation, np.asarray(params_r.translation), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(params_r.translation), true_pose.translation, atol=1e-5
+    )
