@@ -58,6 +58,54 @@ def main():
         f"voxels, {local.shape[0]} scan pts ({time.perf_counter() - t0:.1f}s host build)"
     )
 
+    # ---- pure LM iteration rate, measured FIRST in the clean runtime
+    # state (the single-while+pallas program runs at true device speed
+    # only before any gather/top_k/cond program executes — CLAUDE.md).
+    # Correspondences come from the native matcher so no device gathers
+    # run yet.
+    try:
+        from nonlinear_optimizer_for_slam_tpu import native as native_mod
+        from nonlinear_optimizer_for_slam_tpu.ops import pallas_kernels as pk
+        from nonlinear_optimizer_for_slam_tpu.pipelines.fused_registration import (
+            _packed_lm_solve,
+        )
+
+        valid = ndt_map.valid_only()
+        lanes = ((local.shape[0] * 2 + pk.LANE_BLOCK - 1) // pk.LANE_BLOCK) * pk.LANE_BLOCK
+        packed_np = native_mod.match_and_pack(
+            local, np.eye(3), np.zeros(3), valid.means, valid.sqrt_informations,
+            1.0, 2, lanes,
+        )
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        # force the full 40 iterations (no tolerance break) for a clean rate
+        from nonlinear_optimizer_for_slam_tpu.core.options import ConvergenceHandle
+
+        rate_opts = Options().replace(
+            convergence_handle=ConvergenceHandle(0.0, 0.0, 0.0)
+        )
+        packed_dev = _jnp.asarray(packed_np)
+        t0j = _jnp.zeros(3, _jnp.float32)
+        q0j = _jnp.asarray([1.0, 0, 0, 0], _jnp.float32)
+        loss_obj = ExponentialLoss(c1=1.0, c2=1.0)
+        out = _packed_lm_solve(t0j, q0j, packed_dev, loss_obj, rate_opts, False)
+        _jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            _jax.block_until_ready(
+                _packed_lm_solve(t0j, q0j, packed_dev, loss_obj, rate_opts, False)
+            )
+        per_solve = (time.perf_counter() - t0) / reps
+        log(
+            f"pure LM iteration rate (clean state, {lanes} lanes, 40 iters/solve): "
+            f"{per_solve * 1e3:.3f} ms/solve = {40 / per_solve:.0f} iterations/s "
+            f"(AVX baseline ~2,700/s -> {40 / per_solve / 2700:.0f}x)"
+        )
+    except Exception as e:  # pragma: no cover
+        log(f"iteration-rate probe skipped: {e}")
+
     registrar = fused_registration.NdtRegistrar(
         ndt_map, Options(), ExponentialLoss(c1=1.0, c2=1.0)
     )
