@@ -397,7 +397,7 @@ def _pose_graph_2d_solve(
                 penalty = jnp.where(loop > 0, (1.0 - s_) * switch_penalty, 0.0)
                 return jnp.concatenate([scaled, penalty[None]]) * m  # (4,)
 
-            r = res(ref_xyt, query_xyt, sw_of := s)
+            r = res(ref_xyt, query_xyt, s)
             j_ref, j_query, j_s = jax.jacfwd(res, argnums=(0, 1, 2))(
                 ref_xyt, query_xyt, s
             )

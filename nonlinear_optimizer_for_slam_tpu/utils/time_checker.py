@@ -83,6 +83,12 @@ class TimeCheckerManager:
     def print_report(self, file=sys.stderr):
         print("\n".join(self.report_lines()), file=file)
 
+    def save_file(self, path: str):
+        """Write the report to a file — the reference declares SaveFile
+        but leaves it a stub (time_checker.cc:73-75); implemented here."""
+        with open(path, "w") as f:
+            f.write("\n".join(self.report_lines()) + "\n")
+
 
 class TimeChecker:
     """Context-manager scope timer (reference: time_checker.h:15-23)."""

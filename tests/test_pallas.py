@@ -190,3 +190,26 @@ def test_p2p_pallas_backend_solve(rng):
     m = nls.PointToPlaneMinimizer(backend="pallas")
     pose, summary = m.solve(Options(), data, nls.Pose.identity())
     np.testing.assert_allclose(pose.translation, true_pose.translation, atol=1e-4)
+
+
+def test_packed_layout_roundtrip(rng):
+    """pack_maha6 layout: unpacking the (16, lanes) buffer recovers the
+    original SoA fields exactly (the analog of the reference's SIMD
+    load/store roundtrip test, utility_tests/simd_helper_test.cc)."""
+    n = 300
+    data = mahalanobis.MahalanobisData(
+        points=jnp.asarray(rng.normal(size=(n, 3)), F32),
+        means=jnp.asarray(rng.normal(size=(n, 3)), F32),
+        sqrt_infos=jnp.asarray(rng.normal(size=(n, 3, 3)), F32),
+        mask=jnp.ones((n,), F32),
+    )
+    packed = np.asarray(pk.pack_maha6(data))
+    assert packed.shape == (16, pk.LANE_BLOCK)
+    np.testing.assert_array_equal(packed[0:3, :n], np.asarray(data.points).T)
+    np.testing.assert_array_equal(packed[3:6, :n], np.asarray(data.means).T)
+    np.testing.assert_array_equal(
+        packed[6:15, :n], np.asarray(data.sqrt_infos).reshape(n, 9).T
+    )
+    np.testing.assert_array_equal(packed[15, :n], np.asarray(data.mask))
+    # padding lanes fully zero (masked)
+    assert np.all(packed[:, n:] == 0)

@@ -101,3 +101,14 @@ def test_checkpoint_kind_mismatch(tmp_path, rng):
     checkpoint.save_ndt_map(p, ndt.build_ndt_map(pts, 1.0))
     with _pytest.raises(ValueError):
         checkpoint.load_pose(p)
+
+
+def test_time_checker_save_file(tmp_path):
+    mgr = TimeCheckerManager.instance()
+    mgr.reset()
+    mgr.register_time("saved/label", 5.0)
+    p = str(tmp_path / "report.txt")
+    mgr.save_file(p)
+    text = open(p).read()
+    assert "saved/label" in text and "Time Analysis" in text
+    mgr.reset()
