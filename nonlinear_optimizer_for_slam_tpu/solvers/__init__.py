@@ -2,6 +2,7 @@ from . import autodiff, bundle_adjustment, linear, lm, manifolds, pose_graph, pr
 from .lm import Summary
 from .minimizers import (
     MahalanobisDistanceMinimizer,
+    solve_reprojection_batch,
     MahalanobisDistanceMinimizer3DOF,
     PointToPlaneMinimizer,
     ReprojectionErrorMinimizer,
@@ -31,4 +32,5 @@ __all__ = [
     "PoseGraphOptimizer",
     "PoseGraphOptimizer2D",
     "ReprojectionErrorMinimizer",
+    "solve_reprojection_batch",
 ]

@@ -220,3 +220,56 @@ def test_redundant_scalar_rho_formulation_matches(rng):
     np.testing.assert_allclose(
         np.asarray(params_r.translation), true_pose.translation, atol=1e-5
     )
+
+
+def test_batched_reprojection_solve(rng):
+    """B independent PnP problems in one program match individual solves."""
+    from nonlinear_optimizer_for_slam_tpu.ops.reprojection import CameraIntrinsics
+    from nonlinear_optimizer_for_slam_tpu.solvers.minimizers import (
+        solve_reprojection_batch,
+    )
+
+    B, n = 8, 120
+    intr = CameraIntrinsics.create(525.0, 525.0, 320.0, 240.0, 640, 480)
+    true_poses, pts_b, pix_b = [], [], []
+    for b in range(B):
+        pts = np.stack(
+            [
+                rng.uniform(-1.5, 1.5, n),
+                rng.uniform(-1.0, 1.0, n),
+                rng.uniform(2.5, 4.0, n),
+            ],
+            axis=1,
+        )
+        tp = nls.Pose.from_axis_angle(
+            0.05 * rng.normal(), rng.normal(size=3), 0.1 * rng.normal(size=3)
+        )
+        q = tp.apply(pts)
+        pix = np.stack(
+            [525 * q[:, 0] / q[:, 2] + 320, 525 * q[:, 1] / q[:, 2] + 240], axis=1
+        )
+        true_poses.append(tp)
+        pts_b.append(pts)
+        pix_b.append(pix)
+
+    data = reprojection.ReprojectionData(
+        jnp.asarray(np.stack(pts_b)),
+        jnp.asarray(np.stack(pix_b)),
+        jnp.ones((B, n)),
+    )
+    opts = Options()
+    loss = ExponentialLoss()
+    poses, iters, costs = solve_reprojection_batch(
+        opts, data, intr, [nls.Pose.identity()] * B, loss=loss, dtype=jnp.float64
+    )
+    single = nls.ReprojectionErrorMinimizer(dtype=jnp.float64).set_loss_function(loss)
+    for b in range(B):
+        np.testing.assert_allclose(
+            poses[b].translation, true_poses[b].translation, atol=1e-6
+        )
+        d = reprojection.ReprojectionData(
+            jnp.asarray(pts_b[b]), jnp.asarray(pix_b[b]), jnp.ones(n)
+        )
+        p1, s1 = single.solve(opts, d, intr, nls.Pose.identity())
+        np.testing.assert_allclose(poses[b].translation, p1.translation, atol=1e-8)
+        assert int(iters[b]) == int(s1.iterations)
