@@ -15,15 +15,14 @@
 //   flooring     = lambda_{0,1} = max(lambda_{0,1}, ratio * lambda_2),
 //                  then a 1e-12 floor keeps sqrt finite on invalid voxels
 //   sqrt_info    = D^{-1/2} V   (the reference's quirky row scaling —
-//                  simple_optimization_test.cc:275 — reproduced verbatim;
-//                  eigenvector SIGNS may differ from numpy; information
-//                  S^T S and all solver quantities are sign-invariant)
-//   information  = S S^T with S = D^{-1/2} V  (matches the numpy
+//                  simple_optimization_test.cc:275 — reproduced verbatim)
+//   information  = S^T S with S = D^{-1/2} V  (matches the numpy
 //                  einsum("mki,mkj->mij", S, S))
 //
-// Eigendecomposition: cyclic Jacobi on the symmetric 3x3 covariance —
-// branch-light, dependency-free, and accurate to ~1e-14 in a handful of
-// sweeps. Eigenvalues sorted ascending like numpy.linalg.eigh.
+// Eigendecomposition: Eigen-convention implicit-shift QR (eigh3.cc),
+// bit-identical to the numpy twin AND to Eigen's SelfAdjointEigenSolver —
+// the row-scaled sqrt_info makes the optimization objective depend on the
+// eigenvector basis, so basis parity is cost-trace parity.
 //
 // No Eigen/FLANN dependency: the framework's correspondence search lives
 // on-device (pipelines/matching.py); this file only needs the hash
@@ -33,9 +32,17 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <thread>
 #include <unordered_map>
 #include <vector>
+
+// Eigen-convention symmetric 3x3 eigensolver; lives in eigh3.cc, which is
+// compiled WITHOUT -march=native: the wider vector ISA perturbs its
+// rounding by 1 ulp, and bit-parity with the numpy twin (and hence the
+// reference's Eigen basis) is the whole point. eval ascending, evec
+// columns.
+void eigh3(const double A_in[9], double eval_out[3], double evec_out[9]);
 
 namespace {
 
@@ -77,65 +84,6 @@ void accumulate_range(const double* points, int64_t begin, int64_t end,
     const int64_t iy = (int64_t)std::floor(p[1] * inv_res);
     const int64_t iz = (int64_t)std::floor(p[2] * inv_res);
     (*map)[pack_key(ix, iy, iz)].add(p);
-  }
-}
-
-// Cyclic Jacobi eigendecomposition of a symmetric 3x3 matrix.
-// On return: eval ascending, evec[,col] the matching eigenvectors
-// (columns, like numpy.linalg.eigh).
-void eigh3(const double A_in[9], double eval_out[3], double evec_out[9]) {
-  double a[3][3];
-  for (int i = 0; i < 3; ++i)
-    for (int j = 0; j < 3; ++j) a[i][j] = A_in[3 * i + j];
-  double v[3][3] = {{1, 0, 0}, {0, 1, 0}, {0, 0, 1}};
-
-  for (int sweep = 0; sweep < 32; ++sweep) {
-    double off = std::fabs(a[0][1]) + std::fabs(a[0][2]) + std::fabs(a[1][2]);
-    if (off < 1e-15) break;
-    for (int p = 0; p < 2; ++p) {
-      for (int q = p + 1; q < 3; ++q) {
-        if (std::fabs(a[p][q]) < 1e-300) continue;
-        const double theta = (a[q][q] - a[p][p]) / (2.0 * a[p][q]);
-        const double t = (theta >= 0 ? 1.0 : -1.0) /
-                         (std::fabs(theta) + std::sqrt(theta * theta + 1.0));
-        const double c = 1.0 / std::sqrt(t * t + 1.0);
-        const double s = t * c;
-        // A <- J^T A J
-        for (int k = 0; k < 3; ++k) {
-          const double akp = a[k][p], akq = a[k][q];
-          a[k][p] = c * akp - s * akq;
-          a[k][q] = s * akp + c * akq;
-        }
-        for (int k = 0; k < 3; ++k) {
-          const double apk = a[p][k], aqk = a[q][k];
-          a[p][k] = c * apk - s * aqk;
-          a[q][k] = s * apk + c * aqk;
-        }
-        for (int k = 0; k < 3; ++k) {
-          const double vkp = v[k][p], vkq = v[k][q];
-          v[k][p] = c * vkp - s * vkq;
-          v[k][q] = s * vkp + c * vkq;
-        }
-      }
-    }
-  }
-  int order[3] = {0, 1, 2};
-  double d[3] = {a[0][0], a[1][1], a[2][2]};
-  std::sort(order, order + 3, [&](int x, int y) { return d[x] < d[y]; });
-  for (int i = 0; i < 3; ++i) {
-    eval_out[i] = d[order[i]];
-    for (int r = 0; r < 3; ++r) evec_out[3 * r + i] = v[r][order[i]];
-  }
-  // Canonical sign: largest-|entry| component of each eigenvector positive
-  // (must match pipelines/ndt.py — the row-scaled sqrt-information is
-  // sign-dependent).
-  for (int c = 0; c < 3; ++c) {
-    int arg = 0;
-    for (int r = 1; r < 3; ++r)
-      if (std::fabs(evec_out[3 * r + c]) > std::fabs(evec_out[3 * arg + c]))
-        arg = r;
-    if (evec_out[3 * arg + c] < 0)
-      for (int r = 0; r < 3; ++r) evec_out[3 * r + c] = -evec_out[3 * r + c];
   }
 }
 
@@ -189,12 +137,17 @@ int64_t nls_build_ndt_map(const double* points, int64_t n, double resolution,
 
   for (int64_t vi = 0; vi < m; ++vi) {
     const VoxelStats& st = global[keys[vi]];
-    const double inv_count = 1.0 / (double)st.count;
+    // Plain per-element division (NOT reciprocal multiplication): Eigen's
+    // vector/scalar operator also divides, and the rounding difference
+    // perturbs degenerate-voxel covariances enough to rotate their
+    // eigenbasis — which the row-scaled sqrt-information turns into a
+    // cost-trace shift. Keep bit-identical to the numpy builder.
+    const double cnt = (double)st.count;
     double mean[3], cov[9];
-    for (int i = 0; i < 3; ++i) mean[i] = st.sum[i] * inv_count;
+    for (int i = 0; i < 3; ++i) mean[i] = st.sum[i] / cnt;
     for (int i = 0; i < 3; ++i)
       for (int j = 0; j < 3; ++j)
-        cov[3 * i + j] = st.moment[3 * i + j] * inv_count - mean[i] * mean[j];
+        cov[3 * i + j] = st.moment[3 * i + j] / cnt - mean[i] * mean[j];
 
     double eval[3], evec[9];
     eigh3(cov, eval, evec);

@@ -88,14 +88,21 @@ def _ptr(a, ctype):
 def build_ndt_map(
     points: np.ndarray,
     voxel_resolution: float,
-    num_threads: int = 0,
+    num_threads: int = 1,
     max_voxels: int = 1 << 20,
 ) -> NdtMap:
     """Native equivalent of pipelines.ndt.build_ndt_map.
 
-    ``num_threads=0`` uses the host CPU count (the MultiThreadExecutor
-    analog; each thread accumulates a voxel-map partial, merged at the
-    end)."""
+    ``num_threads=1`` (default) accumulates moments serially in input
+    order — BIT-IDENTICAL to the numpy builder and to the reference's
+    serial loop (tests/simple_optimization_test.cc:241-249). This matters:
+    the row-scaled sqrt-information of near-degenerate (flat wall/floor)
+    voxels is ulp-sensitive to the covariance, so threaded partial-sum
+    merging would rotate their eigenbasis and shift the optimization cost
+    trace. ``num_threads=0`` uses the host CPU count (the
+    MultiThreadExecutor analog; each thread accumulates a voxel-map
+    partial, merged at the end) when raw throughput matters more than
+    bit-determinism."""
     lib = load()
     pts = np.ascontiguousarray(points, dtype=np.float64)
     n = pts.shape[0]

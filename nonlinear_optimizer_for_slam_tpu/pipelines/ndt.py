@@ -32,6 +32,172 @@ MIN_POINTS_PER_VOXEL = 5  # reference: tests/simple_optimization_test.cc:250
 MIN_EIGENVALUE = 0.01  # :265
 MIN_EIGENVALUE_RATIO = 0.01  # :270
 
+_DBL_MIN = np.finfo(np.float64).tiny
+_DBL_EPS = np.finfo(np.float64).eps
+
+
+def _givens(p: float, q: float):
+    """Eigen JacobiRotation::makeGivens for real scalars (Jacobi.h:207-234):
+    returns (c, s) with G = [[c, s], [-s, c]] such that G^T [p, q]^T = [r, 0]."""
+    if q == 0.0:
+        return (-1.0 if p < 0.0 else 1.0), 0.0
+    if p == 0.0:
+        return 0.0, (1.0 if q < 0.0 else -1.0)
+    if abs(p) > abs(q):
+        t = q / p
+        u = np.sqrt(1.0 + t * t)
+        if p < 0.0:
+            u = -u
+        c = 1.0 / u
+        return c, -t * c
+    t = p / q
+    u = np.sqrt(1.0 + t * t)
+    if q < 0.0:
+        u = -u
+    s = -1.0 / u
+    return -t * s, s
+
+
+def _eigen_hypot(x: float, y: float) -> float:
+    """Eigen numext::hypot (MathFunctionsImpl.h positive_real_hypot) —
+    NOT std/np.hypot; the formula differs at the ulp level and ulps decide
+    degenerate-basis branches."""
+    x, y = abs(x), abs(y)
+    p = max(x, y)
+    if p == 0.0:
+        return 0.0
+    qp = min(x, y) / p
+    return p * np.sqrt(1.0 + qp * qp)
+
+
+def eigen_eigh3(A: np.ndarray):
+    """Symmetric 3x3 eigendecomposition reproducing Eigen's
+    ``SelfAdjointEigenSolver<Matrix3d>::compute()`` step for step
+    (SelfAdjointEigenSolver.h:425-470 iterative path: max-abs scaling,
+    3x3 Householder tridiagonalization [Tridiagonalization.h:445-477],
+    implicit-Wilkinson-shift QR with Givens rotations [:804-861], ascending
+    selection-sort with column swaps [:556-566]).
+
+    Why not np.linalg.eigh: the reference's row-scaled sqrt-information
+    S = D^{-1/2} V makes the OBJECTIVE depend on the eigenvector basis —
+    signs and, for degenerate (flat wall/floor) voxels, the rotation within
+    the eigen-subspace. LAPACK picks a different basis than Eigen, which
+    shifted every cost trace ~0.2-0.4% from the reference captures
+    (round-1 finding). Reproducing Eigen's arithmetic reproduces its basis
+    and collapses the gap (tests/test_trace_parity.py).
+
+    Returns (eigvals ascending (3,), eigvecs (3, 3) columns).
+    """
+    A = np.asarray(A, np.float64)
+    # Eigen maps the LOWER triangle to [-1, 1]; upper never read.
+    m00, m10, m20 = A[0, 0], A[1, 0], A[2, 0]
+    m11, m21, m22 = A[1, 1], A[2, 1], A[2, 2]
+    scale = max(abs(m00), abs(m10), abs(m20), abs(m11), abs(m21), abs(m22))
+    if scale == 0.0:
+        scale = 1.0
+    m00, m10, m20 = m00 / scale, m10 / scale, m20 / scale
+    m11, m21, m22 = m11 / scale, m21 / scale, m22 / scale
+
+    # --- tridiagonalization (3x3 specialization) ---
+    diag = np.empty(3)
+    sub = np.empty(2)
+    diag[0] = m00
+    v1norm2 = m20 * m20
+    if v1norm2 <= _DBL_MIN:
+        diag[1], diag[2] = m11, m22
+        sub[0], sub[1] = m10, m21
+        Q = np.eye(3)
+    else:
+        beta = np.sqrt(m10 * m10 + v1norm2)
+        inv_beta = 1.0 / beta
+        h01 = m10 * inv_beta
+        h02 = m20 * inv_beta
+        w = 2.0 * h01 * m21 + h02 * (m22 - m11)
+        diag[1] = m11 + h02 * w
+        diag[2] = m22 - h02 * w
+        sub[0] = beta
+        sub[1] = m21 - h01 * w
+        Q = np.array([[1.0, 0.0, 0.0], [0.0, h01, h02], [0.0, h02, -h01]])
+
+    # --- implicit-shift QR on the tridiagonal ---
+    end, start, it = 2, 0, 0
+    precision_inv = 1.0 / _DBL_EPS
+    while end > 0:
+        for i in range(start, end):
+            if abs(sub[i]) < _DBL_MIN:
+                sub[i] = 0.0
+            else:
+                scaled = precision_inv * sub[i]
+                if scaled * scaled <= abs(diag[i]) + abs(diag[i + 1]):
+                    sub[i] = 0.0
+        while end > 0 and sub[end - 1] == 0.0:
+            end -= 1
+        if end <= 0:
+            break
+        it += 1
+        if it > 30 * 3:  # m_maxIterations * n
+            break
+        start = end - 1
+        while start > 0 and sub[start - 1] != 0.0:
+            start -= 1
+
+        # one QR step with Wilkinson shift
+        td = (diag[end - 1] - diag[end]) * 0.5
+        e = sub[end - 1]
+        mu = diag[end]
+        if td == 0.0:
+            mu -= abs(e)
+        elif e != 0.0:
+            e2 = e * e
+            h = _eigen_hypot(td, e)
+            if e2 == 0.0:
+                mu -= e / ((td + (h if td > 0.0 else -h)) / e)
+            else:
+                mu -= e2 / (td + (h if td > 0.0 else -h))
+        x = diag[start] - mu
+        z = sub[start]
+        for k in range(start, end):
+            if z == 0.0:
+                break
+            c, s = _givens(x, z)
+            # T = G^T T G
+            sdk = s * diag[k] + c * sub[k]
+            dkp1 = s * sub[k] + c * diag[k + 1]
+            diag[k] = c * (c * diag[k] - s * sub[k]) - s * (
+                c * sub[k] - s * diag[k + 1]
+            )
+            diag[k + 1] = s * sdk + c * dkp1
+            sub[k] = c * sdk - s * dkp1
+            if k > start:
+                sub[k - 1] = c * sub[k - 1] - s * z
+            x = sub[k]
+            if k < end - 1:
+                z = -s * sub[k + 1]
+                sub[k + 1] = c * sub[k + 1]
+            # Q = Q * G (applyOnTheRight with the transposed rotation)
+            for i in range(3):
+                xi, yi = Q[i, k], Q[i, k + 1]
+                Q[i, k] = c * xi - s * yi
+                Q[i, k + 1] = s * xi + c * yi
+
+    # --- ascending selection sort with column swaps, then unscale ---
+    for i in range(2):
+        k = int(np.argmin(diag[i:])) + i
+        if k > i:
+            diag[i], diag[k] = diag[k], diag[i]
+            Q[:, [i, k]] = Q[:, [k, i]]
+    return diag * scale, Q
+
+
+def eigen_eigh3_batch(covs: np.ndarray):
+    """eigen_eigh3 over a (M, 3, 3) stack (host-side, M is small)."""
+    M = covs.shape[0]
+    eigvals = np.empty((M, 3))
+    eigvecs = np.empty((M, 3, 3))
+    for m in range(M):
+        eigvals[m], eigvecs[m] = eigen_eigh3(covs[m])
+    return eigvals, eigvecs
+
 
 @dataclasses.dataclass
 class NdtMap:
@@ -91,20 +257,13 @@ def build_ndt_map(points: np.ndarray, voxel_resolution: float) -> NdtMap:
     means = sums / counts[:, None]
     covs = moments / counts[:, None, None] - means[:, :, None] * means[:, None, :]
 
-    eigvals, eigvecs = np.linalg.eigh(covs)  # ascending, columns = vectors
-
-    # Canonicalize eigenvector signs (largest-|entry| component positive).
-    # The reference's row-scaled S = D^{-1/2} V makes S^T S SIGN-dependent
-    # (flipping an eigenvector column conjugates the information matrix by
-    # diag(+-1)), so a deterministic convention is required for parity
-    # between this numpy oracle, the native C++ builder, and across LAPACK
-    # versions.
-    argmax = np.argmax(np.abs(eigvecs), axis=1)  # (M, 3) row index per col
-    signs = np.sign(
-        np.take_along_axis(eigvecs, argmax[:, None, :], axis=1)[:, 0, :]
-    )
-    signs = np.where(signs == 0, 1.0, signs)
-    eigvecs = eigvecs * signs[:, None, :]
+    # Eigen-convention eigendecomposition: the reference's row-scaled
+    # S = D^{-1/2} V makes the objective depend on the eigenvector BASIS
+    # (signs AND degenerate-subspace rotations), so parity with the
+    # reference's recorded cost traces requires Eigen's exact basis, not
+    # LAPACK's (see eigen_eigh3 docstring). The native C++ builder
+    # implements the identical arithmetic.
+    eigvals, eigvecs = eigen_eigh3_batch(covs)
 
     valid = (counts >= MIN_POINTS_PER_VOXEL) & (eigvals[:, 2] >= MIN_EIGENVALUE)
 
