@@ -263,10 +263,94 @@ def bench_reproj(runs):
              f"iters={int(summary.iterations)} t_err={err:.2e}")
         )
         log(f"  {name}: {ms:.2f} ms")
+
+    # Serving mode: B independent solves vmapped into ONE dispatch. The
+    # serial rows above are bound by the runtime's fixed ~30 ms dispatch
+    # quantum (CLAUDE.md); batching amortizes it to quantum/B + device
+    # time, which is how this hardware beats the 0.40 ms/solve AVX2 row.
+    from nonlinear_optimizer_for_slam_tpu.solvers import solve_reprojection_batch
+
+    n = points.shape[0]
+    expected = true_pose.inverse()
+    for B in (16, 64, 256):
+        bdata = reprojection.ReprojectionData(
+            jnp.asarray(np.broadcast_to(points, (B, n, 3)), jnp.float32),
+            jnp.asarray(np.broadcast_to(pixels, (B, n, 2)), jnp.float32),
+            jnp.ones((B, n), jnp.float32),
+        )
+        inits = [nls.Pose.identity()] * B
+
+        def run_batch(bdata=bdata, inits=inits):
+            return solve_reprojection_batch(
+                options, bdata, intrinsics, inits, loss=loss
+            )
+
+        ms, (poses, iters, costs) = timed(run_batch, runs)
+        per = ms / B
+        err = max(
+            np.linalg.norm(p.translation - expected.translation) for p in poses
+        )
+        rows.append(
+            (f"batched serving B={B}", f"{per:.3f} ms/ea",
+             f"{float(np.max(costs)):.2e}",
+             f"batch wall={ms:.2f} ms iters<={int(iters.max())} t_err={err:.2e}")
+        )
+        log(f"  batched B={B}: {per:.3f} ms/solve ({ms:.2f} ms total)")
     return table(
         "reprojection: 630-pt pose solve (reference best: 0.40 ms SIMD)",
         rows,
         ("variant", "solve", "final cost", "result"),
+    )
+
+
+def bench_serving(runs):
+    """Batched scan-to-map registration (serving mode): B full NDT
+    registrations — matching + inner LM + outer ICP — in ONE device
+    program. The reference has no batched mode at all; its serial 58.9 ms
+    AVX number is the per-scan baseline."""
+    from nonlinear_optimizer_for_slam_tpu.pipelines import fused_registration
+
+    ndt_map, local, true_pose = build_world()
+    options = Options()
+    loss = ExponentialLoss(c1=1.0, c2=1.0)
+    registrar = fused_registration.NdtRegistrar(ndt_map, options, loss)
+
+    rows = []
+    serial_ms, res = timed(
+        lambda: registrar.register(local, nls.Pose.identity()), runs
+    )
+    err = np.linalg.norm(res.pose.translation - true_pose.translation)
+    rows.append(
+        ("fused single-scan (serial)", f"{serial_ms:.2f} ms",
+         f"{res.final_cost:.1f}",
+         f"outer={res.outer_iterations} t_err={err:.2e}")
+    )
+    log(f"  serial: {serial_ms:.2f} ms")
+
+    for B in (4, 16, 64):
+        scans = [local] * B
+        inits = [nls.Pose.identity()] * B
+
+        def run_batch(scans=scans, inits=inits):
+            return registrar.register_batch(scans, inits)
+
+        ms, batch = timed(run_batch, max(2, runs // 2))
+        per = ms / B
+        err = max(
+            np.linalg.norm(r.pose.translation - true_pose.translation)
+            for r in batch
+        )
+        rows.append(
+            (f"batched registration B={B}", f"{per:.2f} ms/ea",
+             f"{batch[0].final_cost:.1f}",
+             f"batch wall={ms:.1f} ms t_err={err:.2e}")
+        )
+        log(f"  batched B={B}: {per:.2f} ms/scan ({ms:.1f} ms total)")
+    return table(
+        "serving throughput: full NDT registration, batched into one program "
+        "(reference serial AVX2: 58.9 ms/scan)",
+        rows,
+        ("variant", "amortized", "final cost", "result"),
     )
 
 
@@ -416,6 +500,7 @@ BENCHES = {
     "maha_3dof_6dof": bench_maha_3dof_6dof,
     "backend_ablation": bench_backend_ablation,
     "reproj": bench_reproj,
+    "serving": bench_serving,
     "pose_graph": bench_pose_graph,
     "bundle_adjustment": bench_bundle_adjustment,
 }

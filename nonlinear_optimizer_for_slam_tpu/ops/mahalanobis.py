@@ -34,6 +34,19 @@ from .quadratic import highest_precision, quadratic_from_jacobians
 Array = jax.Array
 
 
+def unpack_maha6(packed: Array) -> "MahalanobisData":
+    """Inverse of ops.pallas_kernels.pack_maha6: (16, N) packed transposed
+    rows -> SoA MahalanobisData. Used by the jnp evaluation path over the
+    same packed buffer the Pallas kernels consume (batched serving mode,
+    where vmap over the SMEM params of a pallas_call is unsupported)."""
+    return MahalanobisData(
+        points=packed[0:3].T,
+        means=packed[3:6].T,
+        sqrt_infos=packed[6:15].T.reshape(-1, 3, 3),
+        mask=packed[15],
+    )
+
+
 class MahalanobisData(NamedTuple):
     """SoA batch of NDT correspondences (reference: types.h:11-26)."""
 

@@ -68,13 +68,19 @@ def _fused_register_impl(
     options: Options,
     planar: bool = False,
     psum_axis=None,
+    eval_backend: str = "pallas",
 ):
     n = points.shape[0]
     k = num_neighbors
     lanes = _round_up(n * k, pk.LANE_BLOCK)
     dtype = points.dtype
 
-    means_sq = jnp.sum(means_T * means_T, axis=0)  # (M,)
+    # Center on the map centroid before the expanded-form distance: avoids
+    # f32 cancellation for maps far from the origin (see
+    # pipelines/matching.py) without leaving the matmul formulation.
+    centroid = jnp.mean(means_T, axis=1, keepdims=True)  # (3, 1)
+    means_c_T = means_T - centroid
+    means_sq = jnp.sum(means_c_T * means_c_T, axis=0)  # (M,)
     # point rows of the packed buffer never change: repeat each point k
     # times along the lane axis, pad to the block multiple
     p_rows = jnp.repeat(points_T, k, axis=1)  # (3, N*k)
@@ -83,10 +89,10 @@ def _fused_register_impl(
     def match(t, q):
         """Dense top-k matching -> packed (16, lanes) kernel buffer."""
         R = lie.quat_to_rotmat(q)
-        warped = points @ R.T + t  # (N, 3)
+        warped = points @ R.T + t - centroid[:, 0]  # (N, 3), centered
         d2 = (
             jnp.sum(warped * warped, axis=1, keepdims=True)
-            - 2.0 * warped @ means_T
+            - 2.0 * warped @ means_c_T
             + means_sq[None, :]
         )  # (N, M)
         neg_d2, idx = jax.lax.top_k(-d2, k)  # (N, k)
@@ -127,7 +133,26 @@ def _fused_register_impl(
             return jax.lax.psum(hgc, psum_axis)
         return hgc
 
+    from ..ops import mahalanobis as maha_ops
     from ..solvers.linear import damp_hessian, solve_normal_equations
+
+    # jnp evaluation over the SAME packed buffer: required under vmap
+    # (batched serving mode) where pallas_call's SMEM params arg has no
+    # batching rule; identical objective, kernel-parity tested.
+    if eval_backend == "jnp":
+        eval6 = lambda R, t_, packed_: maha_ops.eval_quadratic(
+            R, t_, maha_ops.unpack_maha6(packed_), loss
+        )
+        eval3 = lambda R2, t2, packed_: maha_ops.eval_quadratic_3dof(
+            R2, t2, maha_ops.unpack_maha6(packed_), loss
+        )
+    else:
+        eval6 = lambda R, t_, packed_: pk.maha6_eval_quadratic_packed(
+            R, t_, packed_, loss
+        )
+        eval3 = lambda R2, t2, packed_: pk.maha3_eval_quadratic_packed(
+            R2, t2, packed_, loss
+        )
 
     def lm_step(t, q, packed, lam):
         """One damped-GN step (reference policy,
@@ -135,9 +160,7 @@ def _fused_register_impl(
         (t', q', cost, step_norm, grad_norm)."""
         if not planar:
             R = lie.quat_to_rotmat(q)
-            H, g, cost = maybe_psum(
-                pk.maha6_eval_quadratic_packed(R, t, packed, loss)
-            )
+            H, g, cost = maybe_psum(eval6(R, t, packed))
             damped = damp_hessian(H, lam)
             delta = solve_normal_equations(damped, -g, options.linear_solver_type)
             delta = jnp.where(
@@ -155,9 +178,7 @@ def _fused_register_impl(
         # (.._analytic_3dof.cc:22-25,104-105)
         theta = 2.0 * jnp.arctan2(q[3], q[0])
         R2 = lie.rot2(theta)
-        H, g, cost = maybe_psum(
-            pk.maha3_eval_quadratic_packed(R2, t[:2], packed, loss)
-        )
+        H, g, cost = maybe_psum(eval3(R2, t[:2], packed))
         damped = damp_hessian(H, lam)
         delta = solve_normal_equations(damped, -g, options.linear_solver_type)
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
@@ -273,6 +294,36 @@ def _fused_register(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("num_neighbors", "max_outer", "options", "planar"),
+)
+def _fused_register_batched(
+    means_T, infos_T, points, points_T, points_mask, t0s, q0s, loss,
+    search_radius, outer_tol, num_neighbors, max_outer, options, planar=False,
+):
+    """B independent scan-to-map registrations against ONE shared map in a
+    single XLA program (serving mode): the whole flattened ICP+LM state
+    machine is vmapped over the scan axis, so each scan keeps its own
+    outer/inner/lambda state and the per-scan trajectories match the
+    single-scan program exactly (vmap of while_loop masks finished lanes).
+    One dispatch for B scans amortizes the runtime's fixed per-dispatch
+    completion-poll quantum to quantum/B.
+
+    Evaluation uses the jnp path over the same packed buffer (the
+    pallas_call SMEM params arg cannot be vmapped on TPU); batched einsums
+    over B x lanes keep the MXU busy instead."""
+
+    def one(pts, pts_T, mask, t0, q0):
+        return _fused_register_impl(
+            means_T, infos_T, pts, pts_T, mask, t0, q0, loss,
+            search_radius, outer_tol, num_neighbors, max_outer, options,
+            planar, psum_axis=None, eval_backend="jnp",
+        )
+
+    return jax.vmap(one)(points, points_T, points_mask, t0s, q0s)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("num_neighbors", "max_outer", "options", "planar", "mesh"),
 )
 def _fused_register_sharded(
@@ -383,6 +434,65 @@ class NdtRegistrar:
         self, local_points, initial_pose: Pose
     ) -> FusedRegistrationResult:
         return self.finalize(self._launch(local_points, initial_pose))
+
+    def register_batch(
+        self, local_points_batch, initial_poses
+    ) -> list:
+        """Register B scans against the map in ONE device program
+        (serving mode). ``local_points_batch``: (B, N, 3) array or a list
+        of (N_b, 3) arrays with ragged N_b (padded to a common N with
+        masked zero rows). Returns list[FusedRegistrationResult], one per
+        scan, each matching what :meth:`register` would have produced.
+
+        Not supported together with ``mesh`` (scan-axis batch and
+        factor-axis sharding would need a 2-level mesh; serve batches on
+        one chip per replica instead)."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "register_batch shards over the batch axis implicitly; "
+                "use one NdtRegistrar per replica instead of mesh="
+            )
+        dtype = self.dtype
+        scans = [np.ascontiguousarray(np.asarray(p)) for p in local_points_batch]
+        B = len(scans)
+        if len(initial_poses) != B:
+            raise ValueError(f"{len(initial_poses)} poses for batch of {B}")
+        n_max = max(s.shape[0] for s in scans)
+        pts = np.zeros((B, n_max, 3))
+        mask = np.zeros((B, n_max))
+        for b, s in enumerate(scans):
+            pts[b, : s.shape[0]] = s
+            mask[b, : s.shape[0]] = 1.0
+        points = jnp.asarray(pts, dtype)
+        points_T = jnp.asarray(pts.transpose(0, 2, 1), dtype)
+        pmask = jnp.asarray(mask, dtype)
+        t0s = jnp.asarray(
+            np.stack([p.translation for p in initial_poses]), dtype
+        )
+        q0s = jnp.asarray(
+            np.stack([p.quaternion() for p in initial_poses]), dtype
+        )
+        out = _fused_register_batched(
+            self.means_T, self.infos_T, points, points_T, pmask, t0s, q0s,
+            self.loss, self.search_radius, self.outer_tolerance,
+            self.num_neighbors, self.max_outer_iterations, self.options,
+            self.planar,
+        )
+        ts, qs, its, inner_its, costs, final_costs = jax.device_get(out)
+        results = []
+        for b in range(B):
+            qn = np.asarray(qs[b], np.float64)
+            qn /= np.linalg.norm(qn)
+            results.append(
+                FusedRegistrationResult(
+                    pose=Pose(np_quat_to_rotmat(qn), np.asarray(ts[b], np.float64)),
+                    outer_iterations=int(its[b]),
+                    final_cost=float(final_costs[b]),
+                    inner_iterations=np.asarray(inner_its[b]),
+                    costs=np.asarray(costs[b]),
+                )
+            )
+        return results
 
     def _launch(self, local_points, initial_pose: Pose):
         dtype = self.dtype

@@ -50,10 +50,19 @@ def match_point_cloud(
     warped = local_points @ rotation.T + translation  # (N, 3)
 
     # Squared distances via the expanded form: one (N, 3) x (3, M) matmul.
+    # Both sets are centered on the map centroid first: the expanded form
+    # cancels catastrophically when |coords| >> |pairwise distances| (for a
+    # map 300 m from the origin the f32 error reaches ~0.05 m^2 — enough to
+    # flip the radius test and neighbor ranking near ties vs the
+    # reference's double-precision FLANN search); centering restores the
+    # precision for one cheap subtraction.
+    centroid = jnp.mean(ndt_means, axis=0)
+    wc = warped - centroid
+    mc = ndt_means - centroid
     d2 = (
-        jnp.sum(warped * warped, axis=1, keepdims=True)
-        - 2.0 * warped @ ndt_means.T
-        + jnp.sum(ndt_means * ndt_means, axis=1)[None, :]
+        jnp.sum(wc * wc, axis=1, keepdims=True)
+        - 2.0 * wc @ mc.T
+        + jnp.sum(mc * mc, axis=1)[None, :]
     )  # (N, M)
 
     neg_d2, idx = jax.lax.top_k(-d2, num_neighbors)  # (N, k)

@@ -1,8 +1,12 @@
-from . import autodiff, bundle_adjustment, linear, lm, manifolds, pose_graph, problem
+from . import autodiff, batched, bundle_adjustment, linear, lm, manifolds, pose_graph, problem
 from .lm import Summary
+from .batched import (
+    solve_mahalanobis_batch,
+    solve_point_to_plane_batch,
+    solve_reprojection_batch,
+)
 from .minimizers import (
     MahalanobisDistanceMinimizer,
-    solve_reprojection_batch,
     MahalanobisDistanceMinimizer3DOF,
     PointToPlaneMinimizer,
     ReprojectionErrorMinimizer,
@@ -13,6 +17,9 @@ from .problem import GenericOptions, PoseOptimizer, Problem
 
 __all__ = [
     "autodiff",
+    "batched",
+    "solve_mahalanobis_batch",
+    "solve_point_to_plane_batch",
     "bundle_adjustment",
     "BAData",
     "BundleAdjuster",

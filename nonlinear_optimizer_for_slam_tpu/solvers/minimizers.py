@@ -362,75 +362,10 @@ def _p2p_solve(t0, q0, data, loss, options, backend, mesh, pad_n, dtype_name):
     return _maybe_shard(solve_fn, mesh, data)
 
 
-# ----------------------------------------------------------------------------
-# Batched multi-problem solving (serving mode).
-# The reference solves one problem per call; a TPU serves hundreds of
-# independent pose problems at once by vmapping the WHOLE LM while_loop —
-# one program, one dispatch, B solves (each instance keeps its own
-# lambda/convergence state; vmap masks finished instances).
-# ----------------------------------------------------------------------------
-
-
-@functools.partial(jax.jit, static_argnums=(5,))
-def _reproj_solve_batched(t0s, q0s, data, intrinsics, loss, options):
-    def one(t0, q0, pts, pix, mask):
-        shard = reprojection.ReprojectionData(pts, pix, mask)
-
-        def quad(params: SE3Params):
-            R = lie.quat_to_rotmat(params.quaternion)
-            return reprojection.eval_quadratic(
-                R, params.translation, shard, intrinsics, loss
-            )
-
-        params, summary = lm.solve(quad, se3_retract, SE3Params(t0, q0), options)
-        return (
-            params.translation,
-            params.quaternion,
-            summary.iterations,
-            summary.final_cost,
-        )
-
-    return jax.vmap(one)(
-        t0s, q0s, data.local_points, data.matched_pixels, data.mask
-    )
-
-
-def solve_reprojection_batch(
-    options: Options,
-    data: reprojection.ReprojectionData,  # leading batch dim: (B, N, ...)
-    intrinsics: CameraIntrinsics,
-    initial_poses,  # list[Pose] length B
-    loss: Optional[LossFunction] = None,
-    dtype=jnp.float32,
-):
-    """Solve B independent reprojection problems in ONE device program.
-
-    Returns (poses, iterations (B,), final_costs (B,)). Shared intrinsics;
-    per-problem masks support ragged correspondence counts via padding.
-    """
-    from ..core.pose import np_quat_to_rotmat
-
-    B = data.local_points.shape[0]
-    if len(initial_poses) != B:
-        raise ValueError(f"{len(initial_poses)} poses for batch of {B}")
-    t0s = jnp.asarray(np.stack([p.translation for p in initial_poses]), dtype)
-    q0s = jnp.asarray(np.stack([p.quaternion() for p in initial_poses]), dtype)
-    data = reprojection.ReprojectionData(
-        jnp.asarray(data.local_points, dtype),
-        jnp.asarray(data.matched_pixels, dtype),
-        jnp.asarray(data.mask, dtype),
-    )
-    intr = CameraIntrinsics(
-        *(jnp.asarray(v, dtype) for v in intrinsics[:6]),
-        intrinsics.width,
-        intrinsics.height,
-    )
-    ts, qs, iters, costs = jax.device_get(
-        _reproj_solve_batched(t0s, q0s, data, intr, loss, options)
-    )
-    poses = []
-    for b in range(B):
-        q = np.array(qs[b], np.float64)
-        q /= np.linalg.norm(q)
-        poses.append(Pose(np_quat_to_rotmat(q), np.asarray(ts[b], np.float64)))
-    return poses, np.asarray(iters), np.asarray(costs)
+# Batched multi-problem solving (serving mode) lives in solvers/batched.py;
+# re-exported here for API continuity.
+from .batched import (  # noqa: E402  (re-export)
+    solve_mahalanobis_batch,
+    solve_point_to_plane_batch,
+    solve_reprojection_batch,
+)

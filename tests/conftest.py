@@ -31,6 +31,14 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(1234)
+@pytest.fixture(scope="module")
+def rng(request):
+    """Per-module deterministic RNG. Module scope (not session): a session
+    stream makes every test's data depend on which OTHER files ran before
+    it, so adding a test file silently reseeds unrelated tests (this broke
+    test_lm when test_batched was added). Seeding by module name keeps each
+    file's draws stable regardless of what else is collected."""
+    import zlib
+
+    seed = zlib.crc32(request.module.__name__.encode())
+    return np.random.default_rng(seed)

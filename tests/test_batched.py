@@ -1,0 +1,237 @@
+"""Batched serving-mode solvers: B problems in one program must match B
+individual solves per instance — including ragged masks (different valid
+factor counts per instance) and per-instance convergence (different
+iteration counts). This is the serving analog of the reference's
+variant-parity methodology: the batched program is a *variant* of the
+serial one and must optimize the identical objective.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nonlinear_optimizer_for_slam_tpu as nls
+from nonlinear_optimizer_for_slam_tpu.core import ExponentialLoss, Options
+from nonlinear_optimizer_for_slam_tpu.ops import (
+    mahalanobis,
+    point_to_plane,
+    reprojection,
+)
+from nonlinear_optimizer_for_slam_tpu.ops.reprojection import CameraIntrinsics
+from nonlinear_optimizer_for_slam_tpu.solvers import (
+    solve_mahalanobis_batch,
+    solve_point_to_plane_batch,
+    solve_reprojection_batch,
+)
+
+
+def _random_pose(rng, angle=0.08, tscale=0.15):
+    return nls.Pose.from_axis_angle(
+        angle * rng.normal(), rng.normal(size=3), tscale * rng.normal(size=3)
+    )
+
+
+def test_batched_reprojection_ragged_masks(rng):
+    """Ragged PnP batch: instance b has n_b valid correspondences (mask
+    tail zeroed); batched results bit-match per-instance serial solves,
+    including ITERATION COUNTS (per-instance convergence state)."""
+    B, n_pad = 6, 160
+    valid_counts = [160, 120, 90, 150, 60, 140]
+    intr = CameraIntrinsics.create(525.0, 525.0, 320.0, 240.0, 640, 480)
+    opts = Options()
+    loss = ExponentialLoss()
+
+    pts_b, pix_b, mask_b, true_poses = [], [], [], []
+    for b in range(B):
+        n = valid_counts[b]
+        pts = np.zeros((n_pad, 3))
+        pts[:n] = np.stack(
+            [
+                rng.uniform(-1.5, 1.5, n),
+                rng.uniform(-1.0, 1.0, n),
+                rng.uniform(2.5, 4.0, n),
+            ],
+            axis=1,
+        )
+        # widely varying problem difficulty so iteration counts differ
+        tp = _random_pose(rng, angle=0.02 + 0.06 * b, tscale=0.04 + 0.12 * b)
+        q = tp.apply(pts[:n])
+        pix = np.zeros((n_pad, 2))
+        pix[:n] = np.stack(
+            [525 * q[:, 0] / q[:, 2] + 320, 525 * q[:, 1] / q[:, 2] + 240],
+            axis=1,
+        )
+        mask = np.zeros(n_pad)
+        mask[:n] = 1.0
+        pts_b.append(pts)
+        pix_b.append(pix)
+        mask_b.append(mask)
+        true_poses.append(tp)
+
+    data = reprojection.ReprojectionData(
+        jnp.asarray(np.stack(pts_b)),
+        jnp.asarray(np.stack(pix_b)),
+        jnp.asarray(np.stack(mask_b)),
+    )
+    poses, iters, costs = solve_reprojection_batch(
+        opts, data, intr, [nls.Pose.identity()] * B, loss=loss, dtype=jnp.float64
+    )
+
+    single = nls.ReprojectionErrorMinimizer(dtype=jnp.float64).set_loss_function(
+        loss
+    )
+    iter_counts = set()
+    for b in range(B):
+        np.testing.assert_allclose(
+            poses[b].translation, true_poses[b].translation, atol=1e-6
+        )
+        d = reprojection.ReprojectionData(
+            jnp.asarray(pts_b[b]), jnp.asarray(pix_b[b]), jnp.asarray(mask_b[b])
+        )
+        p1, s1 = single.solve(opts, d, intr, nls.Pose.identity())
+        np.testing.assert_allclose(poses[b].translation, p1.translation, atol=1e-8)
+        np.testing.assert_allclose(poses[b].rotation, p1.rotation, atol=1e-8)
+        assert int(iters[b]) == int(s1.iterations)
+        np.testing.assert_allclose(costs[b], float(s1.final_cost), rtol=1e-6)
+        iter_counts.add(int(iters[b]))
+    # the fixture must actually exercise per-instance convergence state
+    assert len(iter_counts) > 1, iter_counts
+
+
+def test_batched_mahalanobis_matches_serial(rng):
+    """B NDT-alignment problems in one dispatch == B serial solves."""
+    B, n_pad = 5, 300
+    valid_counts = [300, 200, 260, 140, 300]
+    opts = Options()
+    loss = ExponentialLoss()
+
+    pts_b, mus_b, infos_b, mask_b, true_poses = [], [], [], [], []
+    for b in range(B):
+        n = valid_counts[b]
+        pts = np.zeros((n_pad, 3))
+        pts[:n] = rng.uniform(-2, 2, size=(n, 3))
+        tp = _random_pose(rng)
+        mus = np.zeros((n_pad, 3))
+        mus[:n] = tp.apply(pts[:n])
+        # SPD sqrt-informations: random rotation * diag scaling
+        infos = np.tile(np.eye(3), (n_pad, 1, 1))
+        for i in range(n):
+            a = rng.normal(size=3)
+            infos[i] += 0.2 * np.outer(a, a)
+        mask = np.zeros(n_pad)
+        mask[:n] = 1.0
+        pts_b.append(pts)
+        mus_b.append(mus)
+        infos_b.append(infos)
+        mask_b.append(mask)
+        true_poses.append(tp)
+
+    data = mahalanobis.MahalanobisData(
+        jnp.asarray(np.stack(pts_b)),
+        jnp.asarray(np.stack(mus_b)),
+        jnp.asarray(np.stack(infos_b)),
+        jnp.asarray(np.stack(mask_b)),
+    )
+    poses, iters, costs = solve_mahalanobis_batch(
+        opts, data, [nls.Pose.identity()] * B, loss=loss, dtype=jnp.float64
+    )
+
+    single = nls.MahalanobisDistanceMinimizer(dtype=jnp.float64).set_loss_function(
+        loss
+    )
+    for b in range(B):
+        np.testing.assert_allclose(
+            poses[b].translation, true_poses[b].translation, atol=1e-5
+        )
+        d = mahalanobis.MahalanobisData(
+            jnp.asarray(pts_b[b]),
+            jnp.asarray(mus_b[b]),
+            jnp.asarray(infos_b[b]),
+            jnp.asarray(mask_b[b]),
+        )
+        p1, s1 = single.solve(opts, d, nls.Pose.identity())
+        np.testing.assert_allclose(poses[b].translation, p1.translation, atol=1e-8)
+        assert int(iters[b]) == int(s1.iterations)
+
+
+def test_batched_point_to_plane_matches_serial(rng):
+    B, n = 4, 200
+    opts = Options()
+    pts_b, mus_b, nrm_b, true_poses = [], [], [], []
+    for b in range(B):
+        pts = rng.uniform(-2, 2, size=(n, 3))
+        normals = rng.normal(size=(n, 3))
+        normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+        tp = _random_pose(rng, angle=0.05, tscale=0.1)
+        anchors = tp.apply(pts)
+        pts_b.append(pts)
+        mus_b.append(anchors)
+        nrm_b.append(normals)
+        true_poses.append(tp)
+
+    data = point_to_plane.PointToPlaneData(
+        jnp.asarray(np.stack(pts_b)),
+        jnp.asarray(np.stack(mus_b)),
+        jnp.asarray(np.stack(nrm_b)),
+        jnp.ones((B, n)),
+    )
+    poses, iters, costs = solve_point_to_plane_batch(
+        opts, data, [nls.Pose.identity()] * B, dtype=jnp.float64
+    )
+    single = nls.PointToPlaneMinimizer(dtype=jnp.float64)
+    for b in range(B):
+        np.testing.assert_allclose(
+            poses[b].translation, true_poses[b].translation, atol=1e-6
+        )
+        d = point_to_plane.PointToPlaneData(
+            jnp.asarray(pts_b[b]),
+            jnp.asarray(mus_b[b]),
+            jnp.asarray(nrm_b[b]),
+            jnp.ones(n),
+        )
+        p1, s1 = single.solve(opts, d, nls.Pose.identity())
+        np.testing.assert_allclose(poses[b].translation, p1.translation, atol=1e-8)
+        assert int(iters[b]) == int(s1.iterations)
+
+
+@pytest.fixture(scope="module")
+def small_world():
+    from nonlinear_optimizer_for_slam_tpu.pipelines import ndt
+    from nonlinear_optimizer_for_slam_tpu.utils import testing
+
+    pts = testing.generate_room_points(point_step=0.05)
+    ndt_map = ndt.build_ndt_map(pts, 1.0)
+    true_pose = testing.maha_true_pose()
+    local = true_pose.inverse().apply(ndt.filter_points(pts, 0.3))
+    return ndt_map, local, true_pose
+
+
+def test_batched_registration_matches_single(small_world, rng):
+    """B full scan-to-map registrations (ragged scan sizes, distinct
+    initial poses) in ONE program match per-scan single registrations."""
+    from nonlinear_optimizer_for_slam_tpu.pipelines import fused_registration
+
+    ndt_map, local, _ = small_world
+    opts = Options().replace(max_iterations=6)
+    loss = ExponentialLoss()
+    registrar = fused_registration.NdtRegistrar(
+        ndt_map, opts, loss, max_outer_iterations=2
+    )
+
+    # ragged: full scan, a 75% prefix, and a 50% prefix with a nudged init
+    scans = [local, local[: int(0.75 * len(local))], local[: len(local) // 2]]
+    inits = [
+        nls.Pose.identity(),
+        nls.Pose.identity(),
+        _random_pose(rng, angle=0.02, tscale=0.05),
+    ]
+    batch = registrar.register_batch(scans, inits)
+    assert len(batch) == 3
+    for scan, init, res in zip(scans, inits, batch):
+        ref = registrar.register(scan, init)
+        np.testing.assert_allclose(
+            res.pose.translation, ref.pose.translation, atol=1e-5
+        )
+        np.testing.assert_allclose(res.pose.rotation, ref.pose.rotation, atol=1e-5)
+        assert res.outer_iterations == ref.outer_iterations
+        np.testing.assert_array_equal(res.inner_iterations, ref.inner_iterations)

@@ -90,7 +90,7 @@ def test_gradient_descent_mode(rng):
     b = A @ x_true
     quad, retract = _quadratic_problem(A, b)
     opts = Options().replace(
-        minimizer_type=MinimizerType.GRADIENT_DESCENT, max_iterations=2000
+        minimizer_type=MinimizerType.GRADIENT_DESCENT, max_iterations=8000
     )
     x, _ = lm.solve(quad, retract, jnp.zeros(2, F64), opts)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_true), atol=1e-3)
