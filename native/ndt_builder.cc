@@ -48,7 +48,13 @@ namespace {
 
 struct VoxelStats {
   double sum[3] = {0, 0, 0};
-  double moment[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+  // The reference's NDT struct initializes the second-moment accumulator
+  // to IDENTITY (types.h:14 `Mat3x3 moment{Mat3x3::Identity()}`), giving
+  // every covariance a +I/count offset. Reproduced — including the
+  // summation order (I first, then points in input order) — because the
+  // offset shifts the recorded cost traces this framework is checked
+  // against (tests/test_trace_parity.py).
+  double moment[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
   int64_t count = 0;
 
   void add(const double* p) {
@@ -61,6 +67,11 @@ struct VoxelStats {
     count += o.count;
     for (int i = 0; i < 3; ++i) sum[i] += o.sum[i];
     for (int i = 0; i < 9; ++i) moment[i] += o.moment[i];
+    // Each thread-partial default-constructed its own identity; keep
+    // exactly one per voxel after the merge.
+    moment[0] -= 1.0;
+    moment[4] -= 1.0;
+    moment[8] -= 1.0;
   }
 };
 

@@ -251,7 +251,15 @@ def build_ndt_map(points: np.ndarray, voxel_resolution: float) -> NdtMap:
 
     sums = np.zeros((num_voxels, 3))
     np.add.at(sums, inverse, points)
-    moments = np.zeros((num_voxels, 3, 3))
+    # The reference's NDT struct initializes the second-moment accumulator
+    # to IDENTITY, not zero (types.h:14 `Mat3x3 moment{Mat3x3::Identity()}`),
+    # so every covariance carries a +I/count offset. Almost certainly an
+    # accident, but it shifts every recorded cost trace (it inflates the
+    # small eigenvalues of near-degenerate wall/floor voxels), so parity
+    # requires reproducing it — including the summation ORDER: I first,
+    # then points in input order (np.add.at accumulates in input order,
+    # matching the reference's serial loop bit-for-bit).
+    moments = np.tile(np.eye(3), (num_voxels, 1, 1))
     np.add.at(moments, inverse, points[:, :, None] * points[:, None, :])
 
     means = sums / counts[:, None]

@@ -38,8 +38,11 @@ def test_eigenvalue_flooring_on_planar_voxel():
     """A planar cloud's smallest eigenvalue floors at 1% of the largest
     (reference :270-276), bounding the information anisotropy at 100x."""
     rng = np.random.default_rng(3)
-    xy = 0.45 * rng.uniform(-1, 1, size=(400, 2))
-    pts = np.concatenate([0.5 + xy, np.full((400, 1), 0.5)], axis=1)
+    # 2000 points so the reference's +I/count moment-init offset
+    # (types.h:14, reproduced in build_ndt_map) stays below the 1% floor:
+    # the planar eigenvalue is 1/2000 = 5e-4 < 0.01 * lambda_max.
+    xy = 0.45 * rng.uniform(-1, 1, size=(2000, 2))
+    pts = np.concatenate([0.5 + xy, np.full((2000, 1), 0.5)], axis=1)
     m = ndt.build_ndt_map(pts, 1.0)
     assert m.valid[0]
     info_eigs = np.linalg.eigvalsh(m.informations[0])
@@ -50,7 +53,9 @@ def test_eigenvalue_flooring_on_planar_voxel():
 def test_small_max_eigenvalue_invalid():
     """lambda_max < 0.01 -> invalid voxel (reference :265)."""
     rng = np.random.default_rng(5)
-    pts = 0.5 + 0.01 * rng.uniform(-1, 1, size=(100, 3))
+    # 1000 points: the +I/count moment-init offset adds 1e-3 to every
+    # eigenvalue (with 100 it would add exactly 0.01 and flip validity).
+    pts = 0.5 + 0.01 * rng.uniform(-1, 1, size=(1000, 3))
     m = ndt.build_ndt_map(pts, 1.0)
     assert not m.valid[0]
 
