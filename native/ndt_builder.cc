@@ -76,7 +76,18 @@ struct VoxelStats {
 };
 
 // Pack the integer voxel triple into one 64-bit key (21 bits per axis,
-// range +/- 2^20 voxels — +/-1000 km at 1 m resolution).
+// range +/- 2^20 voxels — +/-1000 km at 1 m resolution). Indices outside
+// that range would silently alias distinct voxels, so accumulation tracks
+// an out-of-range flag and the entry points return -2 instead of
+// corrupting the map (the numpy fallback uses exact integer triples and
+// has no such limit).
+constexpr int64_t kKeyRange = 1ll << 20;
+
+inline bool key_in_range(int64_t ix, int64_t iy, int64_t iz) {
+  return ix >= -kKeyRange && ix < kKeyRange && iy >= -kKeyRange &&
+         iy < kKeyRange && iz >= -kKeyRange && iz < kKeyRange;
+}
+
 inline uint64_t pack_key(int64_t ix, int64_t iy, int64_t iz) {
   const uint64_t bias = 1ull << 20;
   return ((uint64_t)(ix + bias) & 0x1FFFFF) |
@@ -86,16 +97,20 @@ inline uint64_t pack_key(int64_t ix, int64_t iy, int64_t iz) {
 
 using VoxelMap = std::unordered_map<uint64_t, VoxelStats>;
 
-void accumulate_range(const double* points, int64_t begin, int64_t end,
+// Returns false if any voxel index falls outside the packed-key range.
+bool accumulate_range(const double* points, int64_t begin, int64_t end,
                       double inv_res, VoxelMap* map) {
   map->reserve(1024);
+  bool ok = true;
   for (int64_t k = begin; k < end; ++k) {
     const double* p = points + 3 * k;
     const int64_t ix = (int64_t)std::floor(p[0] * inv_res);
     const int64_t iy = (int64_t)std::floor(p[1] * inv_res);
     const int64_t iz = (int64_t)std::floor(p[2] * inv_res);
+    if (!key_in_range(ix, iy, iz)) { ok = false; continue; }
     (*map)[pack_key(ix, iy, iz)].add(p);
   }
+  return ok;
 }
 
 }  // namespace
@@ -107,7 +122,9 @@ extern "C" {
 //   means (max_voxels, 3), sqrt_infos (max_voxels, 3, 3),
 //   infos (max_voxels, 3, 3), counts (max_voxels), valid (max_voxels).
 // Voxels are emitted in ascending packed-key order (deterministic).
-// Returns the number of voxels, or -1 if it would exceed max_voxels.
+// Returns the number of voxels, -1 if it would exceed max_voxels, or -2
+// if any voxel index falls outside the +/-2^20 packed-key range (use the
+// numpy fallback for such extents).
 int64_t nls_build_ndt_map(const double* points, int64_t n, double resolution,
                           int64_t min_points, double min_eigenvalue,
                           double eigenvalue_ratio, int64_t max_voxels,
@@ -118,19 +135,25 @@ int64_t nls_build_ndt_map(const double* points, int64_t n, double resolution,
   const int64_t chunk = (n + num_threads - 1) / num_threads;
 
   std::vector<VoxelMap> partials((size_t)num_threads);
+  bool in_range = true;
   if (num_threads == 1 || n < 4096) {
-    accumulate_range(points, 0, n, inv_res, &partials[0]);
+    in_range = accumulate_range(points, 0, n, inv_res, &partials[0]);
   } else {
     std::vector<std::thread> workers;
+    std::vector<char> worker_ok((size_t)num_threads, 1);
     for (int t = 0; t < num_threads; ++t) {
       const int64_t b = t * chunk;
       const int64_t e = std::min(n, b + chunk);
       if (b >= e) break;
-      workers.emplace_back(accumulate_range, points, b, e, inv_res,
-                           &partials[(size_t)t]);
+      workers.emplace_back([points, b, e, inv_res, &partials, &worker_ok, t] {
+        worker_ok[(size_t)t] =
+            accumulate_range(points, b, e, inv_res, &partials[(size_t)t]);
+      });
     }
     for (auto& w : workers) w.join();
+    for (char okc : worker_ok) in_range = in_range && okc;
   }
+  if (!in_range) return -2;
 
   VoxelMap& global = partials[0];
   for (size_t t = 1; t < partials.size(); ++t) {
@@ -202,10 +225,11 @@ int64_t nls_voxel_filter(const double* points, int64_t n, double voxel,
   int64_t kept = 0;
   for (int64_t k = 0; k < n; ++k) {
     const double* p = points + 3 * k;
-    const uint64_t key =
-        pack_key((int64_t)std::floor(p[0] * inv), (int64_t)std::floor(p[1] * inv),
-                 (int64_t)std::floor(p[2] * inv));
-    if (seen.emplace(key, 1).second) keep_indices[kept++] = k;
+    const int64_t ix = (int64_t)std::floor(p[0] * inv);
+    const int64_t iy = (int64_t)std::floor(p[1] * inv);
+    const int64_t iz = (int64_t)std::floor(p[2] * inv);
+    if (!key_in_range(ix, iy, iz)) return -2;  // would alias voxels
+    if (seen.emplace(pack_key(ix, iy, iz), 1).second) keep_indices[kept++] = k;
   }
   return kept;
 }

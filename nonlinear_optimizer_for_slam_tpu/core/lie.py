@@ -59,6 +59,20 @@ def so3_exp_quaternion(w: Array) -> Array:
     return jnp.concatenate([qw[..., None], vec], axis=-1)
 
 
+def quat_log_vec(q: Array) -> Array:
+    """Unit quaternion (w, x, y, z) -> axis-angle 3-vector (inverse of
+    :func:`so3_exp_quaternion`, matching its 1e-6 small-angle branch:
+    w = 2 * vec / qw). Sign-normalizes to the shortest arc first."""
+    q = jnp.where(q[..., :1] < 0, -q, q)
+    vec = q[..., 1:]
+    vn = jnp.sqrt(jnp.sum(vec * vec, axis=-1, keepdims=True))
+    small = vn < _SMALL_ANGLE
+    theta = 2.0 * jnp.arctan2(vn, q[..., :1])
+    safe_vn = jnp.where(small, jnp.ones_like(vn), vn)
+    scale = jnp.where(small, 2.0 / jnp.maximum(q[..., :1], 1e-12), theta / safe_vn)
+    return scale * vec
+
+
 def quat_multiply(a: Array, b: Array) -> Array:
     """Hamilton product a (x) b, both (…, 4) in (w, x, y, z)."""
     aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]

@@ -130,6 +130,12 @@ def build_ndt_map(
         _ptr(valid, ctypes.c_uint8),
         num_threads,
     )
+    if m == -2:
+        raise ValueError(
+            "native build_ndt_map: voxel index outside the +/-2^20 "
+            "packed-key range (points beyond ~1e6 voxels from the origin); "
+            "use pipelines.ndt.build_ndt_map (exact integer-triple keys)"
+        )
     if m < 0:
         raise RuntimeError(f"more than {max_voxels} voxels; raise max_voxels")
     return NdtMap(
@@ -151,6 +157,11 @@ def filter_points(points: np.ndarray, filter_voxel_size: float) -> np.ndarray:
     kept = lib.nls_voxel_filter(
         _ptr(pts, ctypes.c_double), n, filter_voxel_size, _ptr(keep, ctypes.c_int64)
     )
+    if kept == -2:
+        raise ValueError(
+            "native filter_points: voxel index outside the +/-2^20 "
+            "packed-key range; use pipelines.ndt.filter_points"
+        )
     return pts[keep[:kept]]
 
 

@@ -36,7 +36,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.losses import ExponentialLoss, HuberLoss, LossFunction, TrivialLoss
+from ..core.losses import (
+    CauchyLoss,
+    ExponentialLoss,
+    HuberLoss,
+    LossFunction,
+    TrivialLoss,
+)
 from .mahalanobis import MahalanobisData
 from .quadratic import unpack_symmetric
 from .reprojection import MIN_DEPTH, CameraIntrinsics, ReprojectionData
@@ -59,7 +65,7 @@ def _interpret() -> bool:
 
 # Loss codes baked into the kernel as static ints (the rho/w math is a few
 # VPU ops, cheap to inline per variant).
-_LOSS_NONE, _LOSS_EXP, _LOSS_HUBER = 0, 1, 2
+_LOSS_NONE, _LOSS_EXP, _LOSS_HUBER, _LOSS_CAUCHY = 0, 1, 2, 3
 
 
 def _loss_static(loss: Optional[LossFunction]):
@@ -71,20 +77,28 @@ def _loss_static(loss: Optional[LossFunction]):
         return _LOSS_EXP, (loss.c1, loss.c2)
     if isinstance(loss, HuberLoss):
         return _LOSS_HUBER, (loss.threshold, 0.0)
+    if isinstance(loss, CauchyLoss):
+        return _LOSS_CAUCHY, (loss.scale, 0.0)
     raise NotImplementedError(
-        f"pallas backend supports Trivial/Exponential/Huber losses, got "
-        f"{type(loss).__name__}; use backend='jnp'"
+        f"pallas backend supports Trivial/Exponential/Huber/Cauchy losses, "
+        f"got {type(loss).__name__}; use backend='jnp'"
     )
 
 
 def _eval_loss(loss_code: int, sq: Array, a: Array, b: Array):
     """(rho, w) for squared residual norm sq. Mirrors core.losses exactly
-    (reference: loss_function.h:28-41,57-66)."""
+    (reference: loss_function.h:28-41,57-66; Cauchy is this framework's
+    extension, core/losses.py:118)."""
     if loss_code == _LOSS_NONE:
         return sq, jnp.ones_like(sq)
     if loss_code == _LOSS_EXP:
         exp_term = jnp.exp(-b * sq)
         return a - a * exp_term, 2.0 * a * b * exp_term
+    if loss_code == _LOSS_CAUCHY:
+        # a = scale; rho = a^2 log1p(s/a^2), w = 1/(1 + s/a^2)
+        c2 = a * a
+        inv = 1.0 / (1.0 + sq / c2)
+        return c2 * jnp.log1p(sq / c2), inv
     # Huber: a = threshold
     sq_delta = a * a
     outlier = sq > sq_delta

@@ -26,7 +26,7 @@ never read by the reference loop — same here.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -74,16 +74,30 @@ class _State(NamedTuple):
     records: IterationRecord
 
 
+def _tree_norm(x) -> Array:
+    """L2 norm over every leaf of a pytree (plain array included)."""
+    leaves = jax.tree_util.tree_leaves(x)
+    return jnp.sqrt(sum(jnp.sum(l * l) for l in leaves))
+
+
 def solve(
     eval_quadratic: Callable[[Params], Tuple[Array, Array, Array]],
     retract: Callable[[Params, Array], Params],
     params0: Params,
     options: Options,
+    solve_linear: Optional[Callable] = None,
 ) -> Tuple[Params, Summary]:
     """Run the solver. ``eval_quadratic(params) -> (H, g, cost)``;
     ``retract(params, delta) -> params`` applies a local step on the
     parameter manifold. Jit-safe; call under ``jax.jit`` for one fused
-    device program."""
+    device program.
+
+    ``solve_linear(H, g, lam) -> delta`` overrides the damped-normal-
+    equations step. ``H`` is then whatever ``eval_quadratic`` returned in
+    the first slot — it can be any pytree of operator parts (e.g. the
+    per-edge Jacobian blocks of a matrix-free pose-graph CG solve), and
+    ``g``/``delta`` may be pytrees too. The LM *policy* (damping schedule,
+    convergence checks, records) stays this one canonical loop."""
     oh = options.optimization_handle
     ch = options.convergence_handle
     max_it = options.max_iterations
@@ -101,7 +115,9 @@ def solve(
         hessian, gradient, cost = eval_quadratic(state.params)
 
         if options.minimizer_type == MinimizerType.GRADIENT_DESCENT:
-            delta = -gd_step * gradient
+            delta = jax.tree_util.tree_map(lambda g: -gd_step * g, gradient)
+        elif solve_linear is not None:
+            delta = solve_linear(hessian, gradient, state.lam)
         else:
             damped = damp_hessian(hessian, state.lam)
             delta = solve_normal_equations(
@@ -112,14 +128,17 @@ def solve(
         # after masking) yields a non-finite step; treat it as a zero step
         # so the solve converges in place instead of exploding. (The
         # reference has no such guard — its behavior there is UB garbage.)
-        delta = jnp.where(
-            jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta)
+        finite = jnp.asarray(True)
+        for leaf in jax.tree_util.tree_leaves(delta):
+            finite = finite & jnp.all(jnp.isfinite(leaf))
+        delta = jax.tree_util.tree_map(
+            lambda d: jnp.where(finite, d, jnp.zeros_like(d)), delta
         )
 
         new_params = retract(state.params, delta)
 
-        step_norm = jnp.linalg.norm(delta)
-        grad_norm = jnp.linalg.norm(gradient)
+        step_norm = _tree_norm(delta)
+        grad_norm = _tree_norm(gradient)
         converged = (step_norm < ch.parameter_tolerance) | (
             grad_norm < ch.gradient_tolerance
         )

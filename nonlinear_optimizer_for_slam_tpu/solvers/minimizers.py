@@ -17,7 +17,7 @@ masked tails to bound recompilation across outer-ICP iterations.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +53,21 @@ def _pose_from_params(params: "SE3Params") -> Pose:
     return Pose(np_quat_to_rotmat(q), np.asarray(t, np.float64))
 
 
+class SE3Priors(NamedTuple):
+    """Pose prior folded into the damped-GN system as extra quadratic
+    terms: weight * ||t - t_prior||^2 and weight * ||log(q_prior^-1 q)||^2.
+
+    Completes the reference's declared-but-never-wired prior fields
+    (mahalanobis_distance_minimizer.h:38-39
+    ``translation_prior_constraint_`` / ``rotation_prior_constraint_``) —
+    and actually applies them. Weights of 0 disable a term."""
+
+    translation: Array  # (3,)
+    quaternion: Array  # (4,) wxyz
+    translation_weight: Array  # scalar
+    rotation_weight: Array  # scalar
+
+
 class _MinimizerBase:
     """Shared plumbing: loss, backend, dtype, padding, jit cache."""
 
@@ -70,11 +85,50 @@ class _MinimizerBase:
         self.pad_multiple = pad_multiple
         self.mesh = mesh
         self.loss_function: Optional[LossFunction] = None
+        self.priors: Optional[SE3Priors] = None
 
     def set_loss_function(self, loss: Optional[LossFunction]):
         """Reference: MahalanobisDistanceMinimizer::SetLossFunction
         (mahalanobis_distance_minimizer.cc:15-18)."""
         self.loss_function = loss
+        return self
+
+    def set_prior_constraints(
+        self,
+        translation=None,
+        rotation=None,
+        translation_weight: float = 1.0,
+        rotation_weight: float = 1.0,
+    ):
+        """Attach translation and/or rotation priors (see
+        :class:`SE3Priors`). ``rotation`` is a Pose, a (3, 3) rotation
+        matrix, or a (4,) wxyz quaternion. Pass both as None to clear."""
+        if translation is None and rotation is None:
+            self.priors = None
+            return self
+        from ..core.pose import np_rotmat_to_quat
+
+        t = np.zeros(3) if translation is None else np.asarray(translation, float)
+        wt = 0.0 if translation is None else float(translation_weight)
+        if rotation is None:
+            q, wr = np.array([1.0, 0.0, 0.0, 0.0]), 0.0
+        else:
+            if isinstance(rotation, Pose):
+                q = rotation.quaternion()
+            else:
+                rotation = np.asarray(rotation, float)
+                q = (
+                    np_rotmat_to_quat(rotation)
+                    if rotation.shape == (3, 3)
+                    else rotation / np.linalg.norm(rotation)
+                )
+            wr = float(rotation_weight)
+        self.priors = SE3Priors(
+            jnp.asarray(t, self.dtype),
+            jnp.asarray(q, self.dtype),
+            jnp.asarray(wt, self.dtype),
+            jnp.asarray(wr, self.dtype),
+        )
         return self
 
     def _pad(self, n: int) -> int:
@@ -101,6 +155,7 @@ class MahalanobisDistanceMinimizer(_MinimizerBase):
             q0,
             data,
             self.loss_function,
+            self.priors,
             options,
             self.backend,
             self.mesh,
@@ -129,11 +184,24 @@ class MahalanobisDistanceMinimizer3DOF(_MinimizerBase):
         theta0 = jnp.asarray(
             np.arctan2(pose.rotation[1, 0], pose.rotation[0, 0]), self.dtype
         )
+        planar_priors = None
+        if self.priors is not None:
+            # project the SE(3) prior onto the planar manifold: (x, y) and
+            # the yaw of the prior quaternion (the 3-DoF solver's pose
+            # embedding, .._analytic_3dof.cc:22-25)
+            pq = np.asarray(self.priors.quaternion, np.float64)
+            planar_priors = (
+                self.priors.translation[:2],
+                jnp.asarray(2.0 * np.arctan2(pq[3], pq[0]), self.dtype),
+                self.priors.translation_weight,
+                self.priors.rotation_weight,
+            )
         params, summary = _maha3_solve(
             t0,
             theta0,
             data,
             self.loss_function,
+            planar_priors,
             options,
             self.backend,
             self.mesh,
@@ -175,6 +243,7 @@ class ReprojectionErrorMinimizer(_MinimizerBase):
             data,
             intr,
             self.loss_function,
+            self.priors,
             options,
             self.backend,
             self.mesh,
@@ -202,6 +271,7 @@ class PointToPlaneMinimizer(_MinimizerBase):
             q0,
             data,
             self.loss_function,
+            self.priors,
             options,
             self.backend,
             self.mesh,
@@ -243,8 +313,32 @@ def _maybe_shard(solve_fn, mesh, data, *prefix_args):
     return shard_solve(solve_fn, mesh, data, *prefix_args)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
-def _maha6_solve(t0, q0, data, loss, options, backend, mesh, pad_n, dtype_name):
+def _add_se3_priors(H, g, c, params: SE3Params, priors: Optional[SE3Priors]):
+    """Fold pose priors into (H, g, cost) as Gauss-Newton quadratic terms.
+
+    Translation: residual t - t_prior, Jacobian [I 0].
+    Rotation: residual log(q_prior^-1 q) in the right-retraction tangent
+    (J ~= I near the prior — the standard small-residual GN block). Applied
+    AFTER the factor psum so the prior counts exactly once under sharding."""
+    if priors is None:
+        return H, g, c
+    wt, wr = priors.translation_weight, priors.rotation_weight
+    rt = params.translation - priors.translation
+    q = lie.quat_normalize(params.quaternion)
+    rw = lie.quat_log_vec(
+        lie.quat_multiply(lie.quat_conjugate(priors.quaternion), q)
+    )
+    eye3 = jnp.eye(3, dtype=H.dtype)
+    H = H.at[:3, :3].add(wt * eye3).at[3:, 3:].add(wr * eye3)
+    g = g.at[:3].add(wt * rt).at[3:].add(wr * rw)
+    c = c + wt * jnp.dot(rt, rt) + wr * jnp.dot(rw, rw)
+    return H, g, c
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _maha6_solve(
+    t0, q0, data, loss, priors, options, backend, mesh, pad_n, dtype_name
+):
     data = _prepare(data, pad_n, dtype_name)
 
     def solve_fn(data_shard, *, psum_axis):
@@ -266,15 +360,17 @@ def _maha6_solve(t0, q0, data, loss, options, backend, mesh, pad_n, dtype_name):
             H, g, c = eval_fn(R, params.translation)
             if psum_axis is not None:
                 H, g, c = jax.lax.psum((H, g, c), psum_axis)
-            return H, g, c
+            return _add_se3_priors(H, g, c, params, priors)
 
         return lm.solve(quad, se3_retract, SE3Params(t0, q0), options)
 
     return _maybe_shard(solve_fn, mesh, data)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
-def _maha3_solve(t0, theta0, data, loss, options, backend, mesh, pad_n, dtype_name):
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _maha3_solve(
+    t0, theta0, data, loss, priors, options, backend, mesh, pad_n, dtype_name
+):
     data = _prepare(data, pad_n, dtype_name)
 
     def solve_fn(data_shard, *, psum_axis):
@@ -295,6 +391,16 @@ def _maha3_solve(t0, theta0, data, loss, options, backend, mesh, pad_n, dtype_na
             H, g, c = eval_fn(R2, params.translation)
             if psum_axis is not None:
                 H, g, c = jax.lax.psum((H, g, c), psum_axis)
+            if priors is not None:
+                t2p, thp, wt, wr = priors
+                rt = params.translation - t2p
+                # wrap the yaw residual to (-pi, pi]
+                rth = params.theta - thp
+                rth = jnp.arctan2(jnp.sin(rth), jnp.cos(rth))
+                eye2 = jnp.eye(2, dtype=H.dtype)
+                H = H.at[:2, :2].add(wt * eye2).at[2, 2].add(wr)
+                g = g.at[:2].add(wt * rt).at[2].add(wr * rth)
+                c = c + wt * jnp.dot(rt, rt) + wr * rth * rth
             return H, g, c
 
         return lm.solve(quad, se2_retract, SE2Params(t0, theta0), options)
@@ -302,9 +408,10 @@ def _maha3_solve(t0, theta0, data, loss, options, backend, mesh, pad_n, dtype_na
     return _maybe_shard(solve_fn, mesh, data)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def _reproj_solve(
-    t0, q0, data, intrinsics, loss, options, backend, mesh, pad_n, dtype_name
+    t0, q0, data, intrinsics, loss, priors, options, backend, mesh, pad_n,
+    dtype_name,
 ):
     data = _prepare(data, pad_n, dtype_name)
 
@@ -326,15 +433,17 @@ def _reproj_solve(
             H, g, c = eval_fn(R, params.translation)
             if psum_axis is not None:
                 H, g, c = jax.lax.psum((H, g, c), psum_axis)
-            return H, g, c
+            return _add_se3_priors(H, g, c, params, priors)
 
         return lm.solve(quad, se3_retract, SE3Params(t0, q0), options)
 
     return _maybe_shard(solve_fn, mesh, data, intrinsics)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
-def _p2p_solve(t0, q0, data, loss, options, backend, mesh, pad_n, dtype_name):
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _p2p_solve(
+    t0, q0, data, loss, priors, options, backend, mesh, pad_n, dtype_name
+):
     data = _prepare(data, pad_n, dtype_name)
 
     def solve_fn(data_shard, *, psum_axis):
@@ -355,7 +464,7 @@ def _p2p_solve(t0, q0, data, loss, options, backend, mesh, pad_n, dtype_name):
             H, g, c = eval_fn(R, params.translation)
             if psum_axis is not None:
                 H, g, c = jax.lax.psum((H, g, c), psum_axis)
-            return H, g, c
+            return _add_se3_priors(H, g, c, params, priors)
 
         return lm.solve(quad, se3_retract, SE3Params(t0, q0), options)
 

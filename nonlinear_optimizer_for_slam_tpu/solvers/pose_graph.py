@@ -52,7 +52,7 @@ class ConstraintType:
     LOOP = 1
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
 def _pose_graph_solve(
     positions0,  # (P, 3)
     quaternions0,  # (P, 4)
@@ -60,44 +60,53 @@ def _pose_graph_solve(
     edges: PoseGraphEdges,
     free_mask,  # (P,) 1.0 = free pose, 0.0 = constant (gauge-fixed)
     switch_penalty,  # scalar penalty weight on (1 - s)
+    edge_loss,  # Optional[LossFunction] robustifying each 7-row edge block
     num_poses: int,
     num_loops: int,
     options: Options,
 ):
+    """Dense direct path: segment-sum BLOCK assembly of the (7P+L)^2
+    normal matrix. Each edge contributes four 7x7 pose blocks and (for
+    loops) a switch row/column, scatter-added at its block coordinates —
+    O(E * 49) work and O(dim^2) memory, with none of the O(E*P) one-hot
+    selector tensors the round-1 implementation materialized.
+
+    Parameter layout: [pose_0 (3 pos + 4 quat), ..., pose_{P-1} | switches]
+    (pose-interleaved, so an edge's columns are two contiguous 7-spans).
+
+    ``edge_loss`` (e.g. core.losses.HuberLoss) applies Ceres-style
+    per-residual-block robustification over the edge's squared norm —
+    the reference has none (Ceres supports it; the functors never set
+    one), this framework makes it first-class."""
     P = num_poses
     L = num_loops
     dim = 7 * P + L
     dtype = positions0.dtype
     E = edges.num_edges
+    ref_i = edges.reference_indices
+    qry_i = edges.query_indices
 
-    # one-hot pose selectors for the scatter-free Jacobian assembly
-    eye_p = jnp.eye(P, dtype=dtype)
-    onehot_ref = eye_p[edges.reference_indices]  # (E, P)
-    onehot_query = eye_p[edges.query_indices]  # (E, P)
-    # loop edges -> switch-slot selector (E, L). Non-loop edges select none.
     if L > 0:
         loop_slot = jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1  # (E,)
-        eye_l = jnp.eye(L, dtype=dtype)
-        onehot_switch = jnp.where(
-            (edges.is_loop > 0)[:, None], eye_l[jnp.clip(loop_slot, 0, L - 1)], 0.0
-        )  # (E, L)
+        loop_slot = jnp.clip(loop_slot, 0, L - 1)
     else:
-        onehot_switch = jnp.zeros((E, 0), dtype)
+        loop_slot = jnp.zeros((E,), jnp.int32)
 
-    # parameter layout: [positions (3P) | quaternions (4P) | switches (L)]
+    free_ref = free_mask[ref_i]
+    free_qry = free_mask[qry_i]
+
+    # parameter layout: pose-interleaved, then switches
     col_mask = jnp.concatenate(
-        [
-            jnp.repeat(free_mask, 3),
-            jnp.repeat(free_mask, 4),
-            jnp.ones((L,), dtype),
-        ]
+        [jnp.repeat(free_mask, 7), jnp.ones((L,), dtype)]
     )  # (dim,)
+    sevens = jnp.arange(7, dtype=jnp.int32)
+    rows_ref = 7 * ref_i[:, None] + sevens[None, :]  # (E, 7)
+    rows_qry = 7 * qry_i[:, None] + sevens[None, :]
+    col_sw = 7 * P + loop_slot  # (E,)
 
     def unflatten(x):
-        pos = x[: 3 * P].reshape(P, 3)
-        quat = x[3 * P : 7 * P].reshape(P, 4)
-        sw = x[7 * P :]
-        return pos, quat, sw
+        pose = x[: 7 * P].reshape(P, 7)
+        return pose[:, :3], pose[:, 3:], x[7 * P :]
 
     def quad(x):
         pos, quat, sw = unflatten(x)
@@ -105,30 +114,49 @@ def _pose_graph_solve(
         r, J_ref, J_query, J_s = edge_residuals_and_jacobians(
             pos, quat, sw_full, edges, switch_penalty
         )  # (E,7), (E,7,7), (E,7,7), (E,7)
+        # gauge fixing: fixed poses contribute no derivative columns
+        J_ref = J_ref * free_ref[:, None, None]
+        J_query = J_query * free_qry[:, None, None]
 
-        # global Jacobian via one-hot outer products:
-        # position columns (E, 7, P, 3) and quaternion columns (E, 7, P, 4)
-        Jp = (
-            J_ref[:, :, None, :3] * onehot_ref[:, None, :, None]
-            + J_query[:, :, None, :3] * onehot_query[:, None, :, None]
-        )  # (E, 7, P, 3)
-        Jq = (
-            J_ref[:, :, None, 3:] * onehot_ref[:, None, :, None]
-            + J_query[:, :, None, 3:] * onehot_query[:, None, :, None]
-        )  # (E, 7, P, 4)
-        Js = J_s[:, :, None] * onehot_switch[:, None, :]  # (E, 7, L)
+        if edge_loss is not None:
+            sq = jnp.sum(r * r, axis=1)  # (E,)
+            rho, w, _ = edge_loss.evaluate(sq)
+            cost = jnp.sum(rho)
+            sqrt_w = jnp.sqrt(w)
+            r = r * sqrt_w[:, None]
+            J_ref = J_ref * sqrt_w[:, None, None]
+            J_query = J_query * sqrt_w[:, None, None]
+            J_s = J_s * sqrt_w[:, None]
+        else:
+            cost = jnp.sum(r * r)
 
-        J_full = jnp.concatenate(
-            [Jp.reshape(E, 7, 3 * P), Jq.reshape(E, 7, 4 * P), Js], axis=-1
-        )  # (E, 7, dim)
-        # gauge fixing: zero the columns of constant poses
-        J_full = J_full * col_mask[None, None, :]
-
-        Jmat = J_full.reshape(E * 7, dim)
-        rvec = r.reshape(E * 7)
         with jax.default_matmul_precision("highest"):
-            H = Jmat.T @ Jmat
-            g = Jmat.T @ rvec
+            B_rr = jnp.einsum("edi,edj->eij", J_ref, J_ref)
+            B_rq = jnp.einsum("edi,edj->eij", J_ref, J_query)
+            B_qq = jnp.einsum("edi,edj->eij", J_query, J_query)
+            g_r = jnp.einsum("edi,ed->ei", J_ref, r)
+            g_q = jnp.einsum("edi,ed->ei", J_query, r)
+
+        H = jnp.zeros((dim, dim), dtype)
+        H = H.at[rows_ref[:, :, None], rows_ref[:, None, :]].add(B_rr)
+        H = H.at[rows_ref[:, :, None], rows_qry[:, None, :]].add(B_rq)
+        H = H.at[rows_qry[:, :, None], rows_ref[:, None, :]].add(
+            jnp.swapaxes(B_rq, 1, 2)
+        )
+        H = H.at[rows_qry[:, :, None], rows_qry[:, None, :]].add(B_qq)
+        g = jnp.zeros((dim,), dtype)
+        g = g.at[rows_ref].add(g_r).at[rows_qry].add(g_q)
+
+        if L > 0:
+            b_rs = jnp.einsum("edi,ed->ei", J_ref, J_s)  # (E, 7)
+            b_qs = jnp.einsum("edi,ed->ei", J_query, J_s)
+            H = H.at[rows_ref, col_sw[:, None]].add(b_rs)
+            H = H.at[col_sw[:, None], rows_ref].add(b_rs)
+            H = H.at[rows_qry, col_sw[:, None]].add(b_qs)
+            H = H.at[col_sw[:, None], rows_qry].add(b_qs)
+            H = H.at[col_sw, col_sw].add(jnp.sum(J_s * J_s, axis=1))
+            g = g.at[col_sw].add(jnp.sum(J_s * r, axis=1))
+
         # keep H nonsingular on fixed-pose rows (delta stays 0 there since
         # g is 0 and the row/col is identity)
         H = H + jnp.diag(1.0 - col_mask)
@@ -139,16 +167,14 @@ def _pose_graph_solve(
         # damping diagonal to min_diagonal = 1e-6
         # (ceres TrustRegionMinimizer); this floor is the equivalent.
         H = H + 1e-8 * jnp.eye(dim, dtype=dtype)
-        cost = jnp.sum(rvec * rvec)
         return H, g, cost
 
     def retract(x, delta):
         # ambient update (the Ceres-without-manifold behavior)
         return x + delta * col_mask
 
-    x0 = jnp.concatenate(
-        [positions0.reshape(-1), quaternions0.reshape(-1), switches0]
-    )
+    pose0 = jnp.concatenate([positions0, quaternions0], axis=1).reshape(-1)
+    x0 = jnp.concatenate([pose0, switches0])
     x, summary = lm.solve(quad, retract, x0, options)
     pos, quat, sw = unflatten(x)
     return pos, quat, sw, summary
@@ -164,15 +190,26 @@ class PoseGraphOptimizer:
         switch_penalty: float = None,
         solver: str = "dense",
         cg_iterations: int = 250,
+        edge_loss=None,
     ):
         """``switch_penalty`` weights the (1 - s) prior row of loop-closure
         switch variables. Default = the reference's 1e-9
-        (SWITCH_PENALTY_SCALE) for trace parity; use ~1.0 to make inlier
-        loops keep s near 1 while outliers switch off.
+        (SWITCH_PENALTY_SCALE) for exact API parity — but that value is
+        far too weak to keep INLIER loop switches at 1 (the reference's
+        own functor comment admits the scaling problem). RECOMMENDED:
+        ``switch_penalty=0.03`` — on the 80-pose reference fixture it is
+        the measured discrimination point where inlier loops hold s >= 0.9
+        while a planted outlier loop switches off (s < 0.1); see
+        tests/test_pose_graph.py::test_outlier_loop_switched_off.
 
         ``solver``: "dense" materializes the (7P+L)^2 normal matrix (best
         up to a few thousand poses); "cg" is the matrix-free Krylov path
         with O(E) memory for large graphs (``cg_iterations`` per LM step).
+
+        ``edge_loss``: optional robust loss (e.g. core.losses.HuberLoss)
+        applied per edge block over its squared residual norm, Ceres-style.
+        The reference never sets one; combined with (or instead of)
+        switchable constraints it bounds any single bad edge's influence.
         """
         from ..ops.relative_pose import SWITCH_PENALTY_SCALE
 
@@ -181,6 +218,7 @@ class PoseGraphOptimizer:
         self.dtype = dtype
         self.solver = solver
         self.cg_iterations = cg_iterations
+        self.edge_loss = edge_loss
         self.switch_penalty = (
             SWITCH_PENALTY_SCALE if switch_penalty is None else switch_penalty
         )
@@ -241,6 +279,12 @@ class PoseGraphOptimizer:
             # the reference's pose-graph test runs Ceres with 500 iters and
             # 1e-18 tolerances (pose_graph_optimizer_ceres.cc:49-59)
             options = Options().replace(max_iterations=500)
+        if not self._constraints:
+            raise ValueError(
+                "PoseGraphOptimizer.solve: no constraints registered; add "
+                "edges with set_constraint() before solving (a graph of "
+                "only poses has nothing to optimize)"
+            )
         indices = sorted(self._poses)
         index_of = {pi: i for i, pi in enumerate(indices)}
         P = len(indices)
@@ -296,6 +340,7 @@ class PoseGraphOptimizer:
                 edges,
                 jnp.asarray(free, dtype),
                 jnp.asarray(self.switch_penalty, dtype),
+                self.edge_loss,
                 P,
                 L,
                 options,
@@ -309,6 +354,7 @@ class PoseGraphOptimizer:
                 edges,
                 jnp.asarray(free, dtype),
                 jnp.asarray(self.switch_penalty, dtype),
+                self.edge_loss,
                 P,
                 L,
                 options,
@@ -482,6 +528,11 @@ class PoseGraphOptimizer2D:
     def solve(self, options: Optional[Options] = None):
         if options is None:
             options = Options().replace(max_iterations=500)
+        if not self._constraints:
+            raise ValueError(
+                "PoseGraphOptimizer2D.solve: no constraints registered; add "
+                "edges with set_constraint() before solving"
+            )
         indices = sorted(self._poses)
         index_of = {pi: i for i, pi in enumerate(indices)}
         P = len(indices)
@@ -544,7 +595,7 @@ class PoseGraphOptimizer2D:
 # ----------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
 def _pose_graph_solve_cg(
     positions0,
     quaternions0,
@@ -552,39 +603,36 @@ def _pose_graph_solve_cg(
     edges: PoseGraphEdges,
     free_mask,
     switch_penalty,
+    edge_loss,  # Optional[LossFunction] robustifying each edge block
     num_poses: int,
     num_loops: int,
     options: Options,
     cg_iterations: int,
 ):
+    """Matrix-free LM: the canonical ``lm.solve`` policy loop with a
+    Jacobi-preconditioned CG linear step. ``eval_quadratic`` returns the
+    per-edge Jacobian blocks as the operator representation (never forming
+    H), and ``solve_linear`` runs the damped matvec CG — so the lambda
+    schedule, convergence checks, and per-iteration records are the same
+    single implementation every other solver uses (no duplicated policy
+    loop, real IterationRecords)."""
     P, L = num_poses, num_loops
     dtype = positions0.dtype
     E = edges.mask.shape[0]
     ref_i = edges.reference_indices
     qry_i = edges.query_indices
-    oh = options.optimization_handle
-    ch = options.convergence_handle
 
     if L > 0:
-        loop_slot = jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1
+        loop_slot = jnp.clip(
+            jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1, 0, L - 1
+        )
     else:
         loop_slot = jnp.zeros((E,), jnp.int32)
     is_loop = edges.is_loop > 0
 
     free_ref = free_mask[ref_i]  # (E,)
     free_qry = free_mask[qry_i]
-
-    def eval_parts(pose_params, switches):
-        pos = pose_params[:, :3]
-        quat = pose_params[:, 3:]
-        sw_full = switches[loop_slot] if L > 0 else jnp.zeros((E,), dtype)
-        r, J_ref, J_query, J_s = edge_residuals_and_jacobians(
-            pos, quat, sw_full, edges, switch_penalty
-        )
-        # gauge fixing: fixed poses contribute no derivatives
-        J_ref = J_ref * free_ref[:, None, None]
-        J_query = J_query * free_qry[:, None, None]
-        return r, J_ref, J_query, J_s
+    fixed_p = (1.0 - free_mask)[:, None]
 
     def scatter_jt(J_ref, J_query, J_s, y):
         """(Jt y) as a pytree ((P,7), (L,))."""
@@ -598,13 +646,33 @@ def _pose_graph_solve_cg(
             gs = jnp.zeros((0,), dtype)
         return gp, gs
 
-    def body(state):
-        pose_params, switches, lam, prev_cost, last_cost, it, done = state
-        r, J_ref, J_query, J_s = eval_parts(pose_params, switches)
-        cost = jnp.sum(r * r)
-        g_p, g_s = scatter_jt(J_ref, J_query, J_s, r)
+    def eval_quadratic(params):
+        pose_params, switches = params
+        pos = pose_params[:, :3]
+        quat = pose_params[:, 3:]
+        sw_full = switches[loop_slot] if L > 0 else jnp.zeros((E,), dtype)
+        r, J_ref, J_query, J_s = edge_residuals_and_jacobians(
+            pos, quat, sw_full, edges, switch_penalty
+        )
+        # gauge fixing: fixed poses contribute no derivatives
+        J_ref = J_ref * free_ref[:, None, None]
+        J_query = J_query * free_qry[:, None, None]
 
-        # diag(J^T J) for multiplicative damping
+        if edge_loss is not None:
+            sq = jnp.sum(r * r, axis=1)
+            rho, w, _ = edge_loss.evaluate(sq)
+            cost = jnp.sum(rho)
+            sqrt_w = jnp.sqrt(w)
+            r = r * sqrt_w[:, None]
+            J_ref = J_ref * sqrt_w[:, None, None]
+            J_query = J_query * sqrt_w[:, None, None]
+            J_s = J_s * sqrt_w[:, None]
+        else:
+            cost = jnp.sum(r * r)
+
+        g = scatter_jt(J_ref, J_query, J_s, r)
+
+        # diag(J^T J) for multiplicative damping + Jacobi preconditioner
         d_p = jnp.zeros((P, 7), dtype)
         d_p = d_p.at[ref_i].add(jnp.sum(J_ref * J_ref, axis=1))
         d_p = d_p.at[qry_i].add(jnp.sum(J_query * J_query, axis=1))
@@ -614,7 +682,13 @@ def _pose_graph_solve_cg(
             )
         else:
             d_s = jnp.zeros((0,), dtype)
-        fixed_p = (1.0 - free_mask)[:, None]
+
+        H_rep = (J_ref, J_query, J_s, d_p, d_s)
+        return H_rep, g, cost
+
+    def solve_linear(H_rep, g, lam):
+        J_ref, J_query, J_s, d_p, d_s = H_rep
+        g_p, g_s = g
 
         def matvec(v):
             vp, vs = v
@@ -640,52 +714,18 @@ def _pose_graph_solve_cg(
         delta, _ = jax.scipy.sparse.linalg.cg(
             matvec, (-g_p, -g_s), maxiter=cg_iterations, M=precond
         )
+        return delta
+
+    def retract(params, delta):
+        pose_params, switches = params
         dp, ds = delta
-        finite = jnp.all(jnp.isfinite(dp)) & jnp.all(jnp.isfinite(ds))
-        dp = jnp.where(finite, dp, jnp.zeros_like(dp))
-        ds = jnp.where(finite, ds, jnp.zeros_like(ds))
-
-        new_pose = pose_params + dp
-        new_sw = switches + ds
-
-        step_norm = jnp.sqrt(jnp.sum(dp * dp) + jnp.sum(ds * ds))
-        grad_norm = jnp.sqrt(jnp.sum(g_p * g_p) + jnp.sum(g_s * g_s))
-        converged = (step_norm < ch.parameter_tolerance) | (
-            grad_norm < ch.gradient_tolerance
-        )
-        adapted = jnp.where(
-            cost > prev_cost,
-            lam * oh.lambda_increase_factor,
-            lam * oh.lambda_decrease_factor,
-        )
-        adapted = jnp.clip(adapted, oh.min_lambda, oh.max_lambda)
-        lam_new = jnp.where(converged, lam, adapted)
-        prev_new = jnp.where(converged, prev_cost, cost)
-        return (new_pose, new_sw, lam_new, prev_new, cost, it + 1, converged)
-
-    def cond(state):
-        return (state[5] < options.max_iterations) & (~state[6])
+        # fixed poses receive no update (their gradient and matvec rows
+        # are identity, so dp is ~0 there already; the mask makes it exact)
+        return (pose_params + dp * free_mask[:, None], switches + ds)
 
     pose0 = jnp.concatenate([positions0, quaternions0], axis=1)  # (P, 7)
-    init = (
-        pose0,
-        switches0,
-        jnp.asarray(oh.initial_lambda, dtype),
-        jnp.asarray(jnp.finfo(dtype).max, dtype),
-        jnp.asarray(jnp.finfo(dtype).max, dtype),
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(False),
-    )
-    pose_params, switches, lam, prev_cost, last_cost, it, done = (
-        jax.lax.while_loop(cond, body, init)
-    )
-    nan = jnp.full((options.max_iterations,), jnp.nan, dtype)
-    summary = lm.Summary(
-        final_cost=last_cost,
-        reported_cost=prev_cost,
-        iterations=jnp.where(done, it - 1, it),
-        final_lambda=lam,
-        converged=done,
-        records=lm.IterationRecord(nan, nan, nan, nan),
+    (pose_params, switches), summary = lm.solve(
+        eval_quadratic, retract, (pose0, switches0), options,
+        solve_linear=solve_linear,
     )
     return pose_params[:, :3], pose_params[:, 3:], switches, summary

@@ -273,3 +273,63 @@ def test_batched_reprojection_solve(rng):
         p1, s1 = single.solve(opts, d, intr, nls.Pose.identity())
         np.testing.assert_allclose(poses[b].translation, p1.translation, atol=1e-8)
         assert int(iters[b]) == int(s1.iterations)
+
+
+def test_prior_constraints(small_world):
+    """set_prior_constraints completes the reference's declared-but-unused
+    prior fields (mahalanobis_distance_minimizer.h:38-39) and actually
+    applies them: zero/no priors match exactly, a strong prior pins the
+    solution, a moderate prior pulls it toward the prior pose."""
+    ndt_map, local, true_pose = small_world
+    opts = Options()
+    loss = ExponentialLoss()
+    data = _match(ndt_map, local, nls.Pose.identity(), dtype=jnp.float64)
+
+    base = nls.MahalanobisDistanceMinimizer(dtype=jnp.float64).set_loss_function(loss)
+    p_base, s_base = base.solve(opts, data, nls.Pose.identity())
+
+    # clearing priors is the identity
+    cleared = (
+        nls.MahalanobisDistanceMinimizer(dtype=jnp.float64)
+        .set_loss_function(loss)
+        .set_prior_constraints()
+    )
+    p_clear, _ = cleared.solve(opts, data, nls.Pose.identity())
+    np.testing.assert_array_equal(p_clear.translation, p_base.translation)
+
+    # a strong prior at a shifted pose pins the solution there
+    prior_t = p_base.translation + np.array([0.5, -0.3, 0.2])
+    strong = (
+        nls.MahalanobisDistanceMinimizer(dtype=jnp.float64)
+        .set_loss_function(loss)
+        .set_prior_constraints(
+            translation=prior_t,
+            rotation=p_base,
+            translation_weight=1e9,
+            rotation_weight=1e9,
+        )
+    )
+    p_strong, _ = strong.solve(opts, data, nls.Pose.identity())
+    np.testing.assert_allclose(p_strong.translation, prior_t, atol=1e-4)
+
+    # a moderate prior pulls the solution strictly toward the prior
+    moderate = (
+        nls.MahalanobisDistanceMinimizer(dtype=jnp.float64)
+        .set_loss_function(loss)
+        .set_prior_constraints(translation=prior_t, translation_weight=50.0)
+    )
+    p_mod, _ = moderate.solve(opts, data, nls.Pose.identity())
+    d_base = np.linalg.norm(p_base.translation - prior_t)
+    d_mod = np.linalg.norm(p_mod.translation - prior_t)
+    assert 1e-6 < d_mod < d_base
+
+    # 3-DoF planar projection of the same API
+    planar = (
+        nls.MahalanobisDistanceMinimizer3DOF(dtype=jnp.float64)
+        .set_loss_function(loss)
+        .set_prior_constraints(
+            translation=[0.4, 0.4, 0.0], translation_weight=1e9
+        )
+    )
+    p3, _ = planar.solve(opts, data, nls.Pose.identity())
+    np.testing.assert_allclose(p3.translation[:2], [0.4, 0.4], atol=1e-4)

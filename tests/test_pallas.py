@@ -12,6 +12,7 @@ import pytest
 
 import nonlinear_optimizer_for_slam_tpu as nls
 from nonlinear_optimizer_for_slam_tpu.core import (
+    CauchyLoss,
     ExponentialLoss,
     HuberLoss,
     Options,
@@ -46,7 +47,13 @@ def pose_f32(rng):
     return R, t
 
 
-LOSSES = [None, TrivialLoss(), ExponentialLoss(c1=1.3, c2=0.4), HuberLoss(2.0)]
+LOSSES = [
+    None,
+    TrivialLoss(),
+    ExponentialLoss(c1=1.3, c2=0.4),
+    HuberLoss(2.0),
+    CauchyLoss(1.5),
+]
 
 
 @pytest.mark.parametrize("loss", LOSSES, ids=lambda l: type(l).__name__)

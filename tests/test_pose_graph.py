@@ -211,3 +211,102 @@ def test_cg_solver_scales_to_large_graph():
     # steps is the expected behavior, not exact convergence
     assert err < 0.1 * err_before, (err, err_before)
     assert float(summary.final_cost) < 1e-6
+
+
+def test_analytic_edge_jacobians_match_autodiff(rng):
+    """Closed-form edge Jacobian blocks == per-edge jacfwd oracle."""
+    from nonlinear_optimizer_for_slam_tpu.ops import relative_pose as rp
+
+    P, E = 7, 12
+    positions = jnp.asarray(rng.normal(size=(P, 3)))
+    # deliberately non-unit quaternions: the ambient parameterization lets
+    # them drift, and the normalization Jacobian must handle that
+    quats = jnp.asarray(rng.normal(size=(P, 4)) + np.array([2.0, 0, 0, 0]))
+    ref = rng.integers(0, P, E)
+    qry = (ref + 1 + rng.integers(0, P - 1, E)) % P
+    rel_q = rng.normal(size=(E, 4))
+    rel_q /= np.linalg.norm(rel_q, axis=1, keepdims=True)
+    edges = rp.PoseGraphEdges(
+        reference_indices=jnp.asarray(ref, jnp.int32),
+        query_indices=jnp.asarray(qry, jnp.int32),
+        relative_translations=jnp.asarray(rng.normal(size=(E, 3))),
+        relative_quaternions=jnp.asarray(rel_q),
+        is_loop=jnp.asarray((rng.uniform(size=E) < 0.5).astype(float)),
+        mask=jnp.asarray((rng.uniform(size=E) < 0.9).astype(float)),
+    )
+    switches = jnp.asarray(rng.uniform(0.2, 1.0, E))
+
+    for scale in (rp.SWITCH_PENALTY_SCALE, 0.03):
+        out = rp.edge_residuals_and_jacobians(
+            positions, quats, switches, edges, scale
+        )
+        oracle = rp.edge_residuals_and_jacobians_ad(
+            positions, quats, switches, edges, scale
+        )
+        for got, exp, name in zip(out, oracle, ("r", "J_ref", "J_query", "J_s")):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(exp), atol=1e-12, err_msg=name
+            )
+
+
+def test_robust_edge_loss_bounds_outlier_influence(fixture):
+    """An ODOMETRY outlier (not switchable — switch variables only guard
+    loops) wrecks the quadratic solve. Robust edge losses bound its
+    influence: Huber (bounded influence) improves the solution but still
+    compromises toward a gross outlier; Cauchy (redescending) rejects it
+    outright, leaving only the outlier's saturated log-cost. Dense and CG
+    paths agree under the same loss."""
+    from nonlinear_optimizer_for_slam_tpu.core import CauchyLoss, HuberLoss
+
+    true_poses, _, _ = fixture
+
+    def build(**kw):
+        opt = _build(fixture, switch_penalty=0.03, **kw)
+        # corrupt with one wild ODOMETRY-type edge (switch variables only
+        # guard loops, so nothing else can absorb it)
+        bad = nls.Pose(np.eye(3), np.array([25.0, -31.0, 18.0]))
+        opt.set_constraint(30, 34, bad)
+        return opt
+
+    def max_err(opt):
+        return max(
+            np.linalg.norm(opt.get_pose(i).translation - tp.translation)
+            for i, tp in enumerate(true_poses)
+        )
+
+    quad = build()
+    quad.solve()
+    huber = build(edge_loss=HuberLoss(1.0))
+    huber.solve()
+    cauchy = build(edge_loss=CauchyLoss(1.0))
+    s_c, _ = cauchy.solve()
+
+    assert max_err(huber) < 0.8 * max_err(quad)
+    # Cauchy rejects the outlier: trajectory within the noise envelope and
+    # the final cost is just the outlier's saturated log term
+    # (log(1 + |r_bad|^2) ~= 7.6) plus the inlier floor.
+    assert max_err(cauchy) < 0.3, max_err(cauchy)
+    assert float(s_c.final_cost) < 8.0
+
+    cauchy_cg = build(edge_loss=CauchyLoss(1.0), solver="cg", cg_iterations=200)
+    cauchy_cg.solve()
+    for i in range(len(true_poses)):
+        np.testing.assert_allclose(
+            cauchy_cg.get_pose(i).translation,
+            cauchy.get_pose(i).translation,
+            atol=5e-3,
+        )
+
+
+def test_cg_records_populated(fixture):
+    """The CG path now rides the canonical lm.solve loop: per-iteration
+    records must be real numbers, not the round-1 NaN placeholders."""
+    opt = _build(fixture, solver="cg", switch_penalty=0.03)
+    summary, _ = opt.solve(Options().replace(max_iterations=40))
+    n = int(summary.iterations)
+    assert n > 1
+    rec = summary.records
+    assert np.all(np.isfinite(np.asarray(rec.cost[:n])))
+    assert np.all(np.isfinite(np.asarray(rec.lam[:n])))
+    costs = np.asarray(rec.cost[:n])
+    assert costs[-1] < costs[0]
