@@ -150,6 +150,11 @@ def main():
     log(f"pipelined throughput: {thr:.2f} ms/registration "
         f"({1000.0 / thr:.0f} scans/s; vs_baseline {BASELINE_MS / thr:.1f}x)")
 
+    # One JSON line. The primary value is the serial wall-clock median —
+    # bounded below by this runtime's ~30 ms relay dispatch quantum
+    # (CLAUDE.md), which is why the pipelined number (scans in flight,
+    # dispatch latency amortized) is reported alongside: it is the
+    # architectural per-scan time a production stream actually pays.
     print(
         json.dumps(
             {
@@ -157,6 +162,8 @@ def main():
                 "value": round(median, 3),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / median, 3),
+                "pipelined_ms": round(thr, 3),
+                "pipelined_vs_baseline": round(BASELINE_MS / thr, 3),
             }
         )
     )

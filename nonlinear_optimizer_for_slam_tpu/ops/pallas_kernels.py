@@ -49,7 +49,13 @@ from .reprojection import MIN_DEPTH, CameraIntrinsics, ReprojectionData
 
 Array = jax.Array
 
-LANE_BLOCK = 4096  # lanes per grid step: (16, 4096) f32 = 256 KB VMEM
+# Lanes per grid step: (16, 4096) f32 = 256 KB VMEM. Measured sweep
+# (results/backend_ablation_tpu.txt, v5e): 4096 and 16384 tie at ~75k
+# lanes (4.42 ms / 40-iter solve); 16384 is 16% faster at 1M lanes
+# (185 GB/s streamed vs 156) — pass lane_block=16384 to pack_*/eval for
+# >512k-lane problems. bf16-storage measured SLOWER (the in-kernel
+# upcast deoptimizes the (16,128)-tiled loads) — keep f32 buffers.
+LANE_BLOCK = 4096
 
 
 def _round_up(n: int, m: int) -> int:
@@ -188,32 +194,46 @@ def _maha6_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
     out_ref[:] = out_ref[:] + partial
 
 
-def pack_maha6(data: MahalanobisData) -> Array:
+def pack_maha6(
+    data: MahalanobisData,
+    lane_block: int = None,
+    buffer_dtype=jnp.float32,
+) -> Array:
     """(N, ...) SoA -> packed transposed (16, N_padded) layout. One-time
-    per solve; do it INSIDE the jitted solve so it fuses with the transfer."""
+    per solve; do it INSIDE the jitted solve so it fuses with the transfer.
+
+    ``buffer_dtype=jnp.bfloat16`` halves the HBM->VMEM DMA bytes; the
+    kernel upcasts to f32 before the FMA chains (bf16 storage, f32
+    compute — the ablation's precision axis)."""
+    if lane_block is None:
+        lane_block = LANE_BLOCK
     n = data.points.shape[0]
-    n_pad = _round_up(max(n, 1), LANE_BLOCK)
+    n_pad = _round_up(max(n, 1), lane_block)
     S_flat = data.sqrt_infos.reshape(n, 9)
     rows = jnp.concatenate(
         [data.points, data.means, S_flat, data.mask[:, None]], axis=1
     )  # (N, 16)
-    packed = rows.T.astype(jnp.float32)  # (16, N)
+    packed = rows.T.astype(buffer_dtype)  # (16, N)
     if n_pad != n:
         packed = jnp.pad(packed, ((0, 0), (0, n_pad - n)))
     return packed
 
 
-@functools.partial(jax.jit, static_argnames=("loss_code",))
-def _maha6_pallas(params_vec: Array, packed: Array, loss_code: int) -> Array:
+@functools.partial(jax.jit, static_argnames=("loss_code", "lane_block"))
+def _maha6_pallas(
+    params_vec: Array, packed: Array, loss_code: int, lane_block: int = None
+) -> Array:
+    if lane_block is None:
+        lane_block = LANE_BLOCK
     n = packed.shape[1]
-    grid = n // LANE_BLOCK
+    grid = n // lane_block
     return pl.pallas_call(
         functools.partial(_maha6_kernel, loss_code=loss_code),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (16, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+                (16, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec((_MAHA6_OUT,), lambda i: (0,), memory_space=pltpu.VMEM),
@@ -227,8 +247,10 @@ def maha6_eval_quadratic_packed(
     translation: Array,
     packed: Array,
     loss: Optional[LossFunction],
+    lane_block: int = None,
 ) -> Tuple[Array, Array, Array]:
-    """(H, g, cost) from the packed layout. Used inside the LM loop."""
+    """(H, g, cost) from the packed layout. Used inside the LM loop.
+    ``lane_block`` must match the block the buffer was packed with."""
     loss_code, (a, b) = _loss_static(loss)
     params_vec = jnp.concatenate(
         [
@@ -238,7 +260,7 @@ def maha6_eval_quadratic_packed(
             jnp.zeros(2, jnp.float32),
         ]
     )
-    out = _maha6_pallas(params_vec, packed, loss_code)
+    out = _maha6_pallas(params_vec, packed, loss_code, lane_block)
     H = unpack_symmetric(out[:21], 6)
     g = out[21:27]
     cost = out[27]
@@ -377,6 +399,181 @@ def maha3_eval_quadratic(
     return maha3_eval_quadratic_packed(
         rotation2, translation2, pack_maha6(data), loss
     )
+
+
+# ----------------------------------------------------------------------------
+# COMPACT 3-DoF kernel: 10-row packing via per-factor Gram precomputation
+# ----------------------------------------------------------------------------
+#
+# The 16-row maha6 layout wastes sublanes on the 3-DoF problem: its
+# residual r_i = a_i . (R2 u + t2 - mu_xy) + wz_i (a_i = S[i, :2],
+# wz_i = S[i, 2] * (p_z - mu_z)) only ever enters H/g/cost through the
+# per-factor GRAM quantities
+#     M   = sum_i a_i a_i^T        (2x2 symmetric: 3 values)
+#     v   = sum_i a_i wz_i         (2 values)
+#     szz = sum_i wz_i^2           (1 value)
+# which are pose-INDEPENDENT, so they precompute at pack time:
+#     H(0:2,0:2) = M,  H(:,2) via M @ (R2 [-u1, u0]),  g = M e + v, ...
+#     ||r||^2 = e^T M e + 2 v.e + szz
+# 10 rows (u, mu_xy, M, v, szz) instead of 16 — 37.5% less HBM->VMEM DMA
+# and a shorter FMA chain (no 3x reconstruction of residual rows). The
+# mask folds into M/v/szz (zeroing them zeroes every contribution; all
+# losses have rho(0) = 0). This is the VERDICT round-1 "trim the maha3
+# sublane waste" item, realized algebraically: 8 rows is unreachable
+# because u and mu_xy cannot merge under a pose-dependent warp, but the
+# Gram trick removes every redundant S row.
+
+_MAHA3C_ROWS = 10
+
+
+def pack_maha3_compact(
+    data: MahalanobisData, lane_block: int = None
+) -> Array:
+    """(N, ...) SoA -> compact (10, N_padded) 3-DoF packing (see above).
+    Rows: u0 u1 | mu0 mu1 | M00 M01 M11 | v0 v1 | szz."""
+    if lane_block is None:
+        lane_block = LANE_BLOCK
+    n = data.points.shape[0]
+    n_pad = _round_up(max(n, 1), lane_block)
+    a = data.sqrt_infos[:, :, :2]  # (N, 3, 2)
+    wz = data.sqrt_infos[:, :, 2] * (
+        data.points[:, 2] - data.means[:, 2]
+    )[:, None]  # (N, 3)
+    m = data.mask
+    M00 = jnp.einsum("ni,ni->n", a[:, :, 0], a[:, :, 0]) * m
+    M01 = jnp.einsum("ni,ni->n", a[:, :, 0], a[:, :, 1]) * m
+    M11 = jnp.einsum("ni,ni->n", a[:, :, 1], a[:, :, 1]) * m
+    v = jnp.einsum("nij,ni->nj", a, wz) * m[:, None]  # (N, 2)
+    szz = jnp.sum(wz * wz, axis=1) * m
+    rows = jnp.stack(
+        [
+            data.points[:, 0],
+            data.points[:, 1],
+            data.means[:, 0],
+            data.means[:, 1],
+            M00,
+            M01,
+            M11,
+            v[:, 0],
+            v[:, 1],
+            szz,
+        ]
+    ).astype(jnp.float32)  # (10, N)
+    if n_pad != n:
+        rows = jnp.pad(rows, ((0, 0), (0, n_pad - n)))
+    return rows
+
+
+def _maha3c_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
+    """Compact 3-DoF kernel. params: R2 row-major (4), t2 (2), loss a, b."""
+    R00, R01, R10, R11 = (params_ref[k] for k in range(4))
+    t0, t1 = params_ref[4], params_ref[5]
+    la, lb = params_ref[6], params_ref[7]
+
+    f32 = jnp.float32
+    u0 = packed_ref[0, :].astype(f32)
+    u1 = packed_ref[1, :].astype(f32)
+    mu0 = packed_ref[2, :].astype(f32)
+    mu1 = packed_ref[3, :].astype(f32)
+    M00 = packed_ref[4, :].astype(f32)
+    M01 = packed_ref[5, :].astype(f32)
+    M11 = packed_ref[6, :].astype(f32)
+    v0 = packed_ref[7, :].astype(f32)
+    v1 = packed_ref[8, :].astype(f32)
+    szz = packed_ref[9, :].astype(f32)
+
+    e0 = R00 * u0 + R01 * u1 + t0 - mu0
+    e1 = R10 * u0 + R11 * u1 + t1 - mu1
+    Me0 = M00 * e0 + M01 * e1
+    Me1 = M01 * e0 + M11 * e1
+    sq = e0 * Me0 + e1 * Me1 + 2.0 * (v0 * e0 + v1 * e1) + szz
+    # guard: padded lanes give sq exactly 0; keep it non-negative under
+    # f32 cancellation for the sqrt-based losses
+    sq = jnp.maximum(sq, 0.0)
+    rho, w = _eval_loss(loss_code, sq, la, lb)
+
+    # dR/dtheta @ u = R2 @ [-u1, u0]
+    rs0 = -R00 * u1 + R01 * u0
+    rs1 = -R10 * u1 + R11 * u0
+    MR0 = M00 * rs0 + M01 * rs1
+    MR1 = M01 * rs0 + M11 * rs1
+    g0 = Me0 + v0
+    g1 = Me1 + v1
+    g2 = rs0 * g0 + rs1 * g1
+
+    parts = [
+        jnp.sum(w * M00),                       # H00
+        jnp.sum(w * M01),                       # H01
+        jnp.sum(w * MR0),                       # H02
+        jnp.sum(w * M11),                       # H11
+        jnp.sum(w * MR1),                       # H12
+        jnp.sum(w * (rs0 * MR0 + rs1 * MR1)),   # H22
+        jnp.sum(w * g0),
+        jnp.sum(w * g1),
+        jnp.sum(w * g2),
+        jnp.sum(rho),
+    ]
+    partial = jnp.concatenate(
+        [jnp.stack(parts), jnp.zeros((_MAHA3_OUT - 10,), jnp.float32)]
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] = out_ref[:] + partial
+
+
+@functools.partial(jax.jit, static_argnames=("loss_code", "lane_block"))
+def _maha3c_pallas(
+    params_vec: Array, packed: Array, loss_code: int, lane_block: int = None
+) -> Array:
+    if lane_block is None:
+        lane_block = LANE_BLOCK
+    n = packed.shape[1]
+    grid = n // lane_block
+    return pl.pallas_call(
+        functools.partial(_maha3c_kernel, loss_code=loss_code),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (_MAHA3C_ROWS, lane_block), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((_MAHA3_OUT,), lambda i: (0,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_MAHA3_OUT,), jnp.float32),
+        interpret=_interpret(),
+    )(params_vec, packed)
+
+
+def maha3_eval_quadratic_compact(
+    rotation2: Array,
+    translation2: Array,
+    packed_compact: Array,
+    loss: Optional[LossFunction],
+    lane_block: int = None,
+) -> Tuple[Array, Array, Array]:
+    """(H, g, cost) from the compact 10-row packing (pack_maha3_compact).
+
+    Matches maha3_eval_quadratic_packed up to f32 reassociation: the
+    quadratic form ||r||^2 = e^T M e + 2 v.e + szz reassociates the
+    reference's row-by-row sum, so costs differ at the 1e-6-relative
+    level (kernel-parity tested)."""
+    loss_code, (a, b) = _loss_static(loss)
+    params_vec = jnp.concatenate(
+        [
+            rotation2.reshape(4).astype(jnp.float32),
+            translation2.astype(jnp.float32),
+            jnp.asarray([a, b], jnp.float32).reshape(2),
+        ]
+    )
+    out = _maha3c_pallas(params_vec, packed_compact, loss_code, lane_block)
+    H = unpack_symmetric(out[:6], 3)
+    g = out[6:9]
+    cost = out[9]
+    return H, g, cost
 
 
 # ----------------------------------------------------------------------------

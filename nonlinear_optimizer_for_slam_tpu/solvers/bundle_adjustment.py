@@ -126,6 +126,7 @@ def _ba_solve_impl(
     num_landmarks: int,  # LOCAL landmark count when sharded
     options: Options,
     psum_axis=None,
+    landmark_chunk=None,  # static: chunk the Schur cross accumulation
 ):
     """Core Schur LM loop. With ``psum_axis`` set, landmarks and
     observations are SHARDED over that mesh axis: V/G/g_l/back-
@@ -181,12 +182,62 @@ def _ba_solve_impl(
 
             V_inv = jnp.linalg.inv(V)  # batched (M, 3, 3)
 
-            # cross-block scatter G (M, C*6, 3) and Schur terms
-            G = jnp.zeros((M, C, 6, 3), dtype).at[lm_idx, cam_idx].add(W_o)
-            GV = jnp.einsum("mcik,mkl->mcil", G, V_inv)  # (M, C, 6, 3)
-            # S = U - sum_m GV G^T   (dense (C,6,C,6))
-            S_cross = -jnp.einsum("mcik,mdjk->cidj", GV, G)
-            rhs_cross = -jnp.einsum("mcik,mk->ci", GV, g_l)  # (C, 6)
+            # Schur RHS cross term at OBSERVATION level — no (M, C, 6, 3)
+            # tensor needed: rhs_c = -sum_o W_o V^{-1}_{m(o)} g_l[m(o)]
+            A_o = jnp.einsum("oik,okl->oil", W_o, V_inv[lm_idx])  # (O, 6, 3)
+            rhs_cross = -(
+                jnp.zeros((C, 6), dtype)
+                .at[cam_idx]
+                .add(jnp.einsum("oik,ok->oi", A_o, g_l[lm_idx]))
+            )
+
+            # S cross term: sum_m G_m V_m^{-1} G_m^T needs per-landmark
+            # PAIRS of observing cameras. Small rigs materialize the
+            # (M, C, 6, 3) scatter in one shot; large rigs accumulate it
+            # over landmark CHUNKS in a lax.scan — peak memory becomes
+            # O(chunk * C * 18) instead of O(M * C * 18), the memory wall
+            # that capped round-1 BA at toy scale.
+            if landmark_chunk is None or landmark_chunk >= M:
+                G = jnp.zeros((M, C, 6, 3), dtype).at[lm_idx, cam_idx].add(W_o)
+                GV = jnp.einsum("mcik,mkl->mcil", G, V_inv)  # (M, C, 6, 3)
+                S_cross = -jnp.einsum("mcik,mdjk->cidj", GV, G)
+            else:
+                n_chunks = -(-M // landmark_chunk)
+                pad_m = n_chunks * landmark_chunk - M
+                V_inv_p = jnp.concatenate(
+                    [
+                        V_inv,
+                        jnp.broadcast_to(
+                            jnp.eye(3, dtype=dtype), (pad_m, 3, 3)
+                        ),
+                    ],
+                    axis=0,
+                ) if pad_m else V_inv
+
+                def chunk_body(acc, k):
+                    base = k * landmark_chunk
+                    rel = lm_idx - base
+                    in_chunk = (
+                        (rel >= 0) & (rel < landmark_chunk)
+                    ).astype(dtype)
+                    relc = jnp.clip(rel, 0, landmark_chunk - 1)
+                    Gc = (
+                        jnp.zeros((landmark_chunk, C, 6, 3), dtype)
+                        .at[relc, cam_idx]
+                        .add(W_o * in_chunk[:, None, None])
+                    )
+                    Vc = jax.lax.dynamic_slice_in_dim(
+                        V_inv_p, base, landmark_chunk
+                    )
+                    GVc = jnp.einsum("mcik,mkl->mcil", Gc, Vc)
+                    return acc + jnp.einsum("mcik,mdjk->cidj", GVc, Gc), None
+
+                S_sum, _ = jax.lax.scan(
+                    chunk_body,
+                    jnp.zeros((C, 6, C, 6), dtype),
+                    jnp.arange(n_chunks),
+                )
+                S_cross = -S_sum
 
             if psum_axis is not None:
                 # one fused collective for the whole reduced system
@@ -208,9 +259,13 @@ def _ba_solve_impl(
             factor = jsl.cho_factor(Smat, lower=True)
             dc = jsl.cho_solve(factor, -rhs.reshape(C * 6)).reshape(C, 6)
 
-            # landmark back-substitution:
-            # dl = -V^{-1} (g_l + sum_c W^T dc)
-            Wt_dc = jnp.einsum("mcik,ci->mk", G, dc)  # (M, 3)
+            # landmark back-substitution at observation level:
+            # dl = -V^{-1} (g_l + sum_{o in m} W_o^T dc[cam(o)])
+            Wt_dc = (
+                jnp.zeros((M, 3), dtype)
+                .at[lm_idx]
+                .add(jnp.einsum("oik,oi->ok", W_o, dc[cam_idx]))
+            )
             dl = -jnp.einsum("mkl,ml->mk", V_inv, g_l + Wt_dc)
 
         return dc, dl, cost, g_c, g_l
@@ -287,20 +342,21 @@ def _ba_solve_impl(
     return params, summary
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _ba_solve(
-    params0, data, intr, loss, cam_free_mask, num_cameras, num_landmarks, options
+    params0, data, intr, loss, cam_free_mask, num_cameras, num_landmarks,
+    options, landmark_chunk=None,
 ):
     return _ba_solve_impl(
         params0, data, intr, loss, cam_free_mask, num_cameras, num_landmarks,
-        options, psum_axis=None,
+        options, psum_axis=None, landmark_chunk=landmark_chunk,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def _ba_solve_sharded(
     params0, data, intr, loss, cam_free_mask, num_cameras, local_landmarks,
-    options, mesh,
+    options, mesh, landmark_chunk=None,
 ):
     """Landmark-sharded BA: BAParams.landmarks, the observation batch, and
     all landmark-side blocks shard over the mesh's factor axis; camera
@@ -317,7 +373,7 @@ def _ba_solve_sharded(
     def local_fn(params, data_s, intr_, loss_, free_):
         return _ba_solve_impl(
             params, data_s, intr_, loss_, free_, num_cameras, local_landmarks,
-            options, psum_axis=FACTOR_AXIS,
+            options, psum_axis=FACTOR_AXIS, landmark_chunk=landmark_chunk,
         )
 
     params_specs = BAParams(P(), P(), P(FACTOR_AXIS))
@@ -345,13 +401,33 @@ def _ba_solve_sharded(
 class BundleAdjuster:
     """Joint camera-landmark refinement via Schur complement."""
 
-    def __init__(self, dtype=jnp.float64, mesh=None):
+    def __init__(self, dtype=jnp.float64, mesh=None, landmark_chunk="auto"):
         """``mesh``: optional factor mesh — landmarks + observations shard
         across it, camera state replicates, the reduced camera system
-        psums over ICI (the multi-host BA of BASELINE config 5)."""
+        psums over ICI (the multi-host BA of BASELINE config 5).
+
+        ``landmark_chunk``: chunk size for the Schur cross-term
+        accumulation. "auto" (default) picks one that caps the per-chunk
+        (chunk, C, 6, 3) tensor near 64 MB once the one-shot (M, C, 6, 3)
+        tensor would exceed ~256 MB; None forces one-shot; an int forces
+        that chunk size. Chunking trades one big scatter for a
+        lax.scan of masked scatters — O(n_chunks * O) index work, flat
+        memory — and is what lets a 100-camera / 10k-landmark / 100k-obs
+        rig fit on one chip (round-1 capped at 8 cams x 300 landmarks)."""
         self.dtype = dtype
         self.mesh = mesh
+        self.landmark_chunk = landmark_chunk
         self.loss_function: Optional[LossFunction] = None
+
+    def _resolve_chunk(self, C: int, M: int):
+        if self.landmark_chunk != "auto":
+            return self.landmark_chunk
+        itemsize = jnp.dtype(self.dtype).itemsize
+        one_shot_bytes = M * C * 18 * itemsize
+        if one_shot_bytes <= 256 * 1024 * 1024:
+            return None
+        target = 64 * 1024 * 1024
+        return max(64, target // (C * 18 * itemsize))
 
     def set_loss_function(self, loss: Optional[LossFunction]):
         self.loss_function = loss
@@ -430,6 +506,7 @@ class BundleAdjuster:
                 C,
                 M,
                 options,
+                self._resolve_chunk(C, M),
             )
         else:
             D = self.mesh.devices.size
@@ -453,6 +530,7 @@ class BundleAdjuster:
                 local_M,
                 options,
                 self.mesh,
+                self._resolve_chunk(C, local_M),
             )
             params = BAParams(
                 params.translations, params.quaternions, params.landmarks[:M]

@@ -150,6 +150,9 @@ class MahalanobisDistanceMinimizer(_MinimizerBase):
     ) -> Tuple[Pose, lm.Summary]:
         t0 = jnp.asarray(pose.translation, self.dtype)
         q0 = jnp.asarray(pose.quaternion(), self.dtype)
+        # bucket BEFORE the main solve so its jit key is the bucket shape,
+        # not the raw factor count (see _prepare)
+        data = _prepare(data, self._pad(data.num_factors), _dtype_name(self.dtype))
         params, summary = _maha6_solve(
             t0,
             q0,
@@ -196,6 +199,7 @@ class MahalanobisDistanceMinimizer3DOF(_MinimizerBase):
                 self.priors.translation_weight,
                 self.priors.rotation_weight,
             )
+        data = _prepare(data, self._pad(data.num_factors), _dtype_name(self.dtype))
         params, summary = _maha3_solve(
             t0,
             theta0,
@@ -237,6 +241,7 @@ class ReprojectionErrorMinimizer(_MinimizerBase):
         )
         t0 = jnp.asarray(pose.translation, self.dtype)
         q0 = jnp.asarray(pose.quaternion(), self.dtype)
+        data = _prepare(data, self._pad(data.num_factors), _dtype_name(self.dtype))
         params, summary = _reproj_solve(
             t0,
             q0,
@@ -266,6 +271,7 @@ class PointToPlaneMinimizer(_MinimizerBase):
     ) -> Tuple[Pose, lm.Summary]:
         t0 = jnp.asarray(pose.translation, self.dtype)
         q0 = jnp.asarray(pose.quaternion(), self.dtype)
+        data = _prepare(data, self._pad(data.num_factors), _dtype_name(self.dtype))
         params, summary = _p2p_solve(
             t0,
             q0,
@@ -294,7 +300,17 @@ def _dtype_name(dtype) -> str:
     return jnp.dtype(dtype).name
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def _prepare(data, pad_n: int, dtype_name: str):
+    """Cast + pad to the bucket size as its OWN tiny jitted program.
+
+    This runs SEPARATELY from (and before) the main LM solve program, so
+    the expensive solve compiles once per BUCKET — if padding happened
+    inside the solve, the raw factor count would be part of its jit cache
+    key and every distinct correspondence count would trigger a fresh
+    26-500 s compile (serving workloads see a different N per scan).
+    The pad program itself is shape-keyed too, but it is a trivial
+    concat/cast that compiles in well under a second."""
     dtype = jnp.dtype(dtype_name)
     return data.astype(dtype).pad_to(pad_n)
 
@@ -339,7 +355,7 @@ def _add_se3_priors(H, g, c, params: SE3Params, priors: Optional[SE3Priors]):
 def _maha6_solve(
     t0, q0, data, loss, priors, options, backend, mesh, pad_n, dtype_name
 ):
-    data = _prepare(data, pad_n, dtype_name)
+    data = _prepare(data, pad_n, dtype_name)  # cache-hit: already bucketed
 
     def solve_fn(data_shard, *, psum_axis):
         if backend == "pallas":

@@ -236,3 +236,120 @@ def test_sharded_ba_matches_single_device(rng):
     np.testing.assert_allclose(
         float(s2.final_cost), float(s1.final_cost), rtol=1e-10
     )
+
+
+def test_chunked_schur_matches_one_shot(rng):
+    """The landmark-chunked Schur cross-term accumulation (the large-rig
+    memory path) must produce the same solve as the one-shot (M, C, 6, 3)
+    scatter — chunk boundaries at awkward offsets included."""
+    intr, data, true_poses, noisy_poses, landmarks, noisy_lms = _make_rig(rng)
+    opts = Options().replace(max_iterations=15)
+
+    one_shot = BundleAdjuster(landmark_chunk=None)
+    p1, l1, s1 = one_shot.solve(
+        opts, data, intr, noisy_poses, noisy_lms, fixed_cameras=(0, 1)
+    )
+    # 300 landmarks / chunk 97 -> 4 chunks, last one ragged
+    chunked = BundleAdjuster(landmark_chunk=97)
+    p2, l2, s2 = chunked.solve(
+        opts, data, intr, noisy_poses, noisy_lms, fixed_cameras=(0, 1)
+    )
+    assert int(s1.iterations) == int(s2.iterations)
+    np.testing.assert_allclose(l2, l1, atol=1e-8)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(b.translation, a.translation, atol=1e-8)
+        np.testing.assert_allclose(b.rotation, a.rotation, atol=1e-8)
+
+
+def _orbit_rig(rng, num_cameras, num_landmarks):
+    """Cameras on a ring orbiting a landmark cloud at the origin, every
+    camera looking at the center — all cameras well-constrained at any
+    camera count (unlike the small arc rig, whose outer cameras lose
+    sight of the cloud)."""
+    intr = CameraIntrinsics.create(525.0, 525.0, 320.0, 240.0, 640, 480)
+    landmarks = np.stack(
+        [
+            rng.uniform(-2, 2, num_landmarks),
+            rng.uniform(-2, 2, num_landmarks),
+            rng.uniform(-1.5, 1.5, num_landmarks),
+        ],
+        axis=1,
+    )
+    radius = 8.0
+    cam_idx, lm_idx, pixels = [], [], []
+    world_from_cam = []
+    for ci in range(num_cameras):
+        ang = 2.0 * np.pi * ci / num_cameras
+        center = np.array(
+            [radius * np.cos(ang), radius * np.sin(ang), 0.3 * np.sin(3 * ang)]
+        )
+        # camera z-axis points at the origin
+        z = -center / np.linalg.norm(center)
+        up = np.array([0.0, 0.0, 1.0])
+        x = np.cross(up, z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R_wc = np.stack([x, y, z], axis=1)  # columns = camera axes in world
+        world_from_cam.append(nls.Pose(R_wc, center))
+
+    for ci, pose in enumerate(world_from_cam):
+        pc = pose.inverse().apply(landmarks)
+        uv = np.stack(
+            [
+                525.0 * pc[:, 0] / pc[:, 2] + 320.0,
+                525.0 * pc[:, 1] / pc[:, 2] + 240.0,
+            ],
+            axis=1,
+        )
+        vis = (
+            (pc[:, 2] > 0.5)
+            & (uv[:, 0] >= 0)
+            & (uv[:, 0] < 640)
+            & (uv[:, 1] >= 0)
+            & (uv[:, 1] < 480)
+        )
+        # subsample ~50% so the problem is not trivially over-determined
+        vis &= rng.uniform(size=num_landmarks) < 0.5
+        for li in np.nonzero(vis)[0]:
+            cam_idx.append(ci)
+            lm_idx.append(li)
+            pixels.append(uv[li])
+
+    data = BAData(
+        camera_indices=jnp.asarray(np.array(cam_idx, np.int32)),
+        landmark_indices=jnp.asarray(np.array(lm_idx, np.int32)),
+        pixels=jnp.asarray(np.stack(pixels)),
+        mask=jnp.ones(len(cam_idx)),
+    )
+    solver_true = [p.inverse() for p in world_from_cam]
+    noisy = [solver_true[0].copy(), solver_true[1].copy()]
+    for p in solver_true[2:]:
+        dp = nls.Pose.from_axis_angle(
+            0.01 * rng.normal(), rng.normal(size=3), 0.03 * rng.normal(size=3)
+        )
+        noisy.append(p * dp)
+    noisy_lms = landmarks + 0.03 * rng.normal(size=landmarks.shape)
+    return intr, data, solver_true, noisy, landmarks, noisy_lms
+
+
+def test_ba_medium_rig_chunked(rng):
+    """40 cams x 2,000 landmarks (~25k observations) through the chunked
+    path: converges and recovers the rig on the CPU mesh. (The full
+    100-cam / 10k-landmark / 100k-obs rig runs on the real chip in
+    benchmarks/run_all.py.)"""
+    intr, data, true_poses, noisy_poses, landmarks, noisy_lms = _orbit_rig(
+        rng, num_cameras=40, num_landmarks=2000
+    )
+    counts = np.bincount(np.asarray(data.camera_indices), minlength=40)
+    assert counts.min() > 100  # every camera well-constrained
+    ba = BundleAdjuster(landmark_chunk=256)
+    opts = Options().replace(max_iterations=40)
+    poses, lms, summary = ba.solve(
+        opts, data, intr, noisy_poses, noisy_lms, fixed_cameras=(0, 1)
+    )
+    err = max(
+        np.linalg.norm(p.translation - tp.translation)
+        for p, tp in zip(poses, true_poses)
+    )
+    assert err < 1e-4, err
+    assert float(summary.final_cost) < 1e-6

@@ -333,3 +333,26 @@ def test_prior_constraints(small_world):
     )
     p3, _ = planar.solve(opts, data, nls.Pose.identity())
     np.testing.assert_allclose(p3.translation[:2], [0.4, 0.4], atol=1e-4)
+
+
+def test_bucketed_padding_avoids_retrace(small_world):
+    """Distinct raw correspondence counts inside one pad bucket must share
+    ONE compiled LM program (serving workloads see a different N per scan;
+    a fresh trace per N would mean a fresh 26-500 s compile each)."""
+    from nonlinear_optimizer_for_slam_tpu.solvers import minimizers as m
+
+    ndt_map, local, _ = small_world
+    opts = Options().replace(max_iterations=3)
+    loss = ExponentialLoss()
+    mini = nls.MahalanobisDistanceMinimizer().set_loss_function(loss)
+
+    def solve_with_n(n):
+        data = _match(ndt_map, local[:n], nls.Pose.identity())
+        mini.solve(opts, data, nls.Pose.identity())
+
+    solve_with_n(350)
+    before = m._maha6_solve._cache_size()
+    solve_with_n(400)  # same 1024-lane bucket, different raw N
+    solve_with_n(457)
+    after = m._maha6_solve._cache_size()
+    assert after == before, (before, after)

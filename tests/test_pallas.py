@@ -220,3 +220,34 @@ def test_packed_layout_roundtrip(rng):
     np.testing.assert_array_equal(packed[15, :n], np.asarray(data.mask))
     # padding lanes fully zero (masked)
     assert np.all(packed[:, n:] == 0)
+
+
+@pytest.mark.parametrize("loss", LOSSES, ids=lambda l: type(l).__name__)
+def test_maha3_compact_kernel_parity(maha_data, loss):
+    """Compact 10-row 3-DoF kernel (per-factor Gram precomputation) ==
+    the 16-row kernel == the f64 jnp oracle, for every loss."""
+    theta = 0.17
+    R2 = jnp.asarray(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]], F32
+    )
+    t2 = jnp.asarray([0.05, -0.08], F32)
+
+    H16, g16, c16 = pk.maha3_eval_quadratic_packed(
+        R2, t2, pk.pack_maha6(maha_data), loss
+    )
+    Hc, gc, cc = pk.maha3_eval_quadratic_compact(
+        R2, t2, pk.pack_maha3_compact(maha_data), loss
+    )
+    np.testing.assert_allclose(np.asarray(Hc), np.asarray(H16), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gc), np.asarray(g16), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(float(cc), float(c16), rtol=1e-4)
+
+    # f64 oracle on the same data
+    data64 = maha_data.astype(jnp.float64)
+    H64, g64, c64 = mahalanobis.eval_quadratic_3dof(
+        jnp.asarray(R2, jnp.float64), jnp.asarray(t2, jnp.float64), data64, loss
+    )
+    np.testing.assert_allclose(np.asarray(Hc), np.asarray(H64), rtol=1e-4)
+    np.testing.assert_allclose(float(cc), float(c64), rtol=1e-4)
