@@ -562,6 +562,39 @@ def bench_pose_graph(runs):
          f"err {err0 * 1e3:.0f}mm -> {err * 1e3:.1f}mm")
     )
     log(f"  pcg {P} poses: {ms:.2f} ms")
+
+    # city-scale: 50,000 poses (350,007-dim state; a dense H would be
+    # ~490 GB — two orders past HBM). O(E) memory matvec, batched-gather
+    # Krylov iterations.
+    P2 = 50000
+    rng2 = np.random.default_rng(3)
+    true2 = np.cumsum(0.2 * rng2.normal(size=(P2, 3)), axis=0)
+    noisy2 = true2 + np.where(
+        np.arange(P2)[:, None] > 0, 0.05 * rng2.normal(size=(P2, 3)), 0.0
+    )
+    huge = PGO(dtype=jnp.float32, solver="cg", cg_iterations=250, switch_penalty=0.03)
+    for i in range(P2):
+        huge.set_pose(i, nls.Pose(np.eye(3), noisy2[i]))
+    huge.set_pose_constant(0)
+    for i in range(P2 - 1):
+        huge.set_constraint(i, i + 1, nls.Pose(np.eye(3), true2[i + 1] - true2[i]))
+    for k in range(0, P2 - P2 // 8, P2 // 8):
+        a, b = k, k + P2 // 8
+        huge.set_constraint(
+            a, b, nls.Pose(np.eye(3), true2[b] - true2[a]), ConstraintType.LOOP
+        )
+    ms, (summary, _) = timed(lambda: huge.solve(big_opts), max(1, runs // 5))
+    err0 = max(np.linalg.norm(noisy2[i] - true2[i]) for i in range(0, P2, 7))
+    err = max(
+        np.linalg.norm(huge.get_pose(i).translation - true2[i])
+        for i in range(0, P2, 7)
+    )
+    rows.append(
+        (f"matrix-free PCG, {P2} poses", f"{ms:.0f} ms",
+         f"{float(summary.final_cost):.2e}",
+         f"err {err0 * 1e3:.0f}mm -> {err * 1e3:.1f}mm")
+    )
+    log(f"  pcg {P2} poses: {ms:.0f} ms")
     return table(
         "pose graph (reference: Ceres-only stub, no recorded time)",
         rows,

@@ -127,6 +127,7 @@ def _ba_solve_impl(
     options: Options,
     psum_axis=None,
     landmark_chunk=None,  # static: chunk the Schur cross accumulation
+    chunk_grouped_obs=None,  # static: obs-per-chunk when host-grouped
 ):
     """Core Schur LM loop. With ``psum_axis`` set, landmarks and
     observations are SHARDED over that mesh axis: V/G/g_l/back-
@@ -214,23 +215,51 @@ def _ba_solve_impl(
                     axis=0,
                 ) if pad_m else V_inv
 
-                def chunk_body(acc, k):
-                    base = k * landmark_chunk
-                    rel = lm_idx - base
-                    in_chunk = (
-                        (rel >= 0) & (rel < landmark_chunk)
-                    ).astype(dtype)
-                    relc = jnp.clip(rel, 0, landmark_chunk - 1)
-                    Gc = (
-                        jnp.zeros((landmark_chunk, C, 6, 3), dtype)
-                        .at[relc, cam_idx]
-                        .add(W_o * in_chunk[:, None, None])
-                    )
-                    Vc = jax.lax.dynamic_slice_in_dim(
-                        V_inv_p, base, landmark_chunk
-                    )
-                    GVc = jnp.einsum("mcik,mkl->mcil", Gc, Vc)
-                    return acc + jnp.einsum("mcik,mdjk->cidj", GVc, Gc), None
+                if chunk_grouped_obs is not None:
+                    # CHUNK-GROUPED observations (host-sorted so chunk k's
+                    # observations occupy the contiguous slice
+                    # [k*Oc, (k+1)*Oc), zero-mask padded): each scan step
+                    # scatters only its own Oc observations — total
+                    # scatter work O(O), vs O(O * n_chunks) for the
+                    # masked fallback below.
+                    Oc = chunk_grouped_obs
+
+                    def chunk_body(acc, k):
+                        base = k * landmark_chunk
+                        o0 = k * Oc
+                        Wk = jax.lax.dynamic_slice_in_dim(W_o, o0, Oc)
+                        lmk = jax.lax.dynamic_slice_in_dim(lm_idx, o0, Oc)
+                        camk = jax.lax.dynamic_slice_in_dim(cam_idx, o0, Oc)
+                        relc = jnp.clip(lmk - base, 0, landmark_chunk - 1)
+                        Gc = (
+                            jnp.zeros((landmark_chunk, C, 6, 3), dtype)
+                            .at[relc, camk]
+                            .add(Wk)
+                        )
+                        Vc = jax.lax.dynamic_slice_in_dim(
+                            V_inv_p, base, landmark_chunk
+                        )
+                        GVc = jnp.einsum("mcik,mkl->mcil", Gc, Vc)
+                        return acc + jnp.einsum("mcik,mdjk->cidj", GVc, Gc), None
+                else:
+
+                    def chunk_body(acc, k):
+                        base = k * landmark_chunk
+                        rel = lm_idx - base
+                        in_chunk = (
+                            (rel >= 0) & (rel < landmark_chunk)
+                        ).astype(dtype)
+                        relc = jnp.clip(rel, 0, landmark_chunk - 1)
+                        Gc = (
+                            jnp.zeros((landmark_chunk, C, 6, 3), dtype)
+                            .at[relc, cam_idx]
+                            .add(W_o * in_chunk[:, None, None])
+                        )
+                        Vc = jax.lax.dynamic_slice_in_dim(
+                            V_inv_p, base, landmark_chunk
+                        )
+                        GVc = jnp.einsum("mcik,mkl->mcil", Gc, Vc)
+                        return acc + jnp.einsum("mcik,mdjk->cidj", GVc, Gc), None
 
                 S_sum, _ = jax.lax.scan(
                     chunk_body,
@@ -342,14 +371,15 @@ def _ba_solve_impl(
     return params, summary
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def _ba_solve(
     params0, data, intr, loss, cam_free_mask, num_cameras, num_landmarks,
-    options, landmark_chunk=None,
+    options, landmark_chunk=None, chunk_grouped_obs=None,
 ):
     return _ba_solve_impl(
         params0, data, intr, loss, cam_free_mask, num_cameras, num_landmarks,
         options, psum_axis=None, landmark_chunk=landmark_chunk,
+        chunk_grouped_obs=chunk_grouped_obs,
     )
 
 
@@ -434,6 +464,42 @@ class BundleAdjuster:
         return self
 
     @staticmethod
+    def _chunk_group(data: BAData, M: int, chunk: int):
+        """Host-side grouping for the chunked Schur path: sort observations
+        by landmark chunk and pad every chunk to the same occupancy, so the
+        device scan slices contiguous blocks instead of masking the whole
+        observation array once per chunk. Reordering + zero-mask padding
+        preserves every segment sum. Returns (grouped BAData, O_chunk)."""
+        n_chunks = -(-M // chunk)
+        cam = np.asarray(data.camera_indices)
+        lm = np.asarray(data.landmark_indices)
+        px = np.asarray(data.pixels)
+        mask = np.asarray(data.mask)
+        chunk_of = lm // chunk
+        counts = np.bincount(chunk_of, minlength=n_chunks)
+        O_chunk = int(max(counts.max(), 1))
+        cam_out = np.zeros((n_chunks, O_chunk), np.int32)
+        lm_out = np.zeros((n_chunks, O_chunk), np.int32)
+        px_out = np.zeros((n_chunks, O_chunk, 2), px.dtype)
+        mask_out = np.zeros((n_chunks, O_chunk), mask.dtype)
+        for k in range(n_chunks):
+            ix = np.nonzero(chunk_of == k)[0]
+            cam_out[k, : len(ix)] = cam[ix]
+            # padded rows keep a lm index INSIDE chunk k so the relative
+            # index stays in range (their mask is 0 — no contribution)
+            lm_out[k] = min(k * chunk, M - 1)
+            lm_out[k, : len(ix)] = lm[ix]
+            px_out[k, : len(ix)] = px[ix]
+            mask_out[k, : len(ix)] = mask[ix]
+        grouped = BAData(
+            camera_indices=jnp.asarray(cam_out.reshape(-1)),
+            landmark_indices=jnp.asarray(lm_out.reshape(-1)),
+            pixels=jnp.asarray(px_out.reshape(-1, 2)),
+            mask=jnp.asarray(mask_out.reshape(-1)),
+        )
+        return grouped, O_chunk
+
+    @staticmethod
     def _shard_prep(data: BAData, M: int, num_shards: int):
         """Sort observations into per-landmark-range shard blocks with
         LOCAL landmark indices; equal block sizes via masked padding.
@@ -496,6 +562,16 @@ class BundleAdjuster:
         q_arr = jnp.asarray(np.stack([p.quaternion() for p in camera_poses]), dtype)
 
         if self.mesh is None:
+            chunk = self._resolve_chunk(C, M)
+            grouped_O = None
+            if chunk is not None and chunk < M:
+                data, grouped_O = self._chunk_group(data, M, chunk)
+            data = BAData(
+                data.camera_indices,
+                data.landmark_indices,
+                data.pixels.astype(dtype),
+                data.mask.astype(dtype),
+            )
             params0 = BAParams(t_arr, q_arr, jnp.asarray(landmarks, dtype))
             params, summary = _ba_solve(
                 params0,
@@ -506,7 +582,8 @@ class BundleAdjuster:
                 C,
                 M,
                 options,
-                self._resolve_chunk(C, M),
+                chunk,
+                grouped_O,
             )
         else:
             D = self.mesh.devices.size

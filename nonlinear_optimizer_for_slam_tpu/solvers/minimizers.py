@@ -393,8 +393,12 @@ def _maha3_solve(
         if backend == "pallas":
             from ..ops import pallas_kernels
 
-            packed = pallas_kernels.pack_maha6(data_shard)
-            eval_fn = lambda R2, t2: pallas_kernels.maha3_eval_quadratic_packed(
+            # compact 10-row Gram packing: 37.5% less DMA per iteration
+            # than the shared 16-row maha6 layout (which the fused
+            # registration pipeline still uses because it shares one
+            # packed buffer between the 6-DoF and planar modes)
+            packed = pallas_kernels.pack_maha3_compact(data_shard)
+            eval_fn = lambda R2, t2: pallas_kernels.maha3_eval_quadratic_compact(
                 R2, t2, packed, loss
             )
         else:

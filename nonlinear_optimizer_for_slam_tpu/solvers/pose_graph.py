@@ -397,80 +397,172 @@ def se2_edge_residual(xyt_ref: Array, xyt_query: Array, rel: Array) -> Array:
     return jnp.concatenate([local - rel[:2], dth[None]])
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def se2_edge_residuals_and_jacobians(
+    xyt: Array,  # (P, 3)
+    switches: Array,  # (E,)
+    edges: "PoseGraph2DEdges",
+    penalty_scale,
+) -> Tuple[Array, Array, Array, Array]:
+    """Batched SE(2) edge residuals + CLOSED-FORM Jacobian blocks.
+
+    r = [s? * (R(th_r)^T (p_q - p_r) - t_rel) ;
+         s? * wrap(th_q - th_r - th_rel) ;
+         loop? (1 - s) * penalty]                         (E, 4)
+    J_ref/J_query (E, 4, 3) w.r.t. (x, y, th); J_s (E, 4). The wrap is a
+    piecewise-constant shift, so its derivative is 1 almost everywhere.
+    Verified against the jacfwd oracle in tests/test_pose_graph_2d.py."""
+    dtype = xyt.dtype
+    E = edges.mask.shape[0]
+    ref = xyt[edges.reference_indices]  # (E, 3)
+    qry = xyt[edges.query_indices]
+    rel = edges.relative_xyt
+
+    c = jnp.cos(ref[:, 2])
+    sn = jnp.sin(ref[:, 2])
+    dx = qry[:, 0] - ref[:, 0]
+    dy = qry[:, 1] - ref[:, 1]
+    lx = c * dx + sn * dy
+    ly = -sn * dx + c * dy
+    dth = qry[:, 2] - ref[:, 2] - rel[:, 2]
+    dth = jnp.arctan2(jnp.sin(dth), jnp.cos(dth))
+    r3 = jnp.stack([lx - rel[:, 0], ly - rel[:, 1], dth], axis=-1)  # (E, 3)
+
+    zero = jnp.zeros((E,), dtype)
+    one = jnp.ones((E,), dtype)
+    # d local / d th_ref = [[-sn, c], [-c, -sn]] @ d
+    dlx_dth = -sn * dx + c * dy
+    dly_dth = -c * dx - sn * dy
+    J3_ref = jnp.stack(
+        [
+            jnp.stack([-c, -sn, dlx_dth], axis=-1),
+            jnp.stack([sn, -c, dly_dth], axis=-1),
+            jnp.stack([zero, zero, -one], axis=-1),
+        ],
+        axis=-2,
+    )  # (E, 3, 3)
+    J3_query = jnp.stack(
+        [
+            jnp.stack([c, sn, zero], axis=-1),
+            jnp.stack([-sn, c, zero], axis=-1),
+            jnp.stack([zero, zero, one], axis=-1),
+        ],
+        axis=-2,
+    )
+
+    loop = edges.is_loop > 0
+    sw = jnp.where(loop, switches, one)
+    m = edges.mask
+    penalty = jnp.where(loop, (1.0 - switches) * penalty_scale, 0.0)
+    r = jnp.concatenate([r3 * sw[:, None], penalty[:, None]], axis=-1)
+    r = r * m[:, None]
+    smm = (sw * m)[:, None, None]
+    zero13 = jnp.zeros((E, 1, 3), dtype)
+    J_ref = jnp.concatenate([J3_ref * smm, zero13], axis=-2)  # (E, 4, 3)
+    J_query = jnp.concatenate([J3_query * smm, zero13], axis=-2)
+    J_s = (
+        jnp.concatenate(
+            [
+                jnp.where(loop[:, None], r3, 0.0),
+                jnp.where(loop, -penalty_scale, 0.0)[:, None],
+            ],
+            axis=-1,
+        )
+        * m[:, None]
+    )  # (E, 4)
+    return r, J_ref, J_query, J_s
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
 def _pose_graph_2d_solve(
     xyt0,  # (P, 3)
     switches0,  # (L,)
-    edges: PoseGraph2DEdges,
+    edges: "PoseGraph2DEdges",
     free_mask,  # (P,)
     switch_penalty,
+    edge_loss,  # Optional[LossFunction] per edge block
     num_poses: int,
     num_loops: int,
     options: Options,
 ):
+    """SE(2) dense direct path: same segment-sum 3x3-block assembly,
+    canonical lm.solve loop, and robust edge-loss treatment as the 3D
+    solver (which see)."""
     P = num_poses
     L = num_loops
     dim = 3 * P + L
     dtype = xyt0.dtype
-    E = edges.num_edges if hasattr(edges, "num_edges") else edges.mask.shape[0]
+    E = edges.mask.shape[0]
+    ref_i = edges.reference_indices
+    qry_i = edges.query_indices
 
-    eye_p = jnp.eye(P, dtype=dtype)
-    onehot_ref = eye_p[edges.reference_indices]
-    onehot_query = eye_p[edges.query_indices]
     if L > 0:
-        loop_slot = jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1
-        eye_l = jnp.eye(L, dtype=dtype)
-        onehot_switch = jnp.where(
-            (edges.is_loop > 0)[:, None], eye_l[jnp.clip(loop_slot, 0, L - 1)], 0.0
+        loop_slot = jnp.clip(
+            jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1, 0, L - 1
         )
     else:
         loop_slot = jnp.zeros((E,), jnp.int32)
-        onehot_switch = jnp.zeros((E, 0), dtype)
 
+    free_ref = free_mask[ref_i]
+    free_qry = free_mask[qry_i]
     col_mask = jnp.concatenate(
         [jnp.repeat(free_mask, 3), jnp.ones((L,), dtype)]
     )
+    threes = jnp.arange(3, dtype=jnp.int32)
+    rows_ref = 3 * ref_i[:, None] + threes[None, :]  # (E, 3)
+    rows_qry = 3 * qry_i[:, None] + threes[None, :]
+    col_sw = 3 * P + loop_slot
 
     def quad(x):
         xyt = x[: 3 * P].reshape(P, 3)
         sw = x[3 * P :]
         sw_full = sw[loop_slot] if L > 0 else jnp.zeros((E,), dtype)
+        r, J_ref, J_query, J_s = se2_edge_residuals_and_jacobians(
+            xyt, sw_full, edges, switch_penalty
+        )
+        J_ref = J_ref * free_ref[:, None, None]
+        J_query = J_query * free_qry[:, None, None]
 
-        def one_edge(ref_xyt, query_xyt, rel, s, loop, m):
-            def res(ref_, query_, s_):
-                r3 = se2_edge_residual(ref_, query_, rel)
-                scaled = jnp.where(loop > 0, r3 * s_, r3)
-                penalty = jnp.where(loop > 0, (1.0 - s_) * switch_penalty, 0.0)
-                return jnp.concatenate([scaled, penalty[None]]) * m  # (4,)
+        if edge_loss is not None:
+            sq = jnp.sum(r * r, axis=1)
+            rho, w, _ = edge_loss.evaluate(sq)
+            cost = jnp.sum(rho)
+            sqrt_w = jnp.sqrt(w)
+            r = r * sqrt_w[:, None]
+            J_ref = J_ref * sqrt_w[:, None, None]
+            J_query = J_query * sqrt_w[:, None, None]
+            J_s = J_s * sqrt_w[:, None]
+        else:
+            cost = jnp.sum(r * r)
 
-            r = res(ref_xyt, query_xyt, s)
-            j_ref, j_query, j_s = jax.jacfwd(res, argnums=(0, 1, 2))(
-                ref_xyt, query_xyt, s
-            )
-            return r, j_ref, j_query, j_s
-
-        r, J_ref, J_query, J_s = jax.vmap(one_edge)(
-            xyt[edges.reference_indices],
-            xyt[edges.query_indices],
-            edges.relative_xyt,
-            sw_full,
-            edges.is_loop,
-            edges.mask,
-        )  # (E,4), (E,4,3), (E,4,3), (E,4)
-
-        Jx = (
-            J_ref[:, :, None, :] * onehot_ref[:, None, :, None]
-            + J_query[:, :, None, :] * onehot_query[:, None, :, None]
-        ).reshape(E, 4, 3 * P)
-        Js = J_s[:, :, None] * onehot_switch[:, None, :]
-        J_full = jnp.concatenate([Jx, Js], axis=-1) * col_mask[None, None, :]
-        Jmat = J_full.reshape(E * 4, dim)
-        rvec = r.reshape(E * 4)
         with jax.default_matmul_precision("highest"):
-            H = Jmat.T @ Jmat
-            g = Jmat.T @ rvec
+            B_rr = jnp.einsum("edi,edj->eij", J_ref, J_ref)
+            B_rq = jnp.einsum("edi,edj->eij", J_ref, J_query)
+            B_qq = jnp.einsum("edi,edj->eij", J_query, J_query)
+            g_r = jnp.einsum("edi,ed->ei", J_ref, r)
+            g_q = jnp.einsum("edi,ed->ei", J_query, r)
+
+        H = jnp.zeros((dim, dim), dtype)
+        H = H.at[rows_ref[:, :, None], rows_ref[:, None, :]].add(B_rr)
+        H = H.at[rows_ref[:, :, None], rows_qry[:, None, :]].add(B_rq)
+        H = H.at[rows_qry[:, :, None], rows_ref[:, None, :]].add(
+            jnp.swapaxes(B_rq, 1, 2)
+        )
+        H = H.at[rows_qry[:, :, None], rows_qry[:, None, :]].add(B_qq)
+        g = jnp.zeros((dim,), dtype)
+        g = g.at[rows_ref].add(g_r).at[rows_qry].add(g_q)
+
+        if L > 0:
+            b_rs = jnp.einsum("edi,ed->ei", J_ref, J_s)
+            b_qs = jnp.einsum("edi,ed->ei", J_query, J_s)
+            H = H.at[rows_ref, col_sw[:, None]].add(b_rs)
+            H = H.at[col_sw[:, None], rows_ref].add(b_rs)
+            H = H.at[rows_qry, col_sw[:, None]].add(b_qs)
+            H = H.at[col_sw[:, None], rows_qry].add(b_qs)
+            H = H.at[col_sw, col_sw].add(jnp.sum(J_s * J_s, axis=1))
+            g = g.at[col_sw].add(jnp.sum(J_s * r, axis=1))
+
         H = H + jnp.diag(1.0 - col_mask) + 1e-10 * jnp.eye(dim, dtype=dtype)
-        return H, g, jnp.sum(rvec * rvec)
+        return H, g, cost
 
     def retract(x, delta):
         return x + delta * col_mask
@@ -483,10 +575,13 @@ def _pose_graph_2d_solve(
 class PoseGraphOptimizer2D:
     """SE(2) pose-graph optimizer; same API shape as the 3D one."""
 
-    def __init__(self, dtype=jnp.float64, switch_penalty: float = None):
+    def __init__(
+        self, dtype=jnp.float64, switch_penalty: float = None, edge_loss=None
+    ):
         from ..ops.relative_pose import SWITCH_PENALTY_SCALE
 
         self.dtype = dtype
+        self.edge_loss = edge_loss
         self.switch_penalty = (
             SWITCH_PENALTY_SCALE if switch_penalty is None else switch_penalty
         )
@@ -568,6 +663,7 @@ class PoseGraphOptimizer2D:
             edges,
             jnp.asarray(free, dtype),
             jnp.asarray(self.switch_penalty, dtype),
+            self.edge_loss,
             P,
             L,
             options,

@@ -123,6 +123,25 @@ def test_pallas_backend_solve_matches_jnp_backend(maha_data):
     np.testing.assert_allclose(p2.rotation, p1.rotation, atol=1e-5)
     np.testing.assert_allclose(p2.translation, true_pose.translation, atol=1e-3)
 
+    # planar backend parity through the public API (the pallas path packs
+    # the compact 10-row Gram layout)
+    planar_true = nls.Pose.from_axis_angle(0.06, [0, 0, 1.0], [0.1, -0.08, 0.0])
+    data3 = mahalanobis.MahalanobisData(
+        points=data.points,
+        means=jnp.asarray(planar_true.apply(np.asarray(data.points)), F32),
+        sqrt_infos=data.sqrt_infos,
+        mask=data.mask,
+    )
+    m3j = nls.MahalanobisDistanceMinimizer3DOF(backend="jnp").set_loss_function(loss)
+    m3p = nls.MahalanobisDistanceMinimizer3DOF(backend="pallas").set_loss_function(loss)
+    p3j, _ = m3j.solve(opts, data3, nls.Pose.identity())
+    p3p, _ = m3p.solve(opts, data3, nls.Pose.identity())
+    np.testing.assert_allclose(p3p.translation, p3j.translation, atol=1e-5)
+    np.testing.assert_allclose(p3p.rotation, p3j.rotation, atol=1e-5)
+    np.testing.assert_allclose(
+        p3p.translation[:2], planar_true.translation[:2], atol=1e-3
+    )
+
 
 def test_fused_registration_matches_host_loop():
     """Device-resident ICP == host-driven ICP on the same world."""
