@@ -443,7 +443,18 @@ def bench_serving(runs):
     """Batched scan-to-map registration (serving mode): B full NDT
     registrations — matching + inner LM + outer ICP — in ONE device
     program. The reference has no batched mode at all; its serial 58.9 ms
-    AVX number is the per-scan baseline."""
+    AVX number is the per-scan baseline.
+
+    MEASURED FINDING (r2): the vmapped whole-ICP program does NOT
+    amortize: ~40 ms/scan at any B, even with the vmap-compatible fused
+    kernel (the per-scan device time inflates ~4x under vmap of the
+    flattened while_loop state machine; an unrolled restructure was
+    compile-prohibitive on this remote-compile runtime). Registration
+    THROUGHPUT therefore comes from pipelining (register_async,
+    ~10 ms/scan, see bench.py); register_batch remains the correctness-
+    tested single-program mode. Batched SOLVERS (reproj/maha/p2p, no
+    matching loop) amortize perfectly — see the reproj table's
+    0.26 ms/solve @ B=256."""
     from nonlinear_optimizer_for_slam_tpu.pipelines import fused_registration
 
     ndt_map, local, true_pose = build_world()

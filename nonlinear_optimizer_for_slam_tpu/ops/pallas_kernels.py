@@ -125,13 +125,19 @@ _MAHA6_OUT = 28  # 21 H upper + 6 g + 1 cost
 def _maha6_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
     """One lane-block: fused warp -> r -> J -> loss -> (H, g, cost) partial.
 
-    params_ref (SMEM, (16,)): R row-major (9), t (3), loss a, loss b, pad.
+    params_ref: (16,) in SMEM (single-problem path) OR (1, 16) in VMEM
+        (the vmap-compatible variant — SMEM operands have no pallas
+        batching rule, VMEM ones do): R row-major (9), t (3), loss a/b.
     packed_ref (VMEM, (16, B)): see module docstring.
-    out_ref    (VMEM, (28,)): running partial sums over grid steps.
+    out_ref (VMEM): (28,) or (1, 28) running partial sums over grid steps.
     """
-    R = [params_ref[k] for k in range(9)]  # R[3*i+j]
-    t = [params_ref[9 + k] for k in range(3)]
-    la, lb = params_ref[12], params_ref[13]
+    if params_ref.ndim == 2:
+        prm = lambda k: params_ref[0, k]
+    else:
+        prm = lambda k: params_ref[k]
+    R = [prm(k) for k in range(9)]  # R[3*i+j]
+    t = [prm(9 + k) for k in range(3)]
+    la, lb = prm(12), prm(13)
 
     p = [packed_ref[k, :] for k in range(3)]
     mu = [packed_ref[3 + k, :] for k in range(3)]
@@ -191,7 +197,10 @@ def _maha6_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[:] = out_ref[:] + partial
+    if out_ref.ndim == 2:
+        out_ref[0, :] = out_ref[0, :] + partial
+    else:
+        out_ref[:] = out_ref[:] + partial
 
 
 def pack_maha6(
@@ -267,6 +276,61 @@ def maha6_eval_quadratic_packed(
     return H, g, cost
 
 
+@functools.partial(jax.jit, static_argnames=("loss_code", "lane_block"))
+def _maha6_pallas_v(
+    params_2d: Array, packed: Array, loss_code: int, lane_block: int = None
+) -> Array:
+    """vmap-COMPATIBLE variant: params as a (1, 16) VMEM block and a
+    (1, 28) output, so jax.vmap's pallas batching rule can prepend the
+    batch axis (SMEM operands and 1-D outputs cannot be auto-batched on
+    TPU — verified empirically). Used by the batched serving pipelines."""
+    if lane_block is None:
+        lane_block = LANE_BLOCK
+    n = packed.shape[1]
+    grid = n // lane_block
+    return pl.pallas_call(
+        functools.partial(_maha6_kernel, loss_code=loss_code),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (16, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _MAHA6_OUT), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, _MAHA6_OUT), jnp.float32),
+        interpret=_interpret(),
+    )(params_2d, packed)
+
+
+def maha6_eval_quadratic_packed_v(
+    rotation: Array,
+    translation: Array,
+    packed: Array,
+    loss: Optional[LossFunction],
+    lane_block: int = None,
+) -> Tuple[Array, Array, Array]:
+    """vmap-compatible twin of maha6_eval_quadratic_packed (identical
+    math; see _maha6_pallas_v). Safe under jax.vmap over (rotation,
+    translation, packed)."""
+    loss_code, (a, b) = _loss_static(loss)
+    params_2d = jnp.concatenate(
+        [
+            rotation.reshape(9).astype(jnp.float32),
+            translation.astype(jnp.float32),
+            jnp.asarray([a, b], jnp.float32).reshape(2),
+            jnp.zeros(2, jnp.float32),
+        ]
+    ).reshape(1, 16)
+    out = _maha6_pallas_v(params_2d, packed, loss_code, lane_block)[0]
+    H = unpack_symmetric(out[:21], 6)
+    g = out[21:27]
+    cost = out[27]
+    return H, g, cost
+
+
 def maha6_eval_quadratic(
     rotation: Array,
     translation: Array,
@@ -293,10 +357,15 @@ _MAHA3_OUT = 16  # 6 H upper + 3 g + 1 cost (padded to 16 for alignment)
 def _maha3_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
     """3-DoF planar variant (reference:
     mahalanobis_distance_minimizer_analytic_3dof.cc:110-139). params:
-    R2 row-major (4), t2 (2), loss a, loss b. Same packed layout as 6-DoF."""
-    R00, R01, R10, R11 = (params_ref[k] for k in range(4))
-    t0, t1 = params_ref[4], params_ref[5]
-    la, lb = params_ref[6], params_ref[7]
+    R2 row-major (4), t2 (2), loss a, loss b — (8,) SMEM or (1, 8) VMEM
+    (vmap-compatible; see _maha6_kernel). Same packed layout as 6-DoF."""
+    if params_ref.ndim == 2:
+        prm = lambda k: params_ref[0, k]
+    else:
+        prm = lambda k: params_ref[k]
+    R00, R01, R10, R11 = (prm(k) for k in range(4))
+    t0, t1 = prm(4), prm(5)
+    la, lb = prm(6), prm(7)
 
     p = [packed_ref[k, :] for k in range(3)]
     mu = [packed_ref[3 + k, :] for k in range(3)]
@@ -346,7 +415,10 @@ def _maha3_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[:] = out_ref[:] + partial
+    if out_ref.ndim == 2:
+        out_ref[0, :] = out_ref[0, :] + partial
+    else:
+        out_ref[:] = out_ref[:] + partial
 
 
 @functools.partial(jax.jit, static_argnames=("loss_code",))
@@ -366,6 +438,50 @@ def _maha3_pallas(params_vec: Array, packed: Array, loss_code: int) -> Array:
         out_shape=jax.ShapeDtypeStruct((_MAHA3_OUT,), jnp.float32),
         interpret=_interpret(),
     )(params_vec, packed)
+
+
+@functools.partial(jax.jit, static_argnames=("loss_code",))
+def _maha3_pallas_v(params_2d: Array, packed: Array, loss_code: int) -> Array:
+    """vmap-compatible 3-DoF variant (see _maha6_pallas_v)."""
+    n = packed.shape[1]
+    grid = n // LANE_BLOCK
+    return pl.pallas_call(
+        functools.partial(_maha3_kernel, loss_code=loss_code),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (16, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _MAHA3_OUT), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, _MAHA3_OUT), jnp.float32),
+        interpret=_interpret(),
+    )(params_2d, packed)
+
+
+def maha3_eval_quadratic_packed_v(
+    rotation2: Array,
+    translation2: Array,
+    packed: Array,
+    loss: Optional[LossFunction],
+) -> Tuple[Array, Array, Array]:
+    """vmap-compatible twin of maha3_eval_quadratic_packed."""
+    loss_code, (a, b) = _loss_static(loss)
+    params_2d = jnp.concatenate(
+        [
+            rotation2.reshape(4).astype(jnp.float32),
+            translation2.astype(jnp.float32),
+            jnp.asarray([a, b], jnp.float32).reshape(2),
+        ]
+    ).reshape(1, 8)
+    out = _maha3_pallas_v(params_2d, packed, loss_code)[0]
+    H = unpack_symmetric(out[:6], 3)
+    g = out[6:9]
+    cost = out[9]
+    return H, g, cost
 
 
 def maha3_eval_quadratic_packed(

@@ -136,15 +136,27 @@ def _fused_register_impl(
     from ..ops import mahalanobis as maha_ops
     from ..solvers.linear import damp_hessian, solve_normal_equations
 
-    # jnp evaluation over the SAME packed buffer: required under vmap
-    # (batched serving mode) where pallas_call's SMEM params arg has no
-    # batching rule; identical objective, kernel-parity tested.
+    # Three evaluation paths over the SAME packed buffer:
+    #   "pallas"   — SMEM-params kernel (single-problem fast path)
+    #   "pallas_v" — VMEM-params kernel, vmap-compatible: jax.vmap's
+    #                pallas batching rule prepends the scan axis, so the
+    #                batched serving mode keeps the fused kernel instead
+    #                of falling back to the ~4x-slower jnp eval
+    #   "jnp"      — XLA-fused einsums (oracle / fallback)
+    # Identical objective; kernel-parity tested.
     if eval_backend == "jnp":
         eval6 = lambda R, t_, packed_: maha_ops.eval_quadratic(
             R, t_, maha_ops.unpack_maha6(packed_), loss
         )
         eval3 = lambda R2, t2, packed_: maha_ops.eval_quadratic_3dof(
             R2, t2, maha_ops.unpack_maha6(packed_), loss
+        )
+    elif eval_backend == "pallas_v":
+        eval6 = lambda R, t_, packed_: pk.maha6_eval_quadratic_packed_v(
+            R, t_, packed_, loss
+        )
+        eval3 = lambda R2, t2, packed_: pk.maha3_eval_quadratic_packed_v(
+            R2, t2, packed_, loss
         )
     else:
         eval6 = lambda R, t_, packed_: pk.maha6_eval_quadratic_packed(
@@ -308,15 +320,17 @@ def _fused_register_batched(
     One dispatch for B scans amortizes the runtime's fixed per-dispatch
     completion-poll quantum to quantum/B.
 
-    Evaluation uses the jnp path over the same packed buffer (the
-    pallas_call SMEM params arg cannot be vmapped on TPU); batched einsums
-    over B x lanes keep the MXU busy instead."""
+    Evaluation uses the vmap-compatible fused Pallas kernel
+    (ops.pallas_kernels.maha6_eval_quadratic_packed_v: VMEM params +
+    2-D output, which jax.vmap's pallas batching rule can auto-batch);
+    a round-2 measurement showed the earlier jnp fallback cost ~4x per
+    scan and erased the batching win entirely."""
 
     def one(pts, pts_T, mask, t0, q0):
         return _fused_register_impl(
             means_T, infos_T, pts, pts_T, mask, t0, q0, loss,
             search_radius, outer_tol, num_neighbors, max_outer, options,
-            planar, psum_axis=None, eval_backend="jnp",
+            planar, psum_axis=None, eval_backend="pallas_v",
         )
 
     return jax.vmap(one)(points, points_T, points_mask, t0s, q0s)

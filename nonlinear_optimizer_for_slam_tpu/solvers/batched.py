@@ -66,14 +66,31 @@ def _solve_one(quad, t0, q0, options):
     )
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _maha6_solve_batched(t0s, q0s, data, loss, options):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _maha6_solve_batched(t0s, q0s, data, loss, options, backend="jnp"):
     def one(t0, q0, pts, mus, infos, mask):
         shard = mahalanobis.MahalanobisData(pts, mus, infos, mask)
 
-        def quad(params: SE3Params):
-            R = lie.quat_to_rotmat(params.quaternion)
-            return mahalanobis.eval_quadratic(R, params.translation, shard, loss)
+        if backend == "pallas":
+            from ..ops import pallas_kernels as pk
+
+            # vmap-compatible fused kernel (VMEM params variant); the
+            # pack is pure jnp and batches transparently
+            packed = pk.pack_maha6(shard)
+
+            def quad(params: SE3Params):
+                R = lie.quat_to_rotmat(params.quaternion)
+                return pk.maha6_eval_quadratic_packed_v(
+                    R, params.translation, packed, loss
+                )
+
+        else:
+
+            def quad(params: SE3Params):
+                R = lie.quat_to_rotmat(params.quaternion)
+                return mahalanobis.eval_quadratic(
+                    R, params.translation, shard, loss
+                )
 
         return _solve_one(quad, t0, q0, options)
 
@@ -124,17 +141,20 @@ def solve_mahalanobis_batch(
     initial_poses: Sequence[Pose],
     loss: Optional[LossFunction] = None,
     dtype=jnp.float32,
+    backend: str = "jnp",
 ) -> Tuple[List[Pose], np.ndarray, np.ndarray]:
     """Solve B independent 6-DoF NDT alignment problems in ONE program.
 
     Ragged correspondence counts: pad each instance to a common N and zero
-    its mask tail. Returns (poses, iterations (B,), final_costs (B,)).
+    its mask tail. ``backend="pallas"`` uses the vmap-compatible fused
+    kernel (f32; prefer it for large N). Returns (poses, iterations (B,),
+    final_costs (B,)).
     """
     B = data.points.shape[0]
     t0s, q0s = _stack_initial(initial_poses, B, dtype)
     data = data.astype(dtype)
     ts, qs, iters, costs = jax.device_get(
-        _maha6_solve_batched(t0s, q0s, data, loss, options)
+        _maha6_solve_batched(t0s, q0s, data, loss, options, backend)
     )
     return _poses_from_device(ts, qs), np.asarray(iters), np.asarray(costs)
 

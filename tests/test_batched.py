@@ -235,3 +235,42 @@ def test_batched_registration_matches_single(small_world, rng):
         np.testing.assert_allclose(res.pose.rotation, ref.pose.rotation, atol=1e-5)
         assert res.outer_iterations == ref.outer_iterations
         np.testing.assert_array_equal(res.inner_iterations, ref.inner_iterations)
+
+
+def test_batched_mahalanobis_pallas_backend(rng):
+    """The vmap-compatible pallas kernel backend matches the jnp backend
+    per instance (f32 kernel tolerance)."""
+    B, n = 4, 256
+    opts = Options()
+    loss = ExponentialLoss()
+    pts_b, mus_b, infos_b, true_poses = [], [], [], []
+    for b in range(B):
+        pts = rng.uniform(-2, 2, size=(n, 3))
+        tp = _random_pose(rng)
+        infos = np.tile(np.eye(3), (n, 1, 1))
+        for i in range(n):
+            a = rng.normal(size=3)
+            infos[i] += 0.2 * np.outer(a, a)
+        pts_b.append(pts)
+        mus_b.append(tp.apply(pts))
+        infos_b.append(infos)
+        true_poses.append(tp)
+    data = mahalanobis.MahalanobisData(
+        jnp.asarray(np.stack(pts_b)),
+        jnp.asarray(np.stack(mus_b)),
+        jnp.asarray(np.stack(infos_b)),
+        jnp.ones((B, n)),
+    )
+    poses_j, iters_j, costs_j = solve_mahalanobis_batch(
+        opts, data, [nls.Pose.identity()] * B, loss=loss
+    )
+    poses_p, iters_p, costs_p = solve_mahalanobis_batch(
+        opts, data, [nls.Pose.identity()] * B, loss=loss, backend="pallas"
+    )
+    for b in range(B):
+        np.testing.assert_allclose(
+            poses_p[b].translation, poses_j[b].translation, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            poses_p[b].translation, true_poses[b].translation, atol=1e-3
+        )

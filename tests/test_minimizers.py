@@ -356,3 +356,44 @@ def test_bucketed_padding_avoids_retrace(small_world):
     solve_with_n(457)
     after = m._maha6_solve._cache_size()
     assert after == before, (before, after)
+
+
+def test_prior_constraints_reproj_and_p2p(rng):
+    """Priors apply uniformly across the flagship minimizers: strong
+    translation priors pin reprojection and point-to-plane solutions."""
+    from nonlinear_optimizer_for_slam_tpu.ops import point_to_plane, reprojection
+    from nonlinear_optimizer_for_slam_tpu.ops.reprojection import CameraIntrinsics
+
+    opts = Options()
+    n = 200
+    # reprojection fixture
+    intr = CameraIntrinsics.create(525.0, 525.0, 320.0, 240.0, 640, 480)
+    pts = np.stack(
+        [rng.uniform(-1.5, 1.5, n), rng.uniform(-1, 1, n), rng.uniform(2.5, 4, n)], 1
+    )
+    tp = nls.Pose.from_axis_angle(0.05, [0, 0, 1.0], [0.1, -0.05, 0.08])
+    q = tp.apply(pts)
+    pix = np.stack([525 * q[:, 0] / q[:, 2] + 320, 525 * q[:, 1] / q[:, 2] + 240], 1)
+    rdata = reprojection.ReprojectionData(
+        jnp.asarray(pts), jnp.asarray(pix), jnp.ones(n)
+    )
+    prior_t = tp.translation + np.array([0.3, -0.2, 0.1])
+    rm = (
+        nls.ReprojectionErrorMinimizer(dtype=jnp.float64)
+        .set_prior_constraints(translation=prior_t, translation_weight=1e9)
+    )
+    p, _ = rm.solve(opts, rdata, intr, nls.Pose.identity())
+    np.testing.assert_allclose(p.translation, prior_t, atol=1e-4)
+
+    # point-to-plane fixture
+    normals = rng.normal(size=(n, 3))
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    pdata = point_to_plane.PointToPlaneData(
+        jnp.asarray(pts), jnp.asarray(tp.apply(pts)), jnp.asarray(normals), jnp.ones(n)
+    )
+    pm = (
+        nls.PointToPlaneMinimizer(dtype=jnp.float64)
+        .set_prior_constraints(translation=prior_t, translation_weight=1e9)
+    )
+    p2, _ = pm.solve(opts, pdata, nls.Pose.identity())
+    np.testing.assert_allclose(p2.translation, prior_t, atol=1e-4)
