@@ -251,3 +251,105 @@ def test_published_capture_3dof6dof(full_world):
                 continue
             np.testing.assert_allclose(gc, ec, rtol=5e-3, err_msg=section)
             assert abs(gi - ei) <= 3, (section, got, trace)
+
+
+# ---------------------------------------------------------------------------
+# Reprojection module (PnP-style pose solve, 630-point planar grid).
+#
+# Oracle: the reference's ReprojectionErrorMinimizerAnalytic
+# (reprojection_error_minimizer_analytic.cc:12-105) compiled unmodified in
+# this environment with a per-iteration fprintf of (iteration, cost, lambda)
+# inserted before the Hessian reflection, driven on the exact fixture of its
+# test (reprojection_error_minimizer/tests/simple_optimization_test.cc:42-72:
+# FP-accumulated grid, true pose t=(-0.1, 0.123, -0.5) yaw 0.1,
+# ExponentialLossFunction(1,1), identity start, default Options). This
+# fixture is fully deterministic arithmetic — no eigendecompositions, no
+# matching — so unlike the NDT anchors there is no toolchain eigenbasis
+# freedom: the author's published capture (results/reproj_amd64.txt: COST
+# 2.33228e-11, iter 6) agrees with the oracle to every printed digit.
+#
+# (cost, lambda) per inner LM iteration, 12 significant digits:
+# ---------------------------------------------------------------------------
+ORACLE_REPROJ = {
+    "trace": [
+        (3.55444881972, 1e-3),
+        (0.0515859202783, 6e-4),
+        (2.35978629949e-05, 3.6e-4),
+        (3.42025160971e-07, 2.16e-4),
+        (4.4035399771e-09, 1.296e-4),
+        (2.33227881452e-11, 7.776e-5),
+        (3.96349619791e-14, 4.6656e-5),
+    ],
+    # the reference's "COST:" print is previous_cost (lags one iteration)
+    "reported_cost": 2.33227881452e-11,
+    "iterations": 6,
+    "translation": [0.0872209073462274, -0.132368839193207, 0.500000000181493],
+    "quat_wxyz": [
+        0.99875026039451,
+        2.38636198343075e-09,
+        -5.42420928460359e-11,
+        -0.0499791692798031,
+    ],
+}
+
+
+def test_oracle_parity_reprojection():
+    """Reprojection: every per-iteration (cost, lambda) pair, the reported
+    cost, the iteration count, and the solved pose match the reference
+    code digit-for-digit at f64 (rtol 1e-9 ~ the 12-digit print quantum)."""
+    from nonlinear_optimizer_for_slam_tpu.ops import reprojection
+
+    pts, pix, intr, _ = testing.generate_reprojection_fixture()
+    assert pts.shape[0] == 630  # the capture's "# points: 630"
+    data = reprojection.ReprojectionData(
+        jnp.asarray(pts), jnp.asarray(pix), jnp.ones(pts.shape[0])
+    )
+    minimizer = nls.ReprojectionErrorMinimizer(
+        dtype=jnp.float64
+    ).set_loss_function(ExponentialLoss(1.0, 1.0))
+    pose, summary = minimizer.solve(Options(), data, intr, nls.Pose.identity())
+
+    n = int(summary.iterations)
+    assert n == ORACLE_REPROJ["iterations"]
+    rec = summary.records
+    for i, (ec, elam) in enumerate(ORACLE_REPROJ["trace"]):
+        np.testing.assert_allclose(float(rec.cost[i]), ec, rtol=1e-9)
+        np.testing.assert_allclose(float(rec.lam[i]), elam, rtol=1e-9)
+    np.testing.assert_allclose(
+        float(summary.reported_cost), ORACLE_REPROJ["reported_cost"], rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(pose.translation), ORACLE_REPROJ["translation"], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(pose.quaternion()), ORACLE_REPROJ["quat_wxyz"], atol=1e-9
+    )
+
+
+def test_published_capture_reprojection():
+    """The author's recorded reproj_amd64.txt: reported cost, iteration
+    count, and the printed pose (the capture prints pose.inverse())."""
+    path = f"{REF_RESULTS}/reproj_amd64.txt"
+    trace, _ = parse_capture(path, "OptimizedPoseAnalytic")
+    assert trace, "capture parse failed"
+    (cost, iters), = trace
+
+    from nonlinear_optimizer_for_slam_tpu.ops import reprojection
+
+    pts, pix, intr, true_pose = testing.generate_reprojection_fixture()
+    data = reprojection.ReprojectionData(
+        jnp.asarray(pts), jnp.asarray(pix), jnp.ones(pts.shape[0])
+    )
+    minimizer = nls.ReprojectionErrorMinimizer(
+        dtype=jnp.float64
+    ).set_loss_function(ExponentialLoss(1.0, 1.0))
+    pose, summary = minimizer.solve(Options(), data, intr, nls.Pose.identity())
+
+    assert int(summary.iterations) == iters
+    np.testing.assert_allclose(float(summary.reported_cost), cost, rtol=1e-5)
+    # capture: "Pose (analytic ): -0.1 0.123 -0.5 ..." = solved.inverse()
+    inv = pose.inverse()
+    np.testing.assert_allclose(
+        np.asarray(inv.translation), np.asarray(true_pose.translation),
+        atol=1e-6,
+    )
