@@ -712,8 +712,9 @@ def bench_bundle_adjustment(runs):
             p * nls.Pose.from_axis_angle(0.01 * rng.normal(), rng.normal(size=3), 0.03 * rng.normal(size=3))
         )
     noisy_lms2 = lms2 + 0.03 * rng.normal(size=lms2.shape)
-    ba2 = BundleAdjuster(dtype=jnp.float32, landmark_chunk=1024)
     opts2 = Options().replace(max_iterations=40)
+    # grouped (track-major, scatter-free) layout — the default
+    ba2 = BundleAdjuster(dtype=jnp.float32)
     ms2, (poses2, out_lms2, summary2) = timed(
         lambda: ba2.solve(opts2, data2, intr, noisy2, noisy_lms2, fixed_cameras=(0, 1)),
         max(2, runs // 3),
@@ -723,11 +724,23 @@ def bench_bundle_adjustment(runs):
         for e, t in zip(poses2, solver_true2)
     )
     rows.append(
-        ("Schur, chunked cross (1024)", f"{ms2:.1f} ms",
+        ("Schur, grouped scatter-free", f"{ms2:.1f} ms",
          f"{float(summary2.final_cost):.2e}",
          f"C={C2} M={M2} obs={len(ci2)} cam_err={err2:.2e} iters={int(summary2.iterations)}")
     )
-    log(f"  schur BA large rig: {ms2:.1f} ms (err {err2:.2e})")
+    log(f"  schur BA large rig (grouped): {ms2:.1f} ms (err {err2:.2e})")
+    # flat scatter-add layout with chunked Schur cross, for comparison
+    ba3 = BundleAdjuster(dtype=jnp.float32, landmark_chunk=1024, layout="flat")
+    ms3, (_, _, summary3) = timed(
+        lambda: ba3.solve(opts2, data2, intr, noisy2, noisy_lms2, fixed_cameras=(0, 1)),
+        1,
+    )
+    rows.append(
+        ("Schur, flat chunked (1024)", f"{ms3:.1f} ms",
+         f"{float(summary3.final_cost):.2e}",
+         f"C={C2} M={M2} obs={len(ci2)} iters={int(summary3.iterations)}")
+    )
+    log(f"  schur BA large rig (flat): {ms3:.1f} ms")
     return table(
         "bundle adjustment: Schur complement, toy (8 cam x 300 lm) and "
         "realistic (100 cam x 10k lm x ~100k obs) rigs "
