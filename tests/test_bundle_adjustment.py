@@ -245,12 +245,12 @@ def test_chunked_schur_matches_one_shot(rng):
     intr, data, true_poses, noisy_poses, landmarks, noisy_lms = _make_rig(rng)
     opts = Options().replace(max_iterations=15)
 
-    one_shot = BundleAdjuster(landmark_chunk=None)
+    one_shot = BundleAdjuster(landmark_chunk=None, layout="flat")
     p1, l1, s1 = one_shot.solve(
         opts, data, intr, noisy_poses, noisy_lms, fixed_cameras=(0, 1)
     )
     # 300 landmarks / chunk 97 -> 4 chunks, last one ragged
-    chunked = BundleAdjuster(landmark_chunk=97)
+    chunked = BundleAdjuster(landmark_chunk=97, layout="flat")
     p2, l2, s2 = chunked.solve(
         opts, data, intr, noisy_poses, noisy_lms, fixed_cameras=(0, 1)
     )
@@ -259,6 +259,42 @@ def test_chunked_schur_matches_one_shot(rng):
     for a, b in zip(p1, p2):
         np.testing.assert_allclose(b.translation, a.translation, atol=1e-8)
         np.testing.assert_allclose(b.rotation, a.rotation, atol=1e-8)
+
+
+def test_grouped_layout_matches_flat(rng):
+    """The scatter-free track-major (grouped) layout must reproduce the
+    flat scatter-add layout's solve — same LM trajectory (iteration
+    count), same cost, same poses/landmarks — since both evaluate the
+    identical objective with the same damping policy, differing only in
+    float reassociation of the segment sums."""
+    intr, data, true_poses, noisy_poses, landmarks, noisy_lms = _make_rig(rng)
+    opts = Options().replace(max_iterations=20)
+
+    flat = BundleAdjuster(layout="flat")
+    p1, l1, s1 = flat.solve(
+        opts, data, intr, noisy_poses, noisy_lms, fixed_cameras=(0, 1)
+    )
+    grouped = BundleAdjuster(layout="grouped")
+    p2, l2, s2 = grouped.solve(
+        opts, data, intr, noisy_poses, noisy_lms, fixed_cameras=(0, 1)
+    )
+    assert int(s1.iterations) == int(s2.iterations)
+    np.testing.assert_allclose(
+        float(s2.final_cost), float(s1.final_cost), rtol=1e-8, atol=1e-12
+    )
+    np.testing.assert_allclose(l2, l1, atol=1e-7)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(b.translation, a.translation, atol=1e-7)
+        np.testing.assert_allclose(b.rotation, a.rotation, atol=1e-7)
+
+    # robust loss flows through the grouped path identically
+    fl = BundleAdjuster(layout="flat").set_loss_function(HuberLoss(0.01))
+    gl = BundleAdjuster(layout="grouped").set_loss_function(HuberLoss(0.01))
+    _, _, sf = fl.solve(opts, data, intr, noisy_poses, noisy_lms, fixed_cameras=(0, 1))
+    _, _, sg = gl.solve(opts, data, intr, noisy_poses, noisy_lms, fixed_cameras=(0, 1))
+    np.testing.assert_allclose(
+        float(sg.final_cost), float(sf.final_cost), rtol=1e-8, atol=1e-12
+    )
 
 
 def _orbit_rig(rng, num_cameras, num_landmarks):
