@@ -551,28 +551,36 @@ def bench_pose_graph(runs):
         PoseGraphOptimizer as PGO,
     )
 
-    big = PGO(dtype=jnp.float32, solver="cg", cg_iterations=200, switch_penalty=0.03)
-    for i in range(P):
-        big.set_pose(i, nls.Pose(np.eye(3), noisy_pos[i]))
-    big.set_pose_constant(0)
-    for i in range(P - 1):
-        big.set_constraint(i, i + 1, nls.Pose(np.eye(3), true_pos[i + 1] - true_pos[i]))
-    for a, b in [(0, P // 2), (P // 4, 3 * P // 4), (10, P - 10)]:
-        big.set_constraint(
-            a, b, nls.Pose(np.eye(3), true_pos[b] - true_pos[a]), ConstraintType.LOOP
-        )
     big_opts = Options().replace(max_iterations=30)
-    ms, (summary, _) = timed(lambda: big.solve(big_opts), max(1, runs // 2))
     err0 = max(np.linalg.norm(noisy_pos[i] - true_pos[i]) for i in range(P))
-    err = max(
-        np.linalg.norm(big.get_pose(i).translation - true_pos[i]) for i in range(P)
-    )
-    rows.append(
-        (f"matrix-free PCG, {P} poses", f"{ms:.2f} ms",
-         f"{float(summary.final_cost):.2e}",
-         f"err {err0 * 1e3:.0f}mm -> {err * 1e3:.1f}mm")
-    )
-    log(f"  pcg {P} poses: {ms:.2f} ms")
+    for label, kw in (
+        ("matrix-free PCG", dict(solver="cg", cg_iterations=200)),
+        ("tridiag direct", dict(solver="tridiag")),
+    ):
+        big = PGO(dtype=jnp.float32, switch_penalty=0.03, **kw)
+        for i in range(P):
+            big.set_pose(i, nls.Pose(np.eye(3), noisy_pos[i]))
+        big.set_pose_constant(0)
+        for i in range(P - 1):
+            big.set_constraint(
+                i, i + 1, nls.Pose(np.eye(3), true_pos[i + 1] - true_pos[i])
+            )
+        for a, b in [(0, P // 2), (P // 4, 3 * P // 4), (10, P - 10)]:
+            big.set_constraint(
+                a, b, nls.Pose(np.eye(3), true_pos[b] - true_pos[a]),
+                ConstraintType.LOOP,
+            )
+        ms, (summary, _) = timed(lambda: big.solve(big_opts), max(1, runs // 2))
+        err = max(
+            np.linalg.norm(big.get_pose(i).translation - true_pos[i])
+            for i in range(P)
+        )
+        rows.append(
+            (f"{label}, {P} poses", f"{ms:.2f} ms",
+             f"{float(summary.final_cost):.2e}",
+             f"err {err0 * 1e3:.0f}mm -> {err * 1e3:.1f}mm")
+        )
+        log(f"  {label} {P} poses: {ms:.2f} ms")
 
     # city-scale: 50,000 poses (350,007-dim state; a dense H would be
     # ~490 GB — two orders past HBM). O(E) memory matvec, batched-gather
@@ -583,29 +591,36 @@ def bench_pose_graph(runs):
     noisy2 = true2 + np.where(
         np.arange(P2)[:, None] > 0, 0.05 * rng2.normal(size=(P2, 3)), 0.0
     )
-    huge = PGO(dtype=jnp.float32, solver="cg", cg_iterations=250, switch_penalty=0.03)
-    for i in range(P2):
-        huge.set_pose(i, nls.Pose(np.eye(3), noisy2[i]))
-    huge.set_pose_constant(0)
-    for i in range(P2 - 1):
-        huge.set_constraint(i, i + 1, nls.Pose(np.eye(3), true2[i + 1] - true2[i]))
-    for k in range(0, P2 - P2 // 8, P2 // 8):
-        a, b = k, k + P2 // 8
-        huge.set_constraint(
-            a, b, nls.Pose(np.eye(3), true2[b] - true2[a]), ConstraintType.LOOP
-        )
-    ms, (summary, _) = timed(lambda: huge.solve(big_opts), max(1, runs // 5))
     err0 = max(np.linalg.norm(noisy2[i] - true2[i]) for i in range(0, P2, 7))
-    err = max(
-        np.linalg.norm(huge.get_pose(i).translation - true2[i])
-        for i in range(0, P2, 7)
-    )
-    rows.append(
-        (f"matrix-free PCG, {P2} poses", f"{ms:.0f} ms",
-         f"{float(summary.final_cost):.2e}",
-         f"err {err0 * 1e3:.0f}mm -> {err * 1e3:.1f}mm")
-    )
-    log(f"  pcg {P2} poses: {ms:.0f} ms")
+    for label, kw in (
+        ("matrix-free PCG", dict(solver="cg", cg_iterations=250)),
+        ("tridiag direct", dict(solver="tridiag")),
+    ):
+        huge = PGO(dtype=jnp.float32, switch_penalty=0.03, **kw)
+        for i in range(P2):
+            huge.set_pose(i, nls.Pose(np.eye(3), noisy2[i]))
+        huge.set_pose_constant(0)
+        for i in range(P2 - 1):
+            huge.set_constraint(
+                i, i + 1, nls.Pose(np.eye(3), true2[i + 1] - true2[i])
+            )
+        for k in range(0, P2 - P2 // 8, P2 // 8):
+            a, b = k, k + P2 // 8
+            huge.set_constraint(
+                a, b, nls.Pose(np.eye(3), true2[b] - true2[a]),
+                ConstraintType.LOOP,
+            )
+        ms, (summary, _) = timed(lambda: huge.solve(big_opts), max(1, runs // 5))
+        err = max(
+            np.linalg.norm(huge.get_pose(i).translation - true2[i])
+            for i in range(0, P2, 7)
+        )
+        rows.append(
+            (f"{label}, {P2} poses", f"{ms:.0f} ms",
+             f"{float(summary.final_cost):.2e}",
+             f"err {err0 * 1e3:.0f}mm -> {err * 1e3:.1f}mm")
+        )
+        log(f"  {label} {P2} poses: {ms:.0f} ms")
     return table(
         "pose graph (reference: Ceres-only stub, no recorded time)",
         rows,

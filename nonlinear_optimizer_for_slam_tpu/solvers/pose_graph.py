@@ -204,7 +204,13 @@ class PoseGraphOptimizer:
 
         ``solver``: "dense" materializes the (7P+L)^2 normal matrix (best
         up to a few thousand poses); "cg" is the matrix-free Krylov path
-        with O(E) memory for large graphs (``cg_iterations`` per LM step).
+        with O(E) memory for large graphs (``cg_iterations`` per LM step);
+        "tridiag" is the direct cyclic-reduction solver for
+        chain-dominated graphs (odometry chain + sparse loop closures) —
+        EXACT damped-GN steps at O(E) memory and O(log P) depth, the
+        fastest large-graph path when the number of non-chain edges is
+        small (its Woodbury correction grows with them; prefer "cg" past
+        a few hundred loop closures).
 
         ``edge_loss``: optional robust loss (e.g. core.losses.HuberLoss)
         applied per edge block over its squared residual norm, Ceres-style.
@@ -213,7 +219,7 @@ class PoseGraphOptimizer:
         """
         from ..ops.relative_pose import SWITCH_PENALTY_SCALE
 
-        if solver not in ("dense", "cg"):
+        if solver not in ("dense", "cg", "tridiag"):
             raise ValueError(f"unknown solver {solver!r}")
         self.dtype = dtype
         self.solver = solver
@@ -332,7 +338,52 @@ class PoseGraphOptimizer:
         # switch variables initialized to 1.0 (inlier)
         switches0 = jnp.ones((L,), dtype)
 
-        if self.solver == "cg":
+        if self.solver == "tridiag":
+            # partition: chain = adjacent non-loop edges (the odometry
+            # backbone of T); everything else (loops + non-adjacent)
+            # enters the Woodbury correction. Edges are REORDERED chain
+            # first (sorted by lo) then corr — loop edges keep their
+            # relative order, so switch slots are unchanged.
+            adj = np.abs(ref_idx.astype(np.int64) - query_idx.astype(np.int64)) == 1
+            chain_sel = adj & (is_loop == 0)
+            chain_ids = np.nonzero(chain_sel)[0].astype(np.int32)
+            corr_ids = np.nonzero(~chain_sel)[0].astype(np.int32)
+            lo_all = np.minimum(ref_idx, query_idx)
+            chain_ids = chain_ids[np.argsort(lo_all[chain_ids], kind="stable")]
+            order = np.concatenate([chain_ids, corr_ids])
+            chain_lo = lo_all[chain_ids].astype(np.int32)
+            chain_forward = (ref_idx < query_idx)[chain_ids]
+            # every consecutive pair covered exactly once -> all chain
+            # segment sums become shift-adds (no TPU scatters)
+            chain_seq = bool(
+                len(chain_ids) == P - 1
+                and np.array_equal(chain_lo, np.arange(P - 1, dtype=np.int32))
+            )
+            edges_r = PoseGraphEdges(
+                reference_indices=jnp.asarray(ref_idx[order]),
+                query_indices=jnp.asarray(query_idx[order]),
+                relative_translations=jnp.asarray(rel_t[order], dtype),
+                relative_quaternions=jnp.asarray(rel_q[order], dtype),
+                is_loop=jnp.asarray(is_loop[order], dtype),
+                mask=jnp.ones((E,), dtype),
+            )
+            pos, quat, sw, summary = _pose_graph_solve_tridiag(
+                jnp.asarray(positions, dtype),
+                jnp.asarray(quaternions, dtype),
+                switches0,
+                edges_r,
+                jnp.asarray(free, dtype),
+                jnp.asarray(self.switch_penalty, dtype),
+                self.edge_loss,
+                jnp.asarray(chain_lo),
+                jnp.asarray(chain_forward, dtype),
+                int(len(chain_ids)),
+                P,
+                L,
+                options,
+                chain_seq,
+            )
+        elif self.solver == "cg":
             pos, quat, sw, summary = _pose_graph_solve_cg(
                 jnp.asarray(positions, dtype),
                 jnp.asarray(quaternions, dtype),
@@ -731,10 +782,13 @@ def _pose_graph_solve_cg(
     fixed_p = (1.0 - free_mask)[:, None]
 
     def scatter_jt(J_ref, J_query, J_s, y):
-        """(Jt y) as a pytree ((P,7), (L,))."""
+        """(Jt y) as a pytree ((P,7), (L,)). Per-edge J^T y products are
+        broadcast-mul-sums over the residual axis (length 6): the einsum
+        spelling lowers tiny contractions to tile-padded MXU dot_generals
+        that dominate the CG matvec profile."""
         gp = jnp.zeros((P, 7), dtype)
-        gp = gp.at[ref_i].add(jnp.einsum("edi,ed->ei", J_ref, y))
-        gp = gp.at[qry_i].add(jnp.einsum("edi,ed->ei", J_query, y))
+        gp = gp.at[ref_i].add(jnp.sum(J_ref * y[:, :, None], axis=1))
+        gp = gp.at[qry_i].add(jnp.sum(J_query * y[:, :, None], axis=1))
         if L > 0:
             gs_e = jnp.sum(J_s * y, axis=1) * is_loop
             gs = jnp.zeros((L,), dtype).at[loop_slot].add(gs_e)
@@ -768,10 +822,19 @@ def _pose_graph_solve_cg(
 
         g = scatter_jt(J_ref, J_query, J_s, r)
 
-        # diag(J^T J) for multiplicative damping + Jacobi preconditioner
+        # diag(J^T J) for multiplicative damping + the per-pose 7x7
+        # J^T J blocks for the block-Jacobi preconditioner (outer
+        # products in VPU broadcast form, not einsum — see scatter_jt)
         d_p = jnp.zeros((P, 7), dtype)
         d_p = d_p.at[ref_i].add(jnp.sum(J_ref * J_ref, axis=1))
         d_p = d_p.at[qry_i].add(jnp.sum(J_query * J_query, axis=1))
+        B_p = jnp.zeros((P, 7, 7), dtype)
+        B_p = B_p.at[ref_i].add(
+            jnp.sum(J_ref[:, :, :, None] * J_ref[:, :, None, :], axis=1)
+        )
+        B_p = B_p.at[qry_i].add(
+            jnp.sum(J_query[:, :, :, None] * J_query[:, :, None, :], axis=1)
+        )
         if L > 0:
             d_s = jnp.zeros((L,), dtype).at[loop_slot].add(
                 jnp.sum(J_s * J_s, axis=1) * is_loop
@@ -779,18 +842,18 @@ def _pose_graph_solve_cg(
         else:
             d_s = jnp.zeros((0,), dtype)
 
-        H_rep = (J_ref, J_query, J_s, d_p, d_s)
+        H_rep = (J_ref, J_query, J_s, d_p, d_s, B_p)
         return H_rep, g, cost
 
     def solve_linear(H_rep, g, lam):
-        J_ref, J_query, J_s, d_p, d_s = H_rep
+        J_ref, J_query, J_s, d_p, d_s, B_p = H_rep
         g_p, g_s = g
 
         def matvec(v):
             vp, vs = v
-            Jv = jnp.einsum("edi,ei->ed", J_ref, vp[ref_i]) + jnp.einsum(
-                "edi,ei->ed", J_query, vp[qry_i]
-            )
+            vpr = vp[ref_i][:, None, :]
+            vpq = vp[qry_i][:, None, :]
+            Jv = jnp.sum(J_ref * vpr, axis=2) + jnp.sum(J_query * vpq, axis=2)
             if L > 0:
                 Jv = Jv + J_s * (vs[loop_slot] * is_loop)[:, None]
             hp, hs = scatter_jt(J_ref, J_query, J_s, Jv)
@@ -798,14 +861,22 @@ def _pose_graph_solve_cg(
             hs = hs + lam * d_s * vs + 1e-8 * vs
             return hp, hs
 
-        # Jacobi preconditioner: diag(H) = (1 + lam) diag(JtJ) + gauge
-        # identity + floor — long chains are too ill-conditioned for
-        # unpreconditioned CG at practical iteration counts
-        pre_p = (1.0 + lam) * d_p + fixed_p + 1e-8
+        # Block-Jacobi preconditioner: per-pose damped 7x7 J^T J block
+        # (exactly the pose-diagonal of the damped H the matvec applies),
+        # inverted batched once per LM step (~0.04 ms for 5000 poses on a
+        # v5e) and applied as a VPU broadcast-mul-sum per CG iteration.
+        # Long chains are far too ill-conditioned for diagonal Jacobi at
+        # practical iteration counts — the 7x7 blocks capture the strong
+        # in-pose rotation/translation coupling and cut CG iterations
+        # several-fold. Switch variables are genuinely diagonal in H.
+        dvec = lam * d_p + fixed_p + 1e-8  # (P, 7) damping diagonal
+        Bp = B_p + jnp.eye(7, dtype=dtype) * dvec[:, None, :]
+        Bp_inv = jnp.linalg.inv(Bp)
         pre_s = (1.0 + lam) * d_s + 1e-8
 
         def precond(v):
-            return v[0] / pre_p, v[1] / pre_s
+            vp = jnp.sum(Bp_inv * v[0][:, None, :], axis=2)
+            return vp, v[1] / pre_s
 
         delta, _ = jax.scipy.sparse.linalg.cg(
             matvec, (-g_p, -g_s), maxiter=cg_iterations, M=precond
@@ -820,6 +891,258 @@ def _pose_graph_solve_cg(
         return (pose_params + dp * free_mask[:, None], switches + ds)
 
     pose0 = jnp.concatenate([positions0, quaternions0], axis=1)  # (P, 7)
+    (pose_params, switches), summary = lm.solve(
+        eval_quadratic, retract, (pose0, switches0), options,
+        solve_linear=solve_linear,
+    )
+    return pose_params[:, :3], pose_params[:, 3:], switches, summary
+
+
+@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12, 13))
+def _pose_graph_solve_tridiag(
+    positions0,
+    quaternions0,
+    switches0,
+    edges: PoseGraphEdges,  # REORDERED: chain edges (by lo) first, then corr
+    free_mask,
+    switch_penalty,
+    edge_loss,
+    chain_lo,  # (Ec,) int32 min(ref, qry) per chain edge
+    chain_forward,  # (Ec,) 1.0 when ref < qry
+    num_chain: int,  # Ec — first Ec edges are the chain partition
+    num_poses: int,
+    num_loops: int,
+    options: Options,
+    chain_seq: bool,  # True when chain_lo == arange(P-1) exactly: every
+    # consecutive pose pair has exactly one chain edge, so every chain
+    # segment-sum is a pad-shift-add (NO scatter — scatters serialize on
+    # TPU and cost ~2 ms per (P,7,7) operand at P=5000, dominating the
+    # whole LM step; the shift form is pure VPU bandwidth)
+):
+    """Direct LM for chain-dominated graphs: exact damped-GN steps via
+    block-tridiagonal cyclic reduction + a Woodbury low-rank correction.
+
+    SLAM pose graphs are odometry chains (edges i <-> i+1) plus a sparse
+    set of loop closures. The damped normal system splits exactly:
+
+        H_d = T + U W U^T
+
+    - ``T``: the block-tridiagonal part — chain-edge 7x7 blocks plus the
+      FULL damping diagonal lam*diag(H) + gauge + 1e-8 (diagonals are
+      always representable in T, so the correction stays undamped and
+      exact). Solved by ``block_tridiag.solve`` — log2(P) batched levels,
+      not P sequential pivots, and EXACT where truncated CG is not.
+    - ``U W U^T``: each remaining edge contributes its pose-block outer
+      product A_e^T A_e (7 columns) MINUS the switch-Schur rank-1 term
+      (A_e^T c_e)(A_e^T c_e)^T / gamma_e from eliminating its (damped)
+      switch variable. Writing the minus term as a signed column keeps
+      W = diag(+1,...,-1,...) = W^{-1} exactly (the I - c c^T/gamma form
+      is near-singular at small lambda; its inverse is not f32-safe).
+
+    Switch variables are recovered exactly by back-substitution
+    ds = Hss^{-1}(-g_s - Hsp dp). Same LM policy loop (lm.solve), same
+    eval_quadratic semantics as the CG path — only the linear solver
+    differs, so trajectories match the dense path to float reassociation.
+    """
+    from . import block_tridiag
+
+    P, L = num_poses, num_loops
+    dtype = positions0.dtype
+    E = edges.mask.shape[0]
+    Ec = num_chain
+    Uc = E - Ec
+    ref_i = edges.reference_indices
+    qry_i = edges.query_indices
+
+    if L > 0:
+        loop_slot = jnp.clip(
+            jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1, 0, L - 1
+        )
+    else:
+        loop_slot = jnp.zeros((E,), jnp.int32)
+    is_loop = edges.is_loop > 0
+
+    free_ref = free_mask[ref_i]
+    free_qry = free_mask[qry_i]
+    fixed_p = (1.0 - free_mask)[:, None]
+
+    corr_a = ref_i[Ec:]
+    corr_b = qry_i[Ec:]
+    corr_slot = loop_slot[Ec:]
+    corr_is_loop = edges.is_loop[Ec:]  # (Uc,)
+    eye7 = jnp.eye(7, dtype=dtype)
+    fwd1 = chain_forward[:, None]  # (Ec, 1)
+    fwd2 = chain_forward[:, None, None]
+
+    def chain_accumulate(c_lo, c_hi):
+        """Sum per-chain-edge contributions into per-pose rows.
+        ``c_lo``/``c_hi`` are (Ec, ...) contributions to pose lo / lo+1.
+        chain_seq: lo == arange(P-1), so the segment sum is two shifted
+        pads — zero scatters. Otherwise fall back to scatter-add."""
+        if chain_seq:
+            z = jnp.zeros((1,) + c_lo.shape[1:], dtype)
+            return jnp.concatenate([c_lo, z]) + jnp.concatenate([z, c_hi])
+        out = jnp.zeros((P,) + c_lo.shape[1:], dtype)
+        return out.at[chain_lo].add(c_lo).at[chain_lo + 1].add(c_hi)
+
+    def accumulate_pose(contrib_ref, contrib_qry):
+        """Sum per-edge (E, ...) pose contributions into (P, ...)."""
+        cr, cq = contrib_ref[:Ec], contrib_qry[:Ec]
+        f = fwd1 if cr.ndim == 2 else fwd2
+        gp = chain_accumulate(
+            jnp.where(f > 0, cr, cq), jnp.where(f > 0, cq, cr)
+        )
+        if Uc > 0:
+            gp = gp.at[corr_a].add(contrib_ref[Ec:])
+            gp = gp.at[corr_b].add(contrib_qry[Ec:])
+        return gp
+
+    def eval_quadratic(params):
+        pose_params, switches = params
+        pos = pose_params[:, :3]
+        quat = pose_params[:, 3:]
+        sw_full = switches[loop_slot] if L > 0 else jnp.zeros((E,), dtype)
+        r, J_ref, J_query, J_s = edge_residuals_and_jacobians(
+            pos, quat, sw_full, edges, switch_penalty
+        )
+        J_ref = J_ref * free_ref[:, None, None]
+        J_query = J_query * free_qry[:, None, None]
+
+        if edge_loss is not None:
+            sq = jnp.sum(r * r, axis=1)
+            rho, w, _ = edge_loss.evaluate(sq)
+            cost = jnp.sum(rho)
+            sqrt_w = jnp.sqrt(w)
+            r = r * sqrt_w[:, None]
+            J_ref = J_ref * sqrt_w[:, None, None]
+            J_query = J_query * sqrt_w[:, None, None]
+            J_s = J_s * sqrt_w[:, None]
+        else:
+            cost = jnp.sum(r * r)
+
+        g_p = accumulate_pose(
+            jnp.sum(J_ref * r[:, :, None], axis=1),
+            jnp.sum(J_query * r[:, :, None], axis=1),
+        )
+        if L > 0:
+            gs_e = jnp.sum(J_s * r, axis=1) * is_loop
+            g_s = jnp.zeros((L,), dtype).at[loop_slot].add(gs_e)
+        else:
+            g_s = jnp.zeros((0,), dtype)
+
+        d_p = accumulate_pose(
+            jnp.sum(J_ref * J_ref, axis=1), jnp.sum(J_query * J_query, axis=1)
+        )
+        if L > 0:
+            d_s = jnp.zeros((L,), dtype).at[loop_slot].add(
+                jnp.sum(J_s * J_s, axis=1) * is_loop
+            )
+        else:
+            d_s = jnp.zeros((0,), dtype)
+
+        H_rep = (J_ref, J_query, J_s, d_p, d_s)
+        return H_rep, (g_p, g_s), cost
+
+    def solve_linear(H_rep, g, lam):
+        J_ref, J_query, J_s, d_p, d_s = H_rep
+        g_p, g_s = g
+        dvec = lam * d_p + fixed_p + 1e-8  # (P, 7) damping diagonal
+
+        # ---- T: chain blocks + damping diagonal -------------------------
+        Jr = J_ref[:Ec]  # (Ec, 7, 7)
+        Jq = J_query[:Ec]
+        J_lo = jnp.where(fwd2 > 0, Jr, Jq)
+        J_hi = jnp.where(fwd2 > 0, Jq, Jr)
+        D_lo = jnp.sum(J_lo[:, :, :, None] * J_lo[:, :, None, :], axis=1)
+        D_hi = jnp.sum(J_hi[:, :, :, None] * J_hi[:, :, None, :], axis=1)
+        O_c = jnp.sum(J_lo[:, :, :, None] * J_hi[:, :, None, :], axis=1)
+        D = chain_accumulate(D_lo, D_hi)
+        D = D + eye7 * dvec[:, None, :]
+        if chain_seq:
+            O = O_c  # (P-1, 7, 7), already in lo order
+        else:
+            O = jnp.zeros((max(P - 1, 1), 7, 7), dtype).at[chain_lo].add(O_c)
+
+        b_p = -g_p
+
+        if Uc > 0:
+            # ---- signed low-rank correction columns ---------------------
+            Ja = J_ref[Ec:]  # (Uc, 7, 7) block at pose a
+            Jb = J_query[Ec:]
+            c = J_s[Ec:]  # (Uc, 7)
+            cc = jnp.sum(c * c, axis=1)
+            d_s_corr = (
+                d_s[corr_slot] * corr_is_loop if L > 0 else jnp.zeros((Uc,), dtype)
+            )
+            gamma = cc + lam * d_s_corr + 1e-8
+            g_s_corr = (
+                g_s[corr_slot] * corr_is_loop if L > 0 else jnp.zeros((Uc,), dtype)
+            )
+
+            Jac = jnp.sum(Ja * c[:, :, None], axis=1)  # (Uc, 7) = A_a^T c
+            Jbc = jnp.sum(Jb * c[:, :, None], axis=1)
+
+            # RHS after switch elimination: b_p = -g_p + Hps Hss^{-1} g_s
+            coef = jnp.where(corr_is_loop > 0, g_s_corr / gamma, 0.0)
+            b_p = b_p.at[corr_a].add(Jac * coef[:, None])
+            b_p = b_p.at[corr_b].add(Jbc * coef[:, None])
+
+            arange_u = jnp.arange(Uc)
+            # +columns: the 7 residual rows of A_e^T   [pose, edge, d, i]
+            U4 = jnp.zeros((P, Uc, 7, 7), dtype)
+            U4 = U4.at[corr_a, arange_u].add(Ja)
+            U4 = U4.at[corr_b, arange_u].add(Jb)
+            U_plus = U4.transpose(0, 3, 1, 2).reshape(P, 7, Uc * 7)
+            # -columns: switch-Schur rank-1 per loop edge
+            inv_sq = jnp.where(
+                corr_is_loop > 0, 1.0 / jnp.sqrt(gamma), 0.0
+            )[:, None]
+            V3 = jnp.zeros((P, Uc, 7), dtype)
+            V3 = V3.at[corr_a, arange_u].add(Jac * inv_sq)
+            V3 = V3.at[corr_b, arange_u].add(Jbc * inv_sq)
+            V = V3.transpose(0, 2, 1)  # (P, 7, Uc)
+            U_all = jnp.concatenate([U_plus, V], axis=-1)  # (P, 7, K)
+            K = 8 * Uc
+            w_sign = jnp.concatenate(
+                [jnp.ones((7 * Uc,), dtype), -jnp.ones((Uc,), dtype)]
+            )
+
+            rhs = jnp.concatenate([b_p[:, :, None], U_all], axis=-1)
+            X = block_tridiag.solve(D, O, rhs)
+            xb = X[..., 0]  # (P, 7) = T^{-1} b_p
+            Y = X[..., 1:]  # (P, 7, K) = T^{-1} U
+
+            with jax.default_matmul_precision("highest"):
+                Uf = U_all.reshape(P * 7, K)
+                UtY = Uf.T @ Y.reshape(P * 7, K)  # (K, K)
+                Utx = Uf.T @ xb.reshape(P * 7)  # (K,)
+                M = jnp.diag(w_sign) + UtY  # W^{-1} = W = diag(+-1)
+                alpha = jnp.linalg.solve(M, Utx)
+                dp = xb - Y @ alpha
+
+            # exact switch back-substitution ds = (-g_s - c^T A dp)/gamma
+            if L > 0:
+                v = jnp.sum(Ja * dp[corr_a][:, None, :], axis=2) + jnp.sum(
+                    Jb * dp[corr_b][:, None, :], axis=2
+                )  # (Uc, 7) = A_e dp
+                ds_e = (-g_s_corr - jnp.sum(c * v, axis=1)) / gamma
+                ds = jnp.zeros((L,), dtype).at[corr_slot].add(
+                    jnp.where(corr_is_loop > 0, ds_e, 0.0)
+                )
+            else:
+                ds = jnp.zeros((0,), dtype)
+        else:
+            dp = block_tridiag.solve(D, O, b_p)
+            ds = jnp.zeros((L,), dtype)
+
+        return dp, ds
+
+    def retract(params, delta):
+        pose_params, switches = params
+        dp, ds = delta
+        return (pose_params + dp * free_mask[:, None], switches + ds)
+
+    pose0 = jnp.concatenate([positions0, quaternions0], axis=1)
     (pose_params, switches), summary = lm.solve(
         eval_quadratic, retract, (pose0, switches0), options,
         solve_linear=solve_linear,
