@@ -231,11 +231,29 @@ class PoseGraphOptimizer:
         self._poses: Dict[int, Pose] = {}
         self._constant: set = set()
         self._constraints: List[dict] = []
+        # Flattening / upload caches. Rebuilding the SoA arrays from the
+        # Python dict registry costs SECONDS at 50k constraints (one
+        # np_rotmat_to_quat per relative pose, per solve) and the device
+        # arrays re-upload through a ~30 MB/s relay — neither changes
+        # between solves unless the registry does, so cache and
+        # invalidate on registry mutation. Initial pose values DO change
+        # (set_pose / write-back), so the packed (P, 3)+(P, 4) state is
+        # maintained incrementally via a dirty set instead.
+        self._topo_version = 0  # bumped on new pose index / new constraint
+        self._flat_cache: Optional[dict] = None  # constraint SoA + uploads
+        self._packed_poses: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self._dirty_poses: set = set()
+        # after a solve, the packed arrays are the authoritative state and
+        # self._poses entries are stale until materialized by get_pose()
+        self._poses_stale = False
 
     # -- registry (reference :40-60) --------------------------------------
     def set_pose(self, index: int, pose: Pose) -> None:
         """Copies the pose in (reference SetPose copies into PoseParameter)."""
+        if index not in self._poses:
+            self._topo_version += 1  # pose ordering / index_of changes
         self._poses[index] = pose.copy()
+        self._dirty_poses.add(index)
 
     def set_pose_constant(self, index: int) -> None:
         if index not in self._poses:
@@ -254,6 +272,7 @@ class PoseGraphOptimizer:
             raise KeyError("constraint endpoints must be registered poses")
         if reference_index == query_index:
             raise ValueError("self-constraint is not allowed")
+        self._topo_version += 1
         self._constraints.append(
             dict(
                 reference_index=reference_index,
@@ -264,6 +283,11 @@ class PoseGraphOptimizer:
         )
 
     def get_pose(self, index: int) -> Pose:
+        if self._poses_stale and index not in self._dirty_poses:
+            # materialize from the solved packed state on demand
+            i = self._flat_cache["index_of"][index]
+            pos, quat = self._packed_poses
+            return Pose(np_quat_to_rotmat(quat[i]), pos[i])
         return self._poses[index].copy()
 
     @property
@@ -273,6 +297,153 @@ class PoseGraphOptimizer:
     @property
     def num_constraints(self) -> int:
         return len(self._constraints)
+
+    # -- flattening caches -------------------------------------------------
+    def _flatten(self) -> dict:
+        """Constraint SoA arrays + device uploads, cached per topology
+        version. At 50k constraints the raw rebuild (np_rotmat_to_quat
+        per relative pose, list comprehensions over dicts, ~5 MB of
+        uploads through the ~30 MB/s relay) costs ~3 s per solve — all of
+        it invariant between solves unless the registry mutates."""
+        if (
+            self._flat_cache is not None
+            and self._flat_cache["version"] == self._topo_version
+        ):
+            return self._flat_cache
+        # the packed arrays are about to be re-ordered/invalidated; flush
+        # any solved-but-unmaterialized state into the Pose registry first
+        self._materialize()
+        indices = sorted(self._poses)
+        index_of = {pi: i for i, pi in enumerate(indices)}
+        P = len(indices)
+        E = len(self._constraints)
+        ref_idx = np.array(
+            [index_of[c["reference_index"]] for c in self._constraints], np.int32
+        )
+        query_idx = np.array(
+            [index_of[c["query_index"]] for c in self._constraints], np.int32
+        )
+        rel_t = np.stack(
+            [c["relative_pose"].translation for c in self._constraints]
+        )
+        rel_q = np.stack(
+            [c["relative_pose"].quaternion() for c in self._constraints]
+        )
+        is_loop = np.array(
+            [
+                1.0 if c["type"] == ConstraintType.LOOP else 0.0
+                for c in self._constraints
+            ]
+        )
+        dtype = self.dtype
+        edges_dev = PoseGraphEdges(
+            reference_indices=jnp.asarray(ref_idx),
+            query_indices=jnp.asarray(query_idx),
+            relative_translations=jnp.asarray(rel_t, dtype),
+            relative_quaternions=jnp.asarray(rel_q, dtype),
+            is_loop=jnp.asarray(is_loop, dtype),
+            mask=jnp.ones((E,), dtype),
+        )
+        self._flat_cache = dict(
+            version=self._topo_version,
+            indices=indices,
+            index_of=index_of,
+            P=P,
+            E=E,
+            L=int(is_loop.sum()),
+            ref_idx=ref_idx,
+            query_idx=query_idx,
+            rel_t=rel_t,
+            rel_q=rel_q,
+            is_loop=is_loop,
+            edges_dev=edges_dev,
+            tridiag=None,  # built on demand by _flatten_tridiag
+        )
+        self._packed_poses = None  # pose ordering may have changed
+        return self._flat_cache
+
+    def _flatten_tridiag(self, flat: dict) -> dict:
+        """Chain/correction partition + reordered device edges for the
+        tridiag solver, attached to the topology cache."""
+        if flat["tridiag"] is not None:
+            return flat["tridiag"]
+        P = flat["P"]
+        ref_idx, query_idx = flat["ref_idx"], flat["query_idx"]
+        is_loop = flat["is_loop"]
+        # partition: chain = adjacent non-loop edges (the odometry
+        # backbone of T); everything else (loops + non-adjacent) enters
+        # the Woodbury correction. Edges are REORDERED chain first
+        # (sorted by lo) then corr — loop edges keep their relative
+        # order, so switch slots are unchanged.
+        adj = np.abs(ref_idx.astype(np.int64) - query_idx.astype(np.int64)) == 1
+        chain_sel = adj & (is_loop == 0)
+        chain_ids = np.nonzero(chain_sel)[0].astype(np.int32)
+        corr_ids = np.nonzero(~chain_sel)[0].astype(np.int32)
+        lo_all = np.minimum(ref_idx, query_idx)
+        chain_ids = chain_ids[np.argsort(lo_all[chain_ids], kind="stable")]
+        order = np.concatenate([chain_ids, corr_ids])
+        chain_lo = lo_all[chain_ids].astype(np.int32)
+        chain_forward = (ref_idx < query_idx)[chain_ids]
+        # every consecutive pair covered exactly once -> all chain
+        # segment sums become shift-adds (no TPU scatters)
+        chain_seq = bool(
+            len(chain_ids) == P - 1
+            and np.array_equal(chain_lo, np.arange(P - 1, dtype=np.int32))
+        )
+        dtype = self.dtype
+        E = flat["E"]
+        edges_r = PoseGraphEdges(
+            reference_indices=jnp.asarray(ref_idx[order]),
+            query_indices=jnp.asarray(query_idx[order]),
+            relative_translations=jnp.asarray(flat["rel_t"][order], dtype),
+            relative_quaternions=jnp.asarray(flat["rel_q"][order], dtype),
+            is_loop=jnp.asarray(is_loop[order], dtype),
+            mask=jnp.ones((E,), dtype),
+        )
+        flat["tridiag"] = dict(
+            edges_r=edges_r,
+            chain_lo=jnp.asarray(chain_lo),
+            chain_forward=jnp.asarray(chain_forward, dtype),
+            num_chain=int(len(chain_ids)),
+            chain_seq=chain_seq,
+        )
+        return flat["tridiag"]
+
+    def _materialize(self) -> None:
+        """Flush lazily-written-back solve results into the Pose registry
+        (needed before the packed arrays are rebuilt or re-ordered)."""
+        if not self._poses_stale:
+            return
+        index_of = self._flat_cache["index_of"]
+        pos, quat = self._packed_poses
+        for pi in self._poses:
+            if pi not in self._dirty_poses:
+                i = index_of[pi]
+                self._poses[pi] = Pose(np_quat_to_rotmat(quat[i]), pos[i])
+        self._poses_stale = False
+
+    def _packed(self, indices, index_of) -> Tuple[np.ndarray, np.ndarray]:
+        """Current (P, 3) positions + (P, 4) quaternions, maintained
+        incrementally: only poses touched by set_pose since the last
+        solve are re-extracted (write-back updates the arrays in bulk)."""
+        if self._packed_poses is None or self._packed_poses[0].shape[0] != len(
+            indices
+        ):
+            positions = np.stack(
+                [self._poses[pi].translation for pi in indices]
+            ).astype(np.float64)
+            quaternions = np.stack(
+                [self._poses[pi].quaternion() for pi in indices]
+            ).astype(np.float64)
+            self._packed_poses = (positions, quaternions)
+        elif self._dirty_poses:
+            positions, quaternions = self._packed_poses
+            for pi in self._dirty_poses:
+                i = index_of[pi]
+                positions[i] = self._poses[pi].translation
+                quaternions[i] = self._poses[pi].quaternion()
+        self._dirty_poses.clear()
+        return self._packed_poses
 
     # -- solve -------------------------------------------------------------
     def solve(self, options: Optional[Options] = None) -> Tuple[lm.Summary, np.ndarray]:
@@ -291,46 +462,16 @@ class PoseGraphOptimizer:
                 "edges with set_constraint() before solving (a graph of "
                 "only poses has nothing to optimize)"
             )
-        indices = sorted(self._poses)
-        index_of = {pi: i for i, pi in enumerate(indices)}
-        P = len(indices)
+        flat = self._flatten()
+        indices = flat["indices"]
+        index_of = flat["index_of"]
+        P, L = flat["P"], flat["L"]
+        # loop slots follow edge order (odometry first is NOT required)
+        edges = flat["edges_dev"]
 
-        positions = np.stack(
-            [self._poses[pi].translation for pi in indices]
-        ).astype(np.float64)
-        quaternions = np.stack(
-            [self._poses[pi].quaternion() for pi in indices]
-        ).astype(np.float64)
-
-        # order edges so loop slots are stable (odometry first is NOT
-        # required; slots follow edge order)
-        E = len(self._constraints)
-        ref_idx = np.array(
-            [index_of[c["reference_index"]] for c in self._constraints], np.int32
-        )
-        query_idx = np.array(
-            [index_of[c["query_index"]] for c in self._constraints], np.int32
-        )
-        rel_t = np.stack(
-            [c["relative_pose"].translation for c in self._constraints]
-        )
-        rel_q = np.stack(
-            [c["relative_pose"].quaternion() for c in self._constraints]
-        )
-        is_loop = np.array(
-            [1.0 if c["type"] == ConstraintType.LOOP else 0.0 for c in self._constraints]
-        )
-        L = int(is_loop.sum())
+        positions, quaternions = self._packed(indices, index_of)
 
         dtype = self.dtype
-        edges = PoseGraphEdges(
-            reference_indices=jnp.asarray(ref_idx),
-            query_indices=jnp.asarray(query_idx),
-            relative_translations=jnp.asarray(rel_t, dtype),
-            relative_quaternions=jnp.asarray(rel_q, dtype),
-            is_loop=jnp.asarray(is_loop, dtype),
-            mask=jnp.ones((E,), dtype),
-        )
         free = np.ones(P)
         for pi in self._constant:
             free[index_of[pi]] = 0.0
@@ -339,49 +480,22 @@ class PoseGraphOptimizer:
         switches0 = jnp.ones((L,), dtype)
 
         if self.solver == "tridiag":
-            # partition: chain = adjacent non-loop edges (the odometry
-            # backbone of T); everything else (loops + non-adjacent)
-            # enters the Woodbury correction. Edges are REORDERED chain
-            # first (sorted by lo) then corr — loop edges keep their
-            # relative order, so switch slots are unchanged.
-            adj = np.abs(ref_idx.astype(np.int64) - query_idx.astype(np.int64)) == 1
-            chain_sel = adj & (is_loop == 0)
-            chain_ids = np.nonzero(chain_sel)[0].astype(np.int32)
-            corr_ids = np.nonzero(~chain_sel)[0].astype(np.int32)
-            lo_all = np.minimum(ref_idx, query_idx)
-            chain_ids = chain_ids[np.argsort(lo_all[chain_ids], kind="stable")]
-            order = np.concatenate([chain_ids, corr_ids])
-            chain_lo = lo_all[chain_ids].astype(np.int32)
-            chain_forward = (ref_idx < query_idx)[chain_ids]
-            # every consecutive pair covered exactly once -> all chain
-            # segment sums become shift-adds (no TPU scatters)
-            chain_seq = bool(
-                len(chain_ids) == P - 1
-                and np.array_equal(chain_lo, np.arange(P - 1, dtype=np.int32))
-            )
-            edges_r = PoseGraphEdges(
-                reference_indices=jnp.asarray(ref_idx[order]),
-                query_indices=jnp.asarray(query_idx[order]),
-                relative_translations=jnp.asarray(rel_t[order], dtype),
-                relative_quaternions=jnp.asarray(rel_q[order], dtype),
-                is_loop=jnp.asarray(is_loop[order], dtype),
-                mask=jnp.ones((E,), dtype),
-            )
+            td = self._flatten_tridiag(flat)
             pos, quat, sw, summary = _pose_graph_solve_tridiag(
                 jnp.asarray(positions, dtype),
                 jnp.asarray(quaternions, dtype),
                 switches0,
-                edges_r,
+                td["edges_r"],
                 jnp.asarray(free, dtype),
                 jnp.asarray(self.switch_penalty, dtype),
                 self.edge_loss,
-                jnp.asarray(chain_lo),
-                jnp.asarray(chain_forward, dtype),
-                int(len(chain_ids)),
+                td["chain_lo"],
+                td["chain_forward"],
+                td["num_chain"],
                 P,
                 L,
                 options,
-                chain_seq,
+                td["chain_seq"],
             )
         elif self.solver == "cg":
             pos, quat, sw, summary = _pose_graph_solve_cg(
@@ -413,11 +527,20 @@ class PoseGraphOptimizer:
         # one batched device->host fetch (separate fetches each pay the
         # runtime's ~30 ms completion-poll quantum)
         pos, quat, sw = jax.device_get((pos, quat, sw))
-        pos = np.asarray(pos, np.float64)
-        quat = np.asarray(quat, np.float64)
-        for i, pi in enumerate(indices):
-            q = quat[i] / np.linalg.norm(quat[i])  # renormalize on write-back
-            self._poses[pi] = Pose(np_quat_to_rotmat(q), pos[i])
+        # np.array copies: device_get buffers are read-only and the packed
+        # cache is updated in place by later set_pose calls
+        pos = np.array(pos, np.float64)
+        quat = np.array(quat, np.float64)
+        # renormalize on write-back (reference UpdateOptimizedPose,
+        # pose_graph_optimizer.h:89-101) — but write back LAZILY: the
+        # packed arrays become the authoritative pose state and Pose
+        # objects materialize per get_pose() call. An eager write-back
+        # is 50k np_quat_to_rotmat calls + Pose constructions per solve
+        # (~1 s of the fixed overhead at city scale).
+        quat = quat / np.linalg.norm(quat, axis=1, keepdims=True)
+        self._packed_poses = (pos, quat)
+        self._poses_stale = True
+        self._dirty_poses.clear()
         return summary, np.asarray(sw, np.float64)
 
 

@@ -310,3 +310,44 @@ def test_cg_records_populated(fixture):
     assert np.all(np.isfinite(np.asarray(rec.lam[:n])))
     costs = np.asarray(rec.cost[:n])
     assert costs[-1] < costs[0]
+
+
+def test_registry_caching_across_solves(fixture):
+    """The flattening/upload caches (added for the ~3 s/solve fixed host
+    cost at 50k constraints) must be invisible: re-solving, mutating the
+    topology after a solve, and updating an initial guess between solves
+    all behave as if every solve rebuilt from the registry."""
+    true_poses, noisy_poses, _ = fixture
+    opt = _build(fixture, switch_penalty=0.03)
+    s1, _ = opt.solve()
+
+    # re-solve from the solved state: stays at the optimum
+    s2, _ = opt.solve()
+    assert float(s2.final_cost) <= float(s1.final_cost) * (1 + 1e-6)
+    solved_40 = opt.get_pose(40).translation.copy()
+
+    # topology change AFTER a solve: the lazily-written-back poses must
+    # survive the cache rebuild (a pose 81st pose + identity edge)
+    opt.set_pose(80, true_poses[79].copy())
+    opt.set_constraint(79, 80, nls.Pose.identity())
+    np.testing.assert_allclose(
+        opt.get_pose(40).translation, solved_40, atol=1e-12
+    )
+    s3, _ = opt.solve()
+    err = max(
+        np.linalg.norm(opt.get_pose(i).translation - true_poses[i].translation)
+        for i in range(80)
+    )
+    assert err < 0.015, err
+
+    # initial-guess update between solves (set_pose on existing index)
+    opt.set_pose(40, noisy_poses[40])
+    np.testing.assert_allclose(
+        opt.get_pose(40).translation, noisy_poses[40].translation, atol=1e-12
+    )
+    s4, _ = opt.solve()
+    err = max(
+        np.linalg.norm(opt.get_pose(i).translation - true_poses[i].translation)
+        for i in range(80)
+    )
+    assert err < 0.015, err
