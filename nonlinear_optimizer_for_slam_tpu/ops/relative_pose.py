@@ -341,3 +341,154 @@ def edge_residuals_and_jacobians_ad(
         edges.is_loop,
         edges.mask,
     )
+
+
+# ----------------------------------------------------------------------------
+# Pure-numpy twin for HOST-side linearization (the fixed-lag smoother's
+# marginalization runs once per update over a handful of edges — eager jnp
+# dispatches through this runtime's relay cost ~30 ms EACH, so host paths
+# use numpy twins, same policy as core/pose.py).
+# ----------------------------------------------------------------------------
+
+
+def np_edge_residuals_and_jacobians(
+    positions,  # (P, 3) float64
+    quaternions,  # (P, 4)
+    switches,  # (E,)
+    ref_idx,  # (E,) int
+    qry_idx,  # (E,) int
+    rel_t,  # (E, 3)
+    rel_q,  # (E, 4)
+    is_loop,  # (E,) float
+    penalty_scale: float = SWITCH_PENALTY_SCALE,
+):
+    """Numpy twin of :func:`edge_residuals_and_jacobians` (same math, same
+    conventions, unmasked). Verified against the jnp closed form in
+    tests/test_fixed_lag.py."""
+    import numpy as np
+
+    E = len(ref_idx)
+    q_ref = quaternions[ref_idx]
+    q_qry = quaternions[qry_idx]
+    p_ref = positions[ref_idx]
+    p_qry = positions[qry_idx]
+
+    def normalize(q):
+        return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+    def conj(q):
+        return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+    def left(a):
+        w, x, y, z = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+        return np.stack(
+            [
+                np.stack([w, -x, -y, -z], -1),
+                np.stack([x, w, -z, y], -1),
+                np.stack([y, z, w, -x], -1),
+                np.stack([z, -y, x, w], -1),
+            ],
+            -2,
+        )
+
+    def right(b):
+        w, x, y, z = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+        return np.stack(
+            [
+                np.stack([w, -x, -y, -z], -1),
+                np.stack([x, w, z, -y], -1),
+                np.stack([y, -z, w, x], -1),
+                np.stack([z, y, -x, w], -1),
+            ],
+            -2,
+        )
+
+    def qmul(a, b):
+        return np.einsum("...ij,...j->...i", left(a), b)
+
+    def qrot(n, v):
+        w = n[..., :1]
+        u = n[..., 1:]
+        uxv = np.cross(u, v)
+        return v + 2.0 * w * uxv + 2.0 * np.cross(u, uxv)
+
+    def skew(v):
+        x, y, z = v[..., 0], v[..., 1], v[..., 2]
+        o = np.zeros_like(x)
+        return np.stack(
+            [
+                np.stack([o, -z, y], -1),
+                np.stack([z, o, -x], -1),
+                np.stack([-y, x, o], -1),
+            ],
+            -2,
+        )
+
+    def dnorm(q):
+        norm = np.linalg.norm(q, axis=-1, keepdims=True)
+        n = q / norm
+        return (np.eye(4) - n[..., :, None] * n[..., None, :]) / norm[..., None]
+
+    def drot_dn(n, v):
+        w = n[..., 0]
+        u = n[..., 1:]
+        uxv = np.cross(u, v)
+        d_dw = 2.0 * uxv
+        d_du = (
+            -2.0 * w[..., None, None] * skew(v)
+            - 2.0 * skew(uxv)
+            - 2.0 * skew(u) @ skew(v)
+        )
+        return np.concatenate([d_dw[..., :, None], d_du], axis=-1)
+
+    n_ref = normalize(q_ref)
+    n_qry = normalize(q_qry)
+    Dn_ref = dnorm(q_ref)
+    Dn_qry = dnorm(q_qry)
+
+    r_t = (p_qry - p_ref) - qrot(n_ref, rel_t)
+    B = qmul(n_ref, rel_q)
+    err_q = qmul(conj(n_qry), B)
+    r_q = 2.0 * err_q[..., 1:]
+    r6 = np.concatenate([r_t, r_q], axis=-1)
+
+    drt_dqref = -(drot_dn(n_ref, rel_t) @ Dn_ref)
+    drq_dqref = 2.0 * (left(conj(n_qry)) @ right(rel_q))[..., 1:, :] @ Dn_ref
+    conj_sign = np.array([1.0, -1.0, -1.0, -1.0])
+    drq_dqqry = 2.0 * (right(B)[..., 1:, :] * conj_sign) @ Dn_qry
+
+    eye3 = np.broadcast_to(np.eye(3), (E, 3, 3))
+    z33 = np.zeros((E, 3, 3))
+    z34 = np.zeros((E, 3, 4))
+    J6_ref = np.concatenate(
+        [
+            np.concatenate([-eye3, drt_dqref], axis=-1),
+            np.concatenate([z33, drq_dqref], axis=-1),
+        ],
+        axis=-2,
+    )
+    J6_qry = np.concatenate(
+        [
+            np.concatenate([eye3, z34], axis=-1),
+            np.concatenate([z33, drq_dqqry], axis=-1),
+        ],
+        axis=-2,
+    )
+
+    loop = is_loop > 0
+    s = np.where(loop, switches, 1.0)
+    r_pose = r6 * s[:, None]
+    penalty = np.where(loop, (1.0 - switches) * penalty_scale, 0.0)
+    r = np.concatenate([r_pose, penalty[:, None]], axis=-1)
+
+    z17 = np.zeros((E, 1, 7))
+    J_ref = np.concatenate([J6_ref * s[:, None, None], z17], axis=-2)
+    J_qry = np.concatenate([J6_qry * s[:, None, None], z17], axis=-2)
+    J_s = np.concatenate(
+        [
+            np.where(loop[:, None], r6, 0.0),
+            np.where(loop, -penalty_scale, 0.0)[:, None],
+        ],
+        axis=-1,
+    )
+    return r, J_ref, J_qry, J_s

@@ -1,4 +1,5 @@
-from . import autodiff, batched, bundle_adjustment, linear, lm, manifolds, pose_graph, problem
+from . import autodiff, batched, bundle_adjustment, fixed_lag, linear, lm, manifolds, pose_graph, problem
+from .fixed_lag import FixedLagSmoother
 from .lm import Summary
 from .batched import (
     solve_mahalanobis_batch,
@@ -23,6 +24,8 @@ __all__ = [
     "bundle_adjustment",
     "BAData",
     "BundleAdjuster",
+    "fixed_lag",
+    "FixedLagSmoother",
     "linear",
     "lm",
     "manifolds",

@@ -64,6 +64,9 @@ def _pose_graph_solve(
     num_poses: int,
     num_loops: int,
     options: Options,
+    prior_sqrt=None,  # (7B, 7B) sqrt-information of a Gaussian prior
+    prior_mean=None,  # (B, 7) prior linearization point
+    prior_sel=None,  # (B,) int32 pose indices the prior couples
 ):
     """Dense direct path: segment-sum BLOCK assembly of the (7P+L)^2
     normal matrix. Each edge contributes four 7x7 pose blocks and (for
@@ -156,6 +159,18 @@ def _pose_graph_solve(
             H = H.at[col_sw[:, None], rows_qry].add(b_qs)
             H = H.at[col_sw, col_sw].add(jnp.sum(J_s * J_s, axis=1))
             g = g.at[col_sw].add(jnp.sum(J_s * r, axis=1))
+
+        if prior_sqrt is not None:
+            # Gaussian prior r_p = S (x_sel - x_bar) over B coupled poses
+            # (the fixed-lag smoother's marginalization product;
+            # solvers/fixed_lag.py builds S from the Schur complement)
+            rows = (
+                7 * prior_sel[:, None] + jnp.arange(7, dtype=jnp.int32)[None, :]
+            ).reshape(-1)
+            r_p = prior_sqrt @ (x[rows] - prior_mean.reshape(-1))
+            cost = cost + jnp.sum(r_p * r_p)
+            g = g.at[rows].add(prior_sqrt.T @ r_p)
+            H = H.at[rows[:, None], rows[None, :]].add(prior_sqrt.T @ prior_sqrt)
 
         # keep H nonsingular on fixed-pose rows (delta stays 0 there since
         # g is 0 and the row/col is identity)

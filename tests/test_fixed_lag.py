@@ -1,0 +1,308 @@
+"""Fixed-lag smoother tests.
+
+The smoother is a NEW capability (the reference's pose-graph module is
+batch-only, pose_graph_optimizer.h:21-108); the acceptance anchors are
+internal-consistency oracles:
+
+- the numpy host-side linearization twin must match the jnp closed form
+  bit-for-bit (same convention the closed form is itself verified against
+  autodiff in test_pose_graph.py);
+- with ``lag >= N`` no marginalization happens, so the smoother's last
+  update solves EXACTLY the batch problem -> must match PoseGraphOptimizer
+  tightly;
+- with a finite lag, marginalization only introduces linearization error,
+  so window estimates must track the batch MAP closely on a
+  moderate-noise fixture;
+- marginalized poses are frozen and never move again.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
+from nonlinear_optimizer_for_slam_tpu.ops.relative_pose import (
+    PoseGraphEdges,
+    edge_residuals_and_jacobians,
+    np_edge_residuals_and_jacobians,
+)
+from nonlinear_optimizer_for_slam_tpu.solvers.fixed_lag import FixedLagSmoother
+from nonlinear_optimizer_for_slam_tpu.solvers.pose_graph import (
+    ConstraintType,
+    PoseGraphOptimizer,
+)
+
+
+def _rotz(th):
+    c, s = np.cos(th), np.sin(th)
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def _exp_so3(w):
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+
+
+def _circle_fixture(n=30, radius=8.0, s_t=0.03, s_r=0.005, seed=3):
+    """Ground-truth circle + noisy odometry + loop closures every 10 frames."""
+    rng = np.random.default_rng(seed)
+    theta = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    gt = [
+        Pose(_rotz(th), np.array([radius * np.cos(th), radius * np.sin(th), 0.0]))
+        for th in theta
+    ]
+
+    def rel(i, j):
+        Ri, ti = gt[i].rotation, gt[i].translation
+        return Pose(Ri.T @ gt[j].rotation, Ri.T @ (gt[j].translation - ti))
+
+    def noisy(p, st, sr):
+        return Pose(
+            p.rotation @ _exp_so3(rng.normal(0, sr, 3)),
+            p.translation + rng.normal(0, st, 3),
+        )
+
+    odo = [noisy(rel(i, i + 1), s_t, s_r) for i in range(n - 1)]
+    loops = {k: noisy(rel(k - 8, k), s_t / 3, s_r / 3) for k in range(10, n, 10)}
+    return gt, odo, loops
+
+
+def _dead_reckon(gt0, odo):
+    poses = [gt0]
+    for d in odo:
+        p = poses[-1]
+        poses.append(
+            Pose(p.rotation @ d.rotation, p.translation + p.rotation @ d.translation)
+        )
+    return poses
+
+
+def _run_smoother(lag, gt, odo, loops, feed_forward=True, **kw):
+    n = len(gt)
+    sm = FixedLagSmoother(lag=lag, switch_penalty=0.03, **kw)
+    est = gt[0]
+    sm.add_pose(0, est)
+    for k in range(1, n):
+        est = Pose(
+            est.rotation @ odo[k - 1].rotation,
+            est.translation + est.rotation @ odo[k - 1].translation,
+        )
+        sm.add_pose(k, est)
+        sm.add_odometry(k - 1, k, odo[k - 1])
+        if k in loops:
+            sm.add_loop(k - 8, k, loops[k])
+        sm.update()
+        if feed_forward:
+            est = sm.get_pose(k)
+    return sm
+
+
+def _run_batch(gt, odo, loops):
+    n = len(gt)
+    dr = _dead_reckon(gt[0], odo)
+    opt = PoseGraphOptimizer(switch_penalty=0.03)
+    for i in range(n):
+        opt.set_pose(i, dr[i])
+    opt.set_pose_constant(0)
+    for k in range(1, n):
+        opt.set_constraint(k - 1, k, odo[k - 1], ConstraintType.ODOMETRY)
+    for k, lp in loops.items():
+        opt.set_constraint(k - 8, k, lp, ConstraintType.LOOP)
+    opt.solve()
+    return opt
+
+
+def test_numpy_twin_matches_jnp_linearization():
+    """Host-side marginalization uses the SAME linearization as the device
+    solve: the numpy twin must reproduce the jnp closed form exactly."""
+    rng = np.random.default_rng(11)
+    P, E = 6, 9
+    pos = rng.normal(0, 2.0, (P, 3))
+    quat = rng.normal(0, 1.0, (P, 4)) + np.array([2.0, 0, 0, 0])
+    sw = rng.uniform(0.1, 1.0, E)
+    ref = rng.integers(0, P, E).astype(np.int32)
+    qry = (ref + 1 + rng.integers(0, P - 1, E)).astype(np.int32) % P
+    rel_t = rng.normal(0, 1.0, (E, 3))
+    rel_q = rng.normal(0, 1.0, (E, 4)) + np.array([2.0, 0, 0, 0])
+    rel_q /= np.linalg.norm(rel_q, axis=1, keepdims=True)
+    is_loop = (rng.uniform(size=E) > 0.5).astype(np.float64)
+
+    edges = PoseGraphEdges(
+        reference_indices=jnp.asarray(ref),
+        query_indices=jnp.asarray(qry),
+        relative_translations=jnp.asarray(rel_t),
+        relative_quaternions=jnp.asarray(rel_q),
+        is_loop=jnp.asarray(is_loop),
+        mask=jnp.ones((E,), jnp.float64),
+    )
+    r_j, Jr_j, Jq_j, Js_j = edge_residuals_and_jacobians(
+        jnp.asarray(pos), jnp.asarray(quat), jnp.asarray(sw), edges, 0.03
+    )
+    r_n, Jr_n, Jq_n, Js_n = np_edge_residuals_and_jacobians(
+        pos, quat, sw, ref, qry, rel_t, rel_q, is_loop, 0.03
+    )
+    np.testing.assert_allclose(r_n, np.array(r_j), rtol=0, atol=1e-13)
+    np.testing.assert_allclose(Jr_n, np.array(Jr_j), rtol=0, atol=1e-13)
+    np.testing.assert_allclose(Jq_n, np.array(Jq_j), rtol=0, atol=1e-13)
+    np.testing.assert_allclose(Js_n, np.array(Js_j), rtol=0, atol=1e-13)
+
+
+def test_no_marginalization_matches_batch():
+    """lag >= N means the final update IS the batch problem (same gauge,
+    same edges): optima must agree to solver tolerance."""
+    gt, odo, loops = _circle_fixture(n=18)
+    sm = _run_smoother(lag=50, gt=gt, odo=odo, loops=loops)
+    assert sm.window == list(range(18))  # nothing marginalized
+    opt = _run_batch(gt, odo, loops)
+    for i in range(18):
+        np.testing.assert_allclose(
+            sm.get_pose(i).translation, opt.get_pose(i).translation, atol=5e-6
+        )
+        np.testing.assert_allclose(
+            sm.get_pose(i).rotation, opt.get_pose(i).rotation, atol=5e-6
+        )
+
+
+def test_marginalization_exact_at_optimum():
+    """THE marginalization-correctness oracle: at a converged joint
+    optimum the marginal's gradient is zero, so marginalizing any subset
+    (here 12 poses incl. a loop edge + its switch, with NONZERO residuals
+    feeding the Schur-complemented g and the prior mean) and re-solving
+    must leave every window pose where it was. Exercises the full
+    H/g/Schur/sqrt-factor/mean pipeline — an error in any sign or term
+    moves the window."""
+    gt, odo, loops = _circle_fixture(n=20)
+    sm = FixedLagSmoother(lag=100, switch_penalty=0.03, max_iterations=200)
+    est = gt[0]
+    sm.add_pose(0, est)
+    for k in range(1, 20):
+        est = Pose(
+            est.rotation @ odo[k - 1].rotation,
+            est.translation + est.rotation @ odo[k - 1].translation,
+        )
+        sm.add_pose(k, est)
+        sm.add_odometry(k - 1, k, odo[k - 1])
+        if k in loops:
+            sm.add_loop(k - 8, k, loops[k])
+    sm.update()  # converged full-window optimum
+    before = {i: sm.get_pose(i).translation.copy() for i in sm.window}
+    sm.lag = 8
+    sm.update()  # marginalizes poses 0..11 (incl. loop (2, 10) + switch)
+    assert sm.window == list(range(12, 20))
+    moved = max(
+        np.linalg.norm(sm.get_pose(i).translation - before[i]) for i in sm.window
+    )
+    assert moved < 1e-5, moved
+
+
+def test_marginalized_smoother_tracks_batch():
+    """Finite lag on a LOW-noise fixture: marginalization linearization
+    error is second-order in the noise, so window estimates must stay
+    close to the full-history MAP. (On high-noise fixtures fixed-lag is
+    legitimately suboptimal — frozen history cannot be retro-corrected
+    by later loop closures; that gap is inherent, not a bug.)"""
+    gt, odo, loops = _circle_fixture(n=30, s_t=0.006, s_r=0.001)
+    sm = _run_smoother(lag=12, gt=gt, odo=odo, loops=loops)
+    assert sm.window == list(range(18, 30))
+    opt = _run_batch(gt, odo, loops)
+    for i in sm.window:
+        d = np.linalg.norm(sm.get_pose(i).translation - opt.get_pose(i).translation)
+        assert d < 0.05, (i, d)
+
+    # and it must beat plain dead reckoning on ground-truth error
+    dr = _dead_reckon(gt[0], odo)
+    err_sm = np.mean(
+        [np.linalg.norm(sm.get_pose(i).translation - gt[i].translation) for i in sm.window]
+    )
+    err_dr = np.mean(
+        [np.linalg.norm(dr[i].translation - gt[i].translation) for i in sm.window]
+    )
+    assert err_sm < err_dr
+
+
+def test_marginalized_poses_are_frozen():
+    gt, odo, loops = _circle_fixture(n=24)
+    sm = FixedLagSmoother(lag=8, switch_penalty=0.03)
+    sm.add_pose(0, gt[0])
+    est = gt[0]
+    snapshot = {}
+    for k in range(1, 24):
+        est = Pose(
+            est.rotation @ odo[k - 1].rotation,
+            est.translation + est.rotation @ odo[k - 1].translation,
+        )
+        sm.add_pose(k, est)
+        sm.add_odometry(k - 1, k, odo[k - 1])
+        sm.update()
+        est = sm.get_pose(k)
+        for i in range(k + 1):
+            if i not in sm.window and i not in snapshot:
+                snapshot[i] = sm.get_pose(i).translation.copy()
+    assert snapshot  # something was marginalized
+    for i, t in snapshot.items():
+        np.testing.assert_array_equal(sm.get_pose(i).translation, t)
+
+
+def test_outlier_loop_switched_off_in_window():
+    """A wildly-wrong loop closure inside the window must be rejected by
+    its switch variable while a good loop stays on."""
+    gt, odo, _ = _circle_fixture(n=14, s_t=0.01, s_r=0.002)
+    sm = FixedLagSmoother(lag=14, switch_penalty=0.03)
+    est = gt[0]
+    sm.add_pose(0, est)
+    for k in range(1, 14):
+        est = Pose(
+            est.rotation @ odo[k - 1].rotation,
+            est.translation + est.rotation @ odo[k - 1].translation,
+        )
+        sm.add_pose(k, est)
+        sm.add_odometry(k - 1, k, odo[k - 1])
+        sm.update()
+        est = sm.get_pose(k)
+    # good loop: true relative pose 3 -> 13
+    Ri, ti = gt[3].rotation, gt[3].translation
+    sm.add_loop(3, 13, Pose(Ri.T @ gt[13].rotation, Ri.T @ (gt[13].translation - ti)))
+    # outlier: identity relative pose between far-apart poses (the
+    # reference fixture's planted outlier, simple_optimization_test.cc:100)
+    sm.add_loop(2, 9, Pose(np.eye(3), np.zeros(3)))
+    sm.update()
+    s_good, s_bad = sm.loop_switches()
+    assert s_good > 0.8, s_good
+    assert s_bad < 0.2, s_bad
+
+
+def test_marginalization_absorbs_switch_variables():
+    """Loops whose endpoints leave the window are marginalized out with
+    their switch variables; remaining active loops keep theirs."""
+    gt, odo, loops = _circle_fixture(n=30)
+    sm = _run_smoother(lag=10, gt=gt, odo=odo, loops=loops)
+    # loops at k=10 (edge 2-10) and k=20 (edge 12-20) are long gone;
+    # only none or the newest can remain active
+    assert len(sm.loop_switches()) <= 1
+
+
+def test_api_validation():
+    sm = FixedLagSmoother(lag=5)
+    with pytest.raises(ValueError):
+        FixedLagSmoother(lag=1)
+    sm.add_pose(0, Pose(np.eye(3), np.zeros(3)))
+    with pytest.raises(ValueError):
+        sm.add_pose(2, Pose(np.eye(3), np.zeros(3)))  # gap
+    sm.add_pose(1, Pose(np.eye(3), np.ones(3)))
+    with pytest.raises(KeyError):
+        sm.add_odometry(1, 7, Pose(np.eye(3), np.zeros(3)))
+    with pytest.raises(ValueError):
+        sm.add_odometry(1, 1, Pose(np.eye(3), np.zeros(3)))
+
+
+def test_update_without_edges_is_trivially_converged():
+    sm = FixedLagSmoother(lag=4)
+    sm.add_pose(0, Pose(np.eye(3), np.zeros(3)))
+    summary = sm.update()
+    assert bool(summary.converged)
+    np.testing.assert_array_equal(sm.get_pose(0).translation, np.zeros(3))
