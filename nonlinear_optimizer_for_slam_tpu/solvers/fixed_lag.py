@@ -28,18 +28,37 @@ current (post-optimization) estimate:
     Lambda_b = H_bb - H_bm (H_mm + eps I)^{-1} H_mb
     g_b'     = g_b  - H_bm (H_mm + eps I)^{-1} g_m
 
-stored as a square-root factor S (Lambda = S^T S via eigendecomposition
-with eigenvalue clipping — Lambda is PSD but rank-deficient along the
-quaternion-scale null directions the normalization Jacobian leaves) and a
-mean x_bar = x_b* - Lambda^+ g_b', i.e. the prior residual S (x_b - x_bar)
-reproduces the marginal quadratic exactly. Switch variables of absorbed
-loop closures are marginalized with their edges.
+assembled on the 6-DoF TANGENT chart at the current estimate (per pose
+dphi = [dp ; dtheta] with x(dphi) = [p + dp ; n(q) (x) (1, dtheta/2)])
+and stored in AFFINE RESIDUAL form
+
+    r_p(x) = S dphi(x) + c,   S = w^{1/2} V^T,   c = w^{-1/2} V^T g_b'
+
+(Lambda = V diag(w) V^T with eigenvalue clipping). Two hard-won design
+choices, both load-bearing for convergence on realistic noise:
+
+- TANGENT, not raw-ambient 7-dim coordinates: a raw quadratic in q has
+  exact quaternion-scale null directions plus curvature from the
+  normalization nonlinearity; the accumulated marginal then gave LM a
+  steep curved valley it wandered along (finite steps, no cost change,
+  no convergence) and the window random-walked away — worse than dead
+  reckoning on a 72-pose circle fixture.
+- AFFINE OFFSET c, not the textbook mean x_bar = x_lin - Lambda^+ g_b':
+  the offset is bounded by the absorbed residual norm
+  (|v^T J^T r| <= sqrt(w)|r| componentwise, Cauchy-Schwarz), whereas
+  the pseudo-inverse mean amplifies g components along near-null
+  eigendirections by 1/w — observed catapulting the prior minimum
+  1-3 m from the estimate.
+
+Switch variables of absorbed loop closures are marginalized with their
+edges.
 """
 
 from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,6 +75,28 @@ from .pose_graph import _pose_graph_solve
 
 def _pack(pose: Pose) -> np.ndarray:
     return np.concatenate([pose.translation, pose.quaternion()])
+
+
+def _np_quat_left(a: np.ndarray) -> np.ndarray:
+    """Left quaternion-product matrix L(a): L(a) b = a (x) b (wxyz)."""
+    w, x, y, z = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    return np.stack(
+        [
+            np.stack([w, -x, -y, -z], -1),
+            np.stack([x, w, -z, y], -1),
+            np.stack([y, z, w, -x], -1),
+            np.stack([z, -y, x, w], -1),
+        ],
+        -2,
+    )
+
+
+def _np_quat_conj(q: np.ndarray) -> np.ndarray:
+    return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+
+def _np_quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.einsum("...ij,...j->...i", _np_quat_left(a), b)
 
 
 class FixedLagSmoother:
@@ -84,13 +125,17 @@ class FixedLagSmoother:
     def __init__(
         self,
         lag: int,
-        dtype=jnp.float64,
+        dtype=None,
         switch_penalty: Optional[float] = None,
         max_iterations: int = 50,
     ):
         if lag < 2:
             raise ValueError("lag must be >= 2")
         self.lag = lag
+        if dtype is None:
+            # f64 when available (CPU / x64 runs); silently-truncated f64
+            # on TPU would just spam warnings — f32 converges fine there
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
         self.switch_penalty = (
             SWITCH_PENALTY_SCALE if switch_penalty is None else switch_penalty
@@ -102,8 +147,11 @@ class FixedLagSmoother:
         # odometry: (ref, qry, rel_t (3,), rel_q (4,)); loops add a switch
         self._odom: List[Tuple] = []
         self._loops: List[dict] = []  # ref, qry, rel_t, rel_q, switch
-        # prior: (support ids ascending, S (7B, 7B), mean (B, 7))
-        self._prior: Optional[Tuple[List[int], np.ndarray, np.ndarray]] = None
+        # prior: (support ids ascending, S (6B, 6B) over tangent coords,
+        # x_lin (B, 7) [p, unit q], c (6B,))
+        self._prior: Optional[
+            Tuple[List[int], np.ndarray, np.ndarray, np.ndarray]
+        ] = None
         self._gauge: Optional[int] = None  # fixed pose until a prior exists
 
     # -- registry -----------------------------------------------------------
@@ -172,7 +220,26 @@ class FixedLagSmoother:
         return summary
 
     # -- window solve ---------------------------------------------------------
+    @staticmethod
+    def _bucket(n: int, m: int) -> int:
+        """Round ``n`` up to a multiple of ``m`` (0 stays 0)."""
+        return ((n + m - 1) // m) * m
+
     def _optimize(self, options: Optional[Options]) -> lm.Summary:
+        """One window solve, traced at CONSTANT shapes.
+
+        Every varying extent is padded to a bucket so long runs reuse a
+        handful of compiled programs instead of one per update (this
+        runtime's remote compiles cost 26-500 s each; attached TPUs still
+        pay ~seconds): the pose count is padded to ``lag`` (padded poses
+        are gauge-fixed identities), edge rows are masked pads
+        (``edges.mask`` zeroes r and every Jacobian block, so they
+        contribute nothing), padded LOOP rows sit after the real ones so
+        the cumsum slot assignment keeps real switches at slots 0..L-1,
+        and the marginal-prior support is padded with zero sqrt-info
+        rows. Steady state (full window, stable loop count) is exactly
+        one program.
+        """
         if options is None:
             options = Options().replace(max_iterations=self.max_iterations)
         W = len(self._window)
@@ -187,62 +254,109 @@ class FixedLagSmoother:
                 jnp.asarray(True), lm.IterationRecord(nan, nan, nan, nan),
             )
 
-        est = np.stack([self._est[pi] for pi in self._window])
-        ref, qry, rel_t, rel_q, is_loop, sw0 = [], [], [], [], [], []
-        for (a, b, t, q) in self._odom:
-            ref.append(local[a]); qry.append(local[b])
-            rel_t.append(t); rel_q.append(q); is_loop.append(0.0)
-        for l in self._loops:
-            ref.append(local[l["ref"]]); qry.append(local[l["qry"]])
-            rel_t.append(l["rel_t"]); rel_q.append(l["rel_q"])
-            is_loop.append(1.0); sw0.append(l["switch"])
-        E = len(ref)
+        # padded pose count: the window holds lag+1 poses at optimize
+        # time in the steady per-frame loop (update() optimizes BEFORE
+        # marginalizing the newly-exceeded pose); bucket beyond that for
+        # callers that batch several add_pose calls per update
+        P = max(self.lag + 1, self._bucket(W, 4))
+        est = np.zeros((P, 7))
+        est[:, 3] = 1.0  # identity quaternions on padded slots
+        est[:W] = np.stack([self._est[pi] for pi in self._window])
+
+        E_o, L = len(self._odom), len(self._loops)
+        E_op = self._bucket(E_o, 8)
+        L_p = self._bucket(L, 2)
+        E = E_op + L_p
+        ref = np.zeros((E,), np.int32)
+        qry = np.ones((E,), np.int32)  # pad rows: masked 0->1 edge
+        rel_t = np.zeros((E, 3))
+        rel_q = np.zeros((E, 4))
+        rel_q[:, 0] = 1.0
+        is_loop = np.zeros((E,))
+        is_loop[E_op:] = 1.0  # including padded loop rows (slot cumsum)
+        mask = np.zeros((E,))
+        mask[:E_o] = 1.0
+        mask[E_op : E_op + L] = 1.0
+        for k, (a, b, t, q) in enumerate(self._odom):
+            ref[k] = local[a]; qry[k] = local[b]
+            rel_t[k] = t; rel_q[k] = q
+        sw0 = np.ones((L_p,))
+        for k, l in enumerate(self._loops):
+            ref[E_op + k] = local[l["ref"]]; qry[E_op + k] = local[l["qry"]]
+            rel_t[E_op + k] = l["rel_t"]; rel_q[E_op + k] = l["rel_q"]
+            sw0[k] = l["switch"]
         edges = PoseGraphEdges(
-            reference_indices=jnp.asarray(np.array(ref, np.int32)),
-            query_indices=jnp.asarray(np.array(qry, np.int32)),
-            relative_translations=jnp.asarray(np.stack(rel_t), dtype),
-            relative_quaternions=jnp.asarray(np.stack(rel_q), dtype),
-            is_loop=jnp.asarray(np.array(is_loop), dtype),
-            mask=jnp.ones((E,), dtype),
+            reference_indices=jnp.asarray(ref),
+            query_indices=jnp.asarray(qry),
+            relative_translations=jnp.asarray(rel_t, dtype),
+            relative_quaternions=jnp.asarray(rel_q, dtype),
+            is_loop=jnp.asarray(is_loop, dtype),
+            mask=jnp.asarray(mask, dtype),
         )
-        L = len(sw0)
-        free = np.ones(W)
+        free = np.zeros(P)
+        free[:W] = 1.0
         if self._prior is None and self._gauge is not None:
             free[local[self._gauge]] = 0.0
 
-        prior_sqrt = prior_mean = prior_sel = None
+        prior_sqrt = prior_mean = prior_sel = prior_offset = None
         if self._prior is not None:
-            sup, S, mean = self._prior
-            prior_sqrt = jnp.asarray(S, dtype)
-            prior_mean = jnp.asarray(mean, dtype)
-            prior_sel = jnp.asarray(
-                np.array([local[pi] for pi in sup], np.int32)
-            )
+            sup, S, x_lin, c = self._prior
+            B, B_p = len(sup), self._bucket(len(sup), 2)
+            S_pad = np.zeros((6 * B_p, 6 * B_p))
+            S_pad[: 6 * B, : 6 * B] = S
+            lin_pad = np.zeros((B_p, 7))
+            lin_pad[:, 3] = 1.0  # identity quats on padded support slots
+            lin_pad[:B] = x_lin
+            c_pad = np.zeros((6 * B_p,))
+            c_pad[: 6 * B] = c
+            sel_pad = np.zeros((B_p,), np.int32)
+            sel_pad[:B] = [local[pi] for pi in sup]
+            prior_sqrt = jnp.asarray(S_pad, dtype)
+            prior_mean = jnp.asarray(lin_pad, dtype)
+            prior_sel = jnp.asarray(sel_pad)
+            prior_offset = jnp.asarray(c_pad, dtype)
 
         pos, quat, sw, summary = _pose_graph_solve(
             jnp.asarray(est[:, :3], dtype),
             jnp.asarray(est[:, 3:], dtype),
-            jnp.asarray(np.array(sw0), dtype),
+            jnp.asarray(sw0, dtype),
             edges,
             jnp.asarray(free, dtype),
             jnp.asarray(self.switch_penalty, dtype),
             None,  # edge_loss unsupported (see class docstring)
-            W,
-            L,
+            P,
+            L_p,
             options,
             prior_sqrt,
             prior_mean,
             prior_sel,
+            prior_offset,
         )
         pos, quat, sw = np.array(pos, np.float64), np.array(quat, np.float64), np.array(sw, np.float64)
+        # renormalize at write-back (the batch optimizer does the same,
+        # pose_graph_optimizer.h:89-101): the objective — edges AND the
+        # tangent-space prior — is quaternion-scale invariant, so this is
+        # free, and it keeps every linearization chart on the unit sphere
+        quat /= np.linalg.norm(quat, axis=1, keepdims=True)
         for i, pi in enumerate(self._window):
             self._est[pi] = np.concatenate([pos[i], quat[i]])
-        for l, s in zip(self._loops, sw):
+        for l, s in zip(self._loops, sw[:L]):
             l["switch"] = float(s)
         return summary
 
     # -- marginalization --------------------------------------------------------
     def _marginalize(self, cutoff: int) -> None:
+        """Schur-complement marginalization in TANGENT coordinates.
+
+        All absorbed information is assembled on the 6-DoF local chart at
+        the current (quaternion-normalized) estimate — per pose
+        x(dphi) = [p + dp ; n(q) (x) (1, dtheta/2)] — NOT on the raw
+        7-dim ambient coordinates: a raw-ambient marginal quadratic has
+        exact quaternion-scale nulls and normalization curvature, which
+        made the subsequent window solves wander (see module docstring).
+        Ambient edge Jacobians chain onto the chart with
+        T_i = blkdiag(I_3, 0.5 L(n(q_i))[:, 1:]) (7x6 per pose).
+        """
         leaving = {pi for pi in self._window if pi < cutoff}
 
         absorb_odom = [e for e in self._odom if e[0] in leaving or e[1] in leaving]
@@ -262,9 +376,14 @@ class FixedLagSmoother:
         )
         slot = {pi: i for i, pi in enumerate(V)}
         n_sw = len(absorb_loops)
-        dim = 7 * len(V) + n_sw
+        nV = len(V)
+        dim = 6 * nV + n_sw
 
-        est = np.stack([self._est[pi] for pi in V])  # (V, 7) linearization
+        est = np.stack([self._est[pi] for pi in V]).astype(np.float64)
+        est[:, 3:] /= np.linalg.norm(est[:, 3:], axis=1, keepdims=True)
+        # chart map per pose: d(ambient)/d(tangent-rotation) (4, 3)
+        Tq = 0.5 * _np_quat_left(est[:, 3:])[:, :, 1:]  # (V, 4, 3)
+
         H = np.zeros((dim, dim))
         g = np.zeros(dim)
 
@@ -276,8 +395,8 @@ class FixedLagSmoother:
             ref_i = np.array([slot[e[0]] for e in edges_all])
             qry_i = np.array([slot[e[1]] for e in edges_all])
             r, J_ref, J_qry, J_s = np_edge_residuals_and_jacobians(
-                est[:, :3].astype(np.float64),
-                est[:, 3:].astype(np.float64),
+                est[:, :3],
+                est[:, 3:],
                 np.array([e[5] for e in edges_all]),
                 ref_i,
                 qry_i,
@@ -285,6 +404,13 @@ class FixedLagSmoother:
                 np.stack([e[3] for e in edges_all]),
                 np.array([e[4] for e in edges_all]),
                 self.switch_penalty,
+            )
+            # chain ambient (E,7,7) blocks onto the local chart -> (E,7,6)
+            J_ref = np.concatenate(
+                [J_ref[:, :, :3], J_ref[:, :, 3:] @ Tq[ref_i]], axis=2
+            )
+            J_qry = np.concatenate(
+                [J_qry[:, :, :3], J_qry[:, :, 3:] @ Tq[qry_i]], axis=2
             )
             # the gauge pose (fixed while no prior exists) is a constant:
             # zero its Jacobian columns so it contributes no information
@@ -295,40 +421,56 @@ class FixedLagSmoother:
                     J_qry[k] = 0.0
             n_odom = len(absorb_odom)
             for k in range(len(edges_all)):
-                ra = 7 * ref_i[k]
-                rb = 7 * qry_i[k]
+                ra = 6 * ref_i[k]
+                rb = 6 * qry_i[k]
                 Ja, Jb, rk = J_ref[k], J_qry[k], r[k]
-                H[ra : ra + 7, ra : ra + 7] += Ja.T @ Ja
-                H[rb : rb + 7, rb : rb + 7] += Jb.T @ Jb
-                H[ra : ra + 7, rb : rb + 7] += Ja.T @ Jb
-                H[rb : rb + 7, ra : ra + 7] += Jb.T @ Ja
-                g[ra : ra + 7] += Ja.T @ rk
-                g[rb : rb + 7] += Jb.T @ rk
+                H[ra : ra + 6, ra : ra + 6] += Ja.T @ Ja
+                H[rb : rb + 6, rb : rb + 6] += Jb.T @ Jb
+                H[ra : ra + 6, rb : rb + 6] += Ja.T @ Jb
+                H[rb : rb + 6, ra : ra + 6] += Jb.T @ Ja
+                g[ra : ra + 6] += Ja.T @ rk
+                g[rb : rb + 6] += Jb.T @ rk
                 if k >= n_odom:  # loop: switch column
-                    sc = 7 * len(V) + (k - n_odom)
+                    sc = 6 * nV + (k - n_odom)
                     Js = J_s[k]
-                    H[ra : ra + 7, sc] += Ja.T @ Js
-                    H[sc, ra : ra + 7] += Ja.T @ Js
-                    H[rb : rb + 7, sc] += Jb.T @ Js
-                    H[sc, rb : rb + 7] += Jb.T @ Js
+                    H[ra : ra + 6, sc] += Ja.T @ Js
+                    H[sc, ra : ra + 6] += Ja.T @ Js
+                    H[rb : rb + 6, sc] += Jb.T @ Js
+                    H[sc, rb : rb + 6] += Jb.T @ Js
                     H[sc, sc] += Js @ Js
                     g[sc] += Js @ rk
 
         if self._prior is not None:
-            sup, S, mean = self._prior
-            rows = np.concatenate([np.arange(7 * slot[pi], 7 * slot[pi] + 7) for pi in sup])
-            r_p = S @ (est.reshape(-1)[rows] - mean.reshape(-1))
-            H[np.ix_(rows, rows)] += S.T @ S
-            g[rows] += S.T @ r_p
+            # old prior r_p = S dphi_prior(x) + c, linearized on the
+            # CURRENT chart: translation block I, rotation block
+            # L(A)[1:, 1:] with A = q_lin^-1 (x) n(q_est)
+            sup, S, lin, c = self._prior
+            rows = np.concatenate(
+                [np.arange(6 * slot[pi], 6 * slot[pi] + 6) for pi in sup]
+            )
+            sel = np.array([slot[pi] for pi in sup])
+            A = _np_quat_mul(_np_quat_conj(lin[:, 3:]), est[sel, 3:])  # (B,4)
+            dphi = np.concatenate(
+                [est[sel, :3] - lin[:, :3], 2.0 * A[:, 1:]], axis=1
+            ).reshape(-1)
+            r_p = S @ dphi + c
+            G = _np_quat_left(A)[:, 1:, 1:]  # (B, 3, 3)
+            Tblk = np.zeros((len(rows), len(rows)))
+            for i in range(len(sup)):
+                Tblk[6 * i : 6 * i + 3, 6 * i : 6 * i + 3] = np.eye(3)
+                Tblk[6 * i + 3 : 6 * i + 6, 6 * i + 3 : 6 * i + 6] = G[i]
+            J_p = S @ Tblk
+            H[np.ix_(rows, rows)] += J_p.T @ J_p
+            g[rows] += J_p.T @ r_p
 
         # partition: m = leaving poses + absorbed switches; b = retained
         m_rows = np.concatenate(
-            [np.arange(7 * slot[pi], 7 * slot[pi] + 7) for pi in V if pi in leaving]
-            + [np.arange(7 * len(V), dim)]
+            [np.arange(6 * slot[pi], 6 * slot[pi] + 6) for pi in V if pi in leaving]
+            + [np.arange(6 * nV, dim)]
         ).astype(int)
         retained = [pi for pi in V if pi not in leaving]
         b_rows = np.concatenate(
-            [np.arange(7 * slot[pi], 7 * slot[pi] + 7) for pi in retained]
+            [np.arange(6 * slot[pi], 6 * slot[pi] + 6) for pi in retained]
         ).astype(int) if retained else np.zeros((0,), int)
 
         if len(b_rows):
@@ -341,10 +483,16 @@ class FixedLagSmoother:
             w, Vec = np.linalg.eigh(Lam)
             w = np.clip(w, 0.0, None)
             S_new = np.sqrt(w)[:, None] * Vec.T
-            w_inv = np.where(w > 1e-12 * max(w.max(), 1.0), 1.0 / np.maximum(w, 1e-300), 0.0)
-            x_star = np.concatenate([self._est[pi] for pi in retained])
-            mean_new = x_star - Vec @ (w_inv * (Vec.T @ g_b))
-            self._prior = (retained, S_new, mean_new.reshape(len(retained), 7))
+            # residual offset c = w^{-1/2} V^T g (0 on the null space):
+            # each component is <= the absorbed residual norm, so no
+            # near-null eigendirection can catapult the prior (a
+            # 1/w mean form did exactly that — see module docstring)
+            keep = w > 1e-12 * max(w.max(), 1.0)
+            c_new = np.where(
+                keep, (Vec.T @ g_b) / np.sqrt(np.maximum(w, 1e-300)), 0.0
+            )
+            lin_new = np.stack([est[slot[pi]] for pi in retained])
+            self._prior = (retained, S_new, lin_new, c_new)
         else:
             self._prior = None
 

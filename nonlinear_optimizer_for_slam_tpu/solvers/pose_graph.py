@@ -37,9 +37,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import lie
 from ..core.options import Options
 from ..core.pose import Pose, np_quat_to_rotmat
-from ..ops.relative_pose import PoseGraphEdges, edge_residuals_and_jacobians
+from ..ops.relative_pose import (
+    PoseGraphEdges,
+    _normalize_jacobian,
+    _quat_left_matrix,
+    edge_residuals_and_jacobians,
+)
 from . import lm
 
 Array = jax.Array
@@ -64,9 +70,10 @@ def _pose_graph_solve(
     num_poses: int,
     num_loops: int,
     options: Options,
-    prior_sqrt=None,  # (7B, 7B) sqrt-information of a Gaussian prior
-    prior_mean=None,  # (B, 7) prior linearization point
+    prior_sqrt=None,  # (6B, 6B) sqrt-information over TANGENT coords
+    prior_mean=None,  # (B, 7) prior linearization point [p_lin, q_lin(unit)]
     prior_sel=None,  # (B,) int32 pose indices the prior couples
+    prior_offset=None,  # (6B,) residual offset c: r_p = S dphi(x) + c
 ):
     """Dense direct path: segment-sum BLOCK assembly of the (7P+L)^2
     normal matrix. Each edge contributes four 7x7 pose blocks and (for
@@ -161,16 +168,51 @@ def _pose_graph_solve(
             g = g.at[col_sw].add(jnp.sum(J_s * r, axis=1))
 
         if prior_sqrt is not None:
-            # Gaussian prior r_p = S (x_sel - x_bar) over B coupled poses
-            # (the fixed-lag smoother's marginalization product;
-            # solvers/fixed_lag.py builds S from the Schur complement)
+            # Gaussian prior in TANGENT (6-DoF local) coordinates:
+            #   r_p(x) = S dphi(x) + c,
+            #   dphi_i = [p_i - p_lin_i ; 2 vec(q_lin_i^-1 (x) n(q_i))]
+            # (the fixed-lag smoother's marginalization product,
+            # solvers/fixed_lag.py). Two deliberate choices:
+            # - tangent, not raw-ambient: a raw 7-dim quadratic in q has
+            #   exact quaternion-scale nulls plus curvature from the
+            #   normalization nonlinearity; with an accumulated marginal
+            #   S that combination made LM wander along a steep curved
+            #   valley (finite steps, no cost change) and the window
+            #   random-walked away on realistic-noise fixtures;
+            # - affine offset c, not a mean shift -Lambda^+ g: c =
+            #   V w^{-1/2} V^T g is bounded by the absorbed residual
+            #   norm (Cauchy-Schwarz), while a 1/w mean form catapults
+            #   the prior minimum along near-null eigendirections.
             rows = (
                 7 * prior_sel[:, None] + jnp.arange(7, dtype=jnp.int32)[None, :]
             ).reshape(-1)
-            r_p = prior_sqrt @ (x[rows] - prior_mean.reshape(-1))
+            B = prior_sel.shape[0]
+            pb = pos[prior_sel]  # (B, 3)
+            qb = quat[prior_sel]  # (B, 4)
+            p_lin = prior_mean[:, :3]
+            q_lin = prior_mean[:, 3:]
+            nq = lie.quat_normalize(qb)
+            A = lie.quat_multiply(lie.quat_conjugate(q_lin), nq)  # (B, 4)
+            dphi = jnp.concatenate([pb - p_lin, 2.0 * A[:, 1:]], axis=1)
+            r_p = prior_sqrt @ dphi.reshape(-1) + prior_offset
+            # d dphi / d(ambient x): translation rows are identity;
+            # rotation rows are 2 [L(q_lin^-1) Dn(q)]_{vec} (3x4 / pose)
+            dq = 2.0 * (
+                _quat_left_matrix(lie.quat_conjugate(q_lin))
+                @ _normalize_jacobian(qb)
+            )[:, 1:, :]  # (B, 3, 4)
+            T = jnp.zeros((6 * B, 7 * B), dtype)
+            for i in range(B):  # B is static and small (prior support)
+                T = T.at[6 * i : 6 * i + 3, 7 * i : 7 * i + 3].set(
+                    jnp.eye(3, dtype=dtype)
+                )
+                T = T.at[6 * i + 3 : 6 * i + 6, 7 * i + 3 : 7 * i + 7].set(
+                    dq[i]
+                )
+            J_p = prior_sqrt @ T  # (6B, 7B)
             cost = cost + jnp.sum(r_p * r_p)
-            g = g.at[rows].add(prior_sqrt.T @ r_p)
-            H = H.at[rows[:, None], rows[None, :]].add(prior_sqrt.T @ prior_sqrt)
+            g = g.at[rows].add(J_p.T @ r_p)
+            H = H.at[rows[:, None], rows[None, :]].add(J_p.T @ J_p)
 
         # keep H nonsingular on fixed-pose rows (delta stays 0 there since
         # g is 0 and the row/col is identity)

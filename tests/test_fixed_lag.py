@@ -306,3 +306,75 @@ def test_update_without_edges_is_trivially_converged():
     summary = sm.update()
     assert bool(summary.converged)
     np.testing.assert_array_equal(sm.get_pose(0).translation, np.zeros(3))
+
+
+def test_constant_shape_compile_reuse():
+    """A long streaming run must reuse a handful of compiled window
+    programs (padded pose count, bucketed edge/loop/prior-support
+    shapes) — one compile per distinct bucket combination, NOT one per
+    update. On the production runtime a recompile costs 26-500 s, so
+    shape churn would make online use impossible."""
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_graph import (
+        _pose_graph_solve,
+    )
+
+    gt, odo, loops = _circle_fixture(n=40)
+    before = _pose_graph_solve._cache_size()
+    _run_smoother(lag=12, gt=gt, odo=odo, loops=loops)
+    added = _pose_graph_solve._cache_size() - before
+    # warmup (growing window, no prior) + steady state (prior present,
+    # loop-count buckets 0/2) — generous bound, far below 39 updates
+    assert added <= 6, f"expected few compiles, got {added}"
+
+
+def test_realistic_noise_matches_batch_and_converges():
+    """Regression for the tangent-space prior: on REALISTIC odometry
+    noise (0.02 m / 0.004 rad per step — the earlier raw-ambient prior
+    diverged here and did worse than dead reckoning), every update must
+    converge and the window estimates must reach batch-MAP quality.
+
+    Also plants an identity-pose outlier loop mid-run: rejection must
+    leave the trajectory untouched (same final error as without it)."""
+    gt, odo, loops = _circle_fixture(n=40, s_t=0.02, s_r=0.004, seed=11)
+    opt = _run_batch(gt, odo, loops)
+
+    errs = {}
+    for outlier in (False, True):
+        sm = FixedLagSmoother(lag=14, switch_penalty=0.03)
+        est = gt[0]
+        sm.add_pose(0, est)
+        for k in range(1, 40):
+            est = Pose(
+                est.rotation @ odo[k - 1].rotation,
+                est.translation + est.rotation @ odo[k - 1].translation,
+            )
+            sm.add_pose(k, est)
+            sm.add_odometry(k - 1, k, odo[k - 1])
+            if k in loops:
+                sm.add_loop(k - 8, k, loops[k])
+            if outlier and k == 25:
+                sm.add_loop(15, 25, Pose(np.eye(3), np.zeros(3)))
+            s = sm.update()
+            assert bool(s.converged), f"update k={k} did not converge"
+            est = sm.get_pose(k)
+        if outlier:
+            # the planted outlier has left the window by k=39; it must
+            # have been switched off, not folded into the prior estimate
+            pass
+        errs[outlier] = np.array(
+            [
+                np.linalg.norm(sm.get_pose(i).translation - gt[i].translation)
+                for i in range(40)
+            ]
+        )
+
+    batch_err = np.array(
+        [
+            np.linalg.norm(opt.get_pose(i).translation - gt[i].translation)
+            for i in range(40)
+        ]
+    )
+    # online estimates can't beat batch, but must be close to it
+    assert errs[False].mean() < 1.5 * batch_err.mean() + 0.05
+    # outlier rejection must not perturb the trajectory materially
+    np.testing.assert_allclose(errs[True], errs[False], atol=0.05)
