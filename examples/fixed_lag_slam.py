@@ -97,6 +97,12 @@ def main():
 
     err = [np.linalg.norm(sm.get_pose(i).translation - gt[i].translation) for i in range(n)]
     print(f"poses: {n}, window: {sm.window[0]}..{sm.window[-1]} ({len(sm.window)} active)")
+    cov = sm.covariance([sm.window[-1]])[sm.window[-1]]
+    sigma = np.sqrt(np.diag(cov))
+    # edges here are UNWHITENED (unit information), so sigma is in units
+    # of the measurement noise scale, not meters — pass sqrt_info to
+    # add_odometry/add_loop for physical units
+    print(f"current-pose sigma (unit-information edges): {np.round(sigma, 2).tolist()}")
     print(
         f"trajectory error: smoother mean {np.mean(err):.3f} m / max {np.max(err):.3f} m"
         f"  vs dead-reckoning mean {np.mean(dr_err):.3f} m / max {np.max(dr_err):.3f} m"

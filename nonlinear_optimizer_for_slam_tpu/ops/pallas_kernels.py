@@ -52,10 +52,26 @@ Array = jax.Array
 # Lanes per grid step: (16, 4096) f32 = 256 KB VMEM. Measured sweep
 # (results/backend_ablation_tpu.txt, v5e): 4096 and 16384 tie at ~75k
 # lanes (4.42 ms / 40-iter solve); 16384 is 16% faster at 1M lanes
-# (185 GB/s streamed vs 156) — pass lane_block=16384 to pack_*/eval for
-# >512k-lane problems. bf16-storage measured SLOWER (the in-kernel
+# (184 GB/s streamed vs 156 — fewer grid steps, less per-step overhead
+# against the same auto-pipelined DMA), so the default is adaptive
+# (_resolve_lane_block). bf16-storage measured SLOWER (the in-kernel
 # upcast deoptimizes the (16,128)-tiled loads) — keep f32 buffers.
 LANE_BLOCK = 4096
+_LARGE_LANE_BLOCK = 16384
+_LARGE_LANE_THRESHOLD = 1 << 19  # 512k lanes
+
+
+def _resolve_lane_block(n: int, lane_block: Optional[int]) -> int:
+    """Default lane block, adaptive in the (static) lane count.
+
+    The rule `n > T` is consistent whether ``n`` is the RAW count
+    (pack_*) or the PADDED count (eval): raw n <= T pads with 4096 to at
+    most T (T is a 4096 multiple), raw n > T pads with 16384 to a 16384
+    multiple > T — so pack and eval always agree on the block.
+    """
+    if lane_block is not None:
+        return lane_block
+    return _LARGE_LANE_BLOCK if n > _LARGE_LANE_THRESHOLD else LANE_BLOCK
 
 
 def _round_up(n: int, m: int) -> int:
@@ -214,9 +230,8 @@ def pack_maha6(
     ``buffer_dtype=jnp.bfloat16`` halves the HBM->VMEM DMA bytes; the
     kernel upcasts to f32 before the FMA chains (bf16 storage, f32
     compute — the ablation's precision axis)."""
-    if lane_block is None:
-        lane_block = LANE_BLOCK
     n = data.points.shape[0]
+    lane_block = _resolve_lane_block(n, lane_block)
     n_pad = _round_up(max(n, 1), lane_block)
     S_flat = data.sqrt_infos.reshape(n, 9)
     rows = jnp.concatenate(
@@ -232,9 +247,8 @@ def pack_maha6(
 def _maha6_pallas(
     params_vec: Array, packed: Array, loss_code: int, lane_block: int = None
 ) -> Array:
-    if lane_block is None:
-        lane_block = LANE_BLOCK
     n = packed.shape[1]
+    lane_block = _resolve_lane_block(n, lane_block)
     grid = n // lane_block
     return pl.pallas_call(
         functools.partial(_maha6_kernel, loss_code=loss_code),
@@ -284,9 +298,8 @@ def _maha6_pallas_v(
     (1, 28) output, so jax.vmap's pallas batching rule can prepend the
     batch axis (SMEM operands and 1-D outputs cannot be auto-batched on
     TPU — verified empirically). Used by the batched serving pipelines."""
-    if lane_block is None:
-        lane_block = LANE_BLOCK
     n = packed.shape[1]
+    lane_block = _resolve_lane_block(n, lane_block)
     grid = n // lane_block
     return pl.pallas_call(
         functools.partial(_maha6_kernel, loss_code=loss_code),
@@ -547,9 +560,8 @@ def pack_maha3_compact(
 ) -> Array:
     """(N, ...) SoA -> compact (10, N_padded) 3-DoF packing (see above).
     Rows: u0 u1 | mu0 mu1 | M00 M01 M11 | v0 v1 | szz."""
-    if lane_block is None:
-        lane_block = LANE_BLOCK
     n = data.points.shape[0]
+    lane_block = _resolve_lane_block(n, lane_block)
     n_pad = _round_up(max(n, 1), lane_block)
     a = data.sqrt_infos[:, :, :2]  # (N, 3, 2)
     wz = data.sqrt_infos[:, :, 2] * (
@@ -644,9 +656,8 @@ def _maha3c_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
 def _maha3c_pallas(
     params_vec: Array, packed: Array, loss_code: int, lane_block: int = None
 ) -> Array:
-    if lane_block is None:
-        lane_block = LANE_BLOCK
     n = packed.shape[1]
+    lane_block = _resolve_lane_block(n, lane_block)
     grid = n // lane_block
     return pl.pallas_call(
         functools.partial(_maha3c_kernel, loss_code=loss_code),

@@ -27,6 +27,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import lie
 
@@ -492,3 +493,25 @@ def np_edge_residuals_and_jacobians(
         axis=-1,
     )
     return r, J_ref, J_qry, J_s
+
+
+def np_quat_left_matrix(a):
+    """Numpy twin of :func:`_quat_left_matrix`: L(a) b = a (x) b (wxyz)."""
+    w, x, y, z = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    return np.stack(
+        [
+            np.stack([w, -x, -y, -z], -1),
+            np.stack([x, w, -z, y], -1),
+            np.stack([y, z, w, -x], -1),
+            np.stack([z, -y, x, w], -1),
+        ],
+        -2,
+    )
+
+
+def np_quat_conjugate(q):
+    return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+
+def np_quat_multiply(a, b):
+    return np.einsum("...ij,...j->...i", np_quat_left_matrix(a), b)

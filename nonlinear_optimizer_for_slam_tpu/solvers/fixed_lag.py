@@ -68,6 +68,9 @@ from ..ops.relative_pose import (
     SWITCH_PENALTY_SCALE,
     PoseGraphEdges,
     np_edge_residuals_and_jacobians,
+    np_quat_conjugate as _np_quat_conj,
+    np_quat_left_matrix as _np_quat_left,
+    np_quat_multiply as _np_quat_mul,
 )
 from . import lm
 from .pose_graph import _pose_graph_solve
@@ -75,28 +78,6 @@ from .pose_graph import _pose_graph_solve
 
 def _pack(pose: Pose) -> np.ndarray:
     return np.concatenate([pose.translation, pose.quaternion()])
-
-
-def _np_quat_left(a: np.ndarray) -> np.ndarray:
-    """Left quaternion-product matrix L(a): L(a) b = a (x) b (wxyz)."""
-    w, x, y, z = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
-    return np.stack(
-        [
-            np.stack([w, -x, -y, -z], -1),
-            np.stack([x, w, -z, y], -1),
-            np.stack([y, z, w, -x], -1),
-            np.stack([z, -y, x, w], -1),
-        ],
-        -2,
-    )
-
-
-def _np_quat_conj(q: np.ndarray) -> np.ndarray:
-    return q * np.array([1.0, -1.0, -1.0, -1.0])
-
-
-def _np_quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return np.einsum("...ij,...j->...i", _np_quat_left(a), b)
 
 
 class FixedLagSmoother:
@@ -209,6 +190,121 @@ class FixedLagSmoother:
     @property
     def window(self) -> List[int]:
         return list(self._window)
+
+    def covariance(self, indices: Optional[List[int]] = None) -> Dict[int, np.ndarray]:
+        """Marginal 6x6 TANGENT-space covariance blocks for active
+        window poses, from ALL active factors (odometry, loops at their
+        current switch values, the marginal prior), linearized at the
+        current estimates. Host-side f64, O((6W)^3) — W is the lag, so
+        this is cheap and exact for the window belief.
+
+        The batch :class:`PoseGraphOptimizer` has the offline
+        counterpart; marginalized (frozen) poses have no covariance
+        anymore — query before they leave the window.
+
+        Returns {pose_index: (6, 6) ndarray}; the gauge pose (fixed while
+        no prior exists yet) gets a zero block.
+        """
+        W = len(self._window)
+        if W == 0:
+            raise ValueError("covariance: no poses in the window")
+        local = {pi: i for i, pi in enumerate(self._window)}
+        est = np.stack([self._est[pi] for pi in self._window]).astype(np.float64)
+        est[:, 3:] /= np.linalg.norm(est[:, 3:], axis=1, keepdims=True)
+        Tq = 0.5 * _np_quat_left(est[:, 3:])[:, :, 1:]  # (W, 4, 3)
+
+        L = len(self._loops)
+        dim = 6 * W + L
+        H = np.zeros((dim, dim))
+
+        edges_all = [(a, b, t, q, 0.0, 1.0) for (a, b, t, q) in self._odom] + [
+            (l["ref"], l["qry"], l["rel_t"], l["rel_q"], 1.0, l["switch"])
+            for l in self._loops
+        ]
+        if not edges_all and self._prior is None:
+            raise ValueError("covariance: no factors registered")
+        if edges_all:
+            ref_i = np.array([local[e[0]] for e in edges_all])
+            qry_i = np.array([local[e[1]] for e in edges_all])
+            r, J_ref, J_qry, J_s = np_edge_residuals_and_jacobians(
+                est[:, :3], est[:, 3:],
+                np.array([e[5] for e in edges_all]),
+                ref_i, qry_i,
+                np.stack([e[2] for e in edges_all]),
+                np.stack([e[3] for e in edges_all]),
+                np.array([e[4] for e in edges_all]),
+                self.switch_penalty,
+            )
+            J_ref = np.concatenate(
+                [J_ref[:, :, :3], J_ref[:, :, 3:] @ Tq[ref_i]], axis=2
+            )
+            J_qry = np.concatenate(
+                [J_qry[:, :, :3], J_qry[:, :, 3:] @ Tq[qry_i]], axis=2
+            )
+            n_odom = len(self._odom)
+            for k in range(len(edges_all)):
+                if self._prior is None and edges_all[k][0] == self._gauge:
+                    J_ref[k] = 0.0
+                if self._prior is None and edges_all[k][1] == self._gauge:
+                    J_qry[k] = 0.0
+                ra, rb = 6 * ref_i[k], 6 * qry_i[k]
+                Ja, Jb = J_ref[k], J_qry[k]
+                H[ra : ra + 6, ra : ra + 6] += Ja.T @ Ja
+                H[rb : rb + 6, rb : rb + 6] += Jb.T @ Jb
+                H[ra : ra + 6, rb : rb + 6] += Ja.T @ Jb
+                H[rb : rb + 6, ra : ra + 6] += Jb.T @ Ja
+                if k >= n_odom:
+                    sc = 6 * W + (k - n_odom)
+                    Js = J_s[k]
+                    H[ra : ra + 6, sc] += Ja.T @ Js
+                    H[sc, ra : ra + 6] += Ja.T @ Js
+                    H[rb : rb + 6, sc] += Jb.T @ Js
+                    H[sc, rb : rb + 6] += Jb.T @ Js
+                    H[sc, sc] += Js @ Js
+
+        if self._prior is not None:
+            sup, S, lin, c = self._prior
+            rows = np.concatenate(
+                [np.arange(6 * local[pi], 6 * local[pi] + 6) for pi in sup]
+            )
+            sel = np.array([local[pi] for pi in sup])
+            A = _np_quat_mul(_np_quat_conj(lin[:, 3:]), est[sel, 3:])
+            G = _np_quat_left(A)[:, 1:, 1:]
+            Tblk = np.zeros((len(rows), len(rows)))
+            for i in range(len(sup)):
+                Tblk[6 * i : 6 * i + 3, 6 * i : 6 * i + 3] = np.eye(3)
+                Tblk[6 * i + 3 : 6 * i + 6, 6 * i + 3 : 6 * i + 6] = G[i]
+            J_p = S @ Tblk
+            H[np.ix_(rows, rows)] += J_p.T @ J_p
+
+        # gauge pose (if any) is constant: drop its rows/cols
+        keep = np.ones(dim, bool)
+        if self._prior is None and self._gauge is not None:
+            gi = 6 * local[self._gauge]
+            keep[gi : gi + 6] = False
+        try:
+            Sigma_red = np.linalg.inv(H[np.ix_(keep, keep)])
+        except np.linalg.LinAlgError as exc:
+            raise ValueError(
+                "covariance: window information is singular — the window "
+                "is under-constrained"
+            ) from exc
+        Sigma = np.zeros((dim, dim))
+        kk = np.nonzero(keep)[0]
+        Sigma[np.ix_(kk, kk)] = Sigma_red
+
+        if indices is None:
+            indices = list(self._window)
+        out = {}
+        for pi in indices:
+            if pi not in local:
+                raise KeyError(
+                    f"pose {pi} is not in the active window "
+                    f"({self._window[0]}..{self._window[-1]})"
+                )
+            i = local[pi]
+            out[pi] = Sigma[6 * i : 6 * i + 6, 6 * i : 6 * i + 6].copy()
+        return out
 
     # -- update ---------------------------------------------------------------
     def update(self, options: Optional[Options] = None) -> lm.Summary:

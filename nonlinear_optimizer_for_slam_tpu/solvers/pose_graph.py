@@ -45,6 +45,7 @@ from ..ops.relative_pose import (
     _normalize_jacobian,
     _quat_left_matrix,
     edge_residuals_and_jacobians,
+    np_quat_left_matrix as _np_left_quat,
 )
 from . import lm
 
@@ -598,7 +599,126 @@ class PoseGraphOptimizer:
         self._packed_poses = (pos, quat)
         self._poses_stale = True
         self._dirty_poses.clear()
-        return summary, np.asarray(sw, np.float64)
+        sw = np.asarray(sw, np.float64)
+        self._last_switches = sw.copy()  # for covariance() linearization
+        return summary, sw
+
+    def covariance(self, indices: Optional[List[int]] = None) -> Dict[int, np.ndarray]:
+        """Marginal 6x6 TANGENT-space covariance blocks per pose.
+
+        Linearizes every constraint (with the switch values learned by the
+        last ``solve()``, ones before any solve) at the current estimates,
+        assembles the Gauss-Newton information over the 6-DoF local chart
+        per free pose (dp; dtheta with q -> n(q) (x) (1, dtheta/2)) plus
+        the loop switch variables, and returns the pose-diagonal blocks of
+        its dense inverse. Constant (gauge) poses get a zero block.
+
+        The reference has no covariance query at all (Ceres' Covariance
+        class is never used); this is standard SLAM functionality the
+        framework adds. Host-side f64, O(dim^3) dense — intended for
+        graphs up to a few thousand poses; for larger graphs query after
+        windowing or use the fixed-lag smoother's covariance.
+
+        Returns {pose_index: (6, 6) ndarray}.
+        """
+        flat = self._flatten()
+        all_indices = flat["indices"]
+        index_of = flat["index_of"]
+        P, E, L = flat["P"], flat["E"], flat["L"]
+        if E == 0:
+            raise ValueError("covariance: no constraints registered")
+        if not self._constant:
+            raise ValueError(
+                "covariance: gauge-free graph has unbounded covariance; "
+                "fix at least one pose with set_pose_constant()"
+            )
+        pos, quat = self._packed(all_indices, index_of)
+        pos = pos.astype(np.float64)
+        quat = quat.astype(np.float64)
+        quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+
+        sw_slot = np.cumsum(flat["is_loop"].astype(int)) - 1  # (E,)
+        sw = getattr(self, "_last_switches", None)
+        if sw is None or len(sw) != L:
+            sw = np.ones(L)
+        sw_full = np.where(flat["is_loop"] > 0, sw[np.clip(sw_slot, 0, max(L - 1, 0))], 1.0) if L else np.ones(E)
+
+        from ..ops.relative_pose import np_edge_residuals_and_jacobians
+
+        r, J_ref, J_qry, J_s = np_edge_residuals_and_jacobians(
+            pos, quat, sw_full,
+            flat["ref_idx"], flat["query_idx"],
+            flat["rel_t"], flat["rel_q"], flat["is_loop"],
+            self.switch_penalty,
+        )
+        if self.edge_loss is not None:
+            sq = np.sum(r * r, axis=1)
+            _, w, _ = self.edge_loss.evaluate(sq)
+            sqrt_w = np.sqrt(np.asarray(w, np.float64))[:, None, None]
+            J_ref = J_ref * sqrt_w
+            J_qry = J_qry * sqrt_w
+            J_s = J_s * sqrt_w[:, :, 0]
+
+        # chain ambient (E,7,7) blocks onto the per-pose tangent chart
+        Tq = 0.5 * _np_left_quat(quat)[:, :, 1:]  # (P, 4, 3)
+        ref_i, qry_i = flat["ref_idx"], flat["query_idx"]
+        J_ref = np.concatenate([J_ref[:, :, :3], J_ref[:, :, 3:] @ Tq[ref_i]], axis=2)
+        J_qry = np.concatenate([J_qry[:, :, :3], J_qry[:, :, 3:] @ Tq[qry_i]], axis=2)
+
+        free = np.array(
+            [0.0 if pi in self._constant else 1.0 for pi in all_indices]
+        )
+        J_ref = J_ref * free[ref_i][:, None, None]
+        J_qry = J_qry * free[qry_i][:, None, None]
+
+        dim = 6 * P + L
+        H = np.zeros((dim, dim))
+        r6 = np.arange(6)
+        rows_ref = 6 * ref_i[:, None] + r6[None, :]  # (E, 6)
+        rows_qry = 6 * qry_i[:, None] + r6[None, :]
+
+        def scatter(rows_a, rows_b, blocks):
+            np.add.at(H, (rows_a[:, :, None], rows_b[:, None, :]), blocks)
+
+        scatter(rows_ref, rows_ref, np.einsum("edi,edj->eij", J_ref, J_ref))
+        scatter(rows_qry, rows_qry, np.einsum("edi,edj->eij", J_qry, J_qry))
+        cross = np.einsum("edi,edj->eij", J_ref, J_qry)
+        scatter(rows_ref, rows_qry, cross)
+        scatter(rows_qry, rows_ref, np.swapaxes(cross, 1, 2))
+        if L:
+            cols_sw = 6 * P + sw_slot  # (E,)
+            b_rs = np.einsum("edi,ed->ei", J_ref, J_s)
+            b_qs = np.einsum("edi,ed->ei", J_qry, J_s)
+            np.add.at(H, (rows_ref, cols_sw[:, None]), b_rs)
+            np.add.at(H, (cols_sw[:, None], rows_ref), b_rs)
+            np.add.at(H, (rows_qry, cols_sw[:, None]), b_qs)
+            np.add.at(H, (cols_sw[:, None], rows_qry), b_qs)
+            np.add.at(H, (cols_sw, cols_sw), np.sum(J_s * J_s, axis=1))
+
+        # drop constant-pose rows/cols, invert, re-embed
+        keep = np.concatenate(
+            [np.repeat(free, 6).astype(bool), np.ones(L, bool)]
+        )
+        H_red = H[np.ix_(keep, keep)]
+        try:
+            Sigma_red = np.linalg.inv(H_red)
+        except np.linalg.LinAlgError as exc:
+            raise ValueError(
+                "covariance: information matrix is singular — the graph "
+                "is under-constrained (disconnected components or "
+                "unobserved poses)"
+            ) from exc
+        Sigma = np.zeros((dim, dim))
+        kk = np.nonzero(keep)[0]
+        Sigma[np.ix_(kk, kk)] = Sigma_red
+
+        if indices is None:
+            indices = all_indices
+        out = {}
+        for pi in indices:
+            i = index_of[pi]
+            out[pi] = Sigma[6 * i : 6 * i + 6, 6 * i : 6 * i + 6].copy()
+        return out
 
 
 # ----------------------------------------------------------------------------
