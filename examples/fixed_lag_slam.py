@@ -63,7 +63,16 @@ def main():
             p.translation + rng.normal(0, s_t, 3),
         )
 
-    sm = nls.solvers.FixedLagSmoother(lag=15, switch_penalty=0.03)
+    # Whitened edges: sqrt_info = 1/sigma of the MEASUREMENT noise, so
+    # good loops pull at their true strength and covariance() reports
+    # physical units. switch_penalty must then be calibrated in the
+    # WHITENED residual scale: an inlier loop seen from a drifted window
+    # has innovation chi ~ drift/sigma (~0.3 m / 5 mm = 60), so the
+    # penalty must exceed that (100 here) to keep inliers switched on,
+    # while a gross outlier (chi ~ 4000) still switches off. (With the
+    # default metric-unit residuals the same logic gives the 0.03
+    # default.)
+    sm = nls.solvers.FixedLagSmoother(lag=15, switch_penalty=100.0)
     est = gt[0]
     dr = gt[0]  # open-loop dead reckoning for comparison
     dr_err = [0.0]
@@ -80,11 +89,17 @@ def main():
         )
         dr_err.append(np.linalg.norm(dr.translation - gt[k].translation))
         sm.add_pose(k, est)
-        sm.add_odometry(k - 1, k, odo)
+        # whitened edges (sqrt_info = 1/sigma) so covariance() reports
+        # physical units and loops weigh in proportion to their quality
+        sm.add_odometry(k - 1, k, odo, sqrt_info=(1 / 0.02, 1 / 0.004))
         if k % 6 == 0 and k >= 10:
-            sm.add_loop(k - 10, k, noisy(rel(k - 10, k), 0.005, 0.001))
+            sm.add_loop(
+                k - 10, k, noisy(rel(k - 10, k), 0.005, 0.001),
+                sqrt_info=(1 / 0.005, 1 / 0.001),
+            )
         if k == 30:  # planted outlier: identity loop between far poses
-            sm.add_loop(18, 30, Pose(np.eye(3), np.zeros(3)))
+            sm.add_loop(18, 30, Pose(np.eye(3), np.zeros(3)),
+                        sqrt_info=(1 / 0.005, 1 / 0.001))
         sm.update()
         est = sm.get_pose(k)
         if k == 30:
@@ -99,10 +114,10 @@ def main():
     print(f"poses: {n}, window: {sm.window[0]}..{sm.window[-1]} ({len(sm.window)} active)")
     cov = sm.covariance([sm.window[-1]])[sm.window[-1]]
     sigma = np.sqrt(np.diag(cov))
-    # edges here are UNWHITENED (unit information), so sigma is in units
-    # of the measurement noise scale, not meters — pass sqrt_info to
-    # add_odometry/add_loop for physical units
-    print(f"current-pose sigma (unit-information edges): {np.round(sigma, 2).tolist()}")
+    print(
+        f"current-pose 1-sigma: translation {np.round(sigma[:3], 3).tolist()} m, "
+        f"rotation {np.round(sigma[3:], 4).tolist()} rad"
+    )
     print(
         f"trajectory error: smoother mean {np.mean(err):.3f} m / max {np.max(err):.3f} m"
         f"  vs dead-reckoning mean {np.mean(dr_err):.3f} m / max {np.max(dr_err):.3f} m"

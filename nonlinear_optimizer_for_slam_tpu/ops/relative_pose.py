@@ -23,7 +23,7 @@ what the reference's analytic pose-graph path left as a TODO stub
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,13 @@ class PoseGraphEdges(NamedTuple):
     relative_quaternions: Array  # (E, 4) q_rel (w, x, y, z)
     is_loop: Array  # (E,) 1.0 for loop (switchable) constraints
     mask: Array  # (E,)
+    # optional (E, 6) diagonal sqrt-information: rows 0-2 whiten the
+    # translation residual (1/sigma_t), rows 3-5 the rotation residual
+    # (1/sigma_theta; the residual 2 vec(q_err) IS the rotation angle to
+    # first order). None = unit information (the reference's behavior —
+    # its Ceres functors never weight, ceres_cost_functor.h). The switch
+    # penalty row is NOT whitened (it is a prior on s, not a measurement).
+    sqrt_info: Optional[Array] = None
 
     @property
     def num_edges(self) -> int:
@@ -122,6 +129,8 @@ def edge_residuals(
         p_ref, q_ref, p_query, q_query,
         edges.relative_translations, edges.relative_quaternions,
     )  # (E, 6)
+    if edges.sqrt_info is not None:
+        r6 = r6 * edges.sqrt_info
     s = switches[..., None]
     loop = edges.is_loop[..., None]
     scaled = jnp.where(loop > 0, r6 * s, r6)
@@ -268,6 +277,13 @@ def edge_residuals_and_jacobians(
         axis=-2,
     )  # (E, 6, 7)
 
+    if edges.sqrt_info is not None:
+        # diagonal whitening of the 6 measurement rows (see PoseGraphEdges)
+        w6 = edges.sqrt_info
+        r6 = r6 * w6
+        J6_ref = J6_ref * w6[:, :, None]
+        J6_query = J6_query * w6[:, :, None]
+
     # switchable scaling: loop rows 0-5 are s * r6 (d/dpose = s * J6,
     # d/ds = r6); the penalty row (1 - s) * scale has d/ds = -scale
     loop = edges.is_loop > 0
@@ -311,9 +327,9 @@ def edge_residuals_and_jacobians_ad(
       J_s     (E, 7)     w.r.t. the switch variable
     """
 
-    def one_edge(p_r, q_r, p_q, q_q, t_rel, q_rel, s, loop, m):
+    def one_edge(p_r, q_r, p_q, q_q, t_rel, q_rel, s, loop, m, w6):
         def res(p_r_, q_r_, p_q_, q_q_, s_):
-            r6 = relative_pose_residual(p_r_, q_r_, p_q_, q_q_, t_rel, q_rel)
+            r6 = relative_pose_residual(p_r_, q_r_, p_q_, q_q_, t_rel, q_rel) * w6
             scaled = jnp.where(loop > 0, r6 * s_, r6)
             penalty = jnp.where(loop > 0, (1.0 - s_) * penalty_scale, 0.0)
             return jnp.concatenate([scaled, penalty[None]]) * m
@@ -331,6 +347,11 @@ def edge_residuals_and_jacobians_ad(
     p_query = positions[edges.query_indices]
     q_query = quaternions[edges.query_indices]
 
+    w6 = (
+        edges.sqrt_info
+        if edges.sqrt_info is not None
+        else jnp.ones_like(edges.relative_translations[:, :1]).repeat(6, axis=1)
+    )
     return jax.vmap(one_edge)(
         p_ref,
         q_ref,
@@ -341,6 +362,7 @@ def edge_residuals_and_jacobians_ad(
         switches,
         edges.is_loop,
         edges.mask,
+        w6,
     )
 
 
@@ -362,6 +384,7 @@ def np_edge_residuals_and_jacobians(
     rel_q,  # (E, 4)
     is_loop,  # (E,) float
     penalty_scale: float = SWITCH_PENALTY_SCALE,
+    sqrt_info=None,  # optional (E, 6) diagonal whitening (see PoseGraphEdges)
 ):
     """Numpy twin of :func:`edge_residuals_and_jacobians` (same math, same
     conventions, unmasked). Verified against the jnp closed form in
@@ -475,6 +498,11 @@ def np_edge_residuals_and_jacobians(
         ],
         axis=-2,
     )
+
+    if sqrt_info is not None:
+        r6 = r6 * sqrt_info
+        J6_ref = J6_ref * sqrt_info[:, :, None]
+        J6_qry = J6_qry * sqrt_info[:, :, None]
 
     loop = is_loop > 0
     s = np.where(loop, switches, 1.0)

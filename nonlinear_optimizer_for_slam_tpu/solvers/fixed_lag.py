@@ -73,11 +73,18 @@ from ..ops.relative_pose import (
     np_quat_multiply as _np_quat_mul,
 )
 from . import lm
-from .pose_graph import _pose_graph_solve
+from .pose_graph import _expand_sqrt_info, _pose_graph_solve
 
 
 def _pack(pose: Pose) -> np.ndarray:
     return np.concatenate([pose.translation, pose.quaternion()])
+
+
+def _edge_w6(edges_all) -> Optional[np.ndarray]:
+    """(E, 6) whitening stack from 7-tuples (w6 last), or None if unset."""
+    if all(e[6] is None for e in edges_all):
+        return None
+    return np.stack([e[6] if e[6] is not None else np.ones(6) for e in edges_all])
 
 
 class FixedLagSmoother:
@@ -153,7 +160,15 @@ class FixedLagSmoother:
         if ref == qry:
             raise ValueError("self-edge is not allowed")
 
-    def add_odometry(self, reference_index: int, query_index: int, relative_pose: Pose) -> None:
+    def add_odometry(
+        self,
+        reference_index: int,
+        query_index: int,
+        relative_pose: Pose,
+        sqrt_info=None,
+    ) -> None:
+        """``sqrt_info``: optional diagonal whitening — scalar, (2,)
+        (translation, rotation) or (6,); see PoseGraphOptimizer.set_constraint."""
         self._check_edge(reference_index, query_index)
         self._odom.append(
             (
@@ -161,10 +176,17 @@ class FixedLagSmoother:
                 query_index,
                 relative_pose.translation.copy(),
                 relative_pose.quaternion(),
+                _expand_sqrt_info(sqrt_info),
             )
         )
 
-    def add_loop(self, reference_index: int, query_index: int, relative_pose: Pose) -> None:
+    def add_loop(
+        self,
+        reference_index: int,
+        query_index: int,
+        relative_pose: Pose,
+        sqrt_info=None,
+    ) -> None:
         self._check_edge(reference_index, query_index)
         self._loops.append(
             dict(
@@ -173,6 +195,7 @@ class FixedLagSmoother:
                 rel_t=relative_pose.translation.copy(),
                 rel_q=relative_pose.quaternion(),
                 switch=1.0,
+                sqrt_info=_expand_sqrt_info(sqrt_info),
             )
         )
 
@@ -217,8 +240,8 @@ class FixedLagSmoother:
         dim = 6 * W + L
         H = np.zeros((dim, dim))
 
-        edges_all = [(a, b, t, q, 0.0, 1.0) for (a, b, t, q) in self._odom] + [
-            (l["ref"], l["qry"], l["rel_t"], l["rel_q"], 1.0, l["switch"])
+        edges_all = [(a, b, t, q, 0.0, 1.0, w) for (a, b, t, q, w) in self._odom] + [
+            (l["ref"], l["qry"], l["rel_t"], l["rel_q"], 1.0, l["switch"], l["sqrt_info"])
             for l in self._loops
         ]
         if not edges_all and self._prior is None:
@@ -234,6 +257,7 @@ class FixedLagSmoother:
                 np.stack([e[3] for e in edges_all]),
                 np.array([e[4] for e in edges_all]),
                 self.switch_penalty,
+                sqrt_info=_edge_w6(edges_all),
             )
             J_ref = np.concatenate(
                 [J_ref[:, :, :3], J_ref[:, :, 3:] @ Tq[ref_i]], axis=2
@@ -373,14 +397,22 @@ class FixedLagSmoother:
         mask = np.zeros((E,))
         mask[:E_o] = 1.0
         mask[E_op : E_op + L] = 1.0
-        for k, (a, b, t, q) in enumerate(self._odom):
+        any_w = any(e[4] is not None for e in self._odom) or any(
+            l["sqrt_info"] is not None for l in self._loops
+        )
+        w6 = np.ones((E, 6)) if any_w else None
+        for k, (a, b, t, q, w) in enumerate(self._odom):
             ref[k] = local[a]; qry[k] = local[b]
             rel_t[k] = t; rel_q[k] = q
+            if any_w and w is not None:
+                w6[k] = w
         sw0 = np.ones((L_p,))
         for k, l in enumerate(self._loops):
             ref[E_op + k] = local[l["ref"]]; qry[E_op + k] = local[l["qry"]]
             rel_t[E_op + k] = l["rel_t"]; rel_q[E_op + k] = l["rel_q"]
             sw0[k] = l["switch"]
+            if any_w and l["sqrt_info"] is not None:
+                w6[E_op + k] = l["sqrt_info"]
         edges = PoseGraphEdges(
             reference_indices=jnp.asarray(ref),
             query_indices=jnp.asarray(qry),
@@ -388,6 +420,7 @@ class FixedLagSmoother:
             relative_quaternions=jnp.asarray(rel_q, dtype),
             is_loop=jnp.asarray(is_loop, dtype),
             mask=jnp.asarray(mask, dtype),
+            sqrt_info=None if w6 is None else jnp.asarray(w6, dtype),
         )
         free = np.zeros(P)
         free[:W] = 1.0
@@ -483,8 +516,8 @@ class FixedLagSmoother:
         H = np.zeros((dim, dim))
         g = np.zeros(dim)
 
-        edges_all = [(e[0], e[1], e[2], e[3], 0.0, 1.0) for e in absorb_odom] + [
-            (l["ref"], l["qry"], l["rel_t"], l["rel_q"], 1.0, l["switch"])
+        edges_all = [(e[0], e[1], e[2], e[3], 0.0, 1.0, e[4]) for e in absorb_odom] + [
+            (l["ref"], l["qry"], l["rel_t"], l["rel_q"], 1.0, l["switch"], l["sqrt_info"])
             for l in absorb_loops
         ]
         if edges_all:
@@ -500,6 +533,7 @@ class FixedLagSmoother:
                 np.stack([e[3] for e in edges_all]),
                 np.array([e[4] for e in edges_all]),
                 self.switch_penalty,
+                sqrt_info=_edge_w6(edges_all),
             )
             # chain ambient (E,7,7) blocks onto the local chart -> (E,7,6)
             J_ref = np.concatenate(

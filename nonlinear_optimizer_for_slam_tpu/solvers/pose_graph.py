@@ -59,6 +59,26 @@ class ConstraintType:
     LOOP = 1
 
 
+def _expand_sqrt_info(sqrt_info) -> Optional[np.ndarray]:
+    """Normalize a user sqrt-info spec to a (6,) f64 vector (or None).
+
+    Accepted: None, scalar, (2,) = (weight_t, weight_rot), (6,) full
+    diagonal [x y z rx ry rz]."""
+    if sqrt_info is None:
+        return None
+    w = np.asarray(sqrt_info, np.float64).reshape(-1)
+    if w.size == 1:
+        return np.full(6, w[0])
+    if w.size == 2:
+        return np.concatenate([np.full(3, w[0]), np.full(3, w[1])])
+    if w.size == 6:
+        return w.copy()
+    raise ValueError(
+        f"sqrt_info must be a scalar, (2,) (translation, rotation), or "
+        f"(6,) diagonal; got shape {np.asarray(sqrt_info).shape}"
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(7, 8, 9))
 def _pose_graph_solve(
     positions0,  # (P, 3)
@@ -260,6 +280,15 @@ class PoseGraphOptimizer:
         while a planted outlier loop switches off (s < 0.1); see
         tests/test_pose_graph.py::test_outlier_loop_switched_off.
 
+        CALIBRATION RULE (matters when edges are whitened via
+        ``set_constraint(..., sqrt_info=...)``): the penalty must exceed
+        the expected INLIER loop innovation in the residual's own units —
+        chi ~ (pose drift between revisits) / sigma_measurement for
+        whitened edges (e.g. drift 0.3 m over 5 mm loops -> chi ~ 60,
+        use ~100), or just the metric drift (~0.03) for unwhitened ones.
+        Too small switches every loop off; gross outliers sit orders of
+        magnitude above either choice.
+
         ``solver``: "dense" materializes the (7P+L)^2 normal matrix (best
         up to a few thousand poses); "cg" is the matrix-free Krylov path
         with O(E) memory for large graphs (``cg_iterations`` per LM step);
@@ -324,8 +353,16 @@ class PoseGraphOptimizer:
         query_index: int,
         relative_pose: Pose,
         constraint_type: int = ConstraintType.ODOMETRY,
+        sqrt_info=None,
     ) -> None:
-        """Reference SetConstraint validation (:62-87)."""
+        """Reference SetConstraint validation (:62-87).
+
+        ``sqrt_info`` optionally whitens the 6-D residual (diagonal):
+        scalar (isotropic), (2,) = (1/sigma_t, 1/sigma_theta), or a full
+        (6,) vector [x y z rx ry rz]. The reference never weights its
+        edges (ceres_cost_functor.h); whitening makes mixed-quality
+        edges and ``covariance()`` physically meaningful.
+        """
         if reference_index not in self._poses or query_index not in self._poses:
             raise KeyError("constraint endpoints must be registered poses")
         if reference_index == query_index:
@@ -337,6 +374,7 @@ class PoseGraphOptimizer:
                 query_index=query_index,
                 relative_pose=relative_pose.copy(),
                 type=constraint_type,
+                sqrt_info=_expand_sqrt_info(sqrt_info),
             )
         )
 
@@ -393,6 +431,15 @@ class PoseGraphOptimizer:
                 for c in self._constraints
             ]
         )
+        if any(c["sqrt_info"] is not None for c in self._constraints):
+            sqrt_info = np.stack(
+                [
+                    c["sqrt_info"] if c["sqrt_info"] is not None else np.ones(6)
+                    for c in self._constraints
+                ]
+            )
+        else:
+            sqrt_info = None
         dtype = self.dtype
         edges_dev = PoseGraphEdges(
             reference_indices=jnp.asarray(ref_idx),
@@ -401,6 +448,7 @@ class PoseGraphOptimizer:
             relative_quaternions=jnp.asarray(rel_q, dtype),
             is_loop=jnp.asarray(is_loop, dtype),
             mask=jnp.ones((E,), dtype),
+            sqrt_info=None if sqrt_info is None else jnp.asarray(sqrt_info, dtype),
         )
         self._flat_cache = dict(
             version=self._topo_version,
@@ -414,6 +462,7 @@ class PoseGraphOptimizer:
             rel_t=rel_t,
             rel_q=rel_q,
             is_loop=is_loop,
+            sqrt_info=sqrt_info,
             edges_dev=edges_dev,
             tridiag=None,  # built on demand by _flatten_tridiag
         )
@@ -457,6 +506,11 @@ class PoseGraphOptimizer:
             relative_quaternions=jnp.asarray(flat["rel_q"][order], dtype),
             is_loop=jnp.asarray(is_loop[order], dtype),
             mask=jnp.ones((E,), dtype),
+            sqrt_info=(
+                None
+                if flat["sqrt_info"] is None
+                else jnp.asarray(flat["sqrt_info"][order], dtype)
+            ),
         )
         flat["tridiag"] = dict(
             edges_r=edges_r,
@@ -650,6 +704,7 @@ class PoseGraphOptimizer:
             flat["ref_idx"], flat["query_idx"],
             flat["rel_t"], flat["rel_q"], flat["is_loop"],
             self.switch_penalty,
+            sqrt_info=flat["sqrt_info"],
         )
         if self.edge_loss is not None:
             sq = np.sum(r * r, axis=1)

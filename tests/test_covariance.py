@@ -199,3 +199,174 @@ def test_smoother_gauge_pose_zero_block():
     np.testing.assert_allclose(cov[0], np.zeros((6, 6)), atol=1e-12)
     oracle = _fd_covariance(poses[:2], [(0, 1, rel(0, 1))])
     np.testing.assert_allclose(cov[1], oracle[1], rtol=1e-5, atol=1e-6)
+
+
+def _fd_covariance_weighted(poses, edges, fixed=(0,)):
+    """FD oracle with per-edge diagonal whitening: edges are
+    (i, j, rel Pose, w6)."""
+    n = len(poses)
+    free = [k for k in range(n) if k not in fixed]
+    col = {k: 6 * i for i, k in enumerate(free)}
+
+    def residuals(x):
+        ps, Rs = [], []
+        for k in range(n):
+            if k in col:
+                dp = x[col[k] : col[k] + 3]
+                dth = x[col[k] + 3 : col[k] + 6]
+            else:
+                dp = np.zeros(3)
+                dth = np.zeros(3)
+            ps.append(poses[k].translation + dp)
+            Rs.append(poses[k].rotation @ _rodrigues(dth))
+        out = []
+        for (i, j, rel, w6) in edges:
+            out.append(w6[:3] * (ps[j] - ps[i] - Rs[i] @ rel.translation))
+            out.append(w6[3:] * _rot_log(Rs[j].T @ Rs[i] @ rel.rotation))
+        return np.concatenate(out)
+
+    dim = 6 * len(free)
+    h = 1e-6
+    J = np.zeros((6 * len(edges), dim))
+    for c in range(dim):
+        e = np.zeros(dim)
+        e[c] = h
+        J[:, c] = (residuals(e) - residuals(-e)) / (2 * h)
+    Sigma_red = np.linalg.inv(J.T @ J)
+    out = {k: np.zeros((6, 6)) for k in fixed}
+    for k in free:
+        c = col[k]
+        out[k] = Sigma_red[c : c + 6, c : c + 6]
+    return out
+
+
+def test_weighted_covariance_physical_units():
+    """Whitened edges (1/sigma_t, 1/sigma_theta) -> covariance in
+    physical units, matching the weighted FD oracle."""
+    n = 6
+    poses, rel = _chain(n)
+    w6 = np.array([50.0, 50.0, 50.0, 250.0, 250.0, 250.0])  # 2 cm / 4 mrad
+    opt = PoseGraphOptimizer()
+    for i, p in enumerate(poses):
+        opt.set_pose(i, p)
+    opt.set_pose_constant(0)
+    edges = []
+    for k in range(1, n):
+        opt.set_constraint(
+            k - 1, k, rel(k - 1, k), ConstraintType.ODOMETRY,
+            sqrt_info=(50.0, 250.0),
+        )
+        edges.append((k - 1, k, rel(k - 1, k), w6))
+    cov = opt.covariance()
+    oracle = _fd_covariance_weighted(poses, edges)
+    for k in range(1, n):
+        np.testing.assert_allclose(cov[k], oracle[k], rtol=1e-5, atol=1e-12)
+    # single-step marginal: translation sigma ~= 2 cm exactly at k=1
+    np.testing.assert_allclose(np.sqrt(cov[1][0, 0]), 0.02, rtol=1e-6)
+
+
+def test_weighted_solve_weighted_mean_oracle():
+    """Two conflicting constraints between the same pose pair with
+    weights w1, w2 -> MAP translation is the weighted mean."""
+    p0 = Pose(np.eye(3), np.zeros(3))
+    p1 = Pose(np.eye(3), np.array([1.0, 0.0, 0.0]))
+    opt = PoseGraphOptimizer()
+    opt.set_pose(0, p0)
+    opt.set_pose(1, p1)
+    opt.set_pose_constant(0)
+    ra = Pose(np.eye(3), np.array([1.0, 0.0, 0.0]))
+    rb = Pose(np.eye(3), np.array([2.0, 0.0, 0.0]))
+    w1, w2 = 3.0, 1.0
+    opt.set_constraint(0, 1, ra, ConstraintType.ODOMETRY, sqrt_info=w1)
+    opt.set_constraint(0, 1, rb, ConstraintType.ODOMETRY, sqrt_info=w2)
+    opt.solve()
+    expect = (w1**2 * 1.0 + w2**2 * 2.0) / (w1**2 + w2**2)
+    np.testing.assert_allclose(
+        opt.get_pose(1).translation, [expect, 0.0, 0.0], atol=1e-6
+    )
+
+
+def test_weighted_solvers_agree():
+    """dense / cg / tridiag paths optimize the identical weighted
+    objective."""
+    n = 9
+    poses, rel = _chain(n)
+    rng = np.random.default_rng(2)
+
+    def build(solver):
+        opt = PoseGraphOptimizer(solver=solver, switch_penalty=0.03)
+        rng_l = np.random.default_rng(3)
+        for i, p in enumerate(poses):
+            noisy = Pose(
+                p.rotation @ _rodrigues(rng_l.normal(0, 0.02, 3)),
+                p.translation + rng_l.normal(0, 0.05, 3),
+            )
+            opt.set_pose(i, noisy if i else p)
+        opt.set_pose_constant(0)
+        for k in range(1, n):
+            opt.set_constraint(
+                k - 1, k, rel(k - 1, k), ConstraintType.ODOMETRY,
+                sqrt_info=(20.0, 100.0),
+            )
+        opt.set_constraint(0, n - 1, rel(0, n - 1), ConstraintType.LOOP,
+                           sqrt_info=(40.0, 200.0))
+        opt.solve()
+        return np.stack([opt.get_pose(i).translation for i in range(n)])
+
+    t_dense = build("dense")
+    t_cg = build("cg")
+    t_tri = build("tridiag")
+    np.testing.assert_allclose(t_cg, t_dense, atol=5e-4)
+    np.testing.assert_allclose(t_tri, t_dense, atol=5e-4)
+
+
+def test_smoother_weighted_matches_batch():
+    n = 8
+    poses, rel = _chain(n)
+    sm = FixedLagSmoother(lag=12)
+    sm.add_pose(0, poses[0])
+    for k in range(1, n):
+        sm.add_pose(k, poses[k])
+        sm.add_odometry(k - 1, k, rel(k - 1, k), sqrt_info=(50.0, 250.0))
+        sm.update()
+    cov = sm.covariance()
+    w6 = np.array([50.0] * 3 + [250.0] * 3)
+    oracle = _fd_covariance_weighted(
+        poses, [(k - 1, k, rel(k - 1, k), w6) for k in range(1, n)]
+    )
+    for k in range(1, n):
+        np.testing.assert_allclose(cov[k], oracle[k], rtol=1e-5, atol=1e-12)
+
+
+def test_weighted_closed_form_matches_autodiff():
+    """Whitened closed-form edge Jacobians == jacfwd oracle."""
+    import jax.numpy as jnp
+
+    from nonlinear_optimizer_for_slam_tpu.ops.relative_pose import (
+        PoseGraphEdges,
+        edge_residuals_and_jacobians,
+        edge_residuals_and_jacobians_ad,
+    )
+
+    rng = np.random.default_rng(9)
+    P, E = 5, 7
+    pos = jnp.asarray(rng.normal(size=(P, 3)))
+    quat = jnp.asarray(rng.normal(size=(P, 4)) + np.array([2.0, 0, 0, 0]))
+    ref = jnp.asarray(rng.integers(0, P, E), jnp.int32)
+    qry = jnp.asarray((rng.integers(1, P, E) + ref) % P, jnp.int32)
+    edges = PoseGraphEdges(
+        reference_indices=ref,
+        query_indices=qry,
+        relative_translations=jnp.asarray(rng.normal(size=(E, 3))),
+        relative_quaternions=jnp.asarray(
+            rng.normal(size=(E, 4)) + np.array([2.0, 0, 0, 0])
+        ),
+        is_loop=jnp.asarray((np.arange(E) % 2).astype(float)),
+        mask=jnp.ones(E),
+        sqrt_info=jnp.asarray(rng.uniform(0.5, 30.0, size=(E, 6))),
+    )
+    sw = jnp.asarray(rng.uniform(0.2, 1.0, E))
+    out = edge_residuals_and_jacobians(pos, quat, sw, edges, 0.03)
+    oracle = edge_residuals_and_jacobians_ad(pos, quat, sw, edges, 0.03)
+    for a, b in zip(out, oracle):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
