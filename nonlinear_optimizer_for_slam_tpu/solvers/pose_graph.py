@@ -59,6 +59,23 @@ class ConstraintType:
     LOOP = 1
 
 
+def _expand_sqrt_info_2d(sqrt_info) -> "Optional[np.ndarray]":
+    """(3,) = [x y theta] from None | scalar | (2,) (trans, rot) | (3,)."""
+    if sqrt_info is None:
+        return None
+    w = np.asarray(sqrt_info, np.float64).reshape(-1)
+    if w.size == 1:
+        return np.full(3, w[0])
+    if w.size == 2:
+        return np.array([w[0], w[0], w[1]])
+    if w.size == 3:
+        return w.copy()
+    raise ValueError(
+        f"sqrt_info must be a scalar, (2,) (translation, rotation), or "
+        f"(3,) diagonal; got shape {np.asarray(sqrt_info).shape}"
+    )
+
+
 def _expand_sqrt_info(sqrt_info) -> Optional[np.ndarray]:
     """Normalize a user sqrt-info spec to a (6,) f64 vector (or None).
 
@@ -790,6 +807,9 @@ class PoseGraph2DEdges(NamedTuple):
     relative_xyt: Array  # (E, 3) (dx, dy, dtheta) in the reference frame
     is_loop: Array  # (E,)
     mask: Array  # (E,)
+    # optional (E, 3) diagonal sqrt-information (1/sigma_x, 1/sigma_y,
+    # 1/sigma_theta); None = unit weights. Penalty row unwhitened.
+    sqrt_info: Optional[Array] = None
 
 
 def se2_edge_residual(xyt_ref: Array, xyt_query: Array, rel: Array) -> Array:
@@ -854,6 +874,12 @@ def se2_edge_residuals_and_jacobians(
         ],
         axis=-2,
     )
+
+    if edges.sqrt_info is not None:
+        w3 = edges.sqrt_info
+        r3 = r3 * w3
+        J3_ref = J3_ref * w3[:, :, None]
+        J3_query = J3_query * w3[:, :, None]
 
     loop = edges.is_loop > 0
     sw = jnp.where(loop, switches, one)
@@ -1009,7 +1035,10 @@ class PoseGraphOptimizer2D:
         query_index: int,
         relative_xyt,
         constraint_type: int = ConstraintType.ODOMETRY,
+        sqrt_info=None,
     ) -> None:
+        """``sqrt_info``: optional diagonal whitening — scalar, (2,) =
+        (1/sigma_t, 1/sigma_theta), or (3,) = (x, y, theta)."""
         if reference_index not in self._poses or query_index not in self._poses:
             raise KeyError("constraint endpoints must be registered poses")
         if reference_index == query_index:
@@ -1020,6 +1049,7 @@ class PoseGraphOptimizer2D:
                 query_index=query_index,
                 relative_xyt=np.asarray(relative_xyt, np.float64).copy(),
                 type=constraint_type,
+                sqrt_info=_expand_sqrt_info_2d(sqrt_info),
             )
         )
 
@@ -1058,6 +1088,19 @@ class PoseGraphOptimizer2D:
             ),
             is_loop=jnp.asarray(is_loop, dtype),
             mask=jnp.ones((E,), dtype),
+            sqrt_info=(
+                jnp.asarray(
+                    np.stack(
+                        [
+                            c["sqrt_info"] if c["sqrt_info"] is not None else np.ones(3)
+                            for c in self._constraints
+                        ]
+                    ),
+                    dtype,
+                )
+                if any(c["sqrt_info"] is not None for c in self._constraints)
+                else None
+            ),
         )
         free = np.ones(P)
         for pi in self._constant:
@@ -1081,7 +1124,141 @@ class PoseGraphOptimizer2D:
             o = out[i].copy()
             o[2] = float(np.arctan2(np.sin(o[2]), np.cos(o[2])))
             self._poses[pi] = o
-        return summary, np.asarray(sw, np.float64)
+        sw = np.asarray(sw, np.float64)
+        self._last_switches = sw.copy()
+        return summary, sw
+
+    def covariance(self, indices: Optional[List[int]] = None) -> Dict[int, np.ndarray]:
+        """Marginal 3x3 (x, y, theta) covariance blocks per pose — the
+        SE(2) analog of :meth:`PoseGraphOptimizer.covariance` (which see;
+        SE(2) needs no tangent chart, the ambient coordinates are the
+        chart). Host-side f64 numpy linearization at the current
+        estimates with the last solve's switch values."""
+        if not self._constraints:
+            raise ValueError("covariance: no constraints registered")
+        if not self._constant:
+            raise ValueError(
+                "covariance: gauge-free graph has unbounded covariance; "
+                "fix at least one pose with set_pose_constant()"
+            )
+        indices_all = sorted(self._poses)
+        index_of = {pi: i for i, pi in enumerate(indices_all)}
+        P = len(indices_all)
+        xyt = np.stack([self._poses[pi] for pi in indices_all])
+        E = len(self._constraints)
+        ref_i = np.array([index_of[c["reference_index"]] for c in self._constraints])
+        qry_i = np.array([index_of[c["query_index"]] for c in self._constraints])
+        rel = np.stack([c["relative_xyt"] for c in self._constraints])
+        is_loop = np.array(
+            [1.0 if c["type"] == ConstraintType.LOOP else 0.0 for c in self._constraints]
+        )
+        L = int(is_loop.sum())
+        sw_slot = np.cumsum(is_loop.astype(int)) - 1
+        last = getattr(self, "_last_switches", None)
+        if last is None or len(last) != L:
+            last = np.ones(L)
+        sw = np.where(is_loop > 0, last[np.clip(sw_slot, 0, max(L - 1, 0))], 1.0) if L else np.ones(E)
+
+        # numpy twin of se2_edge_residuals_and_jacobians (same formulas)
+        c_ = np.cos(xyt[ref_i, 2]); sn = np.sin(xyt[ref_i, 2])
+        dx = xyt[qry_i, 0] - xyt[ref_i, 0]
+        dy = xyt[qry_i, 1] - xyt[ref_i, 1]
+        dth = xyt[qry_i, 2] - xyt[ref_i, 2] - rel[:, 2]
+        dth = np.arctan2(np.sin(dth), np.cos(dth))
+        r3 = np.stack(
+            [c_ * dx + sn * dy - rel[:, 0], -sn * dx + c_ * dy - rel[:, 1], dth], -1
+        )
+        zero = np.zeros(E); one = np.ones(E)
+        J3_ref = np.stack(
+            [
+                np.stack([-c_, -sn, -sn * dx + c_ * dy], -1),
+                np.stack([sn, -c_, -c_ * dx - sn * dy], -1),
+                np.stack([zero, zero, -one], -1),
+            ],
+            -2,
+        )
+        J3_qry = np.stack(
+            [
+                np.stack([c_, sn, zero], -1),
+                np.stack([-sn, c_, zero], -1),
+                np.stack([zero, zero, one], -1),
+            ],
+            -2,
+        )
+        if any(cst["sqrt_info"] is not None for cst in self._constraints):
+            w3 = np.stack(
+                [
+                    cst["sqrt_info"] if cst["sqrt_info"] is not None else np.ones(3)
+                    for cst in self._constraints
+                ]
+            )
+            r3 = r3 * w3
+            J3_ref = J3_ref * w3[:, :, None]
+            J3_qry = J3_qry * w3[:, :, None]
+        # switchable scaling + robust loss weights (4th penalty row has
+        # no pose columns, so only the J_s/switch column sees it)
+        penalty = np.where(is_loop > 0, (1.0 - sw) * self.switch_penalty, 0.0)
+        r4 = np.concatenate([r3 * sw[:, None], penalty[:, None]], axis=1)
+        J_ref4 = np.concatenate([J3_ref * sw[:, None, None], np.zeros((E, 1, 3))], axis=1)
+        J_qry4 = np.concatenate([J3_qry * sw[:, None, None], np.zeros((E, 1, 3))], axis=1)
+        J_s4 = np.concatenate(
+            [np.where(is_loop[:, None] > 0, r3, 0.0),
+             np.where(is_loop > 0, -self.switch_penalty, 0.0)[:, None]],
+            axis=1,
+        )
+        if self.edge_loss is not None:
+            sq = np.sum(r4 * r4, axis=1)
+            _, w, _ = self.edge_loss.evaluate(sq)
+            sqrt_w = np.sqrt(np.asarray(w, np.float64))
+            J_ref4 = J_ref4 * sqrt_w[:, None, None]
+            J_qry4 = J_qry4 * sqrt_w[:, None, None]
+            J_s4 = J_s4 * sqrt_w[:, None]
+
+        free = np.array([0.0 if pi in self._constant else 1.0 for pi in indices_all])
+        J_ref4 = J_ref4 * free[ref_i][:, None, None]
+        J_qry4 = J_qry4 * free[qry_i][:, None, None]
+
+        dim = 3 * P + L
+        H = np.zeros((dim, dim))
+        threes = np.arange(3)
+        rows_ref = 3 * ref_i[:, None] + threes[None, :]
+        rows_qry = 3 * qry_i[:, None] + threes[None, :]
+        np.add.at(H, (rows_ref[:, :, None], rows_ref[:, None, :]),
+                  np.einsum("edi,edj->eij", J_ref4, J_ref4))
+        np.add.at(H, (rows_qry[:, :, None], rows_qry[:, None, :]),
+                  np.einsum("edi,edj->eij", J_qry4, J_qry4))
+        cross = np.einsum("edi,edj->eij", J_ref4, J_qry4)
+        np.add.at(H, (rows_ref[:, :, None], rows_qry[:, None, :]), cross)
+        np.add.at(H, (rows_qry[:, :, None], rows_ref[:, None, :]),
+                  np.swapaxes(cross, 1, 2))
+        if L:
+            cols_sw = 3 * P + sw_slot
+            b_rs = np.einsum("edi,ed->ei", J_ref4, J_s4)
+            b_qs = np.einsum("edi,ed->ei", J_qry4, J_s4)
+            np.add.at(H, (rows_ref, cols_sw[:, None]), b_rs)
+            np.add.at(H, (cols_sw[:, None], rows_ref), b_rs)
+            np.add.at(H, (rows_qry, cols_sw[:, None]), b_qs)
+            np.add.at(H, (cols_sw[:, None], rows_qry), b_qs)
+            np.add.at(H, (cols_sw, cols_sw), np.sum(J_s4 * J_s4, axis=1))
+
+        keep = np.concatenate([np.repeat(free, 3).astype(bool), np.ones(L, bool)])
+        try:
+            Sigma_red = np.linalg.inv(H[np.ix_(keep, keep)])
+        except np.linalg.LinAlgError as exc:
+            raise ValueError(
+                "covariance: information matrix is singular — the graph "
+                "is under-constrained"
+            ) from exc
+        Sigma = np.zeros((dim, dim))
+        kk = np.nonzero(keep)[0]
+        Sigma[np.ix_(kk, kk)] = Sigma_red
+        if indices is None:
+            indices = indices_all
+        return {
+            pi: Sigma[3 * index_of[pi] : 3 * index_of[pi] + 3,
+                      3 * index_of[pi] : 3 * index_of[pi] + 3].copy()
+            for pi in indices
+        }
 
 
 # ----------------------------------------------------------------------------

@@ -182,3 +182,78 @@ def test_2d_robust_edge_loss(square_fixture):
     robust.solve()
     assert max_err(robust) < 0.2, max_err(robust)
     assert max_err(robust) < 0.01 * max_err(quad), (max_err(robust), max_err(quad))
+
+
+def test_weighted_edges_and_covariance_fd_oracle():
+    """SE(2) whitened edges + covariance() vs a finite-difference GN
+    oracle built from an independent residual formulation."""
+    rng = np.random.default_rng(4)
+    n = 6
+    xyt = np.stack(
+        [np.array([k * 1.0, 0.2 * k, 0.1 * k]) for k in range(n)]
+    )
+
+    def rel(i, j):
+        c, s = np.cos(xyt[i, 2]), np.sin(xyt[i, 2])
+        d = xyt[j, :2] - xyt[i, :2]
+        return np.array(
+            [c * d[0] + s * d[1], -s * d[0] + c * d[1], xyt[j, 2] - xyt[i, 2]]
+        )
+
+    w3 = np.array([20.0, 20.0, 100.0])
+    opt = PoseGraphOptimizer2D()
+    for i in range(n):
+        opt.set_pose(i, xyt[i])
+    opt.set_pose_constant(0)
+    for k in range(1, n):
+        opt.set_constraint(k - 1, k, rel(k - 1, k), ConstraintType.ODOMETRY,
+                           sqrt_info=(20.0, 100.0))
+    cov = opt.covariance()
+
+    # FD oracle
+    def residuals(x):
+        p = xyt.copy()
+        p[1:] += x.reshape(n - 1, 3)
+        out = []
+        for k in range(1, n):
+            c, s = np.cos(p[k - 1, 2]), np.sin(p[k - 1, 2])
+            d = p[k, :2] - p[k - 1, :2]
+            m = rel(k - 1, k)
+            r = np.array(
+                [
+                    c * d[0] + s * d[1] - m[0],
+                    -s * d[0] + c * d[1] - m[1],
+                    p[k, 2] - p[k - 1, 2] - m[2],
+                ]
+            )
+            out.append(w3 * r)
+        return np.concatenate(out)
+
+    dim = 3 * (n - 1)
+    h = 1e-6
+    J = np.zeros((3 * (n - 1), dim))
+    for c_ in range(dim):
+        e = np.zeros(dim)
+        e[c_] = h
+        J[:, c_] = (residuals(e) - residuals(-e)) / (2 * h)
+    Sigma = np.linalg.inv(J.T @ J)
+    for k in range(1, n):
+        blk = Sigma[3 * (k - 1) : 3 * k, 3 * (k - 1) : 3 * k]
+        np.testing.assert_allclose(cov[k], blk, rtol=1e-5, atol=1e-10,
+                                   err_msg=f"pose {k}")
+    np.testing.assert_allclose(cov[0], np.zeros((3, 3)), atol=1e-12)
+    # single step: sigma_x = 1/20
+    np.testing.assert_allclose(np.sqrt(cov[1][0, 0]), 1 / 20.0, rtol=1e-6)
+
+
+def test_weighted_solve_weighted_mean_2d():
+    opt = PoseGraphOptimizer2D()
+    opt.set_pose(0, np.zeros(3))
+    opt.set_pose(1, np.array([1.0, 0.0, 0.0]))
+    opt.set_pose_constant(0)
+    w1, w2 = 3.0, 1.0
+    opt.set_constraint(0, 1, np.array([1.0, 0, 0]), ConstraintType.ODOMETRY, sqrt_info=w1)
+    opt.set_constraint(0, 1, np.array([2.0, 0, 0]), ConstraintType.ODOMETRY, sqrt_info=w2)
+    opt.solve()
+    expect = (w1**2 + 2.0 * w2**2) / (w1**2 + w2**2)
+    np.testing.assert_allclose(opt.get_pose(1), [expect, 0, 0], atol=1e-6)
