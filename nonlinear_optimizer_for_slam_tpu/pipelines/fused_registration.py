@@ -69,6 +69,7 @@ def _fused_register_impl(
     planar: bool = False,
     psum_axis=None,
     eval_backend: str = "pallas",
+    map_mask=None,  # optional (M,) 1.0 = real voxel, 0.0 = bucket padding
 ):
     n = points.shape[0]
     k = num_neighbors
@@ -78,9 +79,20 @@ def _fused_register_impl(
     # Center on the map centroid before the expanded-form distance: avoids
     # f32 cancellation for maps far from the origin (see
     # pipelines/matching.py) without leaving the matmul formulation.
-    centroid = jnp.mean(means_T, axis=1, keepdims=True)  # (3, 1)
+    if map_mask is None:
+        centroid = jnp.mean(means_T, axis=1, keepdims=True)  # (3, 1)
+    else:
+        # bucket-padded maps: centroid over REAL voxels only (padding sits
+        # at the origin and would otherwise skew the centering)
+        centroid = (
+            jnp.sum(means_T * map_mask[None, :], axis=1, keepdims=True)
+            / jnp.sum(map_mask)
+        )
     means_c_T = means_T - centroid
     means_sq = jnp.sum(means_c_T * means_c_T, axis=0)  # (M,)
+    if map_mask is not None:
+        # padded voxels can never win the top-k or pass the radius test
+        means_sq = means_sq + (1.0 - map_mask) * jnp.asarray(1e10, dtype)
     # point rows of the packed buffer never change: repeat each point k
     # times along the lane axis, pad to the block multiple
     p_rows = jnp.repeat(points_T, k, axis=1)  # (3, N*k)
@@ -296,11 +308,12 @@ def _fused_register_impl(
 def _fused_register(
     means_T, infos_T, points, points_T, points_mask, t0, q0, loss,
     search_radius, outer_tol, num_neighbors, max_outer, options, planar=False,
+    map_mask=None,
 ):
     return _fused_register_impl(
         means_T, infos_T, points, points_T, points_mask, t0, q0, loss,
         search_radius, outer_tol, num_neighbors, max_outer, options, planar,
-        psum_axis=None,
+        psum_axis=None, map_mask=map_mask,
     )
 
 
@@ -411,13 +424,40 @@ class NdtRegistrar:
         dtype=jnp.float32,
         planar: bool = False,
         mesh=None,
+        map_pad_multiple: Optional[int] = None,
     ):
+        """``map_pad_multiple``: pad the (valid) voxel count to a bucket
+        so registrars over DIFFERENT maps of similar size share one
+        compiled program — the scan-to-scan odometry case, where every
+        frame builds a fresh small NDT map and an exact-sized program
+        would recompile per frame (26-500 s on this runtime). Padding
+        voxels are masked out of the centroid, the top-k match, and the
+        radius test."""
         valid = ndt_map.valid_only()
         self.dtype = dtype
         self.planar = planar
         self.mesh = mesh
-        self.means_T = jnp.asarray(valid.means.T, dtype)
-        self.infos_T = jnp.asarray(valid.sqrt_informations.reshape(-1, 9).T, dtype)
+        self.map_mask = None
+        means = valid.means
+        sqinfos = valid.sqrt_informations
+        if map_pad_multiple is not None:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "map_pad_multiple with mesh sharding is not supported"
+                )
+            M = means.shape[0]
+            Mp = max(
+                map_pad_multiple, _round_up(M, map_pad_multiple)
+            )
+            if Mp != M:
+                means = np.concatenate([means, np.zeros((Mp - M, 3))])
+                eye = np.broadcast_to(np.eye(3), (Mp - M, 3, 3))
+                sqinfos = np.concatenate([sqinfos, eye])
+            self.map_mask = jnp.asarray(
+                (np.arange(means.shape[0]) < M).astype(np.float64), dtype
+            )
+        self.means_T = jnp.asarray(means.T, dtype)
+        self.infos_T = jnp.asarray(sqinfos.reshape(-1, 9).T, dtype)
         self.options = options
         self.loss = loss
         self.search_radius = jnp.asarray(search_radius, dtype)
@@ -465,6 +505,11 @@ class NdtRegistrar:
             raise NotImplementedError(
                 "register_batch shards over the batch axis implicitly; "
                 "use one NdtRegistrar per replica instead of mesh="
+            )
+        if self.map_mask is not None:
+            raise NotImplementedError(
+                "register_batch with map_pad_multiple is not wired; "
+                "construct the registrar without map padding for serving"
             )
         dtype = self.dtype
         scans = [np.ascontiguousarray(np.asarray(p)) for p in local_points_batch]
@@ -542,7 +587,9 @@ class NdtRegistrar:
             self.planar,
         )
         if self.mesh is None:
-            t, q, it, inner_its, costs, final_cost = _fused_register(*args)
+            t, q, it, inner_its, costs, final_cost = _fused_register(
+                *args, map_mask=self.map_mask
+            )
         else:
             t, q, it, inner_its, costs, final_cost = _fused_register_sharded(
                 *args, self.mesh
