@@ -88,7 +88,8 @@ def build_world(point_step=0.01, filter_size=0.1):
 
 def table(title, rows, headers):
     lines = [title, "-" * len(title)]
-    fmt = "".join(f"{{:<{w}}}" for w in [34, 14, 18, 40])
+    width0 = max(34, max(len(str(r[0])) for r in rows) + 2) if rows else 34
+    fmt = "".join(f"{{:<{w}}}" for w in [width0, 14, 18, 40])
     lines.append(fmt.format(*headers))
     for r in rows:
         lines.append(fmt.format(*r))
@@ -621,6 +622,35 @@ def bench_pose_graph(runs):
              f"err {err0 * 1e3:.0f}mm -> {err * 1e3:.1f}mm")
         )
         log(f"  {label} {P2} poses: {ms:.0f} ms")
+
+    # many-loop city graph: 99 loop closures trigger the CHUNKED Woodbury
+    # path (the dense-columns form would materialize (P, Uc, 7, 7) ~ 20 GB
+    # and OOM); capacitance assembled 16 edges at a time under lax.scan
+    # against one shared tridiagonal factorization
+    huge99 = PGO(dtype=jnp.float32, switch_penalty=0.03, solver="tridiag")
+    for i in range(P2):
+        huge99.set_pose(i, nls.Pose(np.eye(3), noisy2[i]))
+    huge99.set_pose_constant(0)
+    for i in range(P2 - 1):
+        huge99.set_constraint(
+            i, i + 1, nls.Pose(np.eye(3), true2[i + 1] - true2[i])
+        )
+    for k in range(500, P2, 500):
+        huge99.set_constraint(
+            k - 500, k, nls.Pose(np.eye(3), true2[k] - true2[k - 500]),
+            ConstraintType.LOOP,
+        )
+    ms, (summary, _) = timed(lambda: huge99.solve(big_opts), max(1, runs // 5))
+    err = max(
+        np.linalg.norm(huge99.get_pose(i).translation - true2[i])
+        for i in range(0, P2, 7)
+    )
+    rows.append(
+        (f"tridiag chunked, {P2} poses + 99 loops", f"{ms:.0f} ms",
+         f"{float(summary.final_cost):.2e}",
+         f"err {err0 * 1e3:.0f}mm -> {err * 1e3:.1f}mm")
+    )
+    log(f"  tridiag chunked {P2} poses + 99 loops: {ms:.0f} ms")
     return table(
         "pose graph (reference: Ceres-only stub, no recorded time)",
         rows,

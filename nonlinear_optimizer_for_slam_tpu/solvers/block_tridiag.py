@@ -46,25 +46,117 @@ def _bmv(A: Array, x: Array) -> Array:
     return jnp.sum(A[..., :, :, None] * x[..., None, :, :], axis=-2)
 
 
-def _dense_tail(D: Array, O: Array, B: Array) -> Array:
-    """Assemble the remaining (n*k, n*k) block-tridiagonal system dense
-    and solve all RHS with one Cholesky — n is small (<= dense_cutoff),
-    so this is one well-shaped MXU factorization instead of ~2 log2(n)
-    more launch-overhead-bound reduction levels."""
-    n, k = D.shape[0], D.shape[-1]
-    m = B.shape[-1]
-    idx = jnp.arange(n)
-    M = jnp.zeros((n, k, n, k), D.dtype)
-    M = M.at[idx, :, idx, :].set(D)
+def factor(D: Array, O: Array, dense_cutoff: int = 256):
+    """Precompute the cyclic-reduction elimination matrices of T.
+
+    The reduction levels depend only on (D, O), not on the right-hand
+    side, so when several RHS batches are solved against the SAME system
+    (the chunked Woodbury correction: one batch per chunk of loop
+    columns plus two single-RHS solves) factoring once saves the
+    dominant per-level work — batched 7x7 inverses and six block
+    products per level — for every extra :func:`solve_factored` call.
+
+    Returns an opaque factor object for :func:`solve_factored`.
+    """
+    P = D.shape[0]
+    k = D.shape[-1]
+    if O.shape[0] == P - 1:
+        O = jnp.concatenate([O, jnp.zeros((1, k, k), O.dtype)], axis=0)
+
+    # L[i] couples row i to i-1 (= O[i-1]^T), U[i] couples to i+1 (= O[i])
+    L = jnp.concatenate(
+        [jnp.zeros((1, k, k), O.dtype), jnp.swapaxes(O[:-1], -1, -2)], axis=0
+    )
+    U = O.at[P - 1].set(0.0)
+
+    n = P
+    eye = jnp.eye(k, dtype=D.dtype)
+    levels: List[Tuple[bool, Array, Array, Array, Array, Array]] = []
+    while n > max(dense_cutoff, 1):
+        padded = n % 2 == 1
+        if padded:
+            # one decoupled identity row keeps the halving exact
+            D = jnp.concatenate([D, eye[None]], axis=0)
+            zk = jnp.zeros((1, k, k), D.dtype)
+            L = jnp.concatenate([L, zk], axis=0)
+            U = U.at[n - 1].set(0.0)
+            U = jnp.concatenate([U, zk], axis=0)
+            n += 1
+
+        D_odd, L_odd, U_odd = D[1::2], L[1::2], U[1::2]
+        D_ev, L_ev, U_ev = D[0::2], L[0::2], U[0::2]
+        Dinv_odd = jnp.linalg.inv(D_odd)
+
+        # even row 2m couples left to odd 2m-1 (odd slot m-1; absent for
+        # m=0 — guaranteed zero via L_ev[0] = 0) and right to odd 2m+1
+        # (odd slot m; always present, n even)
+        zero = jnp.zeros((1, k, k), D.dtype)
+        Dinv_l = jnp.concatenate([zero, Dinv_odd[:-1]], axis=0)
+        L_l = jnp.concatenate([zero, L_odd[:-1]], axis=0)
+        U_l = jnp.concatenate([zero, U_odd[:-1]], axis=0)
+        LD_l = _bmm(L_ev, Dinv_l)  # L_i D_{i-1}^{-1}
+        UD_r = _bmm(U_ev, Dinv_odd)  # U_i D_{i+1}^{-1}
+        levels.append((padded, Dinv_odd, L_odd, U_odd, LD_l, UD_r))
+        D = D_ev - _bmm(LD_l, U_l) - _bmm(UD_r, L_odd)
+        L = -_bmm(LD_l, L_l)
+        U = -_bmm(UD_r, U_odd)
+        n = n // 2
+
     if n > 1:
-        M = M.at[idx[:-1], :, idx[1:], :].set(O[: n - 1])
-        M = M.at[idx[1:], :, idx[:-1], :].set(
-            jnp.swapaxes(O[: n - 1], -1, -2)
+        # dense tail: assemble once, Cholesky-factor once
+        idx = jnp.arange(n)
+        M = jnp.zeros((n, k, n, k), D.dtype)
+        M = M.at[idx, :, idx, :].set(D)
+        M = M.at[idx[:-1], :, idx[1:], :].set(U[: n - 1])
+        M = M.at[idx[1:], :, idx[:-1], :].set(jnp.swapaxes(U[: n - 1], -1, -2))
+        tail = ("cho", jsl.cho_factor(M.reshape(n * k, n * k), lower=True), n)
+    else:
+        tail = ("inv", jnp.linalg.inv(D), 1)
+    return (k, levels, tail)
+
+
+def solve_factored(fact, B: Array) -> Array:
+    """Solve T x = B using a precomputed :func:`factor` of T."""
+    k, levels, tail = fact
+    squeeze = B.ndim == 2
+    if squeeze:
+        B = B[..., None]
+    m = B.shape[-1]
+
+    saved: List[Array] = []
+    for padded, Dinv_odd, L_odd, U_odd, LD_l, UD_r in levels:
+        if padded:
+            B = jnp.concatenate([B, jnp.zeros((1, k, m), B.dtype)], axis=0)
+        B_odd, B_ev = B[1::2], B[0::2]
+        B_l = jnp.concatenate(
+            [jnp.zeros((1, k, m), B.dtype), B_odd[:-1]], axis=0
         )
-    Mf = M.reshape(n * k, n * k)
-    factor = jsl.cho_factor(Mf, lower=True)
-    x = jsl.cho_solve(factor, B.reshape(n * k, m))
-    return x.reshape(n, k, m)
+        saved.append(B_odd)
+        B = B_ev - _bmv(LD_l, B_l) - _bmv(UD_r, B_odd)
+
+    kind, data, n_tail = tail
+    if kind == "cho":
+        x = jsl.cho_solve(data, B.reshape(n_tail * k, m)).reshape(n_tail, k, m)
+    else:
+        x = _bmv(data, B)
+
+    # back-substitution, finest level last
+    for (padded, Dinv_odd, L_odd, U_odd, _, _), B_odd in zip(
+        reversed(levels), reversed(saved)
+    ):
+        half = x.shape[0]
+        # x_{2m+1} = Dinv (B_{2m+1} - L_{2m+1} x_{2m} - U_{2m+1} x_{2m+2})
+        x_right = jnp.concatenate(
+            [x[1:], jnp.zeros((1, k, m), x.dtype)], axis=0
+        )
+        x_odd = _bmv(Dinv_odd, B_odd - _bmv(L_odd, x) - _bmv(U_odd, x_right))
+        x = jnp.stack([x, x_odd], axis=1).reshape(2 * half, k, m)
+        if padded:
+            x = x[:-1]
+
+    if squeeze:
+        x = x[..., 0]
+    return x
 
 
 def solve(D: Array, O: Array, B: Array, dense_cutoff: int = 256) -> Array:
@@ -83,75 +175,9 @@ def solve(D: Array, O: Array, B: Array, dense_cutoff: int = 256) -> Array:
     Shapes are static; the level loop unrolls at trace time. Each level
     halves the system (odd rows eliminated in parallel); an odd-length
     level is padded with one decoupled identity row. Reduction stops at
-    ``dense_cutoff`` rows; the tail solves dense (see _dense_tail).
+    ``dense_cutoff`` rows; the tail is assembled dense and solved by
+    one MXU Cholesky (factored once in :func:`factor`).
+    For several RHS batches against one T, use :func:`factor` +
+    :func:`solve_factored`.
     """
-    P = D.shape[0]
-    k = D.shape[-1]
-    if O.shape[0] == P - 1:
-        O = jnp.concatenate([O, jnp.zeros((1, k, k), O.dtype)], axis=0)
-    squeeze = B.ndim == 2
-    if squeeze:
-        B = B[..., None]
-    m = B.shape[-1]
-
-    # L[i] couples row i to i-1 (= O[i-1]^T), U[i] couples to i+1 (= O[i])
-    L = jnp.concatenate(
-        [jnp.zeros((1, k, k), O.dtype), jnp.swapaxes(O[:-1], -1, -2)], axis=0
-    )
-    U = O.at[P - 1].set(0.0)
-
-    n = P
-    eye = jnp.eye(k, dtype=D.dtype)
-    levels: List[Tuple[bool, Array, Array, Array, Array]] = []
-    while n > max(dense_cutoff, 1):
-        padded = n % 2 == 1
-        if padded:
-            # one decoupled identity row keeps the halving exact
-            D = jnp.concatenate([D, eye[None]], axis=0)
-            zk = jnp.zeros((1, k, k), D.dtype)
-            L = jnp.concatenate([L, zk], axis=0)
-            U = U.at[n - 1].set(0.0)
-            U = jnp.concatenate([U, zk], axis=0)
-            B = jnp.concatenate([B, jnp.zeros((1, k, m), B.dtype)], axis=0)
-            n += 1
-
-        D_odd, L_odd, U_odd, B_odd = D[1::2], L[1::2], U[1::2], B[1::2]
-        D_ev, L_ev, U_ev, B_ev = D[0::2], L[0::2], U[0::2], B[0::2]
-        Dinv_odd = jnp.linalg.inv(D_odd)
-        levels.append((padded, Dinv_odd, L_odd, U_odd, B_odd))
-
-        # even row 2m couples left to odd 2m-1 (odd slot m-1; absent for
-        # m=0 — guaranteed zero via L_ev[0] = 0) and right to odd 2m+1
-        # (odd slot m; always present, n even)
-        zero = jnp.zeros((1, k, k), D.dtype)
-        Dinv_l = jnp.concatenate([zero, Dinv_odd[:-1]], axis=0)
-        L_l = jnp.concatenate([zero, L_odd[:-1]], axis=0)
-        U_l = jnp.concatenate([zero, U_odd[:-1]], axis=0)
-        B_l = jnp.concatenate(
-            [jnp.zeros((1, k, m), B.dtype), B_odd[:-1]], axis=0
-        )
-        LD_l = _bmm(L_ev, Dinv_l)  # L_i D_{i-1}^{-1}
-        UD_r = _bmm(U_ev, Dinv_odd)  # U_i D_{i+1}^{-1}
-        D = D_ev - _bmm(LD_l, U_l) - _bmm(UD_r, L_odd)
-        L = -_bmm(LD_l, L_l)
-        U = -_bmm(UD_r, U_odd)
-        B = B_ev - _bmv(LD_l, B_l) - _bmv(UD_r, B_odd)
-        n = n // 2
-
-    x = _dense_tail(D, O=U, B=B) if n > 1 else _bmv(jnp.linalg.inv(D), B)
-
-    # back-substitution, finest level last
-    for padded, Dinv_odd, L_odd, U_odd, B_odd in reversed(levels):
-        half = x.shape[0]
-        # x_{2m+1} = Dinv (B_{2m+1} - L_{2m+1} x_{2m} - U_{2m+1} x_{2m+2})
-        x_right = jnp.concatenate(
-            [x[1:], jnp.zeros((1, k, m), x.dtype)], axis=0
-        )
-        x_odd = _bmv(Dinv_odd, B_odd - _bmv(L_odd, x) - _bmv(U_odd, x_right))
-        x = jnp.stack([x, x_odd], axis=1).reshape(2 * half, k, m)
-        if padded:
-            x = x[:-1]
-
-    if squeeze:
-        x = x[..., 0]
-    return x
+    return solve_factored(factor(D, O, dense_cutoff), B)

@@ -1430,6 +1430,15 @@ def _pose_graph_solve_cg(
     return pose_params[:, :3], pose_params[:, 3:], switches, summary
 
 
+# Woodbury correction sizing: up to _CORR_DENSE_MAX correction edges
+# the (P, Uc, 7, 7) dense-columns form is used (fastest, one tridiag
+# solve); beyond it columns are processed _CORR_CHUNK edges at a time
+# under lax.scan so memory stays O(P * _CORR_CHUNK * 56) at any loop
+# count.
+_CORR_DENSE_MAX = 32
+_CORR_CHUNK = 16
+
+
 @functools.partial(jax.jit, static_argnums=(9, 10, 11, 12, 13))
 def _pose_graph_solve_tridiag(
     positions0,
@@ -1619,38 +1628,162 @@ def _pose_graph_solve_tridiag(
             b_p = b_p.at[corr_a].add(Jac * coef[:, None])
             b_p = b_p.at[corr_b].add(Jbc * coef[:, None])
 
-            arange_u = jnp.arange(Uc)
-            # +columns: the 7 residual rows of A_e^T   [pose, edge, d, i]
-            U4 = jnp.zeros((P, Uc, 7, 7), dtype)
-            U4 = U4.at[corr_a, arange_u].add(Ja)
-            U4 = U4.at[corr_b, arange_u].add(Jb)
-            U_plus = U4.transpose(0, 3, 1, 2).reshape(P, 7, Uc * 7)
-            # -columns: switch-Schur rank-1 per loop edge
             inv_sq = jnp.where(
                 corr_is_loop > 0, 1.0 / jnp.sqrt(gamma), 0.0
             )[:, None]
-            V3 = jnp.zeros((P, Uc, 7), dtype)
-            V3 = V3.at[corr_a, arange_u].add(Jac * inv_sq)
-            V3 = V3.at[corr_b, arange_u].add(Jbc * inv_sq)
-            V = V3.transpose(0, 2, 1)  # (P, 7, Uc)
-            U_all = jnp.concatenate([U_plus, V], axis=-1)  # (P, 7, K)
-            K = 8 * Uc
-            w_sign = jnp.concatenate(
-                [jnp.ones((7 * Uc,), dtype), -jnp.ones((Uc,), dtype)]
-            )
+            if Uc <= _CORR_DENSE_MAX:
+                # single-shot dense columns: one tridiag solve over
+                # (1 + 8 Uc) right-hand sides
+                arange_u = jnp.arange(Uc)
+                # +columns: the 7 residual rows of A_e^T [pose, edge, d, i]
+                U4 = jnp.zeros((P, Uc, 7, 7), dtype)
+                U4 = U4.at[corr_a, arange_u].add(Ja)
+                U4 = U4.at[corr_b, arange_u].add(Jb)
+                U_plus = U4.transpose(0, 3, 1, 2).reshape(P, 7, Uc * 7)
+                # -columns: switch-Schur rank-1 per loop edge
+                V3 = jnp.zeros((P, Uc, 7), dtype)
+                V3 = V3.at[corr_a, arange_u].add(Jac * inv_sq)
+                V3 = V3.at[corr_b, arange_u].add(Jbc * inv_sq)
+                V = V3.transpose(0, 2, 1)  # (P, 7, Uc)
+                U_all = jnp.concatenate([U_plus, V], axis=-1)  # (P, 7, K)
+                K = 8 * Uc
+                w_sign = jnp.concatenate(
+                    [jnp.ones((7 * Uc,), dtype), -jnp.ones((Uc,), dtype)]
+                )
 
-            rhs = jnp.concatenate([b_p[:, :, None], U_all], axis=-1)
-            X = block_tridiag.solve(D, O, rhs)
-            xb = X[..., 0]  # (P, 7) = T^{-1} b_p
-            Y = X[..., 1:]  # (P, 7, K) = T^{-1} U
+                rhs = jnp.concatenate([b_p[:, :, None], U_all], axis=-1)
+                X = block_tridiag.solve(D, O, rhs)
+                xb = X[..., 0]  # (P, 7) = T^{-1} b_p
+                Y = X[..., 1:]  # (P, 7, K) = T^{-1} U
 
-            with jax.default_matmul_precision("highest"):
-                Uf = U_all.reshape(P * 7, K)
-                UtY = Uf.T @ Y.reshape(P * 7, K)  # (K, K)
-                Utx = Uf.T @ xb.reshape(P * 7)  # (K,)
-                M = jnp.diag(w_sign) + UtY  # W^{-1} = W = diag(+-1)
-                alpha = jnp.linalg.solve(M, Utx)
-                dp = xb - Y @ alpha
+                with jax.default_matmul_precision("highest"):
+                    Uf = U_all.reshape(P * 7, K)
+                    UtY = Uf.T @ Y.reshape(P * 7, K)  # (K, K)
+                    Utx = Uf.T @ xb.reshape(P * 7)  # (K,)
+                    M = jnp.diag(w_sign) + UtY  # W^{-1} = W = diag(+-1)
+                    alpha = jnp.linalg.solve(M, Utx)
+                    dp = xb - Y @ alpha
+            else:
+                # ---- CHUNKED Woodbury columns: bounded memory ----------
+                # The dense-columns form materializes (P, Uc, 7, 7)
+                # tensors — ~1 GB per 25 correction edges at 50k poses,
+                # OOM by ~100 loops. Instead the capacitance system is
+                # assembled a chunk of correction edges at a time under
+                # lax.scan (U never exists densely: its transpose applies
+                # by per-edge gathers), and the final correction costs
+                # ONE extra single-rhs tridiag solve:
+                #     dp = xb - T^{-1} (U alpha).
+                # Column layout per chunk: [7 '+' cols per edge (e-major,
+                # d-fast) | 1 '-' col per edge]; padded edges have zero
+                # blocks, so their capacitance rows/cols reduce to the
+                # +-1 diagonal and decouple.
+                Cc = _CORR_CHUNK
+                n_chunks = (Uc + Cc - 1) // Cc
+                Up = n_chunks * Cc
+                pad = Up - Uc
+
+                def padc(x):
+                    if not pad:
+                        return x
+                    return jnp.concatenate(
+                        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]
+                    )
+
+                ca = padc(corr_a)
+                cb = padc(corr_b)
+                Jap, Jbp = padc(Ja), padc(Jb)
+                Jva = padc(Jac * inv_sq)  # (Up, 7) '-' column blocks
+                Jvb = padc(Jbc * inv_sq)
+                K = 8 * Up
+
+                # f32 einsums lower to single-pass bf16 on the MXU and
+                # destroy the capacitance system's conditioning at city
+                # scale (measured: 12 m error at 50k poses) — force full
+                # precision like the dense branch does.
+                hp = jax.default_matmul_precision
+
+                def ut_apply(z):
+                    """U^T @ z for z (P, 7, m) -> (K, m), sparse gathers."""
+                    za, zb = z[ca], z[cb]  # (Up, 7, m)
+                    with hp("highest"):
+                        plus = jnp.einsum("edi,eim->edm", Jap, za) + jnp.einsum(
+                            "edi,eim->edm", Jbp, zb
+                        )  # (Up, 7, m)
+                        minus = jnp.einsum("ei,eim->em", Jva, za) + jnp.einsum(
+                            "ei,eim->em", Jvb, zb
+                        )  # (Up, m)
+                    m = z.shape[-1]
+                    return jnp.concatenate(
+                        [
+                            plus.reshape(n_chunks, Cc * 7, m),
+                            minus.reshape(n_chunks, Cc, m),
+                        ],
+                        axis=1,
+                    ).reshape(K, m)
+
+                def u_apply(alpha):
+                    """U @ alpha for alpha (K,) -> (P, 7), sparse scatters."""
+                    a2 = alpha.reshape(n_chunks, 8 * Cc)
+                    a_plus = a2[:, : 7 * Cc].reshape(Up, 7)
+                    a_minus = a2[:, 7 * Cc :].reshape(Up)
+                    with hp("highest"):
+                        contrib_a = jnp.einsum("ed,edi->ei", a_plus, Jap) + (
+                            a_minus[:, None] * Jva
+                        )
+                        contrib_b = jnp.einsum("ed,edi->ei", a_plus, Jbp) + (
+                            a_minus[:, None] * Jvb
+                        )
+                    out = jnp.zeros((P, 7), dtype)
+                    return out.at[ca].add(contrib_a).at[cb].add(contrib_b)
+
+                # factor T once; every chunk (plus the b and U-alpha
+                # solves) reuses the reduction — the per-level batched
+                # inverses and block products are the dominant cost and
+                # were previously redone per chunk
+                fact = block_tridiag.factor(D, O)
+                xb = block_tridiag.solve_factored(fact, b_p)  # (P, 7)
+
+                arange_c = jnp.arange(Cc)
+
+                def chunk_step(_, inp):
+                    ca_c, cb_c, Ja_c, Jb_c, Jva_c, Jvb_c = inp
+                    U4c = jnp.zeros((P, Cc, 7, 7), dtype)
+                    U4c = U4c.at[ca_c, arange_c].add(Ja_c)
+                    U4c = U4c.at[cb_c, arange_c].add(Jb_c)
+                    V3c = jnp.zeros((P, Cc, 7), dtype)
+                    V3c = V3c.at[ca_c, arange_c].add(Jva_c)
+                    V3c = V3c.at[cb_c, arange_c].add(Jvb_c)
+                    U_chunk = jnp.concatenate(
+                        [
+                            U4c.transpose(0, 3, 1, 2).reshape(P, 7, Cc * 7),
+                            V3c.transpose(0, 2, 1),
+                        ],
+                        axis=-1,
+                    )  # (P, 7, 8 Cc)
+                    Y_c = block_tridiag.solve_factored(fact, U_chunk)
+                    return None, ut_apply(Y_c)  # (K, 8 Cc)
+
+                chunked = (
+                    ca.reshape(n_chunks, Cc),
+                    cb.reshape(n_chunks, Cc),
+                    Jap.reshape(n_chunks, Cc, 7, 7),
+                    Jbp.reshape(n_chunks, Cc, 7, 7),
+                    Jva.reshape(n_chunks, Cc, 7),
+                    Jvb.reshape(n_chunks, Cc, 7),
+                )
+                _, UtY_blocks = jax.lax.scan(chunk_step, None, chunked)
+                UtY = UtY_blocks.transpose(1, 0, 2).reshape(K, K)
+                w_sign = jnp.tile(
+                    jnp.concatenate(
+                        [jnp.ones((7 * Cc,), dtype), -jnp.ones((Cc,), dtype)]
+                    ),
+                    n_chunks,
+                )
+                Utx = ut_apply(xb[:, :, None])[:, 0]
+                with hp("highest"):
+                    M = jnp.diag(w_sign) + UtY
+                    alpha = jnp.linalg.solve(M, Utx)
+                dp = xb - block_tridiag.solve_factored(fact, u_apply(alpha))
 
             # exact switch back-substitution ds = (-g_s - c^T A dp)/gamma
             if L > 0:

@@ -228,3 +228,50 @@ def test_tridiag_scales_to_large_chain():
     # exact steps: full convergence, not just the CG test's 10x reduction
     assert err < 0.02 * err_before, (err, err_before)
     assert float(summary.final_cost) < 1e-8
+
+
+def test_chunked_woodbury_many_loops_matches_dense():
+    """>32 correction edges triggers the chunked-columns Woodbury path
+    (lax.scan over edge chunks, sparse U^T application, one extra
+    single-rhs tridiag solve); it must reproduce the dense solver's
+    trajectory exactly. The dense-columns form OOMs around ~100 loops at
+    50k poses ((P, Uc, 7, 7) tensors), which is what this path fixes."""
+    import jax.numpy as jnp
+
+    from nonlinear_optimizer_for_slam_tpu.core.options import Options
+    from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_graph import (
+        ConstraintType,
+        PoseGraphOptimizer,
+    )
+
+    P = 260
+
+    def run(solver):
+        rng = np.random.default_rng(0)
+        tp = np.cumsum(0.2 * rng.normal(size=(P, 3)), axis=0)
+        nz = tp + np.where(
+            np.arange(P)[:, None] > 0, 0.05 * rng.normal(size=(P, 3)), 0.0
+        )
+        opt = PoseGraphOptimizer(
+            dtype=jnp.float64, switch_penalty=0.03, solver=solver
+        )
+        for i in range(P):
+            opt.set_pose(i, Pose(np.eye(3), nz[i]))
+        opt.set_pose_constant(0)
+        for i in range(P - 1):
+            opt.set_constraint(i, i + 1, Pose(np.eye(3), tp[i + 1] - tp[i]))
+        for _ in range(50):  # > _CORR_DENSE_MAX -> chunked path
+            a = int(rng.integers(0, P - 20))
+            b = a + int(rng.integers(10, P - a - 1))
+            opt.set_constraint(
+                a, b, Pose(np.eye(3), tp[b] - tp[a]), ConstraintType.LOOP
+            )
+        summary, _ = opt.solve(Options().replace(max_iterations=30))
+        t = np.stack([opt.get_pose(i).translation for i in range(P)])
+        return t, float(summary.final_cost)
+
+    t_dense, c_dense = run("dense")
+    t_tri, c_tri = run("tridiag")
+    np.testing.assert_allclose(t_tri, t_dense, atol=1e-8)
+    assert abs(c_tri - c_dense) < 1e-6 * max(1.0, abs(c_dense))
