@@ -35,10 +35,13 @@ Array = jax.Array
 
 
 def unpack_maha6(packed: Array) -> "MahalanobisData":
-    """Inverse of ops.pallas_kernels.pack_maha6: (16, N) packed transposed
-    rows -> SoA MahalanobisData. Used by the jnp evaluation path over the
-    same packed buffer the Pallas kernels consume (batched serving mode,
-    where vmap over the SMEM params of a pallas_call is unsupported)."""
+    """Inverse of ops.pallas_kernels.pack_maha6: packed transposed rows
+    ((16, N) or the (16, N // 128, 128) plane form) -> SoA
+    MahalanobisData. Used by the jnp evaluation path over the same packed
+    buffer the Pallas kernels consume (batched serving mode, where vmap
+    over the SMEM params of a pallas_call is unsupported)."""
+    if packed.ndim == 3:
+        packed = packed.reshape(packed.shape[0], -1)
     return MahalanobisData(
         points=packed[0:3].T,
         means=packed[3:6].T,

@@ -24,6 +24,16 @@ Rows for the 6-DoF Mahalanobis problem (16, N):
     3-5   mu  (NDT voxel mean)
     6-14  S   (sqrt-information, row-major s00..s22)
     15    mask
+
+In-kernel view: PLANES, not rows. Each pallas wrapper reshapes the
+(F, N) buffer to (F, N // 128, 128) — a free row-major reshape of the
+same HBM bytes — and blocks it as (F, lane_block // 128, 128). Field k
+is then ``packed_ref[k]``: a contiguous stack of full (8, 128) f32
+tiles. Blocking the 2-D (F, lane_block) form instead makes every field
+extraction a SUBLANE-STRIDED slice (row k touches one sublane of every
+tile), which Mosaic lowers to per-tile relayout shuffles that dominate
+the FMA work: measured 2.0x slower end-to-end at 1M lanes (207.5 us vs
+103.6 us per evaluation; see the LANE_BLOCK note below).
 """
 
 from __future__ import annotations
@@ -49,13 +59,17 @@ from .reprojection import MIN_DEPTH, CameraIntrinsics, ReprojectionData
 
 Array = jax.Array
 
-# Lanes per grid step: (16, 4096) f32 = 256 KB VMEM. Measured sweep
-# (results/backend_ablation_tpu.txt, v5e): 4096 and 16384 tie at ~75k
-# lanes (4.42 ms / 40-iter solve); 16384 is 16% faster at 1M lanes
-# (184 GB/s streamed vs 156 — fewer grid steps, less per-step overhead
-# against the same auto-pipelined DMA), so the default is adaptive
-# (_resolve_lane_block). bf16-storage measured SLOWER (the in-kernel
-# upcast deoptimizes the (16,128)-tiled loads) — keep f32 buffers.
+# Lanes per grid step: (16, 4096) f32 = 256 KB VMEM. Measured sweep on
+# the PLANE layout (v5e, in-program fori_loop timing with the dispatch
+# floor differenced out): at 1M lanes 16384 lanes/step is best —
+# 110 us/evaluation = 609 GB/s streamed (74% of the 819 GB/s HBM peak,
+# and ~90% of the combined DMA+VPU roofline: ~350 VPU flops/lane makes
+# compute ~90 us, DMA ~78 us, well overlapped). 8192: 522 GB/s; 4096:
+# degrades (DMA pipeline too shallow at this depth). The old ROW layout
+# peaked at 323 GB/s (sublane-strided field extraction, see module
+# docstring). bf16 storage with in-kernel upcast measured FASTEST
+# (89.6 us — pure compute-bound) but costs input rounding; f32 stays
+# the default and bf16 remains the ablation/serving option.
 LANE_BLOCK = 4096
 _LARGE_LANE_BLOCK = 16384
 _LARGE_LANE_THRESHOLD = 1 << 19  # 512k lanes
@@ -76,6 +90,26 @@ def _resolve_lane_block(n: int, lane_block: Optional[int]) -> int:
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def _as_planes(packed: Array) -> Array:
+    """(F, n) -> (F, n // 128, 128) plane form; 3-D passes through.
+
+    Row-major the two shapes hold identical element order, but TPU
+    arrays are physically TILED, so this reshape is a relayout copy on
+    device — do it ONCE at pack time (every pack_* returns plane form),
+    never per evaluation: a per-call reshape inside the LM loop measured
+    +70 us/evaluation at 1M lanes (368 GB/s vs 609). n is always a
+    LANE_BLOCK multiple, so n // 128 is a multiple of 8 (full f32
+    sublane tiles)."""
+    if packed.ndim == 3:
+        return packed
+    f, n = packed.shape
+    return packed.reshape(f, n // 128, 128)
+
+
+def _lane_count(packed: Array) -> int:
+    return packed.shape[1] * (128 if packed.ndim == 3 else 1)
 
 
 @functools.lru_cache(maxsize=1)
@@ -144,7 +178,8 @@ def _maha6_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
     params_ref: (16,) in SMEM (single-problem path) OR (1, 16) in VMEM
         (the vmap-compatible variant — SMEM operands have no pallas
         batching rule, VMEM ones do): R row-major (9), t (3), loss a/b.
-    packed_ref (VMEM, (16, B)): see module docstring.
+    packed_ref (VMEM, (16, lane_block // 128, 128)): plane view, see
+        module docstring. Loads upcast to f32 (bf16-storage variant).
     out_ref (VMEM): (28,) or (1, 28) running partial sums over grid steps.
     """
     if params_ref.ndim == 2:
@@ -155,10 +190,11 @@ def _maha6_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
     t = [prm(9 + k) for k in range(3)]
     la, lb = prm(12), prm(13)
 
-    p = [packed_ref[k, :] for k in range(3)]
-    mu = [packed_ref[3 + k, :] for k in range(3)]
-    S = [packed_ref[6 + k, :] for k in range(9)]  # S[3*i+j]
-    mask = packed_ref[15, :]
+    ld = lambda k: packed_ref[k].astype(jnp.float32)
+    p = [ld(k) for k in range(3)]
+    mu = [ld(3 + k) for k in range(3)]
+    S = [ld(6 + k) for k in range(9)]  # S[3*i+j]
+    mask = ld(15)
 
     # e = R p + t - mu  (per component; FMA chains on the VPU)
     e = [
@@ -224,8 +260,9 @@ def pack_maha6(
     lane_block: int = None,
     buffer_dtype=jnp.float32,
 ) -> Array:
-    """(N, ...) SoA -> packed transposed (16, N_padded) layout. One-time
-    per solve; do it INSIDE the jitted solve so it fuses with the transfer.
+    """(N, ...) SoA -> packed transposed (16, N_pad // 128, 128) plane
+    layout (see module docstring / _as_planes). One-time per solve; do it
+    INSIDE the jitted solve so it fuses with the transfer.
 
     ``buffer_dtype=jnp.bfloat16`` halves the HBM->VMEM DMA bytes; the
     kernel upcasts to f32 before the FMA chains (bf16 storage, f32
@@ -240,14 +277,14 @@ def pack_maha6(
     packed = rows.T.astype(buffer_dtype)  # (16, N)
     if n_pad != n:
         packed = jnp.pad(packed, ((0, 0), (0, n_pad - n)))
-    return packed
+    return _as_planes(packed)
 
 
 @functools.partial(jax.jit, static_argnames=("loss_code", "lane_block"))
 def _maha6_pallas(
     params_vec: Array, packed: Array, loss_code: int, lane_block: int = None
 ) -> Array:
-    n = packed.shape[1]
+    n = _lane_count(packed)
     lane_block = _resolve_lane_block(n, lane_block)
     grid = n // lane_block
     return pl.pallas_call(
@@ -256,13 +293,15 @@ def _maha6_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (16, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM
+                (16, lane_block // 128, 128),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec((_MAHA6_OUT,), lambda i: (0,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((_MAHA6_OUT,), jnp.float32),
         interpret=_interpret(),
-    )(params_vec, packed)
+    )(params_vec, _as_planes(packed))
 
 
 def maha6_eval_quadratic_packed(
@@ -298,7 +337,7 @@ def _maha6_pallas_v(
     (1, 28) output, so jax.vmap's pallas batching rule can prepend the
     batch axis (SMEM operands and 1-D outputs cannot be auto-batched on
     TPU — verified empirically). Used by the batched serving pipelines."""
-    n = packed.shape[1]
+    n = _lane_count(packed)
     lane_block = _resolve_lane_block(n, lane_block)
     grid = n // lane_block
     return pl.pallas_call(
@@ -307,7 +346,9 @@ def _maha6_pallas_v(
         in_specs=[
             pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (16, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM
+                (16, lane_block // 128, 128),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -315,7 +356,7 @@ def _maha6_pallas_v(
         ),
         out_shape=jax.ShapeDtypeStruct((1, _MAHA6_OUT), jnp.float32),
         interpret=_interpret(),
-    )(params_2d, packed)
+    )(params_2d, _as_planes(packed))
 
 
 def maha6_eval_quadratic_packed_v(
@@ -371,7 +412,8 @@ def _maha3_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
     """3-DoF planar variant (reference:
     mahalanobis_distance_minimizer_analytic_3dof.cc:110-139). params:
     R2 row-major (4), t2 (2), loss a, loss b — (8,) SMEM or (1, 8) VMEM
-    (vmap-compatible; see _maha6_kernel). Same packed layout as 6-DoF."""
+    (vmap-compatible; see _maha6_kernel). Same packed plane layout as
+    6-DoF."""
     if params_ref.ndim == 2:
         prm = lambda k: params_ref[0, k]
     else:
@@ -380,10 +422,11 @@ def _maha3_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
     t0, t1 = prm(4), prm(5)
     la, lb = prm(6), prm(7)
 
-    p = [packed_ref[k, :] for k in range(3)]
-    mu = [packed_ref[3 + k, :] for k in range(3)]
-    S = [packed_ref[6 + k, :] for k in range(9)]
-    mask = packed_ref[15, :]
+    ld = lambda k: packed_ref[k].astype(jnp.float32)
+    p = [ld(k) for k in range(3)]
+    mu = [ld(3 + k) for k in range(3)]
+    S = [ld(6 + k) for k in range(9)]
+    mask = ld(15)
 
     # warp xy only; z passes through (residual stays 3-D)
     wx = R00 * p[0] + R01 * p[1] + t0
@@ -436,7 +479,7 @@ def _maha3_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
 
 @functools.partial(jax.jit, static_argnames=("loss_code",))
 def _maha3_pallas(params_vec: Array, packed: Array, loss_code: int) -> Array:
-    n = packed.shape[1]
+    n = _lane_count(packed)
     grid = n // LANE_BLOCK
     return pl.pallas_call(
         functools.partial(_maha3_kernel, loss_code=loss_code),
@@ -444,19 +487,21 @@ def _maha3_pallas(params_vec: Array, packed: Array, loss_code: int) -> Array:
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (16, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+                (16, LANE_BLOCK // 128, 128),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec((_MAHA3_OUT,), lambda i: (0,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((_MAHA3_OUT,), jnp.float32),
         interpret=_interpret(),
-    )(params_vec, packed)
+    )(params_vec, _as_planes(packed))
 
 
 @functools.partial(jax.jit, static_argnames=("loss_code",))
 def _maha3_pallas_v(params_2d: Array, packed: Array, loss_code: int) -> Array:
     """vmap-compatible 3-DoF variant (see _maha6_pallas_v)."""
-    n = packed.shape[1]
+    n = _lane_count(packed)
     grid = n // LANE_BLOCK
     return pl.pallas_call(
         functools.partial(_maha3_kernel, loss_code=loss_code),
@@ -464,7 +509,9 @@ def _maha3_pallas_v(params_2d: Array, packed: Array, loss_code: int) -> Array:
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (16, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+                (16, LANE_BLOCK // 128, 128),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -472,7 +519,7 @@ def _maha3_pallas_v(params_2d: Array, packed: Array, loss_code: int) -> Array:
         ),
         out_shape=jax.ShapeDtypeStruct((1, _MAHA3_OUT), jnp.float32),
         interpret=_interpret(),
-    )(params_2d, packed)
+    )(params_2d, _as_planes(packed))
 
 
 def maha3_eval_quadratic_packed_v(
@@ -558,8 +605,9 @@ _MAHA3C_ROWS = 10
 def pack_maha3_compact(
     data: MahalanobisData, lane_block: int = None
 ) -> Array:
-    """(N, ...) SoA -> compact (10, N_padded) 3-DoF packing (see above).
-    Rows: u0 u1 | mu0 mu1 | M00 M01 M11 | v0 v1 | szz."""
+    """(N, ...) SoA -> compact (10, N_pad // 128, 128) 3-DoF plane
+    packing (see above). Rows: u0 u1 | mu0 mu1 | M00 M01 M11 | v0 v1 |
+    szz."""
     n = data.points.shape[0]
     lane_block = _resolve_lane_block(n, lane_block)
     n_pad = _round_up(max(n, 1), lane_block)
@@ -589,7 +637,7 @@ def pack_maha3_compact(
     ).astype(jnp.float32)  # (10, N)
     if n_pad != n:
         rows = jnp.pad(rows, ((0, 0), (0, n_pad - n)))
-    return rows
+    return _as_planes(rows)
 
 
 def _maha3c_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
@@ -599,16 +647,16 @@ def _maha3c_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
     la, lb = params_ref[6], params_ref[7]
 
     f32 = jnp.float32
-    u0 = packed_ref[0, :].astype(f32)
-    u1 = packed_ref[1, :].astype(f32)
-    mu0 = packed_ref[2, :].astype(f32)
-    mu1 = packed_ref[3, :].astype(f32)
-    M00 = packed_ref[4, :].astype(f32)
-    M01 = packed_ref[5, :].astype(f32)
-    M11 = packed_ref[6, :].astype(f32)
-    v0 = packed_ref[7, :].astype(f32)
-    v1 = packed_ref[8, :].astype(f32)
-    szz = packed_ref[9, :].astype(f32)
+    u0 = packed_ref[0].astype(f32)
+    u1 = packed_ref[1].astype(f32)
+    mu0 = packed_ref[2].astype(f32)
+    mu1 = packed_ref[3].astype(f32)
+    M00 = packed_ref[4].astype(f32)
+    M01 = packed_ref[5].astype(f32)
+    M11 = packed_ref[6].astype(f32)
+    v0 = packed_ref[7].astype(f32)
+    v1 = packed_ref[8].astype(f32)
+    szz = packed_ref[9].astype(f32)
 
     e0 = R00 * u0 + R01 * u1 + t0 - mu0
     e1 = R10 * u0 + R11 * u1 + t1 - mu1
@@ -656,7 +704,7 @@ def _maha3c_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
 def _maha3c_pallas(
     params_vec: Array, packed: Array, loss_code: int, lane_block: int = None
 ) -> Array:
-    n = packed.shape[1]
+    n = _lane_count(packed)
     lane_block = _resolve_lane_block(n, lane_block)
     grid = n // lane_block
     return pl.pallas_call(
@@ -665,14 +713,15 @@ def _maha3c_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (_MAHA3C_ROWS, lane_block), lambda i: (0, i),
+                (_MAHA3C_ROWS, lane_block // 128, 128),
+                lambda i: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec((_MAHA3_OUT,), lambda i: (0,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((_MAHA3_OUT,), jnp.float32),
         interpret=_interpret(),
-    )(params_vec, packed)
+    )(params_vec, _as_planes(packed))
 
 
 def maha3_eval_quadratic_compact(
@@ -723,10 +772,11 @@ def _reproj_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
     la, lb = params_ref[16], params_ref[17]
     min_depth = params_ref[18]
 
-    X = [packed_ref[k, :] for k in range(3)]
-    px = packed_ref[3, :]
-    py = packed_ref[4, :]
-    mask = packed_ref[5, :]
+    ld = lambda k: packed_ref[k].astype(jnp.float32)
+    X = [ld(k) for k in range(3)]
+    px = ld(3)
+    py = ld(4)
+    mask = ld(5)
 
     Xw = [
         R[3 * i + 0] * X[0] + R[3 * i + 1] * X[1] + R[3 * i + 2] * X[2] + t[i]
@@ -799,12 +849,12 @@ def pack_reproj(data: ReprojectionData) -> Array:
     packed = rows.T.astype(jnp.float32)
     if n_pad != n:
         packed = jnp.pad(packed, ((0, 0), (0, n_pad - n)))
-    return packed
+    return _as_planes(packed)
 
 
 @functools.partial(jax.jit, static_argnames=("loss_code",))
 def _reproj_pallas(params_vec: Array, packed: Array, loss_code: int) -> Array:
-    n = packed.shape[1]
+    n = _lane_count(packed)
     grid = n // LANE_BLOCK
     return pl.pallas_call(
         functools.partial(_reproj_kernel, loss_code=loss_code),
@@ -812,7 +862,9 @@ def _reproj_pallas(params_vec: Array, packed: Array, loss_code: int) -> Array:
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (8, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+                (8, LANE_BLOCK // 128, 128),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -820,7 +872,7 @@ def _reproj_pallas(params_vec: Array, packed: Array, loss_code: int) -> Array:
         ),
         out_shape=jax.ShapeDtypeStruct((_REPROJ_OUT,), jnp.float32),
         interpret=_interpret(),
-    )(params_vec, packed)
+    )(params_vec, _as_planes(packed))
 
 
 def reproj_eval_quadratic_packed(
@@ -879,10 +931,11 @@ def _p2p_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
     t = [params_ref[9 + k] for k in range(3)]
     la, lb = params_ref[12], params_ref[13]
 
-    p = [packed_ref[k, :] for k in range(3)]
-    mu = [packed_ref[3 + k, :] for k in range(3)]
-    n = [packed_ref[6 + k, :] for k in range(3)]
-    mask = packed_ref[9, :]
+    ld = lambda k: packed_ref[k].astype(jnp.float32)
+    p = [ld(k) for k in range(3)]
+    mu = [ld(3 + k) for k in range(3)]
+    n = [ld(6 + k) for k in range(3)]
+    mask = ld(9)
 
     e = [
         R[3 * i + 0] * p[0] + R[3 * i + 1] * p[1] + R[3 * i + 2] * p[2]
@@ -941,12 +994,12 @@ def pack_p2p(data) -> Array:
     packed = rows.T.astype(jnp.float32)
     if n_pad != n:
         packed = jnp.pad(packed, ((0, 0), (0, n_pad - n)))
-    return packed
+    return _as_planes(packed)
 
 
 @functools.partial(jax.jit, static_argnames=("loss_code",))
 def _p2p_pallas(params_vec: Array, packed: Array, loss_code: int) -> Array:
-    n = packed.shape[1]
+    n = _lane_count(packed)
     grid = n // LANE_BLOCK
     return pl.pallas_call(
         functools.partial(_p2p_kernel, loss_code=loss_code),
@@ -954,13 +1007,15 @@ def _p2p_pallas(params_vec: Array, packed: Array, loss_code: int) -> Array:
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (16, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+                (16, LANE_BLOCK // 128, 128),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec((_P2P_OUT,), lambda i: (0,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((_P2P_OUT,), jnp.float32),
         interpret=_interpret(),
-    )(params_vec, packed)
+    )(params_vec, _as_planes(packed))
 
 
 def p2p_eval_quadratic_packed(

@@ -99,7 +99,9 @@ def _fused_register_impl(
     p_rows = jnp.pad(p_rows, ((0, 0), (0, lanes - n * k)))
 
     def match(t, q):
-        """Dense top-k matching -> packed (16, lanes) kernel buffer."""
+        """Dense top-k matching -> packed (16, lanes // 128, 128) plane
+        kernel buffer (one relayout per rematch, amortized over the
+        inner LM iterations that re-read it)."""
         R = lie.quat_to_rotmat(q)
         warped = points @ R.T + t - centroid[:, 0]  # (N, 3), centered
         d2 = (
@@ -124,7 +126,8 @@ def _fused_register_impl(
             ],
             axis=0,
         ).astype(jnp.float32)
-        return jnp.pad(packed, ((0, 0), (0, lanes - n * k)))
+        packed = jnp.pad(packed, ((0, 0), (0, lanes - n * k)))
+        return packed.reshape(16, lanes // 128, 128)
 
     # ------------------------------------------------------------------
     # FLATTENED state machine: ONE while_loop, one LM iteration per step,
@@ -749,7 +752,9 @@ class HybridRegistrar:
             t, q, iters, cost = _packed_lm_solve(
                 jnp.asarray(pose.translation, jnp.float32),
                 jnp.asarray(pose.quaternion(), jnp.float32),
-                jnp.asarray(packed),
+                # host-side reshape to the kernel plane layout is free
+                # (same bytes); uploading 3-D avoids a device relayout
+                jnp.asarray(packed.reshape(16, -1, 128)),
                 self.loss,
                 self.options,
                 self.planar,

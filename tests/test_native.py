@@ -143,7 +143,9 @@ def test_match_and_pack_parity_with_device_matching(rng):
         search_radius=1.5,
         num_neighbors=2,
     )
-    packed_dev = np.asarray(pk.pack_maha6(data))
+    # pack_maha6 returns the (16, lanes // 128, 128) plane form; flatten
+    # back to (16, lanes) rows for comparison with the native buffer
+    packed_dev = np.asarray(pk.pack_maha6(data)).reshape(16, -1)
     np.testing.assert_array_equal(packed_nat[15], packed_dev[15])
     both = packed_nat[15] > 0
     np.testing.assert_allclose(

@@ -219,9 +219,11 @@ def test_p2p_pallas_backend_solve(rng):
 
 
 def test_packed_layout_roundtrip(rng):
-    """pack_maha6 layout: unpacking the (16, lanes) buffer recovers the
+    """pack_maha6 layout: unpacking the plane buffer recovers the
     original SoA fields exactly (the analog of the reference's SIMD
-    load/store roundtrip test, utility_tests/simd_helper_test.cc)."""
+    load/store roundtrip test, utility_tests/simd_helper_test.cc).
+    Lane order in the (16, lanes // 128, 128) plane form is row-major,
+    i.e. flattening the last two axes recovers the (16, lanes) rows."""
     n = 300
     data = mahalanobis.MahalanobisData(
         points=jnp.asarray(rng.normal(size=(n, 3)), F32),
@@ -230,7 +232,8 @@ def test_packed_layout_roundtrip(rng):
         mask=jnp.ones((n,), F32),
     )
     packed = np.asarray(pk.pack_maha6(data))
-    assert packed.shape == (16, pk.LANE_BLOCK)
+    assert packed.shape == (16, pk.LANE_BLOCK // 128, 128)
+    packed = packed.reshape(16, -1)
     np.testing.assert_array_equal(packed[0:3, :n], np.asarray(data.points).T)
     np.testing.assert_array_equal(packed[3:6, :n], np.asarray(data.means).T)
     np.testing.assert_array_equal(
