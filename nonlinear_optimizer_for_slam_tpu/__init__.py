@@ -33,6 +33,8 @@ from .solvers import (
     PoseGraphOptimizer2D,
     ReprojectionErrorMinimizer,
     Summary,
+    sqrt_info_from_information,
 )
+from . import io  # noqa: F401  (g2o dataset IO)
 
 __version__ = "0.1.0"

@@ -45,17 +45,59 @@ class PoseGraphEdges(NamedTuple):
     relative_quaternions: Array  # (E, 4) q_rel (w, x, y, z)
     is_loop: Array  # (E,) 1.0 for loop (switchable) constraints
     mask: Array  # (E,)
-    # optional (E, 6) diagonal sqrt-information: rows 0-2 whiten the
-    # translation residual (1/sigma_t), rows 3-5 the rotation residual
-    # (1/sigma_theta; the residual 2 vec(q_err) IS the rotation angle to
-    # first order). None = unit information (the reference's behavior —
-    # its Ceres functors never weight, ceres_cost_functor.h). The switch
-    # penalty row is NOT whitened (it is a prior on s, not a measurement).
+    # optional sqrt-information S with S^T S = Omega, whitening the 6-D
+    # residual r -> S r. Either (E, 6) DIAGONAL rows (rows 0-2 whiten the
+    # translation residual 1/sigma_t, rows 3-5 the rotation residual
+    # 1/sigma_theta; the residual 2 vec(q_err) IS the rotation angle to
+    # first order) or (E, 6, 6) FULL matrices (dataset information
+    # matrices, e.g. g2o EDGE_SE3:QUAT — see io/g2o.py for the
+    # convention conversion). None = unit information (the reference's
+    # behavior — its Ceres functors never weight, ceres_cost_functor.h).
+    # The switch penalty row is NOT whitened (a prior on s, not a
+    # measurement).
     sqrt_info: Optional[Array] = None
 
     @property
     def num_edges(self) -> int:
         return self.reference_indices.shape[0]
+
+
+def apply_sqrt_info(w, r, *jacobians):
+    """Whiten a residual batch and its Jacobian blocks.
+
+    ``w`` is a batched sqrt-information: (E, d) diagonal rows or
+    (E, d, d) full matrices; ``r`` is (E, d); each Jacobian is
+    (E, d, n). Works for numpy and jnp inputs alike (pure ufuncs /
+    einsum). Returns (r', jac0', jac1', ...)."""
+    if w.ndim == 2:
+        out = [r * w]
+        out += [J * w[:, :, None] for J in jacobians]
+    else:
+        einsum = jnp.einsum if isinstance(r, jax.Array) else np.einsum
+        out = [einsum("eij,ej->ei", w, r)]
+        out += [einsum("eij,ejn->ein", w, J) for J in jacobians]
+    return out[0] if not jacobians else tuple(out)
+
+
+def stack_sqrt_info(entries, dim: int):
+    """Stack per-edge sqrt-info specs (each None | (dim,) diagonal |
+    (dim, dim) matrix) into the batched form consumed by the edge
+    structs: None if all None, (E, dim) if all diagonal, else
+    (E, dim, dim) with diagonal entries promoted to matrices."""
+    if all(e is None for e in entries):
+        return None
+    if all(e is None or np.asarray(e).ndim == 1 for e in entries):
+        return np.stack(
+            [np.ones(dim) if e is None else np.asarray(e, np.float64) for e in entries]
+        )
+    out = np.zeros((len(entries), dim, dim))
+    for k, e in enumerate(entries):
+        if e is None:
+            out[k] = np.eye(dim)
+        else:
+            a = np.asarray(e, np.float64)
+            out[k] = np.diag(a) if a.ndim == 1 else a
+    return out
 
 
 def relative_pose_residual(
@@ -130,7 +172,7 @@ def edge_residuals(
         edges.relative_translations, edges.relative_quaternions,
     )  # (E, 6)
     if edges.sqrt_info is not None:
-        r6 = r6 * edges.sqrt_info
+        r6 = apply_sqrt_info(edges.sqrt_info, r6)
     s = switches[..., None]
     loop = edges.is_loop[..., None]
     scaled = jnp.where(loop > 0, r6 * s, r6)
@@ -278,11 +320,11 @@ def edge_residuals_and_jacobians(
     )  # (E, 6, 7)
 
     if edges.sqrt_info is not None:
-        # diagonal whitening of the 6 measurement rows (see PoseGraphEdges)
-        w6 = edges.sqrt_info
-        r6 = r6 * w6
-        J6_ref = J6_ref * w6[:, :, None]
-        J6_query = J6_query * w6[:, :, None]
+        # whitening of the 6 measurement rows: (E, 6) diagonal or
+        # (E, 6, 6) full matrices (see PoseGraphEdges)
+        r6, J6_ref, J6_query = apply_sqrt_info(
+            edges.sqrt_info, r6, J6_ref, J6_query
+        )
 
     # switchable scaling: loop rows 0-5 are s * r6 (d/dpose = s * J6,
     # d/ds = r6); the penalty row (1 - s) * scale has d/ds = -scale
@@ -329,7 +371,8 @@ def edge_residuals_and_jacobians_ad(
 
     def one_edge(p_r, q_r, p_q, q_q, t_rel, q_rel, s, loop, m, w6):
         def res(p_r_, q_r_, p_q_, q_q_, s_):
-            r6 = relative_pose_residual(p_r_, q_r_, p_q_, q_q_, t_rel, q_rel) * w6
+            r6 = relative_pose_residual(p_r_, q_r_, p_q_, q_q_, t_rel, q_rel)
+            r6 = r6 * w6 if w6.ndim == 1 else w6 @ r6
             scaled = jnp.where(loop > 0, r6 * s_, r6)
             penalty = jnp.where(loop > 0, (1.0 - s_) * penalty_scale, 0.0)
             return jnp.concatenate([scaled, penalty[None]]) * m
@@ -384,7 +427,7 @@ def np_edge_residuals_and_jacobians(
     rel_q,  # (E, 4)
     is_loop,  # (E,) float
     penalty_scale: float = SWITCH_PENALTY_SCALE,
-    sqrt_info=None,  # optional (E, 6) diagonal whitening (see PoseGraphEdges)
+    sqrt_info=None,  # optional (E, 6) diag or (E, 6, 6) whitening (see PoseGraphEdges)
 ):
     """Numpy twin of :func:`edge_residuals_and_jacobians` (same math, same
     conventions, unmasked). Verified against the jnp closed form in
@@ -500,9 +543,7 @@ def np_edge_residuals_and_jacobians(
     )
 
     if sqrt_info is not None:
-        r6 = r6 * sqrt_info
-        J6_ref = J6_ref * sqrt_info[:, :, None]
-        J6_qry = J6_qry * sqrt_info[:, :, None]
+        r6, J6_ref, J6_qry = apply_sqrt_info(sqrt_info, r6, J6_ref, J6_qry)
 
     loop = is_loop > 0
     s = np.where(loop, switches, 1.0)

@@ -13,7 +13,12 @@ from .minimizers import (
     ReprojectionErrorMinimizer,
 )
 from .bundle_adjustment import BAData, BundleAdjuster
-from .pose_graph import ConstraintType, PoseGraphOptimizer, PoseGraphOptimizer2D
+from .pose_graph import (
+    ConstraintType,
+    PoseGraphOptimizer,
+    PoseGraphOptimizer2D,
+    sqrt_info_from_information,
+)
 from .problem import GenericOptions, PoseOptimizer, Problem
 
 __all__ = [
@@ -43,4 +48,5 @@ __all__ = [
     "PoseGraphOptimizer2D",
     "ReprojectionErrorMinimizer",
     "solve_reprojection_batch",
+    "sqrt_info_from_information",
 ]

@@ -73,6 +73,7 @@ from ..ops.relative_pose import (
     np_quat_multiply as _np_quat_mul,
 )
 from . import lm
+from ..ops.relative_pose import stack_sqrt_info
 from .pose_graph import _expand_sqrt_info, _pose_graph_solve
 
 
@@ -81,10 +82,9 @@ def _pack(pose: Pose) -> np.ndarray:
 
 
 def _edge_w6(edges_all) -> Optional[np.ndarray]:
-    """(E, 6) whitening stack from 7-tuples (w6 last), or None if unset."""
-    if all(e[6] is None for e in edges_all):
-        return None
-    return np.stack([e[6] if e[6] is not None else np.ones(6) for e in edges_all])
+    """(E, 6) or (E, 6, 6) whitening stack from 7-tuples (w6 last),
+    or None if unset."""
+    return stack_sqrt_info([e[6] for e in edges_all], 6)
 
 
 class FixedLagSmoother:
@@ -397,22 +397,18 @@ class FixedLagSmoother:
         mask = np.zeros((E,))
         mask[:E_o] = 1.0
         mask[E_op : E_op + L] = 1.0
-        any_w = any(e[4] is not None for e in self._odom) or any(
-            l["sqrt_info"] is not None for l in self._loops
-        )
-        w6 = np.ones((E, 6)) if any_w else None
+        w_entries = [None] * E
         for k, (a, b, t, q, w) in enumerate(self._odom):
             ref[k] = local[a]; qry[k] = local[b]
             rel_t[k] = t; rel_q[k] = q
-            if any_w and w is not None:
-                w6[k] = w
+            w_entries[k] = w
         sw0 = np.ones((L_p,))
         for k, l in enumerate(self._loops):
             ref[E_op + k] = local[l["ref"]]; qry[E_op + k] = local[l["qry"]]
             rel_t[E_op + k] = l["rel_t"]; rel_q[E_op + k] = l["rel_q"]
             sw0[k] = l["switch"]
-            if any_w and l["sqrt_info"] is not None:
-                w6[E_op + k] = l["sqrt_info"]
+            w_entries[E_op + k] = l["sqrt_info"]
+        w6 = stack_sqrt_info(w_entries, 6)
         edges = PoseGraphEdges(
             reference_indices=jnp.asarray(ref),
             query_indices=jnp.asarray(qry),

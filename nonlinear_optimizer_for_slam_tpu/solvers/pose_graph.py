@@ -44,8 +44,10 @@ from ..ops.relative_pose import (
     PoseGraphEdges,
     _normalize_jacobian,
     _quat_left_matrix,
+    apply_sqrt_info,
     edge_residuals_and_jacobians,
     np_quat_left_matrix as _np_left_quat,
+    stack_sqrt_info,
 )
 from . import lm
 
@@ -60,10 +62,16 @@ class ConstraintType:
 
 
 def _expand_sqrt_info_2d(sqrt_info) -> "Optional[np.ndarray]":
-    """(3,) = [x y theta] from None | scalar | (2,) (trans, rot) | (3,)."""
+    """(3,) = [x y theta] or full (3, 3) from None | scalar | (2,)
+    (trans, rot) | (3,) | (3, 3) matrix."""
     if sqrt_info is None:
         return None
-    w = np.asarray(sqrt_info, np.float64).reshape(-1)
+    a = np.asarray(sqrt_info, np.float64)
+    if a.ndim == 2:
+        if a.shape != (3, 3):
+            raise ValueError(f"matrix sqrt_info must be (3, 3); got {a.shape}")
+        return a.copy()
+    w = a.reshape(-1)
     if w.size == 1:
         return np.full(3, w[0])
     if w.size == 2:
@@ -71,19 +79,27 @@ def _expand_sqrt_info_2d(sqrt_info) -> "Optional[np.ndarray]":
     if w.size == 3:
         return w.copy()
     raise ValueError(
-        f"sqrt_info must be a scalar, (2,) (translation, rotation), or "
-        f"(3,) diagonal; got shape {np.asarray(sqrt_info).shape}"
+        f"sqrt_info must be a scalar, (2,) (translation, rotation), "
+        f"(3,) diagonal, or (3, 3) matrix; got shape {np.asarray(sqrt_info).shape}"
     )
 
 
 def _expand_sqrt_info(sqrt_info) -> Optional[np.ndarray]:
-    """Normalize a user sqrt-info spec to a (6,) f64 vector (or None).
+    """Normalize a user sqrt-info spec to a (6,) f64 vector, a (6, 6)
+    matrix, or None.
 
     Accepted: None, scalar, (2,) = (weight_t, weight_rot), (6,) full
-    diagonal [x y z rx ry rz]."""
+    diagonal [x y z rx ry rz], or a full (6, 6) sqrt-information matrix
+    S with S^T S = Omega (use :func:`sqrt_info_from_information` to get
+    S from a dataset information matrix)."""
     if sqrt_info is None:
         return None
-    w = np.asarray(sqrt_info, np.float64).reshape(-1)
+    a = np.asarray(sqrt_info, np.float64)
+    if a.ndim == 2:
+        if a.shape != (6, 6):
+            raise ValueError(f"matrix sqrt_info must be (6, 6); got {a.shape}")
+        return a.copy()
+    w = a.reshape(-1)
     if w.size == 1:
         return np.full(6, w[0])
     if w.size == 2:
@@ -91,9 +107,28 @@ def _expand_sqrt_info(sqrt_info) -> Optional[np.ndarray]:
     if w.size == 6:
         return w.copy()
     raise ValueError(
-        f"sqrt_info must be a scalar, (2,) (translation, rotation), or "
-        f"(6,) diagonal; got shape {np.asarray(sqrt_info).shape}"
+        f"sqrt_info must be a scalar, (2,) (translation, rotation), "
+        f"(6,) diagonal, or (6, 6) matrix; got shape {np.asarray(sqrt_info).shape}"
     )
+
+
+def sqrt_info_from_information(information) -> np.ndarray:
+    """Sqrt-information S (upper triangular, S^T S = Omega) from a
+    symmetric positive-(semi)definite information matrix.
+
+    Datasets (g2o et al.) publish edge INFORMATION matrices; the solver
+    whitens residuals with a square root. Cholesky when PD; for
+    semidefinite inputs (rank-deficient priors are legal) falls back to
+    an eigendecomposition square root with negative eigenvalues clamped
+    to zero."""
+    omega = np.asarray(information, np.float64)
+    omega = 0.5 * (omega + omega.T)
+    try:
+        return np.linalg.cholesky(omega).T
+    except np.linalg.LinAlgError:
+        lam, V = np.linalg.eigh(omega)
+        lam = np.clip(lam, 0.0, None)
+        return (V * np.sqrt(lam)) @ V.T
 
 
 @functools.partial(jax.jit, static_argnums=(7, 8, 9))
@@ -374,11 +409,14 @@ class PoseGraphOptimizer:
     ) -> None:
         """Reference SetConstraint validation (:62-87).
 
-        ``sqrt_info`` optionally whitens the 6-D residual (diagonal):
-        scalar (isotropic), (2,) = (1/sigma_t, 1/sigma_theta), or a full
-        (6,) vector [x y z rx ry rz]. The reference never weights its
-        edges (ceres_cost_functor.h); whitening makes mixed-quality
-        edges and ``covariance()`` physically meaningful.
+        ``sqrt_info`` optionally whitens the 6-D residual: scalar
+        (isotropic), (2,) = (1/sigma_t, 1/sigma_theta), a (6,) diagonal
+        [x y z rx ry rz], or a full (6, 6) sqrt-information matrix S
+        with S^T S = Omega (from a dataset information matrix use
+        :func:`sqrt_info_from_information`; g2o files are handled
+        end-to-end by io.g2o.load_pose_graph). The reference never
+        weights its edges (ceres_cost_functor.h); whitening makes
+        mixed-quality edges and ``covariance()`` physically meaningful.
         """
         if reference_index not in self._poses or query_index not in self._poses:
             raise KeyError("constraint endpoints must be registered poses")
@@ -410,6 +448,15 @@ class PoseGraphOptimizer:
     @property
     def num_constraints(self) -> int:
         return len(self._constraints)
+
+    def pose_indices(self) -> List[int]:
+        """Registered pose ids, sorted (the solver's packing order)."""
+        return sorted(self._poses)
+
+    def constraints(self) -> List[dict]:
+        """Shallow copies of the registered constraint records
+        (reference_index, query_index, relative_pose, type, sqrt_info)."""
+        return [dict(c) for c in self._constraints]
 
     # -- flattening caches -------------------------------------------------
     def _flatten(self) -> dict:
@@ -448,15 +495,9 @@ class PoseGraphOptimizer:
                 for c in self._constraints
             ]
         )
-        if any(c["sqrt_info"] is not None for c in self._constraints):
-            sqrt_info = np.stack(
-                [
-                    c["sqrt_info"] if c["sqrt_info"] is not None else np.ones(6)
-                    for c in self._constraints
-                ]
-            )
-        else:
-            sqrt_info = None
+        sqrt_info = stack_sqrt_info(
+            [c["sqrt_info"] for c in self._constraints], 6
+        )
         dtype = self.dtype
         edges_dev = PoseGraphEdges(
             reference_indices=jnp.asarray(ref_idx),
@@ -876,10 +917,9 @@ def se2_edge_residuals_and_jacobians(
     )
 
     if edges.sqrt_info is not None:
-        w3 = edges.sqrt_info
-        r3 = r3 * w3
-        J3_ref = J3_ref * w3[:, :, None]
-        J3_query = J3_query * w3[:, :, None]
+        r3, J3_ref, J3_query = apply_sqrt_info(
+            edges.sqrt_info, r3, J3_ref, J3_query
+        )
 
     loop = edges.is_loop > 0
     sw = jnp.where(loop, switches, one)
@@ -1037,8 +1077,10 @@ class PoseGraphOptimizer2D:
         constraint_type: int = ConstraintType.ODOMETRY,
         sqrt_info=None,
     ) -> None:
-        """``sqrt_info``: optional diagonal whitening — scalar, (2,) =
-        (1/sigma_t, 1/sigma_theta), or (3,) = (x, y, theta)."""
+        """``sqrt_info``: optional whitening — scalar, (2,) =
+        (1/sigma_t, 1/sigma_theta), (3,) diagonal = (x, y, theta), or a
+        full (3, 3) sqrt-information matrix (see
+        :func:`sqrt_info_from_information` / io.g2o)."""
         if reference_index not in self._poses or query_index not in self._poses:
             raise KeyError("constraint endpoints must be registered poses")
         if reference_index == query_index:
@@ -1055,6 +1097,15 @@ class PoseGraphOptimizer2D:
 
     def get_pose(self, index: int) -> "np.ndarray":
         return self._poses[index].copy()
+
+    def pose_indices(self) -> "List[int]":
+        """Registered pose ids, sorted (the solver's packing order)."""
+        return sorted(self._poses)
+
+    def constraints(self) -> "List[dict]":
+        """Shallow copies of the registered constraint records
+        (reference_index, query_index, relative_xyt, type, sqrt_info)."""
+        return [dict(c) for c in self._constraints]
 
     def solve(self, options: Optional[Options] = None):
         if options is None:
@@ -1089,17 +1140,14 @@ class PoseGraphOptimizer2D:
             is_loop=jnp.asarray(is_loop, dtype),
             mask=jnp.ones((E,), dtype),
             sqrt_info=(
-                jnp.asarray(
-                    np.stack(
-                        [
-                            c["sqrt_info"] if c["sqrt_info"] is not None else np.ones(3)
-                            for c in self._constraints
-                        ]
-                    ),
-                    dtype,
+                None
+                if (
+                    w3 := stack_sqrt_info(
+                        [c["sqrt_info"] for c in self._constraints], 3
+                    )
                 )
-                if any(c["sqrt_info"] is not None for c in self._constraints)
-                else None
+                is None
+                else jnp.asarray(w3, dtype)
             ),
         )
         free = np.ones(P)
@@ -1185,16 +1233,9 @@ class PoseGraphOptimizer2D:
             ],
             -2,
         )
-        if any(cst["sqrt_info"] is not None for cst in self._constraints):
-            w3 = np.stack(
-                [
-                    cst["sqrt_info"] if cst["sqrt_info"] is not None else np.ones(3)
-                    for cst in self._constraints
-                ]
-            )
-            r3 = r3 * w3
-            J3_ref = J3_ref * w3[:, :, None]
-            J3_qry = J3_qry * w3[:, :, None]
+        w3 = stack_sqrt_info([cst["sqrt_info"] for cst in self._constraints], 3)
+        if w3 is not None:
+            r3, J3_ref, J3_qry = apply_sqrt_info(w3, r3, J3_ref, J3_qry)
         # switchable scaling + robust loss weights (4th penalty row has
         # no pose columns, so only the J_s/switch column sees it)
         penalty = np.where(is_loop > 0, (1.0 - sw) * self.switch_penalty, 0.0)
