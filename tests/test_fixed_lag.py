@@ -378,3 +378,45 @@ def test_realistic_noise_matches_batch_and_converges():
     assert errs[False].mean() < 1.5 * batch_err.mean() + 0.05
     # outlier rejection must not perturb the trajectory materially
     np.testing.assert_allclose(errs[True], errs[False], atol=0.05)
+
+
+def test_matrix_sqrt_info_through_marginalization():
+    """Full-matrix edge sqrt-information flows through the smoother's
+    device window solves AND the host-side marginalization: a diagonal
+    passed as (6,) vectors and the same diagonal passed as (6, 6)
+    matrices must produce identical trajectories (finite lag, so the
+    marginal prior is built from whitened linearizations)."""
+    gt, odo, loops = _circle_fixture(n=22)
+    w_odo = np.array([20.0, 20.0, 20.0, 60.0, 60.0, 60.0])
+    w_loop = np.array([50.0, 50.0, 50.0, 150.0, 150.0, 150.0])
+
+    def run(as_matrix):
+        sw = (lambda v: np.diag(v)) if as_matrix else (lambda v: v)
+        n = len(gt)
+        sm = FixedLagSmoother(lag=8, switch_penalty=3.0)
+        est = gt[0]
+        sm.add_pose(0, est)
+        for k in range(1, n):
+            est = Pose(
+                est.rotation @ odo[k - 1].rotation,
+                est.translation + est.rotation @ odo[k - 1].translation,
+            )
+            sm.add_pose(k, est)
+            sm.add_odometry(k - 1, k, odo[k - 1], sqrt_info=sw(w_odo))
+            if k in loops:
+                sm.add_loop(k - 8, k, loops[k], sqrt_info=sw(w_loop))
+            s = sm.update()
+            assert bool(s.converged)
+            est = sm.get_pose(k)
+        return sm
+
+    sm_vec = run(False)
+    sm_mat = run(True)
+    for i in range(22):
+        np.testing.assert_allclose(
+            sm_mat.get_pose(i).translation, sm_vec.get_pose(i).translation,
+            atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            sm_mat.get_pose(i).rotation, sm_vec.get_pose(i).rotation, atol=1e-8
+        )

@@ -435,3 +435,24 @@ def test_load_switchable_loops_2d(tmp_path, rng):
     assert switches[1] < 0.3 and switches[0] > 0.7
     for k in range(P):
         np.testing.assert_allclose(opt.get_pose(k)[:2], verts[k][:2], atol=0.15)
+
+
+def test_sphere_world_g2o_solve(tmp_path):
+    """sphere2500-style world (spiral sphere, ring loop closures,
+    dead-reckoned drifted init) at reduced scale through the FULL file
+    path: generate -> write -> load -> solve -> big error reduction."""
+    from nonlinear_optimizer_for_slam_tpu.utils import testing as tu
+
+    g, gt = tu.generate_sphere_g2o(n_rings=8, per_ring=25, radius=20.0)
+    assert len(g.vertices) == 200 and len(g.edges) == 374
+    init_err = max(np.linalg.norm(g.vertices[k][:3] - gt[k]) for k in g.vertices)
+    assert init_err > 1.0  # the dead-reckoned init really is drifted
+
+    path = str(tmp_path / "sphere.g2o")
+    g2o_io.write_g2o(path, g)
+    opt = g2o_io.load_pose_graph(path)
+    summary, _ = opt.solve(Options().replace(max_iterations=100))
+    assert bool(summary.converged)
+    err = max(np.linalg.norm(opt.get_pose(k).translation - gt[k])
+              for k in range(len(gt)))
+    assert err < 0.15 * init_err

@@ -351,3 +351,51 @@ def test_registry_caching_across_solves(fixture):
         for i in range(80)
     )
     assert err < 0.015, err
+
+
+def test_chain_preconditioner_exact_on_chains():
+    """The "chain" CG preconditioner IS the damped system on a pure
+    odometry chain, so CG needs only a couple of iterations to return
+    the direct step: 3 CG iterations must reproduce the dense solution,
+    where block-Jacobi at the same budget cannot (it ignores all
+    inter-pose coupling). Also covers cg_precond plumbing/validation."""
+    rng = np.random.default_rng(0)
+    P = 40
+    true_pos = np.cumsum(rng.normal(0, 0.3, (P, 3)), axis=0)
+
+    def build(**kw):
+        r = np.random.default_rng(1)
+        o = PoseGraphOptimizer(switch_penalty=0.03, **kw)
+        for i in range(P):
+            o.set_pose(
+                i,
+                nls.Pose(
+                    np.eye(3),
+                    true_pos[i] + (r.normal(0, 0.05, 3) if i else 0.0),
+                ),
+            )
+        o.set_pose_constant(0)
+        for i in range(P - 1):
+            o.set_constraint(
+                i, i + 1, nls.Pose(np.eye(3), true_pos[i + 1] - true_pos[i])
+            )
+        return o
+
+    opts = Options().replace(max_iterations=50)
+    dense = build(solver="dense")
+    chain = build(solver="cg", cg_iterations=3, cg_precond="chain")
+    jacobi = build(solver="cg", cg_iterations=3, cg_precond="jacobi")
+    s_d, _ = dense.solve(opts)
+    s_c, _ = chain.solve(opts)
+    s_j, _ = jacobi.solve(opts)
+    # chain@3 == dense; jacobi@3 is orders of magnitude worse
+    assert float(s_c.final_cost) < 1e-8
+    for i in range(P):
+        np.testing.assert_allclose(
+            chain.get_pose(i).translation, dense.get_pose(i).translation,
+            atol=1e-5,
+        )
+    assert float(s_j.final_cost) > 100.0 * float(s_c.final_cost)
+
+    with pytest.raises(ValueError, match="cg_precond"):
+        PoseGraphOptimizer(cg_precond="nope")
