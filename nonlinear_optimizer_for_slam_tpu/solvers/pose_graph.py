@@ -322,6 +322,7 @@ class PoseGraphOptimizer:
         cg_iterations: int = 250,
         cg_precond: str = "chain",
         edge_loss=None,
+        mesh=None,
     ):
         """``switch_penalty`` weights the (1 - s) prior row of loop-closure
         switch variables. Default = the reference's 1e-9
@@ -359,6 +360,12 @@ class PoseGraphOptimizer:
         applied per edge block over its squared residual norm, Ceres-style.
         The reference never sets one; combined with (or instead of)
         switchable constraints it bounds any single bad edge's influence.
+
+        ``mesh``: optional jax.sharding.Mesh (parallel.make_factor_mesh)
+        for the "cg" path — edges are sharded over the factor axis, the
+        replicated LM+CG loop psums every edge reduction over ICI, so
+        million-edge graphs scale across chips (same whole-loop design
+        as the sharded registration path, SURVEY section 2.8).
         """
         from ..ops.relative_pose import SWITCH_PENALTY_SCALE
 
@@ -366,11 +373,17 @@ class PoseGraphOptimizer:
             raise ValueError(f"unknown solver {solver!r}")
         if cg_precond not in ("chain", "jacobi"):
             raise ValueError(f"unknown cg_precond {cg_precond!r}")
+        if mesh is not None and solver != "cg":
+            raise ValueError(
+                "mesh sharding is implemented for the matrix-free path: "
+                "pass solver='cg' with mesh=..."
+            )
         self.dtype = dtype
         self.solver = solver
         self.cg_iterations = cg_iterations
         self.cg_precond = cg_precond
         self.edge_loss = edge_loss
+        self.mesh = mesh
         self.switch_penalty = (
             SWITCH_PENALTY_SCALE if switch_penalty is None else switch_penalty
         )
@@ -675,20 +688,37 @@ class PoseGraphOptimizer:
                 td["chain_seq"],
             )
         elif self.solver == "cg":
-            pos, quat, sw, summary = _pose_graph_solve_cg(
-                jnp.asarray(positions, dtype),
-                jnp.asarray(quaternions, dtype),
-                switches0,
-                edges,
-                jnp.asarray(free, dtype),
-                jnp.asarray(self.switch_penalty, dtype),
-                self.edge_loss,
-                P,
-                L,
-                options,
-                self.cg_iterations,
-                self.cg_precond,
-            )
+            if self.mesh is not None:
+                pos, quat, sw, summary = _pose_graph_solve_cg_sharded(
+                    self.mesh,
+                    jnp.asarray(positions, dtype),
+                    jnp.asarray(quaternions, dtype),
+                    switches0,
+                    edges,
+                    jnp.asarray(free, dtype),
+                    jnp.asarray(self.switch_penalty, dtype),
+                    self.edge_loss,
+                    P,
+                    L,
+                    options,
+                    self.cg_iterations,
+                    self.cg_precond,
+                )
+            else:
+                pos, quat, sw, summary = _pose_graph_solve_cg(
+                    jnp.asarray(positions, dtype),
+                    jnp.asarray(quaternions, dtype),
+                    switches0,
+                    edges,
+                    jnp.asarray(free, dtype),
+                    jnp.asarray(self.switch_penalty, dtype),
+                    self.edge_loss,
+                    P,
+                    L,
+                    options,
+                    self.cg_iterations,
+                    self.cg_precond,
+                )
         else:
             pos, quat, sw, summary = _pose_graph_solve(
                 jnp.asarray(positions, dtype),
@@ -1362,19 +1392,56 @@ def _pose_graph_solve_cg(
     - "jacobi": the per-pose damped 7x7 diagonal blocks only (the
       round-1 behavior; cheapest per iteration, no chain information).
     """
+    E = edges.mask.shape[0]
+    if num_loops > 0:
+        loop_slot = jnp.clip(
+            jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1, 0, num_loops - 1
+        )
+    else:
+        loop_slot = jnp.zeros((E,), jnp.int32)
+    return _pose_graph_cg_impl(
+        positions0, quaternions0, switches0, edges, loop_slot, free_mask,
+        switch_penalty, edge_loss, num_poses, num_loops, options,
+        cg_iterations, cg_precond, None,
+    )
+
+
+def _pose_graph_cg_impl(
+    positions0,
+    quaternions0,
+    switches0,
+    edges: PoseGraphEdges,
+    loop_slot,  # (E,) int32 GLOBAL loop-slot index per edge (0 for non-loops)
+    free_mask,
+    switch_penalty,
+    edge_loss,
+    num_poses: int,
+    num_loops: int,
+    options: Options,
+    cg_iterations: int,
+    cg_precond: str,
+    psum_axis,  # Optional[str]: shard_map axis when edges are SHARDED
+):
+    """Body of the CG solve (see :func:`_pose_graph_solve_cg`).
+
+    ``loop_slot`` is passed in (not derived) because under a sharded
+    edge batch a local cumsum over ``is_loop`` would number the loop
+    slots per-shard; the caller computes it globally. When ``psum_axis``
+    is set, every edge-reduction (cost, gradient/matvec scatters, the
+    preconditioner block accumulations) is psum'd over that shard_map
+    axis, so the pose-dimension state — and therefore the entire LM
+    loop, CG iterations included — stays bitwise-replicated across
+    devices while the per-edge work is data-parallel over ICI
+    (SURVEY section 2.8, same design as parallel/sharded.py)."""
     P, L = num_poses, num_loops
     dtype = positions0.dtype
     E = edges.mask.shape[0]
     ref_i = edges.reference_indices
     qry_i = edges.query_indices
-
-    if L > 0:
-        loop_slot = jnp.clip(
-            jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1, 0, L - 1
-        )
-    else:
-        loop_slot = jnp.zeros((E,), jnp.int32)
     is_loop = edges.is_loop > 0
+
+    def _psum(x):
+        return jax.lax.psum(x, psum_axis) if psum_axis is not None else x
 
     free_ref = free_mask[ref_i]  # (E,)
     free_qry = free_mask[qry_i]
@@ -1393,7 +1460,7 @@ def _pose_graph_solve_cg(
             gs = jnp.zeros((L,), dtype).at[loop_slot].add(gs_e)
         else:
             gs = jnp.zeros((0,), dtype)
-        return gp, gs
+        return _psum((gp, gs))
 
     def eval_quadratic(params):
         pose_params, switches = params
@@ -1461,6 +1528,10 @@ def _pose_graph_solve_cg(
         else:
             O_chain = None
 
+        cost = _psum(cost)
+        d_p, d_s, B_p = _psum((d_p, d_s, B_p))
+        if O_chain is not None:
+            O_chain = _psum(O_chain)
         H_rep = (J_ref, J_query, J_s, d_p, d_s, B_p, O_chain)
         return H_rep, g, cost
 
@@ -1539,6 +1610,120 @@ def _pose_graph_solve_cg(
         solve_linear=solve_linear,
     )
     return pose_params[:, :3], pose_params[:, 3:], switches, summary
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sharded_cg(
+    mesh, edge_loss, num_poses, num_loops, options, cg_iterations, cg_precond
+):
+    """Compile-cached shard_map'd CG solve: edges (and their global
+    loop_slot) sharded along the factor axis, pose/switch state
+    replicated, every edge reduction psum'd over ICI — the whole LM
+    loop (CG iterations included) is ONE multi-device XLA program
+    (SURVEY section 2.8; the pose-graph analog of parallel/sharded.py's
+    whole-loop replication)."""
+    from ..parallel.mesh import FACTOR_AXIS
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    Ps = jax.sharding.PartitionSpec
+
+    def local(pos0, quat0, sw0, edges_sh, loop_slot_sh, free_mask, penalty):
+        return _pose_graph_cg_impl(
+            pos0, quat0, sw0, edges_sh, loop_slot_sh, free_mask, penalty,
+            edge_loss, num_poses, num_loops, options, cg_iterations,
+            cg_precond, FACTOR_AXIS,
+        )
+
+    in_specs = (
+        Ps(), Ps(), Ps(),
+        PoseGraphEdges(
+            Ps(FACTOR_AXIS), Ps(FACTOR_AXIS), Ps(FACTOR_AXIS),
+            Ps(FACTOR_AXIS), Ps(FACTOR_AXIS), Ps(FACTOR_AXIS),
+            Ps(FACTOR_AXIS),
+        ),
+        Ps(FACTOR_AXIS), Ps(), Ps(),
+    )
+    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=Ps())
+    try:
+        fn = shard_map(local, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older check_rep spelling
+        fn = shard_map(local, check_rep=False, **kwargs)
+    return jax.jit(fn)
+
+
+def _pose_graph_solve_cg_sharded(
+    mesh,
+    positions0,
+    quaternions0,
+    switches0,
+    edges: PoseGraphEdges,
+    free_mask,
+    switch_penalty,
+    edge_loss,
+    num_poses: int,
+    num_loops: int,
+    options: Options,
+    cg_iterations: int,
+    cg_precond: str,
+):
+    """Multi-device CG solve: pads the edge batch to the mesh size,
+    computes the GLOBAL loop_slot host-side (a per-shard cumsum would
+    misnumber switch slots), and runs the cached shard_map program."""
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    E = edges.mask.shape[0]
+    dtype = positions0.dtype
+    loop_slot_np = np.clip(
+        np.cumsum(np.asarray(edges.is_loop) > 0) - 1, 0, max(num_loops - 1, 0)
+    ).astype(np.int32)
+
+    pad = (-E) % n_dev
+    if pad:
+        def padcat(x, fill):
+            filler = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+            return jnp.concatenate([x, filler], axis=0)
+
+        q_id = jnp.zeros((pad, 4), dtype).at[:, 0].set(1.0)
+        w_pad = None
+        if edges.sqrt_info is not None:
+            w = edges.sqrt_info
+            filler = (
+                jnp.ones((pad, 6), w.dtype)
+                if w.ndim == 2
+                else jnp.broadcast_to(jnp.eye(6, dtype=w.dtype), (pad, 6, 6))
+            )
+            w_pad = jnp.concatenate([w, filler], axis=0)
+        edges = PoseGraphEdges(
+            padcat(edges.reference_indices, 0),
+            padcat(edges.query_indices, min(1, num_poses - 1)),
+            padcat(edges.relative_translations, 0.0),
+            jnp.concatenate([edges.relative_quaternions, q_id], axis=0),
+            padcat(edges.is_loop, 0.0),
+            padcat(edges.mask, 0.0),  # padded rows contribute nothing
+            sqrt_info=w_pad,
+        )
+        loop_slot_np = np.concatenate(
+            [loop_slot_np, np.zeros(pad, np.int32)]
+        )
+
+    if edges.sqrt_info is None:
+        # shard_map in_specs are positional over the NamedTuple fields;
+        # materialize unit weights so the pytree structure is static
+        edges = edges._replace(
+            sqrt_info=jnp.ones((edges.mask.shape[0], 6), dtype)
+        )
+
+    fn = _build_sharded_cg(
+        mesh, edge_loss, num_poses, num_loops, options,
+        cg_iterations, cg_precond,
+    )
+    return fn(
+        positions0, quaternions0, switches0, edges,
+        jnp.asarray(loop_slot_np), free_mask, switch_penalty,
+    )
 
 
 # Woodbury correction sizing: up to _CORR_DENSE_MAX correction edges

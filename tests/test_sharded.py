@@ -101,3 +101,50 @@ def test_sharded_full_solve_matches_unsharded(rng, mesh):
 def test_mesh_padding_multiple(mesh):
     m = nls.MahalanobisDistanceMinimizer(pad_multiple=4, mesh=mesh)
     assert m._pad(5) == 32  # 4 * 8 devices
+
+
+def test_sharded_pose_graph_cg_matches_unsharded(mesh):
+    """PoseGraphOptimizer(mesh=...): edges sharded over the factor axis
+    with every reduction psum'd must reproduce the single-device CG
+    solve (iteration-for-iteration — the LM/CG state is replicated) on
+    the 80-pose reference fixture, planted outlier included."""
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_graph import (
+        ConstraintType,
+        PoseGraphOptimizer,
+    )
+    from nonlinear_optimizer_for_slam_tpu.utils import testing
+
+    _, noisy, constraints = testing.generate_pose_graph_fixture()
+
+    def build(**kw):
+        o = PoseGraphOptimizer(switch_penalty=0.03, solver="cg", **kw)
+        for i, p in enumerate(noisy):
+            o.set_pose(i, p)
+        o.set_pose_constant(0)
+        for c in constraints:
+            o.set_constraint(
+                c["reference_index"], c["query_index"], c["relative_pose"],
+                ConstraintType.LOOP if c["is_loop"] else ConstraintType.ODOMETRY,
+            )
+        return o
+
+    local = build()
+    shard = build(mesh=mesh)
+    s_l, sw_l = local.solve()
+    s_s, sw_s = shard.solve()
+    assert int(s_l.iterations) == int(s_s.iterations)
+    np.testing.assert_allclose(
+        float(s_s.final_cost), float(s_l.final_cost), rtol=1e-9
+    )
+    for i in range(80):
+        np.testing.assert_allclose(
+            shard.get_pose(i).translation, local.get_pose(i).translation,
+            atol=1e-7,
+        )
+    np.testing.assert_allclose(sw_s, sw_l, atol=1e-8)
+    # the planted outlier switches off in both
+    assert sw_s[-1] < 0.1
+
+    # mesh + non-cg solver is rejected
+    with pytest.raises(ValueError, match="mesh"):
+        PoseGraphOptimizer(solver="dense", mesh=mesh)
