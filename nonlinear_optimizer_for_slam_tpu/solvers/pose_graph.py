@@ -46,6 +46,7 @@ from ..ops.relative_pose import (
     _quat_left_matrix,
     apply_sqrt_info,
     edge_residuals_and_jacobians,
+    np_quat_conjugate as _np_conj_quat,
     np_quat_left_matrix as _np_left_quat,
     stack_sqrt_info,
 )
@@ -389,6 +390,7 @@ class PoseGraphOptimizer:
         )
         self._poses: Dict[int, Pose] = {}
         self._constant: set = set()
+        self._priors: Dict[int, tuple] = {}  # index -> (mean (7,), S (6,6))
         self._constraints: List[dict] = []
         # Flattening / upload caches. Rebuilding the SoA arrays from the
         # Python dict registry costs SECONDS at 50k constraints (one
@@ -418,6 +420,28 @@ class PoseGraphOptimizer:
         if index not in self._poses:
             raise KeyError(f"pose {index} not registered")
         self._constant.add(index)
+
+    def set_prior(self, index: int, pose: Pose, sqrt_info=1.0) -> None:
+        """Unary Gaussian prior (GPS / anchor / initialization factor) on
+        one pose: residual S [p - p0 ; 2 vec(q0^-1 (x) n(q))] over 6-DoF
+        TANGENT coordinates at ``pose`` (the same affine-prior form the
+        fixed-lag smoother's marginalization produces). ``sqrt_info``
+        accepts scalar / (2,) (trans, rot) / (6,) diagonal / full (6, 6)
+        over [x y z rx ry rz].
+
+        Priors anchor the gauge, so a fully prior-anchored graph needs no
+        ``set_pose_constant``. One prior per pose (a second call
+        replaces the first). The reference DECLARES prior fields on its
+        flagship minimizer and never uses them
+        (mahalanobis_distance_minimizer.h:38-39); here they are
+        first-class on the graph. Dense path only (``solver="dense"``).
+        """
+        if index not in self._poses:
+            raise KeyError(f"pose {index} not registered")
+        w = _expand_sqrt_info(sqrt_info)
+        S = np.diag(w) if w.ndim == 1 else w
+        mean = np.concatenate([pose.translation, pose.quaternion()])
+        self._priors[index] = (mean, S)
 
     def set_constraint(
         self,
@@ -652,6 +676,11 @@ class PoseGraphOptimizer:
                 "edges with set_constraint() before solving (a graph of "
                 "only poses has nothing to optimize)"
             )
+        if self._priors and self.solver != "dense":
+            raise ValueError(
+                "set_prior is implemented on the dense path; construct "
+                "with solver='dense' (or anchor via set_pose_constant)"
+            )
         flat = self._flatten()
         indices = flat["indices"]
         index_of = flat["index_of"]
@@ -720,6 +749,21 @@ class PoseGraphOptimizer:
                     self.cg_precond,
                 )
         else:
+            prior_sqrt = prior_mean = prior_sel = prior_offset = None
+            if self._priors:
+                sel = sorted(self._priors)
+                B = len(sel)
+                S = np.zeros((6 * B, 6 * B))
+                for k, pi in enumerate(sel):
+                    S[6 * k : 6 * k + 6, 6 * k : 6 * k + 6] = self._priors[pi][1]
+                prior_sqrt = jnp.asarray(S, dtype)
+                prior_mean = jnp.asarray(
+                    np.stack([self._priors[pi][0] for pi in sel]), dtype
+                )
+                prior_sel = jnp.asarray(
+                    np.array([index_of[pi] for pi in sel], np.int32)
+                )
+                prior_offset = jnp.zeros((6 * B,), dtype)
             pos, quat, sw, summary = _pose_graph_solve(
                 jnp.asarray(positions, dtype),
                 jnp.asarray(quaternions, dtype),
@@ -731,6 +775,10 @@ class PoseGraphOptimizer:
                 P,
                 L,
                 options,
+                prior_sqrt,
+                prior_mean,
+                prior_sel,
+                prior_offset,
             )
         # one batched device->host fetch (separate fetches each pay the
         # runtime's ~30 ms completion-poll quantum)
@@ -777,10 +825,11 @@ class PoseGraphOptimizer:
         P, E, L = flat["P"], flat["E"], flat["L"]
         if E == 0:
             raise ValueError("covariance: no constraints registered")
-        if not self._constant:
+        if not self._constant and not self._priors:
             raise ValueError(
                 "covariance: gauge-free graph has unbounded covariance; "
-                "fix at least one pose with set_pose_constant()"
+                "fix at least one pose with set_pose_constant() or anchor "
+                "one with set_prior()"
             )
         pos, quat = self._packed(all_indices, index_of)
         pos = pos.astype(np.float64)
@@ -845,6 +894,24 @@ class PoseGraphOptimizer:
             np.add.at(H, (rows_qry, cols_sw[:, None]), b_qs)
             np.add.at(H, (cols_sw[:, None], rows_qry), b_qs)
             np.add.at(H, (cols_sw, cols_sw), np.sum(J_s * J_s, axis=1))
+
+        # prior factors: r_p = S dphi; chained onto the tangent chart at
+        # the current estimate, J_tan = S @ d(dphi)/d(ambient) @
+        # blkdiag(I3, Tq) (same algebra as the dense solver's prior block)
+        for pi, (mean, S) in self._priors.items():
+            i = index_of[pi]
+            q = quat[i]  # unit (normalized above)
+            q_lin = mean[3:] / np.linalg.norm(mean[3:])
+            Dn = np.eye(4) - np.outer(q, q)  # d(q/|q|)/dq at |q|=1
+            dq = 2.0 * (_np_left_quat(_np_conj_quat(q_lin)) @ Dn)[1:, :]  # (3,4)
+            T_amb = np.zeros((6, 7))
+            T_amb[:3, :3] = np.eye(3)
+            T_amb[3:, 3:] = dq
+            chart = np.zeros((7, 6))
+            chart[:3, :3] = np.eye(3)
+            chart[3:, 3:] = Tq[i]
+            J = S @ T_amb @ chart  # (6, 6)
+            H[6 * i : 6 * i + 6, 6 * i : 6 * i + 6] += J.T @ J
 
         # drop constant-pose rows/cols, invert, re-embed
         keep = np.concatenate(

@@ -399,3 +399,112 @@ def test_chain_preconditioner_exact_on_chains():
 
     with pytest.raises(ValueError, match="cg_precond"):
         PoseGraphOptimizer(cg_precond="nope")
+
+
+def test_prior_anchored_graph_no_constant_pose():
+    """GPS-style anchoring: unary priors fix the gauge, no
+    set_pose_constant needed. A strong prior at each end of a noisy
+    chain pulls the solution onto the prior positions; a hard-constant
+    solve with the same anchors is the strong-weight limit oracle."""
+    rng = np.random.default_rng(4)
+    P = 30
+    true_pos = np.cumsum(rng.normal(0, 0.4, (P, 3)), axis=0)
+
+    def build():
+        o = PoseGraphOptimizer()
+        for i in range(P):
+            o.set_pose(
+                i, nls.Pose(np.eye(3), true_pos[i] + rng_init.normal(0, 0.1, 3))
+            )
+        for i in range(P - 1):
+            o.set_constraint(
+                i, i + 1,
+                nls.Pose(np.eye(3), true_pos[i + 1] - true_pos[i]),
+            )
+        return o
+
+    rng_init = np.random.default_rng(9)
+    soft = build()
+    soft.set_prior(0, nls.Pose(np.eye(3), true_pos[0]), sqrt_info=1e4)
+    soft.set_prior(P - 1, nls.Pose(np.eye(3), true_pos[P - 1]), sqrt_info=1e4)
+    s, _ = soft.solve(Options().replace(max_iterations=100))
+    assert bool(s.converged)
+    # strong priors pin the anchored poses
+    np.testing.assert_allclose(soft.get_pose(0).translation, true_pos[0], atol=1e-4)
+    np.testing.assert_allclose(
+        soft.get_pose(P - 1).translation, true_pos[P - 1], atol=1e-4
+    )
+    # and with exact odometry + both ends pinned the chain must land on
+    # the truth everywhere
+    for i in range(P):
+        np.testing.assert_allclose(
+            soft.get_pose(i).translation, true_pos[i], atol=1e-3
+        )
+
+
+def test_prior_vs_constant_pose_limit():
+    """A very strong prior approaches set_pose_constant: same fixture,
+    both anchorings, matching solutions."""
+    _, noisy, constraints = testing.generate_pose_graph_fixture()
+
+    def build(anchor):
+        o = PoseGraphOptimizer(switch_penalty=0.03)
+        for i, p in enumerate(noisy):
+            o.set_pose(i, p)
+        if anchor == "constant":
+            o.set_pose_constant(0)
+        else:
+            o.set_prior(0, noisy[0], sqrt_info=1e6)
+        for c in constraints:
+            o.set_constraint(
+                c["reference_index"], c["query_index"], c["relative_pose"],
+                ConstraintType.LOOP if c["is_loop"] else ConstraintType.ODOMETRY,
+            )
+        return o
+
+    hard = build("constant")
+    soft = build("prior")
+    s_h, sw_h = hard.solve()
+    s_s, sw_s = soft.solve()
+    for i in range(80):
+        np.testing.assert_allclose(
+            soft.get_pose(i).translation, hard.get_pose(i).translation,
+            atol=5e-4,
+        )
+    np.testing.assert_allclose(sw_s, sw_h, atol=1e-3)
+
+
+def test_prior_covariance_and_validation():
+    """Prior-anchored covariance: bounded, grows with distance from the
+    anchor, and the anchored pose's translation variance is ~1/w^2."""
+    rng = np.random.default_rng(5)
+    P = 12
+    true_pos = np.cumsum(rng.normal(0, 0.4, (P, 3)), axis=0)
+    w = 10.0  # sqrt-info of the anchor prior
+    o = PoseGraphOptimizer()
+    for i in range(P):
+        o.set_pose(i, nls.Pose(np.eye(3), true_pos[i]))
+    for i in range(P - 1):
+        o.set_constraint(
+            i, i + 1, nls.Pose(np.eye(3), true_pos[i + 1] - true_pos[i]),
+            sqrt_info=5.0,
+        )
+    o.set_prior(0, nls.Pose(np.eye(3), true_pos[0]), sqrt_info=w)
+    o.solve(Options().replace(max_iterations=50))
+    cov = o.covariance()
+    v0 = np.trace(cov[0][:3, :3]) / 3
+    vN = np.trace(cov[P - 1][:3, :3]) / 3
+    # anchored pose: var ~ 1/w^2 (the only factor limiting it)
+    np.testing.assert_allclose(v0, 1.0 / w**2, rtol=0.2)
+    # accumulating odometry uncertainty away from the anchor
+    assert vN > 5 * v0
+
+    with pytest.raises(KeyError):
+        o.set_prior(99, nls.Pose.identity())
+    cg = PoseGraphOptimizer(solver="cg")
+    cg.set_pose(0, nls.Pose.identity())
+    cg.set_pose(1, nls.Pose.identity())
+    cg.set_prior(0, nls.Pose.identity())
+    cg.set_constraint(0, 1, nls.Pose.identity())
+    with pytest.raises(ValueError, match="dense"):
+        cg.solve()
