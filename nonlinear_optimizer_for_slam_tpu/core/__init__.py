@@ -7,10 +7,13 @@ from .options import (
 )
 from .losses import (
     CauchyLoss,
+    DCSLoss,
     ExponentialLoss,
+    GemanMcClureLoss,
     HuberLoss,
     LossFunction,
     TrivialLoss,
+    TukeyLoss,
 )
 from .pose import Pose, Pose2
 from . import lie
@@ -22,10 +25,13 @@ __all__ = [
     "OptimizationHandle",
     "Options",
     "CauchyLoss",
+    "DCSLoss",
     "ExponentialLoss",
+    "GemanMcClureLoss",
     "HuberLoss",
     "LossFunction",
     "TrivialLoss",
+    "TukeyLoss",
     "Pose",
     "Pose2",
     "lie",

@@ -127,3 +127,70 @@ class CauchyLoss(LossFunction):
         d_rho = inv
         dd_rho = -(inv * inv) / c2
         return rho, d_rho, dd_rho
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class TukeyLoss(LossFunction):
+    """Tukey biweight: hard redescending kernel (Ceres TukeyLoss).
+
+    For s <= b^2: rho = (b^2/3) (1 - (1 - s/b^2)^3), rho' = (1 - s/b^2)^2,
+    rho'' = -(2/b^2)(1 - s/b^2); beyond b^2 the kernel saturates
+    (rho = b^2/3, zero weight) — gross outliers contribute NOTHING, unlike
+    Huber/Cauchy whose influence only decays. The reference has no
+    redescending kernel; standard SLAM toolkits (Ceres/g2o/GTSAM) do."""
+
+    threshold: float = 1.0
+
+    def evaluate(self, s: Array):
+        b2 = jnp.asarray(self.threshold, dtype=s.dtype) ** 2
+        u = jnp.maximum(1.0 - s / b2, 0.0)
+        rho = (b2 / 3.0) * (1.0 - u * u * u)
+        d_rho = u * u
+        dd_rho = -(2.0 / b2) * u
+        return rho, d_rho, dd_rho
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class GemanMcClureLoss(LossFunction):
+    """Geman-McClure: rho(s) = c^2 s / (c^2 + s) — smooth redescending
+    kernel saturating at c^2. Identical to the ANALYTIC (unclamped)
+    Dynamic Covariance Scaling objective: minimizing the DCS inner
+    problem s* = argmin s^2 chi^2 + Phi (s - 1)^2 and substituting gives
+    exactly Phi chi^2 / (Phi + chi^2), i.e. Geman-McClure with
+    c^2 = Phi (Agarwal et al., ICRA 2013, eq. 15)."""
+
+    scale: float = 1.0
+
+    def evaluate(self, s: Array):
+        c2 = jnp.asarray(self.scale, dtype=s.dtype) ** 2
+        inv = c2 / (c2 + s)
+        rho = s * inv
+        d_rho = inv * inv
+        dd_rho = -2.0 * (inv * inv) / (c2 + s)
+        return rho, d_rho, dd_rho
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class DCSLoss(LossFunction):
+    """Dynamic Covariance Scaling with the published CLAMPED scaling
+    s = min(1, 2 Phi / (Phi + chi^2)) (Agarwal et al., ICRA 2013):
+    quadratic for chi^2 <= Phi, and beyond it the combined objective
+    s^2 chi^2 + Phi (s - 1)^2 is identically Phi — a smooth truncated
+    quadratic (continuous rho and rho' at the knee; weight
+    w = rho' = 0 past it, so confirmed outliers are fully excluded,
+    while the unclamped analytic form is :class:`GemanMcClureLoss`).
+    The per-edge alternative to switchable constraints: no extra switch
+    variables in the state, at the price of a hard outlier decision per
+    LM iteration instead of a learned continuous switch."""
+
+    phi: float = 1.0
+
+    def evaluate(self, s: Array):
+        phi = jnp.asarray(self.phi, dtype=s.dtype)
+        inlier = s <= phi
+        rho = jnp.where(inlier, s, phi)
+        d_rho = jnp.where(inlier, jnp.ones_like(s), jnp.zeros_like(s))
+        return rho, d_rho, jnp.zeros_like(s)

@@ -48,10 +48,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.losses import (
     CauchyLoss,
+    DCSLoss,
     ExponentialLoss,
+    GemanMcClureLoss,
     HuberLoss,
     LossFunction,
     TrivialLoss,
+    TukeyLoss,
 )
 from .mahalanobis import MahalanobisData
 from .quadratic import unpack_symmetric
@@ -122,6 +125,7 @@ def _interpret() -> bool:
 # Loss codes baked into the kernel as static ints (the rho/w math is a few
 # VPU ops, cheap to inline per variant).
 _LOSS_NONE, _LOSS_EXP, _LOSS_HUBER, _LOSS_CAUCHY = 0, 1, 2, 3
+_LOSS_TUKEY, _LOSS_GM, _LOSS_DCS = 4, 5, 6
 
 
 def _loss_static(loss: Optional[LossFunction]):
@@ -135,9 +139,15 @@ def _loss_static(loss: Optional[LossFunction]):
         return _LOSS_HUBER, (loss.threshold, 0.0)
     if isinstance(loss, CauchyLoss):
         return _LOSS_CAUCHY, (loss.scale, 0.0)
+    if isinstance(loss, TukeyLoss):
+        return _LOSS_TUKEY, (loss.threshold, 0.0)
+    if isinstance(loss, GemanMcClureLoss):
+        return _LOSS_GM, (loss.scale, 0.0)
+    if isinstance(loss, DCSLoss):
+        return _LOSS_DCS, (loss.phi, 0.0)
     raise NotImplementedError(
-        f"pallas backend supports Trivial/Exponential/Huber/Cauchy losses, "
-        f"got {type(loss).__name__}; use backend='jnp'"
+        f"pallas backend has no kernel variant for {type(loss).__name__}; "
+        f"use backend='jnp'"
     )
 
 
@@ -155,6 +165,23 @@ def _eval_loss(loss_code: int, sq: Array, a: Array, b: Array):
         c2 = a * a
         inv = 1.0 / (1.0 + sq / c2)
         return c2 * jnp.log1p(sq / c2), inv
+    if loss_code == _LOSS_TUKEY:
+        # a = threshold b; saturates at b^2/3 with zero weight beyond
+        b2 = a * a
+        u = jnp.maximum(1.0 - sq / b2, 0.0)
+        return (b2 / 3.0) * (1.0 - u * u * u), u * u
+    if loss_code == _LOSS_GM:
+        # a = scale c; rho = c^2 s / (c^2 + s), w = (c^2/(c^2+s))^2
+        c2 = a * a
+        inv = c2 / (c2 + sq)
+        return sq * inv, inv * inv
+    if loss_code == _LOSS_DCS:
+        # a = Phi; clamped DCS = smooth truncated quadratic (losses.py)
+        inlier = sq <= a
+        return (
+            jnp.where(inlier, sq, a),
+            jnp.where(inlier, jnp.ones_like(sq), jnp.zeros_like(sq)),
+        )
     # Huber: a = threshold
     sq_delta = a * a
     outlier = sq > sq_delta

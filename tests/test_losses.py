@@ -12,15 +12,21 @@ import pytest
 
 from nonlinear_optimizer_for_slam_tpu.core.losses import (
     CauchyLoss,
+    DCSLoss,
     ExponentialLoss,
+    GemanMcClureLoss,
     HuberLoss,
     TrivialLoss,
+    TukeyLoss,
 )
 
 DIFFERENTIABLE_LOSSES = [
     TrivialLoss(),
     HuberLoss(threshold=1.0),
     CauchyLoss(scale=0.7),
+    TukeyLoss(threshold=1.3),
+    GemanMcClureLoss(scale=0.8),
+    DCSLoss(phi=1.1),
 ]
 
 
@@ -85,3 +91,44 @@ def test_losses_are_pytrees():
 
     out = f(loss, jnp.asarray(1.0))
     np.testing.assert_allclose(float(out), 1.0 - np.exp(-2.0), rtol=1e-6)
+
+
+def test_tukey_saturates():
+    """Tukey: quadratic-ish core, total saturation past b^2 (zero weight,
+    constant rho = b^2/3) — the redescending property."""
+    b = 1.5
+    loss = TukeyLoss(threshold=b)
+    rho_in, w_in, _ = loss.evaluate(jnp.asarray(0.01))
+    np.testing.assert_allclose(float(w_in), (1 - 0.01 / b**2) ** 2, rtol=1e-12)
+    for s in (b**2, 2 * b**2, 100.0):
+        rho, w, dd = loss.evaluate(jnp.asarray(s))
+        np.testing.assert_allclose(float(rho), b**2 / 3.0, rtol=1e-12)
+        assert float(w) == 0.0 and float(dd) == 0.0
+
+
+def test_geman_mcclure_is_unclamped_dcs():
+    """GM(c^2=Phi) == analytic DCS: min_s [s^2 chi2 + Phi(s-1)^2] =
+    Phi chi2 / (Phi + chi2) (Agarwal et al. 2013) — verified against a
+    numerical inner minimization."""
+    phi = 1.7
+    loss = GemanMcClureLoss(scale=np.sqrt(phi))
+    for chi2 in (0.1, 1.0, 5.0, 40.0):
+        svals = np.linspace(0, 1.5, 20001)
+        inner = svals**2 * chi2 + phi * (svals - 1.0) ** 2
+        rho, _, _ = loss.evaluate(jnp.asarray(chi2))
+        np.testing.assert_allclose(float(rho), inner.min(), rtol=1e-6)
+
+
+def test_dcs_truncated_quadratic():
+    """Clamped DCS: identical to the quadratic for chi2 <= Phi, constant
+    Phi beyond (the s = min(1, .) clamp makes the combined objective
+    saturate exactly); rho continuous at the knee."""
+    phi = 2.0
+    loss = DCSLoss(phi=phi)
+    rho, w, _ = loss.evaluate(jnp.asarray(0.5))
+    assert float(rho) == 0.5 and float(w) == 1.0
+    rho_knee, _, _ = loss.evaluate(jnp.asarray(phi))
+    rho_out, w_out, _ = loss.evaluate(jnp.asarray(50.0))
+    np.testing.assert_allclose(float(rho_knee), phi)
+    np.testing.assert_allclose(float(rho_out), phi)
+    assert float(w_out) == 0.0

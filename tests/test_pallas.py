@@ -13,10 +13,13 @@ import pytest
 import nonlinear_optimizer_for_slam_tpu as nls
 from nonlinear_optimizer_for_slam_tpu.core import (
     CauchyLoss,
+    DCSLoss,
     ExponentialLoss,
+    GemanMcClureLoss,
     HuberLoss,
     Options,
     TrivialLoss,
+    TukeyLoss,
     lie,
 )
 from nonlinear_optimizer_for_slam_tpu.ops import (
@@ -53,6 +56,9 @@ LOSSES = [
     ExponentialLoss(c1=1.3, c2=0.4),
     HuberLoss(2.0),
     CauchyLoss(1.5),
+    TukeyLoss(1.8),
+    GemanMcClureLoss(1.2),
+    DCSLoss(2.5),
 ]
 
 
@@ -260,7 +266,9 @@ def test_maha3_compact_kernel_parity(maha_data, loss):
     Hc, gc, cc = pk.maha3_eval_quadratic_compact(
         R2, t2, pk.pack_maha3_compact(maha_data), loss
     )
-    np.testing.assert_allclose(np.asarray(Hc), np.asarray(H16), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(Hc), np.asarray(H16), rtol=1e-4, atol=1e-5
+    )
     np.testing.assert_allclose(
         np.asarray(gc), np.asarray(g16), rtol=1e-4, atol=1e-4
     )
@@ -271,5 +279,7 @@ def test_maha3_compact_kernel_parity(maha_data, loss):
     H64, g64, c64 = mahalanobis.eval_quadratic_3dof(
         jnp.asarray(R2, jnp.float64), jnp.asarray(t2, jnp.float64), data64, loss
     )
-    np.testing.assert_allclose(np.asarray(Hc), np.asarray(H64), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(Hc), np.asarray(H64), rtol=1e-4, atol=1e-5
+    )
     np.testing.assert_allclose(float(cc), float(c64), rtol=1e-4)

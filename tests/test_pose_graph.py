@@ -508,3 +508,38 @@ def test_prior_covariance_and_validation():
     cg.set_constraint(0, 1, nls.Pose.identity())
     with pytest.raises(ValueError, match="dense"):
         cg.solve()
+
+
+def test_dcs_edge_loss_rejects_outlier_without_switches(fixture):
+    """DCS as the per-edge robust kernel: the planted outlier loop is
+    excluded by the loss (zero weight past Phi) with ALL constraints
+    ODOMETRY-typed — no switch variables in the state at all — and the
+    solution matches the switchable-constraints answer."""
+    from nonlinear_optimizer_for_slam_tpu.core import DCSLoss
+
+    true_poses, noisy, constraints = fixture
+
+    # switchable baseline
+    base = _build(fixture, switch_penalty=0.03)
+    base.solve()
+
+    dcs = PoseGraphOptimizer(edge_loss=DCSLoss(phi=0.1))
+    for i, p in enumerate(noisy):
+        dcs.set_pose(i, p)
+    dcs.set_pose_constant(0)
+    for c in constraints:
+        dcs.set_constraint(
+            c["reference_index"], c["query_index"], c["relative_pose"]
+        )  # everything odometry: no switches
+    summary, sw = dcs.solve()
+    assert sw.shape == (0,)
+    err = max(
+        np.linalg.norm(dcs.get_pose(i).translation - true_poses[i].translation)
+        for i in range(80)
+    )
+    assert err < 0.01, f"DCS failed to reject the outlier: err={err}"
+    # two different robustifiers, same basin: agreement to ~noise scale
+    for i in range(80):
+        np.testing.assert_allclose(
+            dcs.get_pose(i).translation, base.get_pose(i).translation, atol=2e-2
+        )
