@@ -99,6 +99,8 @@ def main() -> None:
     kwargs = {}
     if graph.dim == 3:
         kwargs["solver"] = args.solver
+    elif args.solver in ("dense", "cg"):  # 2-D: dense or matrix-free CG
+        kwargs["solver"] = args.solver
     opt = g2o_io.load_pose_graph(
         path,
         switchable_loops=args.switchable_loops,

@@ -1149,16 +1149,193 @@ def _pose_graph_2d_solve(
     return x[: 3 * P].reshape(P, 3), x[3 * P :], summary
 
 
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+def _pose_graph_2d_solve_cg(
+    xyt0,  # (P, 3)
+    switches0,  # (L,)
+    edges: "PoseGraph2DEdges",
+    free_mask,  # (P,)
+    switch_penalty,
+    edge_loss,
+    num_poses: int,
+    num_loops: int,
+    options: Options,
+    cg_iterations: int,
+    cg_precond: str,
+):
+    """SE(2) matrix-free path: the 3-DoF-block mirror of the 3D CG
+    solver (which see) — O(E) memory per LM step, chain
+    block-tridiagonal or block-Jacobi preconditioning, the canonical
+    lm.solve policy loop. City-scale 2D corpora (M3500/city10000) do
+    not fit the dense (3P+L)^2 normal matrix; this path is their
+    solver."""
+    P, L = num_poses, num_loops
+    dtype = xyt0.dtype
+    E = edges.mask.shape[0]
+    ref_i = edges.reference_indices
+    qry_i = edges.query_indices
+    if L > 0:
+        loop_slot = jnp.clip(
+            jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1, 0, L - 1
+        )
+    else:
+        loop_slot = jnp.zeros((E,), jnp.int32)
+    is_loop = edges.is_loop > 0
+    free_ref = free_mask[ref_i]
+    free_qry = free_mask[qry_i]
+    fixed_p = (1.0 - free_mask)[:, None]
+
+    def scatter_jt(J_ref, J_query, J_s, y):
+        gp = jnp.zeros((P, 3), dtype)
+        gp = gp.at[ref_i].add(jnp.sum(J_ref * y[:, :, None], axis=1))
+        gp = gp.at[qry_i].add(jnp.sum(J_query * y[:, :, None], axis=1))
+        if L > 0:
+            gs_e = jnp.sum(J_s * y, axis=1) * is_loop
+            gs = jnp.zeros((L,), dtype).at[loop_slot].add(gs_e)
+        else:
+            gs = jnp.zeros((0,), dtype)
+        return gp, gs
+
+    def eval_quadratic(params):
+        xyt, switches = params
+        sw_full = switches[loop_slot] if L > 0 else jnp.zeros((E,), dtype)
+        r, J_ref, J_query, J_s = se2_edge_residuals_and_jacobians(
+            xyt, sw_full, edges, switch_penalty
+        )
+        J_ref = J_ref * free_ref[:, None, None]
+        J_query = J_query * free_qry[:, None, None]
+        if edge_loss is not None:
+            sq = jnp.sum(r * r, axis=1)
+            rho, w, _ = edge_loss.evaluate(sq)
+            cost = jnp.sum(rho)
+            sqrt_w = jnp.sqrt(w)
+            r = r * sqrt_w[:, None]
+            J_ref = J_ref * sqrt_w[:, None, None]
+            J_query = J_query * sqrt_w[:, None, None]
+            J_s = J_s * sqrt_w[:, None]
+        else:
+            cost = jnp.sum(r * r)
+
+        g = scatter_jt(J_ref, J_query, J_s, r)
+        d_p = jnp.zeros((P, 3), dtype)
+        d_p = d_p.at[ref_i].add(jnp.sum(J_ref * J_ref, axis=1))
+        d_p = d_p.at[qry_i].add(jnp.sum(J_query * J_query, axis=1))
+        B_p = jnp.zeros((P, 3, 3), dtype)
+        B_p = B_p.at[ref_i].add(
+            jnp.sum(J_ref[:, :, :, None] * J_ref[:, :, None, :], axis=1)
+        )
+        B_p = B_p.at[qry_i].add(
+            jnp.sum(J_query[:, :, :, None] * J_query[:, :, None, :], axis=1)
+        )
+        if L > 0:
+            d_s = jnp.zeros((L,), dtype).at[loop_slot].add(
+                jnp.sum(J_s * J_s, axis=1) * is_loop
+            )
+        else:
+            d_s = jnp.zeros((0,), dtype)
+
+        if cg_precond == "chain":
+            chain = (jnp.abs(ref_i - qry_i) == 1) & (edges.mask > 0)
+            cross = jnp.sum(
+                J_ref[:, :, :, None] * J_query[:, :, None, :], axis=1
+            )
+            cross = jnp.where(
+                (ref_i < qry_i)[:, None, None],
+                cross,
+                jnp.swapaxes(cross, 1, 2),
+            )
+            lo = jnp.minimum(ref_i, qry_i)
+            O_chain = jnp.zeros((P, 3, 3), dtype).at[lo].add(
+                jnp.where(chain[:, None, None], cross, 0.0)
+            )
+        else:
+            O_chain = None
+        return (J_ref, J_query, J_s, d_p, d_s, B_p, O_chain), g, cost
+
+    def solve_linear(H_rep, g, lam):
+        J_ref, J_query, J_s, d_p, d_s, B_p, O_chain = H_rep
+        g_p, g_s = g
+
+        def matvec(v):
+            vp, vs = v
+            Jv = jnp.sum(J_ref * vp[ref_i][:, None, :], axis=2) + jnp.sum(
+                J_query * vp[qry_i][:, None, :], axis=2
+            )
+            if L > 0:
+                Jv = Jv + J_s * (vs[loop_slot] * is_loop)[:, None]
+            hp, hs = scatter_jt(J_ref, J_query, J_s, Jv)
+            hp = hp + lam * d_p * vp + fixed_p * vp + 1e-8 * vp
+            hs = hs + lam * d_s * vs + 1e-8 * vs
+            return hp, hs
+
+        dvec = lam * d_p + fixed_p + 1e-8
+        Bp = B_p + jnp.eye(3, dtype=dtype) * dvec[:, None, :]
+        pre_s = (1.0 + lam) * d_s + 1e-8
+
+        if cg_precond == "chain":
+            from . import block_tridiag
+
+            floor = 1e-3 * jnp.max(d_p, axis=1, keepdims=True) + 1e-8
+            fact = block_tridiag.factor(
+                Bp + jnp.eye(3, dtype=dtype) * floor[:, :, None], O_chain
+            )
+
+            def precond(v):
+                return block_tridiag.solve_factored(fact, v[0]), v[1] / pre_s
+
+        else:
+            Bp_inv = jnp.linalg.inv(Bp)
+
+            def precond(v):
+                return (
+                    jnp.sum(Bp_inv * v[0][:, None, :], axis=2),
+                    v[1] / pre_s,
+                )
+
+        delta, _ = jax.scipy.sparse.linalg.cg(
+            matvec, (-g_p, -g_s), maxiter=cg_iterations, M=precond
+        )
+        return delta
+
+    def retract(params, delta):
+        xyt, switches = params
+        dp, ds = delta
+        return (xyt + dp * free_mask[:, None], switches + ds)
+
+    (xyt, switches), summary = lm.solve(
+        eval_quadratic, retract, (xyt0, switches0), options,
+        solve_linear=solve_linear,
+    )
+    return xyt, switches, summary
+
+
 class PoseGraphOptimizer2D:
     """SE(2) pose-graph optimizer; same API shape as the 3D one."""
 
     def __init__(
-        self, dtype=jnp.float64, switch_penalty: float = None, edge_loss=None
+        self,
+        dtype=jnp.float64,
+        switch_penalty: float = None,
+        edge_loss=None,
+        solver: str = "dense",
+        cg_iterations: int = 250,
+        cg_precond: str = "chain",
     ):
+        """``solver``: "dense" materializes the (3P+L)^2 normal matrix;
+        "cg" is the matrix-free path for city-scale 2D corpora
+        (M3500/city10000 do not fit dense) — same ``cg_iterations`` /
+        ``cg_precond`` semantics as the 3D optimizer (which see)."""
         from ..ops.relative_pose import SWITCH_PENALTY_SCALE
 
+        if solver not in ("dense", "cg"):
+            raise ValueError(f"unknown solver {solver!r}")
+        if cg_precond not in ("chain", "jacobi"):
+            raise ValueError(f"unknown cg_precond {cg_precond!r}")
         self.dtype = dtype
         self.edge_loss = edge_loss
+        self.solver = solver
+        self.cg_iterations = cg_iterations
+        self.cg_precond = cg_precond
         self.switch_penalty = (
             SWITCH_PENALTY_SCALE if switch_penalty is None else switch_penalty
         )
@@ -1259,17 +1436,32 @@ class PoseGraphOptimizer2D:
         for pi in self._constant:
             free[index_of[pi]] = 0.0
 
-        out_xyt, sw, summary = _pose_graph_2d_solve(
-            jnp.asarray(xyt, dtype),
-            jnp.ones((L,), dtype),
-            edges,
-            jnp.asarray(free, dtype),
-            jnp.asarray(self.switch_penalty, dtype),
-            self.edge_loss,
-            P,
-            L,
-            options,
-        )
+        if self.solver == "cg":
+            out_xyt, sw, summary = _pose_graph_2d_solve_cg(
+                jnp.asarray(xyt, dtype),
+                jnp.ones((L,), dtype),
+                edges,
+                jnp.asarray(free, dtype),
+                jnp.asarray(self.switch_penalty, dtype),
+                self.edge_loss,
+                P,
+                L,
+                options,
+                self.cg_iterations,
+                self.cg_precond,
+            )
+        else:
+            out_xyt, sw, summary = _pose_graph_2d_solve(
+                jnp.asarray(xyt, dtype),
+                jnp.ones((L,), dtype),
+                edges,
+                jnp.asarray(free, dtype),
+                jnp.asarray(self.switch_penalty, dtype),
+                self.edge_loss,
+                P,
+                L,
+                options,
+            )
         out = np.asarray(out_xyt, np.float64)
         for i, pi in enumerate(indices):
             # wrap theta on write-back (the SE(2) analog of quaternion

@@ -257,3 +257,55 @@ def test_weighted_solve_weighted_mean_2d():
     opt.solve()
     expect = (w1**2 + 2.0 * w2**2) / (w1**2 + w2**2)
     np.testing.assert_allclose(opt.get_pose(1), [expect, 0, 0], atol=1e-6)
+
+
+def test_2d_cg_matches_dense(square_fixture):
+    """SE(2) matrix-free CG path == dense path on the 40-pose fixture
+    (planted outlier included), chain and jacobi preconditioners both."""
+    dense = _build(square_fixture, switch_penalty=0.03)
+    s_d, sw_d = dense.solve()
+    for precond in ("chain", "jacobi"):
+        cg = _build(
+            square_fixture, switch_penalty=0.03, solver="cg",
+            cg_iterations=200, cg_precond=precond,
+        )
+        s_c, sw_c = cg.solve()
+        for i in range(40):
+            np.testing.assert_allclose(
+                cg.get_pose(i), dense.get_pose(i), atol=5e-4
+            )
+        np.testing.assert_allclose(sw_c, sw_d, atol=5e-3)
+        assert sw_c[-1] < 0.1  # outlier off in the CG path too
+
+
+def test_2d_cg_scales_to_city_graph():
+    """10,000-pose 2D random-walk city graph: dense would need a
+    30,003^2 normal matrix (~7 GB f64); the CG path solves in O(E)
+    memory. Chain preconditioner on a chain-dominated graph: few CG
+    iterations suffice for an accurate reconstruction."""
+    rng = np.random.default_rng(7)
+    P = 10000
+    th = np.cumsum(rng.normal(0, 0.05, P))
+    step = np.stack([np.cos(th), np.sin(th)], axis=1) * 0.5
+    true = np.zeros((P, 3))
+    true[:, 2] = th
+    true[1:, :2] = np.cumsum(step[:-1], axis=0)
+    noisy = true.copy()
+    noisy[1:, :2] += 0.05 * rng.normal(size=(P - 1, 2))
+    noisy[1:, 2] = _wrap(noisy[1:, 2] + 0.01 * rng.normal(size=P - 1))
+    opt = PoseGraphOptimizer2D(
+        solver="cg", cg_iterations=30, switch_penalty=0.03
+    )
+    for i in range(P):
+        opt.set_pose(i, noisy[i])
+    opt.set_pose_constant(0)
+    for i in range(P - 1):
+        opt.set_constraint(i, i + 1, _rel(true[i], true[i + 1]))
+    for a, b in [(0, P // 2), (P // 4, 3 * P // 4), (17, P - 17)]:
+        opt.set_constraint(a, b, _rel(true[a], true[b]), ConstraintType.LOOP)
+    summary, _ = opt.solve(Options().replace(max_iterations=30))
+    err = max(
+        np.linalg.norm(opt.get_pose(i)[:2] - true[i, :2])
+        for i in range(0, P, 13)
+    )
+    assert err < 0.05, err
