@@ -97,9 +97,9 @@ def main() -> None:
     )
 
     kwargs = {}
-    if graph.dim == 3:
+    if graph.dim == 3 and not graph.landmarks:
         kwargs["solver"] = args.solver
-    elif args.solver in ("dense", "cg"):  # 2-D: dense or matrix-free CG
+    elif graph.dim == 2 and args.solver in ("dense", "cg"):
         kwargs["solver"] = args.solver
     opt = g2o_io.load_pose_graph(
         path,

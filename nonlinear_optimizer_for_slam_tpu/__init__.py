@@ -31,6 +31,7 @@ from .solvers import (
     PointToPlaneMinimizer,
     PoseGraphOptimizer,
     PoseGraphOptimizer2D,
+    PoseLandmarkOptimizer,
     ReprojectionErrorMinimizer,
     Summary,
     sqrt_info_from_information,

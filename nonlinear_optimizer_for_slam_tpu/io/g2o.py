@@ -11,6 +11,10 @@ Supported records (the pose-graph subset of the format):
 
   3-D: ``VERTEX_SE3:QUAT id x y z qx qy qz qw``
        ``EDGE_SE3:QUAT i j x y z qx qy qz qw  <21 upper-tri info>``
+       ``VERTEX_TRACKXYZ id x y z``  (landmark)
+       ``EDGE_SE3_TRACKXYZ i j [offset_id] x y z  <6 upper-tri info>``
+       (body-frame landmark observation; files with landmark records
+       load into a :class:`PoseLandmarkOptimizer`)
   2-D: ``VERTEX_SE2 id x y theta``
        ``EDGE_SE2 i j dx dy dtheta  <6 upper-tri info>``
   both: ``FIX id``
@@ -78,6 +82,11 @@ class G2oGraph:
     # (7,) [t, q_wxyz] for 3-D; (3,) [x y theta] for 2-D
     edges: List[G2oEdge] = field(default_factory=list)
     fixed: Set[int] = field(default_factory=set)
+    # landmark-SLAM records (3-D): VERTEX_TRACKXYZ points and
+    # EDGE_SE3_TRACKXYZ body-frame observations (measurement (3,),
+    # information (3, 3); i = pose id, j = landmark id)
+    landmarks: Dict[int, np.ndarray] = field(default_factory=dict)
+    landmark_edges: List[G2oEdge] = field(default_factory=list)
 
 
 def _sym_from_upper(vals, tri, n):
@@ -146,6 +155,23 @@ def read_g2o(path: str) -> G2oGraph:
                         list(map(float, parts[6:12])), _TRI3, 3
                     )
                     g.edges.append(G2oEdge(i, j, meas, info))
+                elif tag == "VERTEX_TRACKXYZ":
+                    g = need(3)
+                    g.landmarks[int(parts[1])] = np.array(
+                        list(map(float, parts[2:5]))
+                    )
+                elif tag == "EDGE_SE3_TRACKXYZ":
+                    g = need(3)
+                    # with or without a PARAMS_SE3OFFSET id after (i, j):
+                    # 11 operands = i j x y z info6; 12 = i j off x y z info6
+                    vals = parts[1:]
+                    off = 1 if len(vals) >= 12 else 0
+                    i, j = int(vals[0]), int(vals[1])
+                    meas = np.array(list(map(float, vals[2 + off : 5 + off])))
+                    info = _sym_from_upper(
+                        list(map(float, vals[5 + off : 11 + off])), _TRI3, 3
+                    )
+                    g.landmark_edges.append(G2oEdge(i, j, meas, info))
                 elif tag == "FIX":
                     if graph is None:
                         raise ValueError("FIX before any vertex record")
@@ -217,9 +243,28 @@ def load_pose_graph(
         optimizer_kwargs.setdefault("switch_penalty", 0.03)
 
     if graph.dim == 3:
-        opt = PoseGraphOptimizer(**optimizer_kwargs)
+        if graph.landmarks:
+            from ..solvers.pose_landmark import PoseLandmarkOptimizer
+
+            opt = PoseLandmarkOptimizer(**optimizer_kwargs)
+        else:
+            opt = PoseGraphOptimizer(**optimizer_kwargs)
         for vid in sorted(graph.vertices):
             opt.set_pose(vid, _pose_from_vec7(graph.vertices[vid]))
+        if graph.landmarks:
+            for lid in sorted(graph.landmarks):
+                opt.set_landmark(lid, graph.landmarks[lid])
+            for e in graph.landmark_edges:
+                opt.set_observation(
+                    e.i,
+                    e.j,
+                    e.measurement,
+                    sqrt_info=(
+                        None
+                        if unit_information
+                        else sqrt_info_from_information(e.information)
+                    ),
+                )
         for e in graph.edges:
             is_loop = switchable_loops and abs(e.j - e.i) >= loop_closure_gap
             opt.set_constraint(
@@ -255,7 +300,10 @@ def load_pose_graph(
 
     fixed = graph.fixed if graph.fixed else {min(graph.vertices)}
     for vid in fixed:
-        opt.set_pose_constant(vid)
+        if vid in graph.landmarks:
+            opt.set_landmark_constant(vid)
+        else:
+            opt.set_pose_constant(vid)
     return opt
 
 
@@ -269,6 +317,9 @@ def write_g2o(path: str, graph: G2oGraph) -> None:
                     f"VERTEX_SE3:QUAT {vid} {x:.9g} {y:.9g} {z:.9g} "
                     f"{qx:.9g} {qy:.9g} {qz:.9g} {qw:.9g}\n"
                 )
+            for lid in sorted(graph.landmarks):
+                x, y, z = graph.landmarks[lid]
+                f.write(f"VERTEX_TRACKXYZ {lid} {x:.9g} {y:.9g} {z:.9g}\n")
             for e in graph.edges:
                 x, y, z, qw, qx, qy, qz = e.measurement
                 vals = " ".join(
@@ -277,6 +328,15 @@ def write_g2o(path: str, graph: G2oGraph) -> None:
                 f.write(
                     f"EDGE_SE3:QUAT {e.i} {e.j} {x:.9g} {y:.9g} {z:.9g} "
                     f"{qx:.9g} {qy:.9g} {qz:.9g} {qw:.9g} {vals}\n"
+                )
+            for e in graph.landmark_edges:
+                vals = " ".join(
+                    f"{v:.9g}" for v in _upper_from_sym(e.information, _TRI3)
+                )
+                f.write(
+                    f"EDGE_SE3_TRACKXYZ {e.i} {e.j} "
+                    f"{e.measurement[0]:.9g} {e.measurement[1]:.9g} "
+                    f"{e.measurement[2]:.9g} {vals}\n"
                 )
         else:
             for vid in sorted(graph.vertices):
@@ -304,9 +364,20 @@ def save_pose_graph(path: str, optimizer, graph: Optional[G2oGraph] = None) -> N
     edges are reconstructed from the optimizer's constraints with unit
     information."""
     if graph is not None:
-        out = G2oGraph(dim=graph.dim, edges=graph.edges, fixed=set(graph.fixed))
+        out = G2oGraph(
+            dim=graph.dim,
+            edges=graph.edges,
+            fixed=set(graph.fixed),
+            landmark_edges=graph.landmark_edges,
+        )
         for vid in graph.vertices:
             out.vertices[vid] = _vertex_vec(optimizer, vid, graph.dim)
+        for lid in graph.landmarks:
+            out.landmarks[lid] = (
+                np.asarray(optimizer.get_landmark(lid), np.float64)
+                if hasattr(optimizer, "get_landmark")
+                else graph.landmarks[lid]
+            )
         write_g2o(path, out)
         return
 

@@ -1,4 +1,4 @@
-from . import autodiff, batched, bundle_adjustment, fixed_lag, linear, lm, manifolds, pose_graph, problem
+from . import autodiff, batched, bundle_adjustment, fixed_lag, linear, lm, manifolds, pose_graph, pose_landmark, problem
 from .fixed_lag import FixedLagSmoother
 from .lm import Summary
 from .batched import (
@@ -19,6 +19,7 @@ from .pose_graph import (
     PoseGraphOptimizer2D,
     sqrt_info_from_information,
 )
+from .pose_landmark import PoseLandmarkOptimizer
 from .problem import GenericOptions, PoseOptimizer, Problem
 
 __all__ = [
@@ -35,6 +36,8 @@ __all__ = [
     "lm",
     "manifolds",
     "pose_graph",
+    "pose_landmark",
+    "PoseLandmarkOptimizer",
     "problem",
     "GenericOptions",
     "PoseOptimizer",

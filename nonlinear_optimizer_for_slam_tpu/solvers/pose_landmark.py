@@ -1,0 +1,497 @@
+"""Pose-landmark SLAM: joint optimization of SE(3) poses and 3-D
+landmarks from body-frame landmark observations plus relative-pose
+(odometry / loop-closure) edges.
+
+The classic landmark-SLAM factor graph — the capability family the
+reference does not cover at all (its pose graph is pose-only, its BA is
+camera-projection-specific). Observation factor, for pose i observing
+landmark j at body-frame position z:
+
+    r = R(q_i)^T (l_j - p_i) - z        (3,)
+
+whitened by optional per-observation sqrt-information, robustified by an
+optional per-observation loss. Pose-pose edges reuse the pose-graph edge
+machinery verbatim (ops/relative_pose.py: ambient parameterization,
+switchable loop constraints, closed-form Jacobians).
+
+TPU design: one XLA program per solve (the canonical lm.solve policy
+loop); the quadratic model keeps the landmark block structure explicit —
+dense (7P+L)^2 pose/switch block T, dense (7P+L, 3M) coupling W, batched
+(M, 3, 3) landmark diagonal D — and ``solve_linear`` eliminates the
+landmarks by Schur complement per LM step:
+
+    (T - W D^-1 W^T) dp = -g_T + W D^-1 g_l ;  dl = D^-1 (-g_l - W^T dp)
+
+Landmark count M can far exceed pose count P (the usual regime); the
+reduced system is only (7P+L)^2 and the elimination is one MXU matmul
+plus batched 3x3 inverses. Memory is O((7P+L) * 3M) for W — the
+dense-coupling form is right up to a few thousand poses and tens of
+thousands of landmarks (the same envelope as the dense pose graph).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from ..core.options import Options
+from ..core.pose import Pose, np_quat_to_rotmat
+from ..ops.relative_pose import (
+    PoseGraphEdges,
+    _normalize_jacobian,
+    _rotate_jacobian_wrt_quat,
+    edge_residuals_and_jacobians,
+    stack_sqrt_info,
+    apply_sqrt_info,
+)
+from . import lm
+from .pose_graph import ConstraintType, _expand_sqrt_info
+
+Array = jax.Array
+
+_CONJ = np.array([1.0, -1.0, -1.0, -1.0])
+
+
+class LandmarkObservations(NamedTuple):
+    """SoA batch of body-frame landmark observations."""
+
+    pose_indices: Array  # (O,) int32 into packed poses
+    landmark_indices: Array  # (O,) int32 into packed landmarks
+    measurements: Array  # (O, 3) landmark position in the POSE frame
+    mask: Array  # (O,)
+    sqrt_info: Optional[Array] = None  # (O, 3) diag or (O, 3, 3)
+
+
+def observation_residuals_and_jacobians(
+    positions: Array,  # (P, 3)
+    quaternions: Array,  # (P, 4) ambient (normalized inside)
+    landmarks: Array,  # (M, 3)
+    obs: LandmarkObservations,
+) -> Tuple[Array, Array, Array]:
+    """Batched residuals r = R(n(q))^T (l - p) - z and CLOSED-FORM
+    Jacobians w.r.t. the ambient pose (7) and the landmark (3).
+
+    R(n)^T v = R(conj(n)) v, so the quaternion derivative is the classic
+    rotate-Jacobian at conj(n) chained through conjugation and
+    normalization. Verified against jacfwd in tests/test_pose_landmark.py.
+
+    Returns (r (O,3), J_pose (O,3,7), J_lm (O,3,3))."""
+    dtype = positions.dtype
+    p = positions[obs.pose_indices]
+    q = quaternions[obs.pose_indices]
+    l = landmarks[obs.landmark_indices]
+    n = lie.quat_normalize(q)
+    cn = lie.quat_conjugate(n)
+    v = l - p  # (O, 3)
+
+    Rt_rows = lie.quat_to_rotmat(cn)  # R(conj n) = R(n)^T, (O, 3, 3)
+    r = jnp.einsum("oij,oj->oi", Rt_rows, v) - obs.measurements
+
+    # d r / d l = R^T ; d r / d p = -R^T
+    J_l = Rt_rows
+    J_p = -Rt_rows
+    # d r / d q = d(R(conj n) v)/d(conj n) @ d(conj n)/dn @ dn/dq
+    conj_sign = jnp.asarray(_CONJ, dtype)
+    J_q = (
+        _rotate_jacobian_wrt_quat(cn, v) * conj_sign[None, None, :]
+    ) @ _normalize_jacobian(q)  # (O, 3, 4)
+
+    J_pose = jnp.concatenate([J_p, J_q], axis=-1)  # (O, 3, 7)
+
+    if obs.sqrt_info is not None:
+        r, J_pose, J_l = apply_sqrt_info(obs.sqrt_info, r, J_pose, J_l)
+    m = obs.mask
+    return r * m[:, None], J_pose * m[:, None, None], J_l * m[:, None, None]
+
+
+@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14))
+def _pose_landmark_solve(
+    positions0,  # (P, 3)
+    quaternions0,  # (P, 4)
+    switches0,  # (L,)
+    landmarks0,  # (M, 3)
+    edges: PoseGraphEdges,
+    obs: LandmarkObservations,
+    free_pose,  # (P,)
+    free_lm,  # (M,)
+    switch_penalty,
+    edge_loss,
+    obs_loss,
+    num_poses: int,
+    num_landmarks: int,
+    num_loops: int,
+    options: Options,
+):
+    P, M, L = num_poses, num_landmarks, num_loops
+    dimT = 7 * P + L
+    dtype = positions0.dtype
+    E = edges.mask.shape[0]
+    O = obs.mask.shape[0]
+    ref_i = edges.reference_indices
+    qry_i = edges.query_indices
+    if L > 0:
+        loop_slot = jnp.clip(
+            jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1, 0, L - 1
+        )
+    else:
+        loop_slot = jnp.zeros((E,), jnp.int32)
+
+    free_ref = free_pose[ref_i]
+    free_qry = free_pose[qry_i]
+    col_mask_T = jnp.concatenate(
+        [jnp.repeat(free_pose, 7), jnp.ones((L,), dtype)]
+    )
+    sevens = jnp.arange(7, dtype=jnp.int32)
+    rows_ref = 7 * ref_i[:, None] + sevens[None, :]
+    rows_qry = 7 * qry_i[:, None] + sevens[None, :]
+    col_sw = 7 * P + loop_slot
+    rows_obs = 7 * obs.pose_indices[:, None] + sevens[None, :]  # (O, 7)
+    free_obs_pose = free_pose[obs.pose_indices]
+    free_obs_lm = free_lm[obs.landmark_indices]
+
+    def quad(params):
+        pose_params, sw, lms = params
+        pos = pose_params[:, :3]
+        quat = pose_params[:, 3:]
+
+        # ---- pose-pose edges (same assembly as the dense pose graph) --
+        sw_full = sw[loop_slot] if L > 0 else jnp.zeros((E,), dtype)
+        r_e, J_ref, J_query, J_s = edge_residuals_and_jacobians(
+            pos, quat, sw_full, edges, switch_penalty
+        )
+        J_ref = J_ref * free_ref[:, None, None]
+        J_query = J_query * free_qry[:, None, None]
+        if edge_loss is not None:
+            sq = jnp.sum(r_e * r_e, axis=1)
+            rho, w, _ = edge_loss.evaluate(sq)
+            cost_e = jnp.sum(rho)
+            sqrt_w = jnp.sqrt(w)
+            r_e = r_e * sqrt_w[:, None]
+            J_ref = J_ref * sqrt_w[:, None, None]
+            J_query = J_query * sqrt_w[:, None, None]
+            J_s = J_s * sqrt_w[:, None]
+        else:
+            cost_e = jnp.sum(r_e * r_e)
+
+        T = jnp.zeros((dimT, dimT), dtype)
+        gT = jnp.zeros((dimT,), dtype)
+        with jax.default_matmul_precision("highest"):
+            B_rr = jnp.sum(J_ref[:, :, :, None] * J_ref[:, :, None, :], axis=1)
+            B_rq = jnp.sum(J_ref[:, :, :, None] * J_query[:, :, None, :], axis=1)
+            B_qq = jnp.sum(J_query[:, :, :, None] * J_query[:, :, None, :], axis=1)
+            g_r = jnp.sum(J_ref * r_e[:, :, None], axis=1)
+            g_q = jnp.sum(J_query * r_e[:, :, None], axis=1)
+        T = T.at[rows_ref[:, :, None], rows_ref[:, None, :]].add(B_rr)
+        T = T.at[rows_ref[:, :, None], rows_qry[:, None, :]].add(B_rq)
+        T = T.at[rows_qry[:, :, None], rows_ref[:, None, :]].add(
+            jnp.swapaxes(B_rq, 1, 2)
+        )
+        T = T.at[rows_qry[:, :, None], rows_qry[:, None, :]].add(B_qq)
+        gT = gT.at[rows_ref].add(g_r).at[rows_qry].add(g_q)
+        if L > 0:
+            b_rs = jnp.sum(J_ref * J_s[:, :, None], axis=1)
+            b_qs = jnp.sum(J_query * J_s[:, :, None], axis=1)
+            T = T.at[rows_ref, col_sw[:, None]].add(b_rs)
+            T = T.at[col_sw[:, None], rows_ref].add(b_rs)
+            T = T.at[rows_qry, col_sw[:, None]].add(b_qs)
+            T = T.at[col_sw[:, None], rows_qry].add(b_qs)
+            T = T.at[col_sw, col_sw].add(jnp.sum(J_s * J_s, axis=1))
+            gT = gT.at[col_sw].add(jnp.sum(J_s * r_e, axis=1))
+
+        # ---- landmark observations -----------------------------------
+        r_o, J_po, J_lo = observation_residuals_and_jacobians(
+            pos, quat, lms, obs
+        )
+        J_po = J_po * free_obs_pose[:, None, None]
+        J_lo = J_lo * free_obs_lm[:, None, None]
+        if obs_loss is not None:
+            sq = jnp.sum(r_o * r_o, axis=1)
+            rho, w, _ = obs_loss.evaluate(sq)
+            cost_o = jnp.sum(rho)
+            sqrt_w = jnp.sqrt(w)
+            r_o = r_o * sqrt_w[:, None]
+            J_po = J_po * sqrt_w[:, None, None]
+            J_lo = J_lo * sqrt_w[:, None, None]
+        else:
+            cost_o = jnp.sum(r_o * r_o)
+
+        with jax.default_matmul_precision("highest"):
+            A_pp = jnp.sum(J_po[:, :, :, None] * J_po[:, :, None, :], axis=1)
+            D_ll = jnp.sum(J_lo[:, :, :, None] * J_lo[:, :, None, :], axis=1)
+            W_pl = jnp.sum(J_po[:, :, :, None] * J_lo[:, :, None, :], axis=1)
+            g_po = jnp.sum(J_po * r_o[:, :, None], axis=1)
+            g_lo = jnp.sum(J_lo * r_o[:, :, None], axis=1)
+
+        T = T.at[rows_obs[:, :, None], rows_obs[:, None, :]].add(A_pp)
+        gT = gT.at[rows_obs].add(g_po)
+        D = jnp.zeros((M, 3, 3), dtype).at[obs.landmark_indices].add(D_ll)
+        g_l = jnp.zeros((M, 3), dtype).at[obs.landmark_indices].add(g_lo)
+        W = jnp.zeros((dimT, M, 3), dtype)
+        W = W.at[
+            rows_obs[:, :, None],
+            obs.landmark_indices[:, None, None],
+            jnp.arange(3, dtype=jnp.int32)[None, None, :],
+        ].add(W_pl)
+
+        # gauge + rank floors (see _pose_graph_solve for the rationale)
+        T = T + jnp.diag(1.0 - col_mask_T) + 1e-8 * jnp.eye(dimT, dtype=dtype)
+        D = D + (
+            (1.0 - free_lm)[:, None, None] + 1e-8
+        ) * jnp.eye(3, dtype=dtype)
+
+        return (T, W, D), (gT, g_l), cost_e + cost_o
+
+    def solve_linear(H_rep, g, lamb):
+        T, W, D = H_rep
+        gT, g_l = g
+        # multiplicative damping on both diagonals (lm.damp_hessian form)
+        Td = T + lamb * jnp.diag(jnp.diag(T))
+        eye3 = jnp.eye(3, dtype=dtype)
+        Dd = D + lamb * (D * eye3)
+        Dinv = jnp.linalg.inv(Dd)  # (M, 3, 3)
+        with jax.default_matmul_precision("highest"):
+            WDinv = jnp.einsum("tma,mab->tmb", W, Dinv)  # (dimT, M, 3)
+            A = Td - WDinv.reshape(dimT, 3 * M) @ W.reshape(dimT, 3 * M).T
+            rhs = -gT + jnp.einsum("tma,ma->t", WDinv, g_l)
+            dp = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(A, lower=True), rhs
+            )
+            Wt_dp = jnp.einsum("tma,t->ma", W, dp)
+            dl = jnp.einsum("mab,mb->ma", Dinv, -g_l - Wt_dp)
+        pose_delta = dp[: 7 * P].reshape(P, 7)
+        return (pose_delta, dp[7 * P :], dl)
+
+    def retract(params, delta):
+        pose_params, sw, lms = params
+        dpose, dsw, dlm = delta
+        return (
+            pose_params + dpose * free_pose[:, None],
+            sw + dsw,
+            lms + dlm * free_lm[:, None],
+        )
+
+    pose0 = jnp.concatenate([positions0, quaternions0], axis=1)
+    (pose_params, sw, lms), summary = lm.solve(
+        quad, retract, (pose0, switches0, landmarks0), options,
+        solve_linear=solve_linear,
+    )
+    return pose_params[:, :3], pose_params[:, 3:], sw, lms, summary
+
+
+class PoseLandmarkOptimizer:
+    """Registry + solve() for the pose-landmark graph (same API shape as
+    PoseGraphOptimizer, extended with landmarks and observations)."""
+
+    def __init__(
+        self,
+        dtype=jnp.float64,
+        switch_penalty: float = None,
+        edge_loss=None,
+        obs_loss=None,
+    ):
+        from ..ops.relative_pose import SWITCH_PENALTY_SCALE
+
+        self.dtype = dtype
+        self.edge_loss = edge_loss
+        self.obs_loss = obs_loss
+        self.switch_penalty = (
+            SWITCH_PENALTY_SCALE if switch_penalty is None else switch_penalty
+        )
+        self._poses: Dict[int, Pose] = {}
+        self._landmarks: Dict[int, np.ndarray] = {}
+        self._constant_poses: set = set()
+        self._constant_landmarks: set = set()
+        self._constraints: List[dict] = []
+        self._observations: List[dict] = []
+
+    # -- registry ----------------------------------------------------
+    def set_pose(self, index: int, pose: Pose) -> None:
+        self._poses[index] = pose.copy()
+
+    def set_landmark(self, index: int, position) -> None:
+        self._landmarks[index] = np.asarray(position, np.float64).copy()
+
+    def set_pose_constant(self, index: int) -> None:
+        if index not in self._poses:
+            raise KeyError(f"pose {index} not registered")
+        self._constant_poses.add(index)
+
+    def set_landmark_constant(self, index: int) -> None:
+        if index not in self._landmarks:
+            raise KeyError(f"landmark {index} not registered")
+        self._constant_landmarks.add(index)
+
+    def set_constraint(
+        self,
+        reference_index: int,
+        query_index: int,
+        relative_pose: Pose,
+        constraint_type: int = ConstraintType.ODOMETRY,
+        sqrt_info=None,
+    ) -> None:
+        """Pose-pose edge; see PoseGraphOptimizer.set_constraint."""
+        if reference_index not in self._poses or query_index not in self._poses:
+            raise KeyError("constraint endpoints must be registered poses")
+        if reference_index == query_index:
+            raise ValueError("self-constraint is not allowed")
+        self._constraints.append(
+            dict(
+                reference_index=reference_index,
+                query_index=query_index,
+                relative_pose=relative_pose.copy(),
+                type=constraint_type,
+                sqrt_info=_expand_sqrt_info(sqrt_info),
+            )
+        )
+
+    def set_observation(
+        self, pose_index: int, landmark_index: int, measurement, sqrt_info=None
+    ) -> None:
+        """Body-frame observation of a landmark from a pose:
+        measurement = R_i^T (l_j - p_i) + noise. ``sqrt_info``: scalar /
+        (3,) diagonal / (3, 3) matrix."""
+        if pose_index not in self._poses:
+            raise KeyError(f"pose {pose_index} not registered")
+        if landmark_index not in self._landmarks:
+            raise KeyError(f"landmark {landmark_index} not registered")
+        from .pose_graph import _expand_sqrt_info_2d
+
+        self._observations.append(
+            dict(
+                pose_index=pose_index,
+                landmark_index=landmark_index,
+                measurement=np.asarray(measurement, np.float64).copy(),
+                sqrt_info=_expand_sqrt_info_2d(sqrt_info),
+            )
+        )
+
+    @property
+    def num_poses(self) -> int:
+        return len(self._poses)
+
+    @property
+    def num_landmarks(self) -> int:
+        return len(self._landmarks)
+
+    def get_pose(self, index: int) -> Pose:
+        return self._poses[index].copy()
+
+    def get_landmark(self, index: int) -> np.ndarray:
+        return self._landmarks[index].copy()
+
+    # -- solve ---------------------------------------------------------
+    def solve(self, options: Optional[Options] = None):
+        if options is None:
+            options = Options().replace(max_iterations=200)
+        if not self._observations:
+            raise ValueError(
+                "PoseLandmarkOptimizer.solve: no observations registered"
+            )
+        pose_ids = sorted(self._poses)
+        lm_ids = sorted(self._landmarks)
+        pose_of = {pi: i for i, pi in enumerate(pose_ids)}
+        lm_of = {li: i for i, li in enumerate(lm_ids)}
+        P, M = len(pose_ids), len(lm_ids)
+        E = len(self._constraints)
+        dtype = self.dtype
+
+        positions = np.stack([self._poses[pi].translation for pi in pose_ids])
+        quats = np.stack([self._poses[pi].quaternion() for pi in pose_ids])
+        lms = np.stack([self._landmarks[li] for li in lm_ids])
+
+        if E:
+            is_loop = np.array(
+                [
+                    1.0 if c["type"] == ConstraintType.LOOP else 0.0
+                    for c in self._constraints
+                ]
+            )
+            edges = PoseGraphEdges(
+                jnp.asarray(
+                    np.array([pose_of[c["reference_index"]] for c in self._constraints], np.int32)
+                ),
+                jnp.asarray(
+                    np.array([pose_of[c["query_index"]] for c in self._constraints], np.int32)
+                ),
+                jnp.asarray(
+                    np.stack([c["relative_pose"].translation for c in self._constraints]), dtype
+                ),
+                jnp.asarray(
+                    np.stack([c["relative_pose"].quaternion() for c in self._constraints]), dtype
+                ),
+                jnp.asarray(is_loop, dtype),
+                jnp.ones((E,), dtype),
+                sqrt_info=(
+                    None
+                    if (w := stack_sqrt_info([c["sqrt_info"] for c in self._constraints], 6)) is None
+                    else jnp.asarray(w, dtype)
+                ),
+            )
+            L = int(is_loop.sum())
+        else:
+            # one masked placeholder edge keeps shapes static and nonzero
+            edges = PoseGraphEdges(
+                jnp.zeros((1,), jnp.int32),
+                jnp.asarray([min(1, P - 1)], jnp.int32),
+                jnp.zeros((1, 3), dtype),
+                jnp.asarray([[1.0, 0.0, 0.0, 0.0]], dtype),
+                jnp.zeros((1,), dtype),
+                jnp.zeros((1,), dtype),
+            )
+            L = 0
+
+        obs = LandmarkObservations(
+            jnp.asarray(
+                np.array([pose_of[o["pose_index"]] for o in self._observations], np.int32)
+            ),
+            jnp.asarray(
+                np.array([lm_of[o["landmark_index"]] for o in self._observations], np.int32)
+            ),
+            jnp.asarray(np.stack([o["measurement"] for o in self._observations]), dtype),
+            jnp.ones((len(self._observations),), dtype),
+            sqrt_info=(
+                None
+                if (wo := stack_sqrt_info([o["sqrt_info"] for o in self._observations], 3)) is None
+                else jnp.asarray(wo, dtype)
+            ),
+        )
+
+        free_pose = np.ones(P)
+        for pi in self._constant_poses:
+            free_pose[pose_of[pi]] = 0.0
+        free_lm = np.ones(M)
+        for li in self._constant_landmarks:
+            free_lm[lm_of[li]] = 0.0
+
+        pos, quat, sw, lms_out, summary = _pose_landmark_solve(
+            jnp.asarray(positions, dtype),
+            jnp.asarray(quats, dtype),
+            jnp.ones((L,), dtype),
+            jnp.asarray(lms, dtype),
+            edges,
+            obs,
+            jnp.asarray(free_pose, dtype),
+            jnp.asarray(free_lm, dtype),
+            jnp.asarray(self.switch_penalty, dtype),
+            self.edge_loss,
+            self.obs_loss,
+            P,
+            M,
+            L,
+            options,
+        )
+        pos, quat, sw, lms_out = jax.device_get((pos, quat, sw, lms_out))
+        quat = np.array(quat, np.float64)  # device_get buffers are read-only
+        quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+        for i, pi in enumerate(pose_ids):
+            self._poses[pi] = Pose(
+                np_quat_to_rotmat(quat[i]), np.asarray(pos[i], np.float64)
+            )
+        for j, li in enumerate(lm_ids):
+            self._landmarks[li] = np.asarray(lms_out[j], np.float64)
+        return summary, np.asarray(sw, np.float64)

@@ -456,3 +456,86 @@ def test_sphere_world_g2o_solve(tmp_path):
     err = max(np.linalg.norm(opt.get_pose(k).translation - gt[k])
               for k in range(len(gt)))
     assert err < 0.15 * init_err
+
+
+def test_landmark_slam_g2o_roundtrip_and_solve(tmp_path, rng):
+    """VERTEX_TRACKXYZ / EDGE_SE3_TRACKXYZ records: write -> read ->
+    PoseLandmarkOptimizer -> solve recovers the world -> save updates
+    both poses and landmarks."""
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_landmark import (
+        PoseLandmarkOptimizer,
+    )
+
+    P, M = 6, 12
+    true_poses = [
+        Pose.from_axis_angle(
+            2 * np.pi * k / P, [0, 0, 1],
+            [3 * np.cos(2 * np.pi * k / P), 3 * np.sin(2 * np.pi * k / P), 0.0],
+        )
+        for k in range(P)
+    ]
+    true_lms = rng.uniform(-1.5, 1.5, size=(M, 3))
+
+    g = g2o_io.G2oGraph(dim=3)
+    for k, p in enumerate(true_poses):
+        t = p.translation + (rng.normal(0, 0.1, 3) if k else 0.0)
+        g.vertices[k] = np.concatenate([t, p.quaternion()])
+    for j in range(M):
+        g.landmarks[100 + j] = true_lms[j] + rng.normal(0, 0.2, 3)
+    info6 = np.eye(6) * 100.0
+    for k in range(P - 1):
+        rel = true_poses[k].inverse() * true_poses[k + 1]
+        g.edges.append(
+            g2o_io.G2oEdge(
+                k, k + 1,
+                np.concatenate([rel.translation, rel.quaternion()]), info6,
+            )
+        )
+    info3 = np.diag([50.0, 60.0, 70.0])
+    for k, p in enumerate(true_poses):
+        for j in range(M):
+            z = p.rotation.T @ (true_lms[j] - p.translation)
+            g.landmark_edges.append(g2o_io.G2oEdge(k, 100 + j, z, info3))
+
+    path = str(tmp_path / "lm.g2o")
+    g2o_io.write_g2o(path, g)
+    g2 = g2o_io.read_g2o(path)
+    assert len(g2.landmarks) == M and len(g2.landmark_edges) == P * M
+    np.testing.assert_allclose(g2.landmark_edges[0].information, info3, rtol=1e-6)
+
+    opt = g2o_io.load_pose_graph(path)
+    assert isinstance(opt, PoseLandmarkOptimizer)
+    summary, _ = opt.solve(Options().replace(max_iterations=100))
+    for j in range(M):
+        np.testing.assert_allclose(opt.get_landmark(100 + j), true_lms[j], atol=1e-4)
+    for k, p in enumerate(true_poses):
+        np.testing.assert_allclose(
+            opt.get_pose(k).translation, p.translation, atol=1e-4
+        )
+
+    out = str(tmp_path / "lm_solved.g2o")
+    g2o_io.save_pose_graph(out, opt, graph=g2)
+    g3 = g2o_io.read_g2o(out)
+    np.testing.assert_allclose(
+        g3.landmarks[100], opt.get_landmark(100), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        g3.vertices[2][:3], opt.get_pose(2).translation, atol=1e-6
+    )
+
+
+def test_landmark_edge_offset_param_form(tmp_path):
+    """EDGE_SE3_TRACKXYZ with the PARAMS_SE3OFFSET id token (the g2o
+    binary's native output form) parses identically."""
+    text = (
+        "VERTEX_SE3:QUAT 0 0 0 0 0 0 0 1\n"
+        "VERTEX_TRACKXYZ 5 1 2 3\n"
+        "EDGE_SE3_TRACKXYZ 0 5 0 1 2 3 10 0 0 10 0 10\n"  # with offset id
+    )
+    p = tmp_path / "off.g2o"
+    p.write_text(text)
+    g = g2o_io.read_g2o(str(p))
+    e = g.landmark_edges[0]
+    assert (e.i, e.j) == (0, 5)
+    np.testing.assert_allclose(e.measurement, [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(np.diag(e.information), [10, 10, 10])

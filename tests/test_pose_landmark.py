@@ -1,0 +1,199 @@
+"""Pose-landmark SLAM solver tests.
+
+New capability family (the reference has no landmark SLAM at all; its
+pose graph is pose-only and its BA is projection-specific). Anchors:
+closed-form observation Jacobians vs jacfwd, final cost vs a scipy
+least_squares oracle on the identical residual stack (validates the
+Schur elimination end to end), and physical recovery checks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import nonlinear_optimizer_for_slam_tpu as nls
+from nonlinear_optimizer_for_slam_tpu.core import DCSLoss, Options
+from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
+from nonlinear_optimizer_for_slam_tpu.solvers.pose_graph import ConstraintType
+from nonlinear_optimizer_for_slam_tpu.solvers.pose_landmark import (
+    LandmarkObservations,
+    PoseLandmarkOptimizer,
+    observation_residuals_and_jacobians,
+)
+
+
+def _rotz(th):
+    c, s = np.cos(th), np.sin(th)
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(17)
+
+
+def _world(rng, P=8, M=25, radius=5.0):
+    """Poses on a circle looking inward; landmarks in the interior."""
+    gt_poses = [
+        Pose(_rotz(th), np.array([radius * np.cos(th), radius * np.sin(th), 0.0]))
+        for th in np.linspace(0, 2 * np.pi, P, endpoint=False)
+    ]
+    gt_lms = rng.uniform(-2.0, 2.0, size=(M, 3))
+    obs = []  # (pose, lm, body-frame measurement)
+    for i, pose in enumerate(gt_poses):
+        for j in range(M):
+            z = pose.rotation.T @ (gt_lms[j] - pose.translation)
+            obs.append((i, j, z))
+    return gt_poses, gt_lms, obs
+
+
+def test_observation_jacobians_match_jacfwd(rng):
+    P, M, O = 4, 6, 12
+    pos = rng.normal(size=(P, 3))
+    quat = rng.normal(size=(P, 4))
+    lms = rng.normal(size=(M, 3))
+    S = np.stack([np.triu(rng.normal(size=(3, 3))) + 3 * np.eye(3) for _ in range(O)])
+    obs = LandmarkObservations(
+        jnp.asarray(rng.integers(0, P, O), jnp.int32),
+        jnp.asarray(rng.integers(0, M, O), jnp.int32),
+        jnp.asarray(rng.normal(size=(O, 3))),
+        jnp.asarray((rng.uniform(size=O) > 0.2).astype(float)),
+        sqrt_info=jnp.asarray(S),
+    )
+    r, J_pose, J_lm = observation_residuals_and_jacobians(
+        jnp.asarray(pos), jnp.asarray(quat), jnp.asarray(lms), obs
+    )
+
+    def res_flat(pose7, lm, z, S_, m):
+        p, q = pose7[:3], pose7[3:]
+        n = q / jnp.linalg.norm(q)
+        from nonlinear_optimizer_for_slam_tpu.core import lie
+
+        r_ = lie.quat_to_rotmat(lie.quat_conjugate(n)) @ (lm - p) - z
+        return (S_ @ r_) * m
+
+    for k in range(O):
+        i = int(obs.pose_indices[k])
+        j = int(obs.landmark_indices[k])
+        pose7 = jnp.concatenate([jnp.asarray(pos[i]), jnp.asarray(quat[i])])
+        args = (pose7, jnp.asarray(lms[j]), obs.measurements[k], jnp.asarray(S[k]),
+                obs.mask[k])
+        np.testing.assert_allclose(
+            np.asarray(r[k]), np.asarray(res_flat(*args)), atol=1e-12
+        )
+        Jp, Jl = jax.jacfwd(res_flat, argnums=(0, 1))(*args)
+        np.testing.assert_allclose(np.asarray(J_pose[k]), np.asarray(Jp), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(J_lm[k]), np.asarray(Jl), atol=1e-10)
+
+
+def test_recovers_world_from_noisy_init(rng):
+    gt_poses, gt_lms, obs = _world(rng)
+    opt = PoseLandmarkOptimizer()
+    for i, p in enumerate(gt_poses):
+        noisy_t = p.translation + (rng.normal(0, 0.2, 3) if i else 0.0)
+        opt.set_pose(i, Pose(p.rotation, noisy_t))
+    opt.set_pose_constant(0)
+    for j in range(len(gt_lms)):
+        opt.set_landmark(j, gt_lms[j] + rng.normal(0, 0.3, 3))
+    for i in range(len(gt_poses) - 1):
+        opt.set_constraint(i, i + 1, gt_poses[i].inverse() * gt_poses[i + 1])
+    for (i, j, z) in obs:
+        opt.set_observation(i, j, z)
+    summary, _ = opt.solve(Options().replace(max_iterations=100))
+    assert float(summary.final_cost) < 1e-10
+    for i, p in enumerate(gt_poses):
+        np.testing.assert_allclose(
+            opt.get_pose(i).translation, p.translation, atol=1e-5
+        )
+    for j in range(len(gt_lms)):
+        np.testing.assert_allclose(opt.get_landmark(j), gt_lms[j], atol=1e-5)
+
+
+def test_matches_scipy_oracle_with_noise(rng):
+    """Noisy observations: the Schur-eliminated solve must land on the
+    same optimum as scipy least_squares over the identical residual
+    stack (poses ambient, landmarks free, pose 0 fixed)."""
+    from scipy.optimize import least_squares
+
+    gt_poses, gt_lms, obs = _world(rng, P=5, M=8)
+    obs = obs[:: 2]  # thin it out
+    noisy_obs = [(i, j, z + rng.normal(0, 0.02, 3)) for (i, j, z) in obs]
+
+    opt = PoseLandmarkOptimizer()
+    for i, p in enumerate(gt_poses):
+        opt.set_pose(i, Pose(p.rotation, p.translation + (rng.normal(0, 0.1, 3) if i else 0.0)))
+    opt.set_pose_constant(0)
+    init_poses = [opt.get_pose(i) for i in range(5)]
+    for j in range(len(gt_lms)):
+        opt.set_landmark(j, gt_lms[j] + rng.normal(0, 0.1, 3))
+    init_lms = [opt.get_landmark(j) for j in range(8)]
+    for (i, j, z) in noisy_obs:
+        opt.set_observation(i, j, z)
+    summary, _ = opt.solve(Options().replace(max_iterations=200))
+
+    # scipy on the same stack
+    x0 = np.concatenate(
+        [np.concatenate([p.translation, p.quaternion()]) for p in init_poses]
+        + [l for l in init_lms]
+    )
+    free = np.ones(len(x0), bool)
+    free[:7] = False
+
+    def residual(xf):
+        x = x0.copy()
+        x[free] = xf
+        rs = []
+        for (i, j, z) in noisy_obs:
+            p = x[7 * i : 7 * i + 3]
+            q = x[7 * i + 3 : 7 * i + 7]
+            q = q / np.linalg.norm(q)
+            R = Pose.from_quat_trans(q, p).rotation
+            l = x[35 + 3 * j : 38 + 3 * j]
+            rs.append(R.T @ (l - p) - z)
+        return np.concatenate(rs)
+
+    res = least_squares(residual, x0[free], method="lm", xtol=1e-14, ftol=1e-14)
+    scipy_cost = float(np.sum(res.fun**2))
+    ours = float(summary.final_cost)
+    assert ours <= scipy_cost * 1.01 + 1e-12, (ours, scipy_cost)
+
+
+def test_robust_obs_loss_rejects_outlier(rng):
+    gt_poses, gt_lms, obs = _world(rng, P=6, M=10)
+    # DCS: zero weight past Phi — the outlier is fully excluded,
+    # where Huber's linear tail would still pull ~1% pollution
+    opt = PoseLandmarkOptimizer(obs_loss=DCSLoss(phi=1.0))
+    for i, p in enumerate(gt_poses):
+        opt.set_pose(i, Pose(p.rotation, p.translation + (rng.normal(0, 0.05, 3) if i else 0.0)))
+    opt.set_pose_constant(0)
+    for j in range(len(gt_lms)):
+        opt.set_landmark(j, gt_lms[j] + rng.normal(0, 0.1, 3))
+    for (i, j, z) in obs:
+        opt.set_observation(i, j, z)
+    opt.set_observation(3, 7, np.array([25.0, -31.0, 8.0]))  # gross outlier
+    opt.solve(Options().replace(max_iterations=100))
+    for j in range(len(gt_lms)):
+        np.testing.assert_allclose(opt.get_landmark(j), gt_lms[j], atol=5e-3)
+
+
+def test_constant_landmark_and_validation(rng):
+    gt_poses, gt_lms, obs = _world(rng, P=4, M=5)
+    opt = PoseLandmarkOptimizer()
+    for i, p in enumerate(gt_poses):
+        opt.set_pose(i, p)
+    opt.set_pose_constant(0)
+    anchor = gt_lms[0] + np.array([0.5, 0.0, 0.0])  # deliberately off
+    for j in range(len(gt_lms)):
+        opt.set_landmark(j, gt_lms[j] if j else anchor)
+    opt.set_landmark_constant(0)
+    for (i, j, z) in obs:
+        opt.set_observation(i, j, z)
+    opt.solve(Options().replace(max_iterations=50))
+    np.testing.assert_allclose(opt.get_landmark(0), anchor, atol=1e-12)
+
+    with pytest.raises(KeyError):
+        opt.set_observation(99, 0, np.zeros(3))
+    with pytest.raises(KeyError):
+        opt.set_observation(0, 99, np.zeros(3))
+    with pytest.raises(ValueError, match="no observations"):
+        PoseLandmarkOptimizer().solve()
