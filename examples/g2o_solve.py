@@ -97,9 +97,11 @@ def main() -> None:
     )
 
     kwargs = {}
-    if graph.dim == 3 and not graph.landmarks:
+    if graph.landmarks:
+        pass  # landmark-SLAM solvers have a single (Schur) linear path
+    elif graph.dim == 3:
         kwargs["solver"] = args.solver
-    elif graph.dim == 2 and args.solver in ("dense", "cg"):
+    elif args.solver in ("dense", "cg"):
         kwargs["solver"] = args.solver
     opt = g2o_io.load_pose_graph(
         path,

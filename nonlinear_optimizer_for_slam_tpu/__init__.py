@@ -31,6 +31,7 @@ from .solvers import (
     PointToPlaneMinimizer,
     PoseGraphOptimizer,
     PoseGraphOptimizer2D,
+    PoseLandmark2DOptimizer,
     PoseLandmarkOptimizer,
     ReprojectionErrorMinimizer,
     Summary,

@@ -155,6 +155,20 @@ def read_g2o(path: str) -> G2oGraph:
                         list(map(float, parts[6:12])), _TRI3, 3
                     )
                     g.edges.append(G2oEdge(i, j, meas, info))
+                elif tag in ("VERTEX_XY", "VERTEX_POINTXY"):
+                    g = need(2)
+                    g.landmarks[int(parts[1])] = np.array(
+                        list(map(float, parts[2:4]))
+                    )
+                elif tag in ("EDGE_SE2_XY", "EDGE_SE2_POINTXY"):
+                    g = need(2)
+                    i, j = int(parts[1]), int(parts[2])
+                    meas = np.array(list(map(float, parts[3:5])))
+                    vals = list(map(float, parts[5:8]))  # 2x2 upper tri
+                    info = np.array(
+                        [[vals[0], vals[1]], [vals[1], vals[2]]]
+                    )
+                    g.landmark_edges.append(G2oEdge(i, j, meas, info))
                 elif tag == "VERTEX_TRACKXYZ":
                     g = need(3)
                     g.landmarks[int(parts[1])] = np.array(
@@ -279,9 +293,28 @@ def load_pose_graph(
                 ),
             )
     else:
-        opt = PoseGraphOptimizer2D(**optimizer_kwargs)
+        if graph.landmarks:
+            from ..solvers.pose_landmark import PoseLandmark2DOptimizer
+
+            opt = PoseLandmark2DOptimizer(**optimizer_kwargs)
+        else:
+            opt = PoseGraphOptimizer2D(**optimizer_kwargs)
         for vid in sorted(graph.vertices):
             opt.set_pose(vid, graph.vertices[vid])
+        if graph.landmarks:
+            for lid in sorted(graph.landmarks):
+                opt.set_landmark(lid, graph.landmarks[lid])
+            for e in graph.landmark_edges:
+                opt.set_observation(
+                    e.i,
+                    e.j,
+                    e.measurement,
+                    sqrt_info=(
+                        None
+                        if unit_information
+                        else sqrt_info_from_information(e.information)
+                    ),
+                )
         for e in graph.edges:
             is_loop = switchable_loops and abs(e.j - e.i) >= loop_closure_gap
             opt.set_constraint(
@@ -342,6 +375,9 @@ def write_g2o(path: str, graph: G2oGraph) -> None:
             for vid in sorted(graph.vertices):
                 x, y, th = graph.vertices[vid]
                 f.write(f"VERTEX_SE2 {vid} {x:.9g} {y:.9g} {th:.9g}\n")
+            for lid in sorted(graph.landmarks):
+                x, y = graph.landmarks[lid]
+                f.write(f"VERTEX_XY {lid} {x:.9g} {y:.9g}\n")
             for e in graph.edges:
                 vals = " ".join(
                     f"{v:.9g}" for v in _upper_from_sym(e.information, _TRI3)
@@ -350,6 +386,13 @@ def write_g2o(path: str, graph: G2oGraph) -> None:
                     f"EDGE_SE2 {e.i} {e.j} "
                     f"{e.measurement[0]:.9g} {e.measurement[1]:.9g} "
                     f"{e.measurement[2]:.9g} {vals}\n"
+                )
+            for e in graph.landmark_edges:
+                m = e.information
+                f.write(
+                    f"EDGE_SE2_XY {e.i} {e.j} "
+                    f"{e.measurement[0]:.9g} {e.measurement[1]:.9g} "
+                    f"{m[0, 0]:.9g} {m[0, 1]:.9g} {m[1, 1]:.9g}\n"
                 )
         for vid in sorted(graph.fixed):
             f.write(f"FIX {vid}\n")

@@ -19,7 +19,7 @@ from .pose_graph import (
     PoseGraphOptimizer2D,
     sqrt_info_from_information,
 )
-from .pose_landmark import PoseLandmarkOptimizer
+from .pose_landmark import PoseLandmark2DOptimizer, PoseLandmarkOptimizer
 from .problem import GenericOptions, PoseOptimizer, Problem
 
 __all__ = [
@@ -38,6 +38,7 @@ __all__ = [
     "pose_graph",
     "pose_landmark",
     "PoseLandmarkOptimizer",
+    "PoseLandmark2DOptimizer",
     "problem",
     "GenericOptions",
     "PoseOptimizer",

@@ -495,3 +495,430 @@ class PoseLandmarkOptimizer:
         for j, li in enumerate(lm_ids):
             self._landmarks[li] = np.asarray(lms_out[j], np.float64)
         return summary, np.asarray(sw, np.float64)
+
+
+# ----------------------------------------------------------------------------
+# SE(2) landmark SLAM (victoria-park-style: VERTEX_XY / EDGE_SE2_XY).
+# Same Schur-eliminated design with (3P+L) pose/switch block and 2x2
+# landmark blocks; pose-pose edges reuse the SE(2) pose-graph machinery.
+# ----------------------------------------------------------------------------
+
+
+class LandmarkObservations2D(NamedTuple):
+    pose_indices: Array  # (O,) int32
+    landmark_indices: Array  # (O,) int32
+    measurements: Array  # (O, 2) landmark position in the POSE frame
+    mask: Array  # (O,)
+    sqrt_info: Optional[Array] = None  # (O, 2) diag or (O, 2, 2)
+
+
+def observation_residuals_and_jacobians_2d(
+    xyt: Array,  # (P, 3)
+    landmarks: Array,  # (M, 2)
+    obs: LandmarkObservations2D,
+) -> Tuple[Array, Array, Array]:
+    """r = R(th)^T (l - p) - z; closed-form J w.r.t. (x, y, th) and l.
+
+    Returns (r (O,2), J_pose (O,2,3), J_lm (O,2,2))."""
+    dtype = xyt.dtype
+    pose = xyt[obs.pose_indices]
+    l = landmarks[obs.landmark_indices]
+    c, s = jnp.cos(pose[:, 2]), jnp.sin(pose[:, 2])
+    dx = l[:, 0] - pose[:, 0]
+    dy = l[:, 1] - pose[:, 1]
+    lx = c * dx + s * dy
+    ly = -s * dx + c * dy
+    r = jnp.stack([lx, ly], axis=-1) - obs.measurements
+
+    # d r / d th = [-s dx + c dy ; -c dx - s dy]
+    J_pose = jnp.stack(
+        [
+            jnp.stack([-c, -s, -s * dx + c * dy], axis=-1),
+            jnp.stack([s, -c, -c * dx - s * dy], axis=-1),
+        ],
+        axis=-2,
+    )  # (O, 2, 3)
+    J_lm = jnp.stack(
+        [jnp.stack([c, s], axis=-1), jnp.stack([-s, c], axis=-1)], axis=-2
+    )  # (O, 2, 2)
+
+    if obs.sqrt_info is not None:
+        r, J_pose, J_lm = apply_sqrt_info(obs.sqrt_info, r, J_pose, J_lm)
+    m = obs.mask
+    return r * m[:, None], J_pose * m[:, None, None], J_lm * m[:, None, None]
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13))
+def _pose_landmark_2d_solve(
+    xyt0,  # (P, 3)
+    switches0,  # (L,)
+    landmarks0,  # (M, 2)
+    edges,  # PoseGraph2DEdges
+    obs: LandmarkObservations2D,
+    free_pose,  # (P,)
+    free_lm,  # (M,)
+    switch_penalty,
+    edge_loss,
+    obs_loss,
+    num_poses: int,
+    num_landmarks: int,
+    num_loops: int,
+    options: Options,
+):
+    from .pose_graph import se2_edge_residuals_and_jacobians
+
+    P, M, L = num_poses, num_landmarks, num_loops
+    dimT = 3 * P + L
+    dtype = xyt0.dtype
+    E = edges.mask.shape[0]
+    ref_i = edges.reference_indices
+    qry_i = edges.query_indices
+    if L > 0:
+        loop_slot = jnp.clip(
+            jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1, 0, L - 1
+        )
+    else:
+        loop_slot = jnp.zeros((E,), jnp.int32)
+    free_ref = free_pose[ref_i]
+    free_qry = free_pose[qry_i]
+    col_mask_T = jnp.concatenate(
+        [jnp.repeat(free_pose, 3), jnp.ones((L,), dtype)]
+    )
+    threes = jnp.arange(3, dtype=jnp.int32)
+    rows_ref = 3 * ref_i[:, None] + threes[None, :]
+    rows_qry = 3 * qry_i[:, None] + threes[None, :]
+    col_sw = 3 * P + loop_slot
+    rows_obs = 3 * obs.pose_indices[:, None] + threes[None, :]
+    free_obs_pose = free_pose[obs.pose_indices]
+    free_obs_lm = free_lm[obs.landmark_indices]
+
+    def quad(params):
+        xyt, sw, lms = params
+        sw_full = sw[loop_slot] if L > 0 else jnp.zeros((E,), dtype)
+        r_e, J_ref, J_query, J_s = se2_edge_residuals_and_jacobians(
+            xyt, sw_full, edges, switch_penalty
+        )
+        J_ref = J_ref * free_ref[:, None, None]
+        J_query = J_query * free_qry[:, None, None]
+        if edge_loss is not None:
+            sq = jnp.sum(r_e * r_e, axis=1)
+            rho, w, _ = edge_loss.evaluate(sq)
+            cost_e = jnp.sum(rho)
+            sqrt_w = jnp.sqrt(w)
+            r_e = r_e * sqrt_w[:, None]
+            J_ref = J_ref * sqrt_w[:, None, None]
+            J_query = J_query * sqrt_w[:, None, None]
+            J_s = J_s * sqrt_w[:, None]
+        else:
+            cost_e = jnp.sum(r_e * r_e)
+
+        T = jnp.zeros((dimT, dimT), dtype)
+        gT = jnp.zeros((dimT,), dtype)
+        with jax.default_matmul_precision("highest"):
+            B_rr = jnp.sum(J_ref[:, :, :, None] * J_ref[:, :, None, :], axis=1)
+            B_rq = jnp.sum(J_ref[:, :, :, None] * J_query[:, :, None, :], axis=1)
+            B_qq = jnp.sum(J_query[:, :, :, None] * J_query[:, :, None, :], axis=1)
+            g_r = jnp.sum(J_ref * r_e[:, :, None], axis=1)
+            g_q = jnp.sum(J_query * r_e[:, :, None], axis=1)
+        T = T.at[rows_ref[:, :, None], rows_ref[:, None, :]].add(B_rr)
+        T = T.at[rows_ref[:, :, None], rows_qry[:, None, :]].add(B_rq)
+        T = T.at[rows_qry[:, :, None], rows_ref[:, None, :]].add(
+            jnp.swapaxes(B_rq, 1, 2)
+        )
+        T = T.at[rows_qry[:, :, None], rows_qry[:, None, :]].add(B_qq)
+        gT = gT.at[rows_ref].add(g_r).at[rows_qry].add(g_q)
+        if L > 0:
+            b_rs = jnp.sum(J_ref * J_s[:, :, None], axis=1)
+            b_qs = jnp.sum(J_query * J_s[:, :, None], axis=1)
+            T = T.at[rows_ref, col_sw[:, None]].add(b_rs)
+            T = T.at[col_sw[:, None], rows_ref].add(b_rs)
+            T = T.at[rows_qry, col_sw[:, None]].add(b_qs)
+            T = T.at[col_sw[:, None], rows_qry].add(b_qs)
+            T = T.at[col_sw, col_sw].add(jnp.sum(J_s * J_s, axis=1))
+            gT = gT.at[col_sw].add(jnp.sum(J_s * r_e, axis=1))
+
+        r_o, J_po, J_lo = observation_residuals_and_jacobians_2d(
+            xyt, lms, obs
+        )
+        J_po = J_po * free_obs_pose[:, None, None]
+        J_lo = J_lo * free_obs_lm[:, None, None]
+        if obs_loss is not None:
+            sq = jnp.sum(r_o * r_o, axis=1)
+            rho, w, _ = obs_loss.evaluate(sq)
+            cost_o = jnp.sum(rho)
+            sqrt_w = jnp.sqrt(w)
+            r_o = r_o * sqrt_w[:, None]
+            J_po = J_po * sqrt_w[:, None, None]
+            J_lo = J_lo * sqrt_w[:, None, None]
+        else:
+            cost_o = jnp.sum(r_o * r_o)
+
+        with jax.default_matmul_precision("highest"):
+            A_pp = jnp.sum(J_po[:, :, :, None] * J_po[:, :, None, :], axis=1)
+            D_ll = jnp.sum(J_lo[:, :, :, None] * J_lo[:, :, None, :], axis=1)
+            W_pl = jnp.sum(J_po[:, :, :, None] * J_lo[:, :, None, :], axis=1)
+            g_po = jnp.sum(J_po * r_o[:, :, None], axis=1)
+            g_lo = jnp.sum(J_lo * r_o[:, :, None], axis=1)
+        T = T.at[rows_obs[:, :, None], rows_obs[:, None, :]].add(A_pp)
+        gT = gT.at[rows_obs].add(g_po)
+        D = jnp.zeros((M, 2, 2), dtype).at[obs.landmark_indices].add(D_ll)
+        g_l = jnp.zeros((M, 2), dtype).at[obs.landmark_indices].add(g_lo)
+        W = jnp.zeros((dimT, M, 2), dtype)
+        W = W.at[
+            rows_obs[:, :, None],
+            obs.landmark_indices[:, None, None],
+            jnp.arange(2, dtype=jnp.int32)[None, None, :],
+        ].add(W_pl)
+
+        T = T + jnp.diag(1.0 - col_mask_T) + 1e-10 * jnp.eye(dimT, dtype=dtype)
+        D = D + (
+            (1.0 - free_lm)[:, None, None] + 1e-10
+        ) * jnp.eye(2, dtype=dtype)
+        return (T, W, D), (gT, g_l), cost_e + cost_o
+
+    def solve_linear(H_rep, g, lamb):
+        T, W, D = H_rep
+        gT, g_l = g
+        Td = T + lamb * jnp.diag(jnp.diag(T))
+        eye2 = jnp.eye(2, dtype=dtype)
+        Dd = D + lamb * (D * eye2)
+        Dinv = jnp.linalg.inv(Dd)
+        with jax.default_matmul_precision("highest"):
+            WDinv = jnp.einsum("tma,mab->tmb", W, Dinv)
+            A = Td - WDinv.reshape(dimT, 2 * M) @ W.reshape(dimT, 2 * M).T
+            rhs = -gT + jnp.einsum("tma,ma->t", WDinv, g_l)
+            dp = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(A, lower=True), rhs
+            )
+            Wt_dp = jnp.einsum("tma,t->ma", W, dp)
+            dl = jnp.einsum("mab,mb->ma", Dinv, -g_l - Wt_dp)
+        return (dp[: 3 * P].reshape(P, 3), dp[3 * P :], dl)
+
+    def retract(params, delta):
+        xyt, sw, lms = params
+        dxyt, dsw, dlm = delta
+        return (
+            xyt + dxyt * free_pose[:, None],
+            sw + dsw,
+            lms + dlm * free_lm[:, None],
+        )
+
+    (xyt, sw, lms), summary = lm.solve(
+        quad, retract, (xyt0, switches0, landmarks0), options,
+        solve_linear=solve_linear,
+    )
+    return xyt, sw, lms, summary
+
+
+class PoseLandmark2DOptimizer:
+    """SE(2) pose-landmark SLAM (victoria-park family); same API shape
+    as :class:`PoseLandmarkOptimizer` with xyt poses and 2-D landmarks."""
+
+    def __init__(
+        self,
+        dtype=jnp.float64,
+        switch_penalty: float = None,
+        edge_loss=None,
+        obs_loss=None,
+    ):
+        from ..ops.relative_pose import SWITCH_PENALTY_SCALE
+
+        self.dtype = dtype
+        self.edge_loss = edge_loss
+        self.obs_loss = obs_loss
+        self.switch_penalty = (
+            SWITCH_PENALTY_SCALE if switch_penalty is None else switch_penalty
+        )
+        self._poses: Dict[int, np.ndarray] = {}
+        self._landmarks: Dict[int, np.ndarray] = {}
+        self._constant_poses: set = set()
+        self._constant_landmarks: set = set()
+        self._constraints: List[dict] = []
+        self._observations: List[dict] = []
+
+    def set_pose(self, index: int, xyt) -> None:
+        self._poses[index] = np.asarray(xyt, np.float64).copy()
+
+    def set_landmark(self, index: int, position) -> None:
+        self._landmarks[index] = np.asarray(position, np.float64).copy()
+
+    def set_pose_constant(self, index: int) -> None:
+        if index not in self._poses:
+            raise KeyError(f"pose {index} not registered")
+        self._constant_poses.add(index)
+
+    def set_landmark_constant(self, index: int) -> None:
+        if index not in self._landmarks:
+            raise KeyError(f"landmark {index} not registered")
+        self._constant_landmarks.add(index)
+
+    def set_constraint(
+        self,
+        reference_index: int,
+        query_index: int,
+        relative_xyt,
+        constraint_type: int = ConstraintType.ODOMETRY,
+        sqrt_info=None,
+    ) -> None:
+        from .pose_graph import _expand_sqrt_info_2d
+
+        if reference_index not in self._poses or query_index not in self._poses:
+            raise KeyError("constraint endpoints must be registered poses")
+        if reference_index == query_index:
+            raise ValueError("self-constraint is not allowed")
+        self._constraints.append(
+            dict(
+                reference_index=reference_index,
+                query_index=query_index,
+                relative_xyt=np.asarray(relative_xyt, np.float64).copy(),
+                type=constraint_type,
+                sqrt_info=_expand_sqrt_info_2d(sqrt_info),
+            )
+        )
+
+    def set_observation(
+        self, pose_index: int, landmark_index: int, measurement, sqrt_info=None
+    ) -> None:
+        """Pose-frame observation: measurement = R(th)^T (l - p) + noise.
+        ``sqrt_info``: scalar / (2,) diagonal / (2, 2) matrix."""
+        if pose_index not in self._poses:
+            raise KeyError(f"pose {pose_index} not registered")
+        if landmark_index not in self._landmarks:
+            raise KeyError(f"landmark {landmark_index} not registered")
+        w = sqrt_info
+        if w is not None:
+            w = np.asarray(w, np.float64)
+            if w.ndim == 0:
+                w = np.full(2, float(w))
+            elif w.ndim == 1 and w.size == 1:
+                w = np.full(2, w[0])
+            elif not (w.shape == (2,) or w.shape == (2, 2)):
+                raise ValueError(
+                    f"sqrt_info must be scalar, (2,), or (2, 2); got {w.shape}"
+                )
+        self._observations.append(
+            dict(
+                pose_index=pose_index,
+                landmark_index=landmark_index,
+                measurement=np.asarray(measurement, np.float64).copy(),
+                sqrt_info=w,
+            )
+        )
+
+    @property
+    def num_poses(self) -> int:
+        return len(self._poses)
+
+    @property
+    def num_landmarks(self) -> int:
+        return len(self._landmarks)
+
+    def get_pose(self, index: int) -> np.ndarray:
+        return self._poses[index].copy()
+
+    def get_landmark(self, index: int) -> np.ndarray:
+        return self._landmarks[index].copy()
+
+    def solve(self, options: Optional[Options] = None):
+        from .pose_graph import PoseGraph2DEdges
+
+        if options is None:
+            options = Options().replace(max_iterations=200)
+        if not self._observations:
+            raise ValueError(
+                "PoseLandmark2DOptimizer.solve: no observations registered"
+            )
+        pose_ids = sorted(self._poses)
+        lm_ids = sorted(self._landmarks)
+        pose_of = {pi: i for i, pi in enumerate(pose_ids)}
+        lm_of = {li: i for i, li in enumerate(lm_ids)}
+        P, M = len(pose_ids), len(lm_ids)
+        E = len(self._constraints)
+        dtype = self.dtype
+        xyt = np.stack([self._poses[pi] for pi in pose_ids])
+        lms = np.stack([self._landmarks[li] for li in lm_ids])
+
+        if E:
+            is_loop = np.array(
+                [
+                    1.0 if c["type"] == ConstraintType.LOOP else 0.0
+                    for c in self._constraints
+                ]
+            )
+            edges = PoseGraph2DEdges(
+                jnp.asarray(
+                    np.array([pose_of[c["reference_index"]] for c in self._constraints], np.int32)
+                ),
+                jnp.asarray(
+                    np.array([pose_of[c["query_index"]] for c in self._constraints], np.int32)
+                ),
+                jnp.asarray(
+                    np.stack([c["relative_xyt"] for c in self._constraints]), dtype
+                ),
+                jnp.asarray(is_loop, dtype),
+                jnp.ones((E,), dtype),
+                sqrt_info=(
+                    None
+                    if (w := stack_sqrt_info([c["sqrt_info"] for c in self._constraints], 3)) is None
+                    else jnp.asarray(w, dtype)
+                ),
+            )
+            L = int(is_loop.sum())
+        else:
+            edges = PoseGraph2DEdges(
+                jnp.zeros((1,), jnp.int32),
+                jnp.asarray([min(1, P - 1)], jnp.int32),
+                jnp.zeros((1, 3), dtype),
+                jnp.zeros((1,), dtype),
+                jnp.zeros((1,), dtype),
+            )
+            L = 0
+
+        obs = LandmarkObservations2D(
+            jnp.asarray(
+                np.array([pose_of[o["pose_index"]] for o in self._observations], np.int32)
+            ),
+            jnp.asarray(
+                np.array([lm_of[o["landmark_index"]] for o in self._observations], np.int32)
+            ),
+            jnp.asarray(np.stack([o["measurement"] for o in self._observations]), dtype),
+            jnp.ones((len(self._observations),), dtype),
+            sqrt_info=(
+                None
+                if (wo := stack_sqrt_info([o["sqrt_info"] for o in self._observations], 2)) is None
+                else jnp.asarray(wo, dtype)
+            ),
+        )
+
+        free_pose = np.ones(P)
+        for pi in self._constant_poses:
+            free_pose[pose_of[pi]] = 0.0
+        free_lm = np.ones(M)
+        for li in self._constant_landmarks:
+            free_lm[lm_of[li]] = 0.0
+
+        out_xyt, sw, lms_out, summary = _pose_landmark_2d_solve(
+            jnp.asarray(xyt, dtype),
+            jnp.ones((L,), dtype),
+            jnp.asarray(lms, dtype),
+            edges,
+            obs,
+            jnp.asarray(free_pose, dtype),
+            jnp.asarray(free_lm, dtype),
+            jnp.asarray(self.switch_penalty, dtype),
+            self.edge_loss,
+            self.obs_loss,
+            P,
+            M,
+            L,
+            options,
+        )
+        out_xyt, sw, lms_out = jax.device_get((out_xyt, sw, lms_out))
+        out_xyt = np.array(out_xyt, np.float64)
+        for i, pi in enumerate(pose_ids):
+            o = out_xyt[i].copy()
+            o[2] = float(np.arctan2(np.sin(o[2]), np.cos(o[2])))
+            self._poses[pi] = o
+        for j, li in enumerate(lm_ids):
+            self._landmarks[li] = np.asarray(lms_out[j], np.float64)
+        return summary, np.asarray(sw, np.float64)

@@ -197,3 +197,146 @@ def test_constant_landmark_and_validation(rng):
         opt.set_observation(0, 99, np.zeros(3))
     with pytest.raises(ValueError, match="no observations"):
         PoseLandmarkOptimizer().solve()
+
+
+# ---------------------------------------------------------------------------
+# SE(2) landmark SLAM
+# ---------------------------------------------------------------------------
+
+
+def _wrap(a):
+    return np.arctan2(np.sin(a), np.cos(a))
+
+
+def _world_2d(rng, P=10, M=15, radius=4.0):
+    th = np.linspace(0, 2 * np.pi, P, endpoint=False)
+    gt_poses = np.stack(
+        [radius * np.cos(th), radius * np.sin(th), _wrap(th + np.pi / 2)], axis=1
+    )
+    gt_lms = rng.uniform(-2.0, 2.0, size=(M, 2))
+    obs = []
+    for i in range(P):
+        c, s = np.cos(gt_poses[i, 2]), np.sin(gt_poses[i, 2])
+        Rt = np.array([[c, s], [-s, c]])
+        for j in range(M):
+            obs.append((i, j, Rt @ (gt_lms[j] - gt_poses[i, :2])))
+    return gt_poses, gt_lms, obs
+
+
+def test_2d_observation_jacobians_match_jacfwd(rng):
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_landmark import (
+        LandmarkObservations2D,
+        observation_residuals_and_jacobians_2d,
+    )
+
+    P, M, O = 4, 6, 10
+    xyt = rng.normal(size=(P, 3))
+    lms = rng.normal(size=(M, 2))
+    S = np.stack([np.triu(rng.normal(size=(2, 2))) + 2 * np.eye(2) for _ in range(O)])
+    obs = LandmarkObservations2D(
+        jnp.asarray(rng.integers(0, P, O), jnp.int32),
+        jnp.asarray(rng.integers(0, M, O), jnp.int32),
+        jnp.asarray(rng.normal(size=(O, 2))),
+        jnp.ones(O),
+        sqrt_info=jnp.asarray(S),
+    )
+    r, J_pose, J_lm = observation_residuals_and_jacobians_2d(
+        jnp.asarray(xyt), jnp.asarray(lms), obs
+    )
+
+    def res(pose3, lm, z, S_):
+        c, s = jnp.cos(pose3[2]), jnp.sin(pose3[2])
+        Rt = jnp.array([[c, s], [-s, c]])
+        return S_ @ (Rt @ (lm - pose3[:2]) - z)
+
+    for k in range(O):
+        i, j = int(obs.pose_indices[k]), int(obs.landmark_indices[k])
+        args = (jnp.asarray(xyt[i]), jnp.asarray(lms[j]), obs.measurements[k],
+                jnp.asarray(S[k]))
+        np.testing.assert_allclose(np.asarray(r[k]), np.asarray(res(*args)), atol=1e-12)
+        Jp, Jl = jax.jacfwd(res, argnums=(0, 1))(*args)
+        np.testing.assert_allclose(np.asarray(J_pose[k]), np.asarray(Jp), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(J_lm[k]), np.asarray(Jl), atol=1e-10)
+
+
+def test_2d_recovers_world(rng):
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_landmark import (
+        PoseLandmark2DOptimizer,
+    )
+
+    gt_poses, gt_lms, obs = _world_2d(rng)
+    opt = PoseLandmark2DOptimizer()
+    for i in range(len(gt_poses)):
+        noisy = gt_poses[i] + (
+            np.concatenate([rng.normal(0, 0.1, 2), [rng.normal(0, 0.05)]])
+            if i else 0.0
+        )
+        opt.set_pose(i, noisy)
+    opt.set_pose_constant(0)
+    for j in range(len(gt_lms)):
+        opt.set_landmark(j, gt_lms[j] + rng.normal(0, 0.2, 2))
+    for i in range(len(gt_poses) - 1):
+        a, b = gt_poses[i], gt_poses[i + 1]
+        c, s = np.cos(a[2]), np.sin(a[2])
+        dp = b[:2] - a[:2]
+        opt.set_constraint(
+            i, i + 1,
+            [c * dp[0] + s * dp[1], -s * dp[0] + c * dp[1], _wrap(b[2] - a[2])],
+        )
+    for (i, j, z) in obs:
+        opt.set_observation(i, j, z, sqrt_info=5.0)
+    summary, _ = opt.solve(Options().replace(max_iterations=100))
+    assert float(summary.final_cost) < 1e-10
+    for j in range(len(gt_lms)):
+        np.testing.assert_allclose(opt.get_landmark(j), gt_lms[j], atol=1e-5)
+    for i in range(len(gt_poses)):
+        np.testing.assert_allclose(opt.get_pose(i)[:2], gt_poses[i, :2], atol=1e-5)
+
+
+def test_2d_landmark_g2o_file(tmp_path, rng):
+    """VERTEX_XY / EDGE_SE2_XY files load into PoseLandmark2DOptimizer
+    and solve; writer round-trips the records."""
+    from nonlinear_optimizer_for_slam_tpu.io import g2o as g2o_io
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_landmark import (
+        PoseLandmark2DOptimizer,
+    )
+
+    gt_poses, gt_lms, obs = _world_2d(rng, P=6, M=8)
+    g = g2o_io.G2oGraph(dim=2)
+    for i in range(6):
+        g.vertices[i] = gt_poses[i] + (
+            np.concatenate([rng.normal(0, 0.1, 2), [0.02]]) if i else 0.0
+        )
+    for j in range(8):
+        g.landmarks[500 + j] = gt_lms[j] + rng.normal(0, 0.2, 2)
+    info3 = np.diag([100.0, 100.0, 400.0])
+    for i in range(5):
+        a, b = gt_poses[i], gt_poses[i + 1]
+        c, s = np.cos(a[2]), np.sin(a[2])
+        dp = b[:2] - a[:2]
+        g.edges.append(g2o_io.G2oEdge(
+            i, i + 1,
+            np.array([c * dp[0] + s * dp[1], -s * dp[0] + c * dp[1],
+                      _wrap(b[2] - a[2])]),
+            info3,
+        ))
+    info2 = np.array([[30.0, 5.0], [5.0, 40.0]])
+    for (i, j, z) in obs:
+        g.landmark_edges.append(g2o_io.G2oEdge(i, 500 + j, z, info2))
+
+    path = str(tmp_path / "lm2d.g2o")
+    g2o_io.write_g2o(path, g)
+    g2 = g2o_io.read_g2o(path)
+    assert len(g2.landmarks) == 8 and len(g2.landmark_edges) == len(obs)
+    np.testing.assert_allclose(g2.landmark_edges[0].information, info2, rtol=1e-6)
+
+    opt = g2o_io.load_pose_graph(path)
+    assert isinstance(opt, PoseLandmark2DOptimizer)
+    summary, _ = opt.solve(Options().replace(max_iterations=100))
+    for j in range(8):
+        np.testing.assert_allclose(opt.get_landmark(500 + j), gt_lms[j], atol=1e-4)
+
+    out = str(tmp_path / "lm2d_solved.g2o")
+    g2o_io.save_pose_graph(out, opt, graph=g2)
+    g3 = g2o_io.read_g2o(out)
+    np.testing.assert_allclose(g3.landmarks[500], opt.get_landmark(500), atol=1e-6)
