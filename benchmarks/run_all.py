@@ -567,7 +567,25 @@ def bench_pose_graph(runs):
         cg_iterations=300, cg_precond="chain",
     )
     sph_opts = Options().replace(max_iterations=150)
-    ms, (summary, _) = timed(lambda: sph.solve(sph_opts), max(1, runs // 5))
+    # solve() writes optimized poses back, so a bare re-solve would time
+    # an already-converged early exit — and identical re-dispatches hit
+    # the relay cache (CLAUDE.md). Reset to the file's drifted init each
+    # rep, with a per-rep epsilon so dispatch args always differ.
+    from nonlinear_optimizer_for_slam_tpu.io.g2o import _pose_from_vec7
+
+    sphere_init = {k: sphere.vertices[k] for k in sphere.vertices}
+    sph_rep = [0]
+
+    def _sphere_solve():
+        sph_rep[0] += 1
+        eps = 1e-9 * sph_rep[0]
+        for k, v in sphere_init.items():
+            p = _pose_from_vec7(v)
+            p.translation[0] += eps
+            sph.set_pose(k, p)
+        return sph.solve(sph_opts)
+
+    ms, (summary, _) = timed(_sphere_solve, max(1, runs // 5))
     err = max(
         np.linalg.norm(sph.get_pose(k).translation - gt_pos[k])
         for k in range(len(gt_pos))

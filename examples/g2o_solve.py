@@ -98,11 +98,20 @@ def main() -> None:
 
     kwargs = {}
     if graph.landmarks:
-        pass  # landmark-SLAM solvers have a single (Schur) linear path
+        if args.solver != "dense":
+            print(
+                f"note: --solver {args.solver} ignored — landmark-SLAM "
+                f"solves use the Schur-complement linear path"
+            )
     elif graph.dim == 3:
         kwargs["solver"] = args.solver
     elif args.solver in ("dense", "cg"):
         kwargs["solver"] = args.solver
+    else:
+        print(
+            f"note: --solver {args.solver} is 3-D only; using 'dense' "
+            f"for this 2-D graph (2-D supports dense|cg)"
+        )
     opt = g2o_io.load_pose_graph(
         path,
         switchable_loops=args.switchable_loops,

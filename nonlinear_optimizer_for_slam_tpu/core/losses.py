@@ -178,13 +178,17 @@ class DCSLoss(LossFunction):
     """Dynamic Covariance Scaling with the published CLAMPED scaling
     s = min(1, 2 Phi / (Phi + chi^2)) (Agarwal et al., ICRA 2013):
     quadratic for chi^2 <= Phi, and beyond it the combined objective
-    s^2 chi^2 + Phi (s - 1)^2 is identically Phi — a smooth truncated
-    quadratic (continuous rho and rho' at the knee; weight
-    w = rho' = 0 past it, so confirmed outliers are fully excluded,
-    while the unclamped analytic form is :class:`GemanMcClureLoss`).
-    The per-edge alternative to switchable constraints: no extra switch
-    variables in the state, at the price of a hard outlier decision per
-    LM iteration instead of a learned continuous switch."""
+    s^2 chi^2 + Phi (s - 1)^2 is identically Phi — a truncated
+    quadratic. rho is continuous at the knee; rho' JUMPS from 1 to 0
+    there (this framework's IRLS weight is rho', so edges past Phi are
+    fully excluded each iteration — a hard in/out decision that can
+    oscillate for residuals hovering at the knee). g2o's DCS kernel
+    instead reweights with s^2 = (2 Phi/(Phi+chi^2))^2, which stays
+    positive past the knee; that smooth-influence behavior is exactly
+    :class:`GemanMcClureLoss` (the unclamped analytic DCS objective) —
+    prefer it when porting DCS-tuned Phi values or when knee
+    oscillation matters. This class is the alternative to switchable
+    constraints with no switch variables in the state."""
 
     phi: float = 1.0
 

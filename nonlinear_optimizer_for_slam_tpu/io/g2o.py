@@ -119,6 +119,13 @@ def read_g2o(path: str) -> G2oGraph:
             )
         return graph
 
+    def fnums(seq, n):
+        """Exactly-n float fields; short slices (truncated lines) must
+        fail loudly, not zero-fill the information matrix."""
+        if len(seq) < n:
+            raise IndexError(f"expected {n} numeric fields, got {len(seq)}")
+        return list(map(float, seq[:n]))
+
     with open(path) as f:
         for lineno, line in enumerate(f, 1):
             parts = line.split()
@@ -129,15 +136,13 @@ def read_g2o(path: str) -> G2oGraph:
                 if tag == "VERTEX_SE3:QUAT":
                     g = need(3)
                     vid = int(parts[1])
-                    x, y, z, qx, qy, qz, qw = map(float, parts[2:9])
+                    x, y, z, qx, qy, qz, qw = fnums(parts[2:], 7)
                     g.vertices[vid] = np.array([x, y, z, qw, qx, qy, qz])
                 elif tag == "EDGE_SE3:QUAT":
                     g = need(3)
                     i, j = int(parts[1]), int(parts[2])
-                    x, y, z, qx, qy, qz, qw = map(float, parts[3:10])
-                    info = _sym_from_upper(
-                        list(map(float, parts[10:31])), _TRI6, 6
-                    )
+                    x, y, z, qx, qy, qz, qw = fnums(parts[3:], 7)
+                    info = _sym_from_upper(fnums(parts[10:], 21), _TRI6, 6)
                     g.edges.append(
                         G2oEdge(
                             i, j, np.array([x, y, z, qw, qx, qy, qz]), info
@@ -146,45 +151,58 @@ def read_g2o(path: str) -> G2oGraph:
                 elif tag == "VERTEX_SE2":
                     g = need(2)
                     vid = int(parts[1])
-                    g.vertices[vid] = np.array(list(map(float, parts[2:5])))
+                    g.vertices[vid] = np.array(fnums(parts[2:], 3))
                 elif tag == "EDGE_SE2":
                     g = need(2)
                     i, j = int(parts[1]), int(parts[2])
-                    meas = np.array(list(map(float, parts[3:6])))
-                    info = _sym_from_upper(
-                        list(map(float, parts[6:12])), _TRI3, 3
-                    )
+                    meas = np.array(fnums(parts[3:], 3))
+                    info = _sym_from_upper(fnums(parts[6:], 6), _TRI3, 3)
                     g.edges.append(G2oEdge(i, j, meas, info))
                 elif tag in ("VERTEX_XY", "VERTEX_POINTXY"):
                     g = need(2)
-                    g.landmarks[int(parts[1])] = np.array(
-                        list(map(float, parts[2:4]))
-                    )
+                    g.landmarks[int(parts[1])] = np.array(fnums(parts[2:], 2))
                 elif tag in ("EDGE_SE2_XY", "EDGE_SE2_POINTXY"):
                     g = need(2)
                     i, j = int(parts[1]), int(parts[2])
-                    meas = np.array(list(map(float, parts[3:5])))
-                    vals = list(map(float, parts[5:8]))  # 2x2 upper tri
+                    meas = np.array(fnums(parts[3:], 2))
+                    vals = fnums(parts[5:], 3)  # 2x2 upper tri
                     info = np.array(
                         [[vals[0], vals[1]], [vals[1], vals[2]]]
                     )
                     g.landmark_edges.append(G2oEdge(i, j, meas, info))
+                elif tag == "PARAMS_SE3OFFSET":
+                    # sensor-extrinsic parameter referenced by
+                    # EDGE_SE3_TRACKXYZ records. Only the identity
+                    # offset is supported (observations are interpreted
+                    # in the BODY frame); silently ignoring a real
+                    # extrinsic would shift every landmark.
+                    vals = fnums(parts[2:], 7)
+                    if not (
+                        np.allclose(vals[:6], 0.0, atol=1e-12)
+                        and abs(abs(vals[6]) - 1.0) < 1e-9
+                    ):
+                        raise ValueError(
+                            f"{path}:{lineno}: non-identity PARAMS_SE3OFFSET "
+                            f"(sensor extrinsic) is not supported — transform "
+                            f"the TRACKXYZ measurements into the body frame "
+                            f"first"
+                        )
                 elif tag == "VERTEX_TRACKXYZ":
                     g = need(3)
-                    g.landmarks[int(parts[1])] = np.array(
-                        list(map(float, parts[2:5]))
-                    )
+                    g.landmarks[int(parts[1])] = np.array(fnums(parts[2:], 3))
                 elif tag == "EDGE_SE3_TRACKXYZ":
                     g = need(3)
                     # with or without a PARAMS_SE3OFFSET id after (i, j):
                     # 11 operands = i j x y z info6; 12 = i j off x y z info6
                     vals = parts[1:]
-                    off = 1 if len(vals) >= 12 else 0
+                    if len(vals) not in (11, 12):
+                        raise IndexError(
+                            f"expected 11 or 12 fields, got {len(vals)}"
+                        )
+                    off = len(vals) - 11
                     i, j = int(vals[0]), int(vals[1])
-                    meas = np.array(list(map(float, vals[2 + off : 5 + off])))
-                    info = _sym_from_upper(
-                        list(map(float, vals[5 + off : 11 + off])), _TRI3, 3
-                    )
+                    meas = np.array(fnums(vals[2 + off :], 3))
+                    info = _sym_from_upper(fnums(vals[5 + off :], 6), _TRI3, 3)
                     g.landmark_edges.append(G2oEdge(i, j, meas, info))
                 elif tag == "FIX":
                     if graph is None:
@@ -194,7 +212,9 @@ def read_g2o(path: str) -> G2oGraph:
                     skipped.add(tag)
             except (ValueError, IndexError) as exc:
                 if isinstance(exc, ValueError) and (
-                    "mixed" in str(exc) or "FIX" in str(exc)
+                    "mixed" in str(exc)
+                    or "FIX" in str(exc)
+                    or "PARAMS_SE3OFFSET" in str(exc)
                 ):
                     raise
                 raise ValueError(
@@ -424,7 +444,13 @@ def save_pose_graph(path: str, optimizer, graph: Optional[G2oGraph] = None) -> N
         write_g2o(path, out)
         return
 
-    dim = 2 if isinstance(optimizer, PoseGraphOptimizer2D) else 3
+    from ..solvers.pose_landmark import PoseLandmark2DOptimizer
+
+    dim = (
+        2
+        if isinstance(optimizer, (PoseGraphOptimizer2D, PoseLandmark2DOptimizer))
+        else 3
+    )
     out = G2oGraph(dim=dim)
     for vid in optimizer.pose_indices():
         out.vertices[vid] = _vertex_vec(optimizer, vid, dim)
@@ -437,6 +463,20 @@ def save_pose_graph(path: str, optimizer, graph: Optional[G2oGraph] = None) -> N
             meas = np.asarray(c["relative_xyt"], np.float64)
             info = np.eye(3)
         out.edges.append(G2oEdge(c["reference_index"], c["query_index"], meas, info))
+    if hasattr(optimizer, "landmark_indices"):
+        for lid in optimizer.landmark_indices():
+            out.landmarks[lid] = np.asarray(
+                optimizer.get_landmark(lid), np.float64
+            )
+        for o in optimizer.observations():
+            out.landmark_edges.append(
+                G2oEdge(
+                    o["pose_index"],
+                    o["landmark_index"],
+                    np.asarray(o["measurement"], np.float64),
+                    np.eye(3 if dim == 3 else 2),
+                )
+            )
     write_g2o(path, out)
 
 

@@ -953,8 +953,10 @@ class PoseGraph2DEdges(NamedTuple):
     relative_xyt: Array  # (E, 3) (dx, dy, dtheta) in the reference frame
     is_loop: Array  # (E,)
     mask: Array  # (E,)
-    # optional (E, 3) diagonal sqrt-information (1/sigma_x, 1/sigma_y,
-    # 1/sigma_theta); None = unit weights. Penalty row unwhitened.
+    # optional sqrt-information: (E, 3) diagonal rows (1/sigma_x,
+    # 1/sigma_y, 1/sigma_theta) or (E, 3, 3) full matrices (g2o EDGE_SE2
+    # information; see io/g2o.py). None = unit weights. Penalty row
+    # unwhitened.
     sqrt_info: Optional[Array] = None
 
 

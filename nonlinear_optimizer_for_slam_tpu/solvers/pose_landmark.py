@@ -109,6 +109,56 @@ def observation_residuals_and_jacobians(
     return r * m[:, None], J_pose * m[:, None, None], J_l * m[:, None, None]
 
 
+
+def _robustify(loss, r, *jacobians):
+    """Ceres-style per-block robust reweighting over the squared residual
+    norm: returns (cost, r', jacobians'); identity when ``loss`` is None.
+    Shared by the edge and observation terms of both landmark solvers."""
+    if loss is None:
+        return (jnp.sum(r * r), r) + jacobians
+    sq = jnp.sum(r * r, axis=1)
+    rho, w, _ = loss.evaluate(sq)
+    sw = jnp.sqrt(w)
+    out = [r * sw[:, None]]
+    out += [J * sw.reshape((-1,) + (1,) * (J.ndim - 1)) for J in jacobians]
+    return (jnp.sum(rho), *out)
+
+
+def _assemble_pose_switch_block(
+    dimT, rows_ref, rows_qry, col_sw, L, r_e, J_ref, J_query, J_s, dtype
+):
+    """Dense (dimT, dimT) pose/switch Gauss-Newton block + gradient from
+    per-edge Jacobian blocks — ONE copy of the scatter assembly both the
+    SE(3) and SE(2) landmark solvers share (mirrors _pose_graph_solve's;
+    broadcast-mul-sum products, see docs/ARCHITECTURE.md on small-block
+    algebra)."""
+    T = jnp.zeros((dimT, dimT), dtype)
+    gT = jnp.zeros((dimT,), dtype)
+    with jax.default_matmul_precision("highest"):
+        B_rr = jnp.sum(J_ref[:, :, :, None] * J_ref[:, :, None, :], axis=1)
+        B_rq = jnp.sum(J_ref[:, :, :, None] * J_query[:, :, None, :], axis=1)
+        B_qq = jnp.sum(J_query[:, :, :, None] * J_query[:, :, None, :], axis=1)
+        g_r = jnp.sum(J_ref * r_e[:, :, None], axis=1)
+        g_q = jnp.sum(J_query * r_e[:, :, None], axis=1)
+    T = T.at[rows_ref[:, :, None], rows_ref[:, None, :]].add(B_rr)
+    T = T.at[rows_ref[:, :, None], rows_qry[:, None, :]].add(B_rq)
+    T = T.at[rows_qry[:, :, None], rows_ref[:, None, :]].add(
+        jnp.swapaxes(B_rq, 1, 2)
+    )
+    T = T.at[rows_qry[:, :, None], rows_qry[:, None, :]].add(B_qq)
+    gT = gT.at[rows_ref].add(g_r).at[rows_qry].add(g_q)
+    if L > 0:
+        b_rs = jnp.sum(J_ref * J_s[:, :, None], axis=1)
+        b_qs = jnp.sum(J_query * J_s[:, :, None], axis=1)
+        T = T.at[rows_ref, col_sw[:, None]].add(b_rs)
+        T = T.at[col_sw[:, None], rows_ref].add(b_rs)
+        T = T.at[rows_qry, col_sw[:, None]].add(b_qs)
+        T = T.at[col_sw[:, None], rows_qry].add(b_qs)
+        T = T.at[col_sw, col_sw].add(jnp.sum(J_s * J_s, axis=1))
+        gT = gT.at[col_sw].add(jnp.sum(J_s * r_e, axis=1))
+    return T, gT
+
+
 @functools.partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14))
 def _pose_landmark_solve(
     positions0,  # (P, 3)
@@ -166,42 +216,14 @@ def _pose_landmark_solve(
         )
         J_ref = J_ref * free_ref[:, None, None]
         J_query = J_query * free_qry[:, None, None]
-        if edge_loss is not None:
-            sq = jnp.sum(r_e * r_e, axis=1)
-            rho, w, _ = edge_loss.evaluate(sq)
-            cost_e = jnp.sum(rho)
-            sqrt_w = jnp.sqrt(w)
-            r_e = r_e * sqrt_w[:, None]
-            J_ref = J_ref * sqrt_w[:, None, None]
-            J_query = J_query * sqrt_w[:, None, None]
-            J_s = J_s * sqrt_w[:, None]
-        else:
-            cost_e = jnp.sum(r_e * r_e)
-
-        T = jnp.zeros((dimT, dimT), dtype)
-        gT = jnp.zeros((dimT,), dtype)
-        with jax.default_matmul_precision("highest"):
-            B_rr = jnp.sum(J_ref[:, :, :, None] * J_ref[:, :, None, :], axis=1)
-            B_rq = jnp.sum(J_ref[:, :, :, None] * J_query[:, :, None, :], axis=1)
-            B_qq = jnp.sum(J_query[:, :, :, None] * J_query[:, :, None, :], axis=1)
-            g_r = jnp.sum(J_ref * r_e[:, :, None], axis=1)
-            g_q = jnp.sum(J_query * r_e[:, :, None], axis=1)
-        T = T.at[rows_ref[:, :, None], rows_ref[:, None, :]].add(B_rr)
-        T = T.at[rows_ref[:, :, None], rows_qry[:, None, :]].add(B_rq)
-        T = T.at[rows_qry[:, :, None], rows_ref[:, None, :]].add(
-            jnp.swapaxes(B_rq, 1, 2)
+        cost_e, r_e, J_ref, J_query, J_s = _robustify(
+            edge_loss, r_e, J_ref, J_query, J_s
         )
-        T = T.at[rows_qry[:, :, None], rows_qry[:, None, :]].add(B_qq)
-        gT = gT.at[rows_ref].add(g_r).at[rows_qry].add(g_q)
-        if L > 0:
-            b_rs = jnp.sum(J_ref * J_s[:, :, None], axis=1)
-            b_qs = jnp.sum(J_query * J_s[:, :, None], axis=1)
-            T = T.at[rows_ref, col_sw[:, None]].add(b_rs)
-            T = T.at[col_sw[:, None], rows_ref].add(b_rs)
-            T = T.at[rows_qry, col_sw[:, None]].add(b_qs)
-            T = T.at[col_sw[:, None], rows_qry].add(b_qs)
-            T = T.at[col_sw, col_sw].add(jnp.sum(J_s * J_s, axis=1))
-            gT = gT.at[col_sw].add(jnp.sum(J_s * r_e, axis=1))
+
+        T, gT = _assemble_pose_switch_block(
+            dimT, rows_ref, rows_qry, col_sw, L, r_e, J_ref, J_query, J_s,
+            dtype,
+        )
 
         # ---- landmark observations -----------------------------------
         r_o, J_po, J_lo = observation_residuals_and_jacobians(
@@ -209,16 +231,7 @@ def _pose_landmark_solve(
         )
         J_po = J_po * free_obs_pose[:, None, None]
         J_lo = J_lo * free_obs_lm[:, None, None]
-        if obs_loss is not None:
-            sq = jnp.sum(r_o * r_o, axis=1)
-            rho, w, _ = obs_loss.evaluate(sq)
-            cost_o = jnp.sum(rho)
-            sqrt_w = jnp.sqrt(w)
-            r_o = r_o * sqrt_w[:, None]
-            J_po = J_po * sqrt_w[:, None, None]
-            J_lo = J_lo * sqrt_w[:, None, None]
-        else:
-            cost_o = jnp.sum(r_o * r_o)
+        cost_o, r_o, J_po, J_lo = _robustify(obs_loss, r_o, J_po, J_lo)
 
         with jax.default_matmul_precision("highest"):
             A_pp = jnp.sum(J_po[:, :, :, None] * J_po[:, :, None, :], axis=1)
@@ -359,14 +372,24 @@ class PoseLandmarkOptimizer:
             raise KeyError(f"pose {pose_index} not registered")
         if landmark_index not in self._landmarks:
             raise KeyError(f"landmark {landmark_index} not registered")
-        from .pose_graph import _expand_sqrt_info_2d
-
+        w = sqrt_info
+        if w is not None:
+            w = np.asarray(w, np.float64)
+            if w.ndim == 0 or w.size == 1:
+                w = np.full(3, float(w.reshape(-1)[0]))
+            elif not (w.shape == (3,) or w.shape == (3, 3)):
+                # NOT the SE(2) (trans, rot) shorthand: a point residual
+                # has no translation/rotation split, so (2,) is an error
+                raise ValueError(
+                    f"observation sqrt_info must be scalar, (3,) diagonal, "
+                    f"or (3, 3); got shape {w.shape}"
+                )
         self._observations.append(
             dict(
                 pose_index=pose_index,
                 landmark_index=landmark_index,
                 measurement=np.asarray(measurement, np.float64).copy(),
-                sqrt_info=_expand_sqrt_info_2d(sqrt_info),
+                sqrt_info=w,
             )
         )
 
@@ -377,6 +400,22 @@ class PoseLandmarkOptimizer:
     @property
     def num_landmarks(self) -> int:
         return len(self._landmarks)
+
+    def pose_indices(self) -> List[int]:
+        """Registered pose ids, sorted (the solver's packing order)."""
+        return sorted(self._poses)
+
+    def landmark_indices(self) -> List[int]:
+        """Registered landmark ids, sorted."""
+        return sorted(self._landmarks)
+
+    def constraints(self) -> List[dict]:
+        """Shallow copies of the registered pose-pose edge records."""
+        return [dict(c) for c in self._constraints]
+
+    def observations(self) -> List[dict]:
+        """Shallow copies of the registered observation records."""
+        return [dict(o) for o in self._observations]
 
     def get_pose(self, index: int) -> Pose:
         return self._poses[index].copy()
@@ -600,58 +639,21 @@ def _pose_landmark_2d_solve(
         )
         J_ref = J_ref * free_ref[:, None, None]
         J_query = J_query * free_qry[:, None, None]
-        if edge_loss is not None:
-            sq = jnp.sum(r_e * r_e, axis=1)
-            rho, w, _ = edge_loss.evaluate(sq)
-            cost_e = jnp.sum(rho)
-            sqrt_w = jnp.sqrt(w)
-            r_e = r_e * sqrt_w[:, None]
-            J_ref = J_ref * sqrt_w[:, None, None]
-            J_query = J_query * sqrt_w[:, None, None]
-            J_s = J_s * sqrt_w[:, None]
-        else:
-            cost_e = jnp.sum(r_e * r_e)
-
-        T = jnp.zeros((dimT, dimT), dtype)
-        gT = jnp.zeros((dimT,), dtype)
-        with jax.default_matmul_precision("highest"):
-            B_rr = jnp.sum(J_ref[:, :, :, None] * J_ref[:, :, None, :], axis=1)
-            B_rq = jnp.sum(J_ref[:, :, :, None] * J_query[:, :, None, :], axis=1)
-            B_qq = jnp.sum(J_query[:, :, :, None] * J_query[:, :, None, :], axis=1)
-            g_r = jnp.sum(J_ref * r_e[:, :, None], axis=1)
-            g_q = jnp.sum(J_query * r_e[:, :, None], axis=1)
-        T = T.at[rows_ref[:, :, None], rows_ref[:, None, :]].add(B_rr)
-        T = T.at[rows_ref[:, :, None], rows_qry[:, None, :]].add(B_rq)
-        T = T.at[rows_qry[:, :, None], rows_ref[:, None, :]].add(
-            jnp.swapaxes(B_rq, 1, 2)
+        cost_e, r_e, J_ref, J_query, J_s = _robustify(
+            edge_loss, r_e, J_ref, J_query, J_s
         )
-        T = T.at[rows_qry[:, :, None], rows_qry[:, None, :]].add(B_qq)
-        gT = gT.at[rows_ref].add(g_r).at[rows_qry].add(g_q)
-        if L > 0:
-            b_rs = jnp.sum(J_ref * J_s[:, :, None], axis=1)
-            b_qs = jnp.sum(J_query * J_s[:, :, None], axis=1)
-            T = T.at[rows_ref, col_sw[:, None]].add(b_rs)
-            T = T.at[col_sw[:, None], rows_ref].add(b_rs)
-            T = T.at[rows_qry, col_sw[:, None]].add(b_qs)
-            T = T.at[col_sw[:, None], rows_qry].add(b_qs)
-            T = T.at[col_sw, col_sw].add(jnp.sum(J_s * J_s, axis=1))
-            gT = gT.at[col_sw].add(jnp.sum(J_s * r_e, axis=1))
+
+        T, gT = _assemble_pose_switch_block(
+            dimT, rows_ref, rows_qry, col_sw, L, r_e, J_ref, J_query, J_s,
+            dtype,
+        )
 
         r_o, J_po, J_lo = observation_residuals_and_jacobians_2d(
             xyt, lms, obs
         )
         J_po = J_po * free_obs_pose[:, None, None]
         J_lo = J_lo * free_obs_lm[:, None, None]
-        if obs_loss is not None:
-            sq = jnp.sum(r_o * r_o, axis=1)
-            rho, w, _ = obs_loss.evaluate(sq)
-            cost_o = jnp.sum(rho)
-            sqrt_w = jnp.sqrt(w)
-            r_o = r_o * sqrt_w[:, None]
-            J_po = J_po * sqrt_w[:, None, None]
-            J_lo = J_lo * sqrt_w[:, None, None]
-        else:
-            cost_o = jnp.sum(r_o * r_o)
+        cost_o, r_o, J_po, J_lo = _robustify(obs_loss, r_o, J_po, J_lo)
 
         with jax.default_matmul_precision("highest"):
             A_pp = jnp.sum(J_po[:, :, :, None] * J_po[:, :, None, :], axis=1)
@@ -812,6 +814,22 @@ class PoseLandmark2DOptimizer:
     @property
     def num_landmarks(self) -> int:
         return len(self._landmarks)
+
+    def pose_indices(self) -> List[int]:
+        """Registered pose ids, sorted (the solver's packing order)."""
+        return sorted(self._poses)
+
+    def landmark_indices(self) -> List[int]:
+        """Registered landmark ids, sorted."""
+        return sorted(self._landmarks)
+
+    def constraints(self) -> List[dict]:
+        """Shallow copies of the registered pose-pose edge records."""
+        return [dict(c) for c in self._constraints]
+
+    def observations(self) -> List[dict]:
+        """Shallow copies of the registered observation records."""
+        return [dict(o) for o in self._observations]
 
     def get_pose(self, index: int) -> np.ndarray:
         return self._poses[index].copy()

@@ -539,3 +539,68 @@ def test_landmark_edge_offset_param_form(tmp_path):
     assert (e.i, e.j) == (0, 5)
     np.testing.assert_allclose(e.measurement, [1.0, 2.0, 3.0])
     np.testing.assert_allclose(np.diag(e.information), [10, 10, 10])
+
+
+def test_truncated_records_rejected(tmp_path):
+    """Truncated lines must raise, not zero-fill the information matrix
+    (a partially-downloaded file would otherwise solve with silently
+    under-weighted edges)."""
+    p = tmp_path / "trunc.g2o"
+    base = "VERTEX_SE3:QUAT 0 0 0 0 0 0 0 1\nVERTEX_SE3:QUAT 1 1 0 0 0 0 0 1\n"
+    full = ("EDGE_SE3:QUAT 0 1 1 0 0 0 0 0 1 " + " ".join(["1"] * 21) + "\n")
+    p.write_text(base + full)
+    g2o_io.read_g2o(str(p))  # sanity: full record parses
+    for cut in (full.rsplit(" ", 3)[0] + "\n",  # 18 of 21 info entries
+                "VERTEX_SE2 0 0 0\n",
+                "VERTEX_SE3:QUAT 2 1 0 0\n"):
+        p.write_text(base + cut if cut.startswith("EDGE") else cut)
+        with pytest.raises(ValueError, match="malformed"):
+            g2o_io.read_g2o(str(p))
+
+
+def test_nonidentity_sensor_offset_rejected(tmp_path):
+    p = tmp_path / "off.g2o"
+    p.write_text(
+        "VERTEX_SE3:QUAT 0 0 0 0 0 0 0 1\n"
+        "PARAMS_SE3OFFSET 0 0.5 0 0 0 0 0 1\n"  # 0.5 m sensor offset
+    )
+    with pytest.raises(ValueError, match="PARAMS_SE3OFFSET"):
+        g2o_io.read_g2o(str(p))
+    # identity offset is fine
+    p.write_text(
+        "VERTEX_SE3:QUAT 0 0 0 0 0 0 0 1\n"
+        "PARAMS_SE3OFFSET 0 0 0 0 0 0 0 1\n"
+    )
+    g2o_io.read_g2o(str(p))
+
+
+def test_save_landmark_optimizer_without_graph(tmp_path, rng):
+    """save_pose_graph(path, opt) with NO source graph reconstructs
+    vertices, landmarks, edges, and observations for both landmark
+    optimizers (the documented no-graph form)."""
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_landmark import (
+        PoseLandmark2DOptimizer,
+        PoseLandmarkOptimizer,
+    )
+
+    o3 = PoseLandmarkOptimizer()
+    o3.set_pose(0, Pose.identity())
+    o3.set_pose(1, Pose(np.eye(3), np.array([1.0, 0.0, 0.0])))
+    o3.set_landmark(10, np.array([0.5, 0.5, 0.0]))
+    o3.set_constraint(0, 1, Pose(np.eye(3), np.array([1.0, 0.0, 0.0])))
+    o3.set_observation(0, 10, np.array([0.5, 0.5, 0.0]))
+    p3 = str(tmp_path / "bare3.g2o")
+    g2o_io.save_pose_graph(p3, o3)
+    g3 = g2o_io.read_g2o(p3)
+    assert g3.dim == 3 and len(g3.landmarks) == 1 and len(g3.landmark_edges) == 1
+
+    o2 = PoseLandmark2DOptimizer()
+    o2.set_pose(0, [0.0, 0.0, 0.0])
+    o2.set_pose(1, [1.0, 0.0, 0.0])
+    o2.set_landmark(10, [0.5, 0.5])
+    o2.set_constraint(0, 1, [1.0, 0.0, 0.0])
+    o2.set_observation(0, 10, [0.5, 0.5])
+    p2 = str(tmp_path / "bare2.g2o")
+    g2o_io.save_pose_graph(p2, o2)
+    g2 = g2o_io.read_g2o(p2)
+    assert g2.dim == 2 and len(g2.landmarks) == 1 and len(g2.landmark_edges) == 1
