@@ -535,6 +535,195 @@ class PoseLandmarkOptimizer:
             self._landmarks[li] = np.asarray(lms_out[j], np.float64)
         return summary, np.asarray(sw, np.float64)
 
+    # -- uncertainty ---------------------------------------------------
+    def covariance(self, indices=None) -> Dict[int, np.ndarray]:
+        """Marginal 6x6 TANGENT-space pose covariance blocks from the
+        JOINT pose+landmark information (landmarks marginalized by the
+        dense inverse) — see PoseGraphOptimizer.covariance for the
+        conventions. Host-side f64, O((6P+3M)^3)."""
+        Sigma, pose_of, lm_of = self._joint_covariance()
+        ids = self.pose_indices() if indices is None else indices
+        return {
+            pi: Sigma[6 * pose_of[pi] : 6 * pose_of[pi] + 6,
+                      6 * pose_of[pi] : 6 * pose_of[pi] + 6].copy()
+            for pi in ids
+        }
+
+    def landmark_covariance(self, indices=None) -> Dict[int, np.ndarray]:
+        """Marginal 3x3 landmark covariance blocks (same joint inverse,
+        pose uncertainty fully propagated). Constant landmarks get zero."""
+        Sigma, pose_of, lm_of = self._joint_covariance()
+        P = len(pose_of)
+        base = 6 * P
+        ids = self.landmark_indices() if indices is None else indices
+        return {
+            li: Sigma[base + 3 * lm_of[li] : base + 3 * lm_of[li] + 3,
+                      base + 3 * lm_of[li] : base + 3 * lm_of[li] + 3].copy()
+            for li in ids
+        }
+
+    def _joint_covariance(self):
+        from ..ops.relative_pose import (
+            np_edge_residuals_and_jacobians,
+            np_quat_left_matrix,
+        )
+
+        if not self._observations:
+            raise ValueError("covariance: no observations registered")
+        if not self._constant_poses and not self._constant_landmarks:
+            raise ValueError(
+                "covariance: gauge-free graph has unbounded covariance; "
+                "fix a pose or landmark first"
+            )
+        pose_ids = sorted(self._poses)
+        lm_ids = sorted(self._landmarks)
+        pose_of = {pi: i for i, pi in enumerate(pose_ids)}
+        lm_of = {li: i for i, li in enumerate(lm_ids)}
+        P, M = len(pose_ids), len(lm_ids)
+        dim = 6 * P + 3 * M
+
+        pos = np.stack([self._poses[pi].translation for pi in pose_ids]).astype(np.float64)
+        quat = np.stack([self._poses[pi].quaternion() for pi in pose_ids]).astype(np.float64)
+        quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+        lms = np.stack([self._landmarks[li] for li in lm_ids]).astype(np.float64)
+        Tq = 0.5 * np_quat_left_matrix(quat)[:, :, 1:]  # (P, 4, 3)
+
+        free_p = np.array([0.0 if pi in self._constant_poses else 1.0 for pi in pose_ids])
+        free_l = np.array([0.0 if li in self._constant_landmarks else 1.0 for li in lm_ids])
+
+        H = np.zeros((dim, dim))
+        r6 = np.arange(6)
+
+        # pose-pose edges (loops at their final switch values = 1.0; the
+        # batch solver reports switches via solve() — landmark graphs
+        # typically carry none, and absorbing s<1 into covariance would
+        # need the switch column too; keep s=1 like fresh edges)
+        if self._constraints:
+            ref_i = np.array([pose_of[c["reference_index"]] for c in self._constraints])
+            qry_i = np.array([pose_of[c["query_index"]] for c in self._constraints])
+            w6 = stack_sqrt_info([c["sqrt_info"] for c in self._constraints], 6)
+            r, J_ref, J_qry, _ = np_edge_residuals_and_jacobians(
+                pos, quat, np.ones(len(ref_i)),
+                ref_i, qry_i,
+                np.stack([c["relative_pose"].translation for c in self._constraints]),
+                np.stack([c["relative_pose"].quaternion() for c in self._constraints]),
+                np.zeros(len(ref_i)),
+                0.0,
+                sqrt_info=w6,
+            )
+            if self.edge_loss is not None:
+                sq = np.sum(r * r, axis=1)
+                _, w, _ = self.edge_loss.evaluate(sq)
+                s = np.sqrt(np.asarray(w, np.float64))[:, None, None]
+                J_ref = J_ref * s
+                J_qry = J_qry * s
+            J_ref = np.concatenate(
+                [J_ref[:, :, :3], J_ref[:, :, 3:] @ Tq[ref_i]], axis=2
+            ) * free_p[ref_i][:, None, None]
+            J_qry = np.concatenate(
+                [J_qry[:, :, :3], J_qry[:, :, 3:] @ Tq[qry_i]], axis=2
+            ) * free_p[qry_i][:, None, None]
+            rows_ref = 6 * ref_i[:, None] + r6[None, :]
+            rows_qry = 6 * qry_i[:, None] + r6[None, :]
+            np.add.at(H, (rows_ref[:, :, None], rows_ref[:, None, :]),
+                      np.einsum("edi,edj->eij", J_ref, J_ref))
+            np.add.at(H, (rows_qry[:, :, None], rows_qry[:, None, :]),
+                      np.einsum("edi,edj->eij", J_qry, J_qry))
+            cross = np.einsum("edi,edj->eij", J_ref, J_qry)
+            np.add.at(H, (rows_ref[:, :, None], rows_qry[:, None, :]), cross)
+            np.add.at(H, (rows_qry[:, :, None], rows_ref[:, None, :]),
+                      np.swapaxes(cross, 1, 2))
+
+        # observations
+        o_pi = np.array([pose_of[o["pose_index"]] for o in self._observations])
+        o_li = np.array([lm_of[o["landmark_index"]] for o in self._observations])
+        meas = np.stack([o["measurement"] for o in self._observations])
+        wo = stack_sqrt_info([o["sqrt_info"] for o in self._observations], 3)
+        r_o, J_pose_amb, J_lm = np_observation_jacobians(
+            pos, quat, lms, o_pi, o_li, meas, wo
+        )
+        if self.obs_loss is not None:
+            sq = np.sum(r_o * r_o, axis=1)
+            _, w, _ = self.obs_loss.evaluate(sq)
+            s = np.sqrt(np.asarray(w, np.float64))[:, None, None]
+            J_pose_amb = J_pose_amb * s
+            J_lm = J_lm * s
+        J_pose = np.concatenate(
+            [J_pose_amb[:, :, :3], J_pose_amb[:, :, 3:] @ Tq[o_pi]], axis=2
+        ) * free_p[o_pi][:, None, None]
+        J_lm = J_lm * free_l[o_li][:, None, None]
+        rows_p = 6 * o_pi[:, None] + r6[None, :]
+        rows_l = 6 * P + 3 * o_li[:, None] + np.arange(3)[None, :]
+        np.add.at(H, (rows_p[:, :, None], rows_p[:, None, :]),
+                  np.einsum("edi,edj->eij", J_pose, J_pose))
+        np.add.at(H, (rows_l[:, :, None], rows_l[:, None, :]),
+                  np.einsum("edi,edj->eij", J_lm, J_lm))
+        cross = np.einsum("edi,edj->eij", J_pose, J_lm)
+        np.add.at(H, (rows_p[:, :, None], rows_l[:, None, :]), cross)
+        np.add.at(H, (rows_l[:, :, None], rows_p[:, None, :]),
+                  np.swapaxes(cross, 1, 2))
+
+        keep = np.concatenate(
+            [np.repeat(free_p, 6).astype(bool), np.repeat(free_l, 3).astype(bool)]
+        )
+        H_red = H[np.ix_(keep, keep)]
+        try:
+            Sigma_red = np.linalg.inv(H_red)
+        except np.linalg.LinAlgError as exc:
+            raise ValueError(
+                "covariance: information matrix is singular — "
+                "under-constrained graph (unobserved landmarks or "
+                "disconnected poses)"
+            ) from exc
+        Sigma = np.zeros((dim, dim))
+        kk = np.nonzero(keep)[0]
+        Sigma[np.ix_(kk, kk)] = Sigma_red
+        return Sigma, pose_of, lm_of
+
+
+def np_observation_jacobians(
+    positions, quaternions_unit, landmarks, pose_idx, lm_idx, measurements,
+    sqrt_info=None,
+):
+    """Numpy twin of :func:`observation_residuals_and_jacobians` for
+    UNIT quaternions (host-side covariance assembly; d(q/|q|)/dq at
+    |q|=1 is I - q q^T). Returns (r (O,3), J_pose (O,3,7) ambient,
+    J_lm (O,3,3))."""
+    q = quaternions_unit[pose_idx]
+    p = positions[pose_idx]
+    l = landmarks[lm_idx]
+    v = l - p
+    cn = q * _CONJ
+
+    Rt = np.stack([np_quat_to_rotmat(ci) for ci in cn])  # (O, 3, 3)
+    r = np.einsum("oij,oj->oi", Rt, v) - measurements
+
+    def skew(x):
+        a, b, c = x[..., 0], x[..., 1], x[..., 2]
+        o = np.zeros_like(a)
+        return np.stack(
+            [np.stack([o, -c, b], -1), np.stack([c, o, -a], -1),
+             np.stack([-b, a, o], -1)], -2,
+        )
+
+    w = cn[:, 0]
+    u = cn[:, 1:]
+    uxv = np.cross(u, v)
+    d_dw = 2.0 * uxv
+    d_du = (
+        -2.0 * w[:, None, None] * skew(v)
+        - 2.0 * skew(uxv)
+        - 2.0 * skew(u) @ skew(v)
+    )
+    drot_dcn = np.concatenate([d_dw[:, :, None], d_du], axis=-1)  # (O,3,4)
+    Dn = np.eye(4)[None] - q[:, :, None] * q[:, None, :]  # unit-q normalize J
+    J_q = (drot_dcn * _CONJ[None, None, :]) @ Dn
+    J_pose = np.concatenate([-Rt, J_q], axis=-1)
+    J_lm = Rt.copy()
+    if sqrt_info is not None:
+        r, J_pose, J_lm = apply_sqrt_info(sqrt_info, r, J_pose, J_lm)
+    return r, J_pose, J_lm
+
 
 # ----------------------------------------------------------------------------
 # SE(2) landmark SLAM (victoria-park-style: VERTEX_XY / EDGE_SE2_XY).
@@ -940,3 +1129,168 @@ class PoseLandmark2DOptimizer:
         for j, li in enumerate(lm_ids):
             self._landmarks[li] = np.asarray(lms_out[j], np.float64)
         return summary, np.asarray(sw, np.float64)
+
+    # -- uncertainty ---------------------------------------------------
+    def covariance(self, indices=None) -> Dict[int, np.ndarray]:
+        """Marginal 3x3 (x, y, theta) pose covariance from the joint
+        pose+landmark information; SE(2) analog of
+        :meth:`PoseLandmarkOptimizer.covariance`."""
+        Sigma, pose_of, lm_of = self._joint_covariance()
+        ids = self.pose_indices() if indices is None else indices
+        return {
+            pi: Sigma[3 * pose_of[pi] : 3 * pose_of[pi] + 3,
+                      3 * pose_of[pi] : 3 * pose_of[pi] + 3].copy()
+            for pi in ids
+        }
+
+    def landmark_covariance(self, indices=None) -> Dict[int, np.ndarray]:
+        """Marginal 2x2 landmark covariance blocks (joint inverse)."""
+        Sigma, pose_of, lm_of = self._joint_covariance()
+        base = 3 * len(pose_of)
+        ids = self.landmark_indices() if indices is None else indices
+        return {
+            li: Sigma[base + 2 * lm_of[li] : base + 2 * lm_of[li] + 2,
+                      base + 2 * lm_of[li] : base + 2 * lm_of[li] + 2].copy()
+            for li in ids
+        }
+
+    def _joint_covariance(self):
+        if not self._observations:
+            raise ValueError("covariance: no observations registered")
+        if not self._constant_poses and not self._constant_landmarks:
+            raise ValueError(
+                "covariance: gauge-free graph has unbounded covariance; "
+                "fix a pose or landmark first"
+            )
+        pose_ids = sorted(self._poses)
+        lm_ids = sorted(self._landmarks)
+        pose_of = {pi: i for i, pi in enumerate(pose_ids)}
+        lm_of = {li: i for i, li in enumerate(lm_ids)}
+        P, M = len(pose_ids), len(lm_ids)
+        dim = 3 * P + 2 * M
+        xyt = np.stack([self._poses[pi] for pi in pose_ids]).astype(np.float64)
+        lms = np.stack([self._landmarks[li] for li in lm_ids]).astype(np.float64)
+        free_p = np.array([0.0 if pi in self._constant_poses else 1.0 for pi in pose_ids])
+        free_l = np.array([0.0 if li in self._constant_landmarks else 1.0 for li in lm_ids])
+        H = np.zeros((dim, dim))
+        r3 = np.arange(3)
+
+        if self._constraints:
+            ref_i = np.array([pose_of[c["reference_index"]] for c in self._constraints])
+            qry_i = np.array([pose_of[c["query_index"]] for c in self._constraints])
+            rel = np.stack([c["relative_xyt"] for c in self._constraints])
+            c_, s_ = np.cos(xyt[ref_i, 2]), np.sin(xyt[ref_i, 2])
+            dx = xyt[qry_i, 0] - xyt[ref_i, 0]
+            dy = xyt[qry_i, 1] - xyt[ref_i, 1]
+            zero = np.zeros_like(c_)
+            one = np.ones_like(c_)
+            J_ref = np.stack(
+                [
+                    np.stack([-c_, -s_, -s_ * dx + c_ * dy], -1),
+                    np.stack([s_, -c_, -c_ * dx - s_ * dy], -1),
+                    np.stack([zero, zero, -one], -1),
+                ],
+                -2,
+            )
+            J_qry = np.stack(
+                [
+                    np.stack([c_, s_, zero], -1),
+                    np.stack([-s_, c_, zero], -1),
+                    np.stack([zero, zero, one], -1),
+                ],
+                -2,
+            )
+            w3 = stack_sqrt_info([c["sqrt_info"] for c in self._constraints], 3)
+            if w3 is not None:
+                lx = c_ * dx + s_ * dy
+                ly = -s_ * dx + c_ * dy
+                dth = xyt[qry_i, 2] - xyt[ref_i, 2] - rel[:, 2]
+                r_e = np.stack(
+                    [lx - rel[:, 0], ly - rel[:, 1],
+                     np.arctan2(np.sin(dth), np.cos(dth))], -1,
+                )
+                r_e, J_ref, J_qry = apply_sqrt_info(w3, r_e, J_ref, J_qry)
+            elif self.edge_loss is not None:
+                lx = c_ * dx + s_ * dy
+                ly = -s_ * dx + c_ * dy
+                dth = xyt[qry_i, 2] - xyt[ref_i, 2] - rel[:, 2]
+                r_e = np.stack(
+                    [lx - rel[:, 0], ly - rel[:, 1],
+                     np.arctan2(np.sin(dth), np.cos(dth))], -1,
+                )
+            if self.edge_loss is not None:
+                sq = np.sum(r_e * r_e, axis=1)
+                _, w, _ = self.edge_loss.evaluate(sq)
+                sw_ = np.sqrt(np.asarray(w, np.float64))[:, None, None]
+                J_ref = J_ref * sw_
+                J_qry = J_qry * sw_
+            J_ref = J_ref * free_p[ref_i][:, None, None]
+            J_qry = J_qry * free_p[qry_i][:, None, None]
+            rows_ref = 3 * ref_i[:, None] + r3[None, :]
+            rows_qry = 3 * qry_i[:, None] + r3[None, :]
+            np.add.at(H, (rows_ref[:, :, None], rows_ref[:, None, :]),
+                      np.einsum("edi,edj->eij", J_ref, J_ref))
+            np.add.at(H, (rows_qry[:, :, None], rows_qry[:, None, :]),
+                      np.einsum("edi,edj->eij", J_qry, J_qry))
+            cross = np.einsum("edi,edj->eij", J_ref, J_qry)
+            np.add.at(H, (rows_ref[:, :, None], rows_qry[:, None, :]), cross)
+            np.add.at(H, (rows_qry[:, :, None], rows_ref[:, None, :]),
+                      np.swapaxes(cross, 1, 2))
+
+        # observations
+        o_pi = np.array([pose_of[o["pose_index"]] for o in self._observations])
+        o_li = np.array([lm_of[o["landmark_index"]] for o in self._observations])
+        meas = np.stack([o["measurement"] for o in self._observations])
+        c_, s_ = np.cos(xyt[o_pi, 2]), np.sin(xyt[o_pi, 2])
+        dx = lms[o_li, 0] - xyt[o_pi, 0]
+        dy = lms[o_li, 1] - xyt[o_pi, 1]
+        r_o = np.stack(
+            [c_ * dx + s_ * dy - meas[:, 0], -s_ * dx + c_ * dy - meas[:, 1]], -1
+        )
+        J_pose = np.stack(
+            [
+                np.stack([-c_, -s_, -s_ * dx + c_ * dy], -1),
+                np.stack([s_, -c_, -c_ * dx - s_ * dy], -1),
+            ],
+            -2,
+        )
+        J_lm = np.stack(
+            [np.stack([c_, s_], -1), np.stack([-s_, c_], -1)], -2
+        )
+        wo = stack_sqrt_info([o["sqrt_info"] for o in self._observations], 2)
+        if wo is not None:
+            r_o, J_pose, J_lm = apply_sqrt_info(wo, r_o, J_pose, J_lm)
+        if self.obs_loss is not None:
+            sq = np.sum(r_o * r_o, axis=1)
+            _, w, _ = self.obs_loss.evaluate(sq)
+            sw_ = np.sqrt(np.asarray(w, np.float64))[:, None, None]
+            J_pose = J_pose * sw_
+            J_lm = J_lm * sw_
+        J_pose = J_pose * free_p[o_pi][:, None, None]
+        J_lm = J_lm * free_l[o_li][:, None, None]
+        rows_p = 3 * o_pi[:, None] + r3[None, :]
+        rows_l = 3 * P + 2 * o_li[:, None] + np.arange(2)[None, :]
+        np.add.at(H, (rows_p[:, :, None], rows_p[:, None, :]),
+                  np.einsum("edi,edj->eij", J_pose, J_pose))
+        np.add.at(H, (rows_l[:, :, None], rows_l[:, None, :]),
+                  np.einsum("edi,edj->eij", J_lm, J_lm))
+        cross = np.einsum("edi,edj->eij", J_pose, J_lm)
+        np.add.at(H, (rows_p[:, :, None], rows_l[:, None, :]), cross)
+        np.add.at(H, (rows_l[:, :, None], rows_p[:, None, :]),
+                  np.swapaxes(cross, 1, 2))
+
+        keep = np.concatenate(
+            [np.repeat(free_p, 3).astype(bool), np.repeat(free_l, 2).astype(bool)]
+        )
+        H_red = H[np.ix_(keep, keep)]
+        try:
+            Sigma_red = np.linalg.inv(H_red)
+        except np.linalg.LinAlgError as exc:
+            raise ValueError(
+                "covariance: information matrix is singular — "
+                "under-constrained graph"
+            ) from exc
+        Sigma = np.zeros((dim, dim))
+        kk = np.nonzero(keep)[0]
+        Sigma[np.ix_(kk, kk)] = Sigma_red
+        return Sigma, pose_of, lm_of

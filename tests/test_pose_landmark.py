@@ -340,3 +340,131 @@ def test_2d_landmark_g2o_file(tmp_path, rng):
     g2o_io.save_pose_graph(out, opt, graph=g2)
     g3 = g2o_io.read_g2o(out)
     np.testing.assert_allclose(g3.landmarks[500], opt.get_landmark(500), atol=1e-6)
+
+
+def test_np_observation_twin_matches_jnp(rng):
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_landmark import (
+        LandmarkObservations,
+        np_observation_jacobians,
+        observation_residuals_and_jacobians,
+    )
+
+    P, M, O = 5, 7, 14
+    pos = rng.normal(size=(P, 3))
+    quat = rng.normal(size=(P, 4))
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)  # twin expects unit
+    lms = rng.normal(size=(M, 3))
+    pi = rng.integers(0, P, O)
+    li = rng.integers(0, M, O)
+    meas = rng.normal(size=(O, 3))
+    S = np.stack([np.triu(rng.normal(size=(3, 3))) + 3 * np.eye(3) for _ in range(O)])
+
+    obs = LandmarkObservations(
+        jnp.asarray(pi, jnp.int32), jnp.asarray(li, jnp.int32),
+        jnp.asarray(meas), jnp.ones(O), sqrt_info=jnp.asarray(S),
+    )
+    r_j, Jp_j, Jl_j = observation_residuals_and_jacobians(
+        jnp.asarray(pos), jnp.asarray(quat), jnp.asarray(lms), obs
+    )
+    r_n, Jp_n, Jl_n = np_observation_jacobians(pos, quat, lms, pi, li, meas, S)
+    np.testing.assert_allclose(r_n, np.asarray(r_j), atol=1e-12)
+    np.testing.assert_allclose(Jp_n, np.asarray(Jp_j), atol=1e-12)
+    np.testing.assert_allclose(Jl_n, np.asarray(Jl_j), atol=1e-12)
+
+
+def test_joint_covariance_analytic_oracle(rng):
+    """Two-pose one-landmark chain with known information:
+    - pose 1 hangs off the constant pose 0 by one whitened odometry edge
+      -> its translation covariance is I/w^2;
+    - the landmark is observed ONLY from pose 0 (constant) with weight u
+      -> its covariance is exactly I/u^2 (rotated: R Sigma R^T = Sigma
+      for isotropic);
+    - a landmark observed only from the UNCERTAIN pose 1 inherits that
+      pose's uncertainty on top of the measurement noise (and a
+      single-pose landmark feeds no information back into the pose)."""
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_landmark import (
+        PoseLandmarkOptimizer,
+    )
+
+    w_t, w_r, u = 5.0, 20.0, 8.0
+    opt = PoseLandmarkOptimizer()
+    p0 = Pose.identity()
+    p1 = Pose(np.eye(3), np.array([1.0, 0.0, 0.0]))
+    opt.set_pose(0, p0)
+    opt.set_pose(1, p1)
+    opt.set_pose_constant(0)
+    opt.set_constraint(0, 1, p0.inverse() * p1, sqrt_info=(w_t, w_r))
+    opt.set_landmark(0, np.array([0.3, 0.4, 0.1]))
+    opt.set_observation(0, 0, p0.rotation.T @ (opt.get_landmark(0) - p0.translation),
+                        sqrt_info=u)
+    # second landmark seen ONLY from the uncertain pose 1 (single-view
+    # landmarks contribute no information back to their pose)
+    opt.set_landmark(1, np.array([1.5, -0.2, 0.3]))
+    opt.set_observation(
+        1, 1, p1.rotation.T @ (opt.get_landmark(1) - p1.translation),
+        sqrt_info=u,
+    )
+    opt.solve(Options().replace(max_iterations=30))
+
+    cov_p = opt.covariance()
+    np.testing.assert_allclose(cov_p[0], 0.0, atol=1e-12)  # constant pose
+    np.testing.assert_allclose(
+        cov_p[1][:3, :3], np.eye(3) / w_t**2, rtol=1e-6, atol=1e-10
+    )
+    cov_l = opt.landmark_covariance()
+    np.testing.assert_allclose(cov_l[0], np.eye(3) / u**2, rtol=1e-6)
+    # landmark 1 inherits pose 1's uncertainty on top of the measurement:
+    # Sigma = I/u^2 + Sigma_p1_t + [v]x Sigma_p1_rot [v]x^T
+    v = opt.get_landmark(1) - p1.translation
+    sk = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+    expected = (
+        np.eye(3) / u**2 + np.eye(3) / w_t**2 + sk @ (np.eye(3) / w_r**2) @ sk.T
+    )
+    np.testing.assert_allclose(cov_l[1], expected, rtol=1e-5, atol=1e-8)
+
+    with pytest.raises(ValueError, match="gauge-free"):
+        free = PoseLandmarkOptimizer()
+        free.set_pose(0, p0)
+        free.set_landmark(0, np.zeros(3))
+        free.set_observation(0, 0, np.zeros(3))
+        free.covariance()
+
+
+def test_2d_joint_covariance_analytic_oracle(rng):
+    """SE(2) mirror of the 3-D covariance oracle: I/w^2 pose block,
+    I/u^2 anchored-view landmark, lever-arm inheritance for a
+    single-view landmark off the uncertain pose."""
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_landmark import (
+        PoseLandmark2DOptimizer,
+    )
+
+    w_t, w_r, u = 4.0, 10.0, 6.0
+    opt = PoseLandmark2DOptimizer()
+    opt.set_pose(0, [0.0, 0.0, 0.0])
+    opt.set_pose(1, [1.0, 0.0, 0.0])
+    opt.set_pose_constant(0)
+    opt.set_constraint(0, 1, [1.0, 0.0, 0.0], sqrt_info=(w_t, w_r))
+    opt.set_landmark(0, [0.3, 0.4])
+    opt.set_observation(0, 0, [0.3, 0.4], sqrt_info=u)
+    opt.set_landmark(1, [1.5, -0.2])
+    opt.set_observation(1, 1, [0.5, -0.2], sqrt_info=u)  # only from pose 1
+    opt.solve(Options().replace(max_iterations=30))
+
+    cov_p = opt.covariance()
+    np.testing.assert_allclose(cov_p[0], 0.0, atol=1e-12)
+    np.testing.assert_allclose(
+        cov_p[1][:2, :2], np.eye(2) / w_t**2, rtol=1e-6, atol=1e-12
+    )
+    np.testing.assert_allclose(cov_p[1][2, 2], 1 / w_r**2, rtol=1e-6)
+    cov_l = opt.landmark_covariance()
+    np.testing.assert_allclose(
+        cov_l[0], np.eye(2) / u**2, rtol=1e-6, atol=1e-12
+    )
+    # lever arm: dl = dp + J v dtheta with J = d(R(th) z)/dth = [-vy; vx]
+    v = opt.get_landmark(1) - np.array([1.0, 0.0])
+    lever = np.array([-v[1], v[0]])
+    expected = (
+        np.eye(2) / u**2 + np.eye(2) / w_t**2
+        + np.outer(lever, lever) / w_r**2
+    )
+    np.testing.assert_allclose(cov_l[1], expected, rtol=1e-5, atol=1e-8)
