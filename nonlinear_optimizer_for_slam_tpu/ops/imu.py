@@ -1,0 +1,274 @@
+"""IMU preintegration (on-manifold, Forster et al., T-RO 2016).
+
+The classic visual/GPS-inertial building block the reference framework
+does not have: raw gyro/accel samples between two keyframes are
+compressed into ONE relative-motion factor (delta rotation / velocity /
+position), with first-order bias-correction Jacobians and a propagated
+9x9 covariance, so the optimizer never touches individual IMU samples
+and re-linearization under changing bias estimates costs a matrix-vector
+product instead of re-integration.
+
+Split of responsibilities (same policy as the rest of the framework):
+
+- :class:`ImuPreintegrator` is HOST-side numpy — integration is
+  inherently sequential per sample and happens in the data frontend
+  (eager per-sample jnp dispatches would be poison on this runtime,
+  CLAUDE.md).
+- :class:`PreintegratedImuFactor` is the device-side SoA batch; the
+  residual function is pure jnp, vmap/jit/jacfwd-safe, consumed by
+  solvers.inertial.
+
+Conventions: quaternions (w, x, y, z); gravity is a world-frame vector
+(default (0, 0, -9.81)); accelerometer measures SPECIFIC FORCE
+a_meas = R^T (a_world - g) + b_a + noise; state per keyframe is
+(p, q, v, b_g, b_a). Residual (whitened by the preintegration
+sqrt-information):
+
+    r_phi = Log( (dR Exp(J_R_bg dbg))^T R_i^T R_j )
+    r_v   = R_i^T (v_j - v_i - g dt) - (dv + J_v_bg dbg + J_v_ba dba)
+    r_p   = R_i^T (p_j - p_i - v_i dt - 0.5 g dt^2)
+            - (dp + J_p_bg dbg + J_p_ba dba)
+
+with dbg/dba the deviation of the STATE bias at keyframe i from the
+bias the batch was integrated at.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+
+Array = jax.Array
+
+GRAVITY = np.array([0.0, 0.0, -9.81])
+
+
+@dataclasses.dataclass(frozen=True)
+class ImuParams:
+    """Continuous-time noise densities (units per sqrt(Hz)); discrete
+    per-sample covariance is density^2 / dt."""
+
+    gyro_noise: float = 1.7e-4  # rad / s / sqrt(Hz)
+    accel_noise: float = 2.0e-3  # m / s^2 / sqrt(Hz)
+    gyro_bias_walk: float = 2.0e-5  # rad / s^2 / sqrt(Hz)
+    accel_bias_walk: float = 3.0e-3  # m / s^3 / sqrt(Hz)
+
+
+def _skew(v):
+    return np.array(
+        [[0.0, -v[2], v[1]], [v[2], 0.0, -v[0]], [-v[1], v[0], 0.0]]
+    )
+
+
+def _exp_so3(w):
+    th = np.linalg.norm(w)
+    K = _skew(w)
+    if th < 1e-8:
+        return np.eye(3) + K + 0.5 * K @ K
+    return (
+        np.eye(3)
+        + (np.sin(th) / th) * K
+        + ((1.0 - np.cos(th)) / th**2) * K @ K
+    )
+
+
+def _right_jacobian(w):
+    """SO(3) right Jacobian J_r(w): Exp(w + dw) ~ Exp(w) Exp(J_r dw)."""
+    th = np.linalg.norm(w)
+    K = _skew(w)
+    if th < 1e-8:
+        return np.eye(3) - 0.5 * K + (1.0 / 6.0) * K @ K
+    return (
+        np.eye(3)
+        - ((1.0 - np.cos(th)) / th**2) * K
+        + ((th - np.sin(th)) / th**3) * K @ K
+    )
+
+
+class ImuPreintegrator:
+    """Accumulates gyro/accel samples into (dR, dv, dp) with bias
+    Jacobians and a propagated (phi, v, p) covariance.
+
+    Usage::
+
+        pre = ImuPreintegrator(ImuParams(), bg0, ba0)
+        for (gyro, accel, dt) in samples:
+            pre.integrate(gyro, accel, dt)
+        factor_data = pre.to_factor()     # device-side arrays
+    """
+
+    def __init__(self, params: ImuParams, gyro_bias=None, accel_bias=None):
+        self.params = params
+        self.bg0 = np.zeros(3) if gyro_bias is None else np.asarray(gyro_bias, np.float64).copy()
+        self.ba0 = np.zeros(3) if accel_bias is None else np.asarray(accel_bias, np.float64).copy()
+        self.reset()
+
+    def reset(self) -> None:
+        self.dR = np.eye(3)
+        self.dv = np.zeros(3)
+        self.dp = np.zeros(3)
+        self.dt = 0.0
+        self.dR_dbg = np.zeros((3, 3))
+        self.dv_dbg = np.zeros((3, 3))
+        self.dv_dba = np.zeros((3, 3))
+        self.dp_dbg = np.zeros((3, 3))
+        self.dp_dba = np.zeros((3, 3))
+        self.cov = np.zeros((9, 9))  # over (phi, v, p)
+        self.num_samples = 0
+
+    def integrate(self, gyro, accel, dt: float) -> None:
+        if dt <= 0.0:
+            raise ValueError(f"dt must be positive, got {dt}")
+        w = np.asarray(gyro, np.float64) - self.bg0
+        a = np.asarray(accel, np.float64) - self.ba0
+        wdt = w * dt
+        dRk = _exp_so3(wdt)
+        Jr = _right_jacobian(wdt)
+        Ra = self.dR @ a
+        Rax = self.dR @ _skew(a)
+
+        # covariance propagation (Forster eq. (63)-style, state (phi,v,p))
+        A = np.eye(9)
+        A[0:3, 0:3] = dRk.T
+        A[3:6, 0:3] = -Rax * dt
+        A[6:9, 0:3] = -0.5 * Rax * dt * dt
+        A[6:9, 3:6] = np.eye(3) * dt
+        B = np.zeros((9, 6))
+        B[0:3, 0:3] = Jr * dt
+        B[3:6, 3:6] = self.dR * dt
+        B[6:9, 3:6] = 0.5 * self.dR * dt * dt
+        sg2 = self.params.gyro_noise**2 / dt
+        sa2 = self.params.accel_noise**2 / dt
+        N = np.diag([sg2] * 3 + [sa2] * 3)
+        self.cov = A @ self.cov @ A.T + B @ N @ B.T
+
+        # bias Jacobians (use PRE-update dR / dv jacobians)
+        self.dp_dbg += self.dv_dbg * dt - 0.5 * Rax @ self.dR_dbg * dt * dt
+        self.dp_dba += self.dv_dba * dt - 0.5 * self.dR * dt * dt
+        self.dv_dbg += -Rax @ self.dR_dbg * dt
+        self.dv_dba += -self.dR * dt
+        self.dR_dbg = dRk.T @ self.dR_dbg - Jr * dt
+
+        # deltas
+        self.dp += self.dv * dt + 0.5 * Ra * dt * dt
+        self.dv += Ra * dt
+        self.dR = self.dR @ dRk
+        self.dt += dt
+        self.num_samples += 1
+
+    def corrected(self, gyro_bias, accel_bias) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """First-order bias-corrected (dR, dv, dp) at a new bias estimate."""
+        dbg = np.asarray(gyro_bias, np.float64) - self.bg0
+        dba = np.asarray(accel_bias, np.float64) - self.ba0
+        dR = self.dR @ _exp_so3(self.dR_dbg @ dbg)
+        dv = self.dv + self.dv_dbg @ dbg + self.dv_dba @ dba
+        dp = self.dp + self.dp_dbg @ dbg + self.dp_dba @ dba
+        return dR, dv, dp
+
+    def sqrt_information(self) -> np.ndarray:
+        """Whitening S (9, 9) with S^T S = cov^-1 (tiny floor keeps a
+        zero-sample or exactly-deterministic batch factorizable)."""
+        cov = self.cov + 1e-16 * np.eye(9)
+        L = np.linalg.cholesky(cov)
+        # S = inv(L) gives S^T S = inv(L)^T inv(L) = inv(L L^T) = inv(cov)
+        return np.linalg.inv(L)
+
+    def to_factor_arrays(self) -> dict:
+        """Flat dict of arrays for PreintegratedImuFactor stacking."""
+        from ..core.pose import np_rotmat_to_quat
+
+        return dict(
+            delta_q=np_rotmat_to_quat(self.dR),
+            delta_v=self.dv.copy(),
+            delta_p=self.dp.copy(),
+            dt=float(self.dt),
+            dR_dbg=self.dR_dbg.copy(),
+            dv_dbg=self.dv_dbg.copy(),
+            dv_dba=self.dv_dba.copy(),
+            dp_dbg=self.dp_dbg.copy(),
+            dp_dba=self.dp_dba.copy(),
+            sqrt_info=self.sqrt_information(),
+            bias0=np.concatenate([self.bg0, self.ba0]),
+        )
+
+
+class PreintegratedImuFactor(NamedTuple):
+    """SoA batch of F preintegrated IMU factors (device-side)."""
+
+    i: Array  # (F,) int32 state index of frame i
+    j: Array  # (F,) int32 state index of frame j
+    delta_q: Array  # (F, 4)
+    delta_v: Array  # (F, 3)
+    delta_p: Array  # (F, 3)
+    dt: Array  # (F,)
+    dR_dbg: Array  # (F, 3, 3)
+    dv_dbg: Array  # (F, 3, 3)
+    dv_dba: Array  # (F, 3, 3)
+    dp_dbg: Array  # (F, 3, 3)
+    dp_dba: Array  # (F, 3, 3)
+    sqrt_info: Array  # (F, 9, 9)
+    bias0: Array  # (F, 6) integration-time (bg, ba)
+
+
+def imu_residuals(
+    positions: Array,  # (N, 3)
+    quaternions: Array,  # (N, 4) ambient
+    velocities: Array,  # (N, 3)
+    biases: Array,  # (N, 6) (bg, ba)
+    factors: PreintegratedImuFactor,
+    gravity: Array,  # (3,)
+) -> Array:
+    """Whitened 9-D preintegration residuals, batched over factors.
+
+    Pure jnp: vmap/jacfwd-safe (solvers.inertial differentiates through
+    this for the Gauss-Newton model)."""
+    pi = positions[factors.i]
+    pj = positions[factors.j]
+    qi = lie.quat_normalize(quaternions[factors.i])
+    qj = lie.quat_normalize(quaternions[factors.j])
+    vi = velocities[factors.i]
+    vj = velocities[factors.j]
+    bi = biases[factors.i]
+    dbg = bi[:, :3] - factors.bias0[:, :3]
+    dba = bi[:, 3:] - factors.bias0[:, 3:]
+    dt = factors.dt[:, None]
+
+    # corrected deltas
+    q_corr = lie.quat_multiply(
+        factors.delta_q,
+        lie.so3_exp_quaternion(jnp.einsum("fab,fb->fa", factors.dR_dbg, dbg)),
+    )
+    dv_corr = (
+        factors.delta_v
+        + jnp.einsum("fab,fb->fa", factors.dv_dbg, dbg)
+        + jnp.einsum("fab,fb->fa", factors.dv_dba, dba)
+    )
+    dp_corr = (
+        factors.delta_p
+        + jnp.einsum("fab,fb->fa", factors.dp_dbg, dbg)
+        + jnp.einsum("fab,fb->fa", factors.dp_dba, dba)
+    )
+
+    qi_inv = lie.quat_conjugate(qi)
+    r_phi = lie.quat_log_vec(
+        lie.quat_multiply(
+            lie.quat_conjugate(q_corr), lie.quat_multiply(qi_inv, qj)
+        )
+    )
+    r_v = (
+        lie.quat_rotate(qi_inv, vj - vi - gravity[None, :] * dt) - dv_corr
+    )
+    r_p = (
+        lie.quat_rotate(
+            qi_inv, pj - pi - vi * dt - 0.5 * gravity[None, :] * dt * dt
+        )
+        - dp_corr
+    )
+    r = jnp.concatenate([r_phi, r_v, r_p], axis=1)  # (F, 9)
+    return jnp.einsum("fab,fb->fa", factors.sqrt_info, r)

@@ -1,4 +1,4 @@
-from . import autodiff, batched, bundle_adjustment, fixed_lag, linear, lm, manifolds, pose_graph, pose_landmark, problem
+from . import autodiff, batched, bundle_adjustment, fixed_lag, inertial, linear, lm, manifolds, pose_graph, pose_landmark, problem
 from .fixed_lag import FixedLagSmoother
 from .lm import Summary
 from .batched import (
@@ -19,6 +19,7 @@ from .pose_graph import (
     PoseGraphOptimizer2D,
     sqrt_info_from_information,
 )
+from .inertial import InertialGraphOptimizer
 from .pose_landmark import PoseLandmark2DOptimizer, PoseLandmarkOptimizer
 from .problem import GenericOptions, PoseOptimizer, Problem
 
@@ -39,6 +40,8 @@ __all__ = [
     "pose_landmark",
     "PoseLandmarkOptimizer",
     "PoseLandmark2DOptimizer",
+    "inertial",
+    "InertialGraphOptimizer",
     "problem",
     "GenericOptions",
     "PoseOptimizer",

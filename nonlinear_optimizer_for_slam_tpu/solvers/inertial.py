@@ -1,0 +1,304 @@
+"""Inertial state-estimation graph: keyframe states
+(p, q, v, b_g, b_a) bound by preintegrated IMU factors, bias
+random-walk factors, relative-pose (vision/lidar odometry) edges, and
+unary priors (GPS positions, velocity, bias).
+
+GPS-INS smoothing / inertial odometry, the classic estimation stack on
+top of ops/imu.py — entirely beyond the reference (no inertial anything
+there). One XLA program per solve: the residual stack is pure jnp, its
+Jacobian comes from ONE jacfwd over the flattened (N, 16) state inside
+the jitted program (16N columns — the dense-path envelope of a few
+hundred keyframes, plenty for a smoothing window; the closed-form-
+Jacobian treatment the pose graph got is the optimization to make when
+a profile demands it), and the canonical lm.solve policy loop drives
+damping/convergence.
+
+State layout per keyframe: [p (3), q (4, ambient), v (3), b_g (3),
+b_a (3)] = 16. Gauge: fix the first state (set_state_constant) and/or
+anchor with position priors — with gravity observable through the
+accelerometer, position priors + a fixed (or yaw-prior'd) first state
+make the graph well-posed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from ..core.options import Options
+from ..core.pose import Pose, np_quat_to_rotmat
+from ..ops.imu import GRAVITY, ImuPreintegrator, PreintegratedImuFactor, imu_residuals
+from ..ops.relative_pose import (
+    PoseGraphEdges,
+    edge_residuals,
+    stack_sqrt_info,
+)
+from . import lm
+from .pose_graph import _expand_sqrt_info
+
+Array = jax.Array
+
+
+class _Priors(NamedTuple):
+    """SoA unary priors; each row targets one state's component block."""
+
+    idx: Array  # (K,) int32
+    value: Array  # (K, d)
+    weight: Array  # (K, d) diagonal sqrt-info
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8))
+def _inertial_solve(
+    x0,  # (N, 16)
+    factors: PreintegratedImuFactor,
+    walk_pairs,  # (B, 2) int32
+    walk_w,  # (B, 6)
+    edges: Optional[PoseGraphEdges],
+    priors,  # dict of _Priors (pos / vel / bias / yawless pose handled via pos+vel)
+    free_mask,  # (N, 16) per-component
+    num_states: int,
+    options: Options,
+):
+    N = num_states
+    dtype = x0.dtype
+    gravity = jnp.asarray(GRAVITY, dtype)
+    col_mask = free_mask.reshape(-1)
+
+    def residual_stack(xflat):
+        x = xflat.reshape(N, 16)
+        p, q, v, b = x[:, :3], x[:, 3:7], x[:, 7:10], x[:, 10:16]
+        parts = [imu_residuals(p, q, v, b, factors, gravity).reshape(-1)]
+        if walk_pairs.shape[0] > 0:
+            dw = (b[walk_pairs[:, 1]] - b[walk_pairs[:, 0]]) * walk_w
+            parts.append(dw.reshape(-1))
+        if edges is not None:
+            E = edges.mask.shape[0]
+            r_e = edge_residuals(
+                p, q, jnp.ones((E,), dtype), edges, 0.0
+            )  # (E, 7); no switchable loops on odometry edges
+            parts.append(r_e.reshape(-1))
+        for key, sl in (("pos", slice(0, 3)), ("vel", slice(7, 10)),
+                        ("bias", slice(10, 16))):
+            pr = priors[key]
+            if pr.idx.shape[0] > 0:
+                parts.append(((x[pr.idx, sl] - pr.value) * pr.weight).reshape(-1))
+        return jnp.concatenate(parts)
+
+    def quad(xflat):
+        r = residual_stack(xflat)
+        J = jax.jacfwd(residual_stack)(xflat) * col_mask[None, :]
+        with jax.default_matmul_precision("highest"):
+            H = J.T @ J
+            g = J.T @ r
+        H = H + jnp.diag(1.0 - col_mask) + 1e-10 * jnp.eye(16 * N, dtype=dtype)
+        return H, g, jnp.sum(r * r)
+
+    def retract(xflat, delta):
+        return xflat + delta * col_mask
+
+    x, summary = lm.solve(quad, retract, x0.reshape(-1), options)
+    return x.reshape(N, 16), summary
+
+
+class InertialGraphOptimizer:
+    """Registry + solve() for the inertial keyframe graph."""
+
+    def __init__(self, dtype=jnp.float64):
+        self.dtype = dtype
+        self._states: Dict[int, np.ndarray] = {}  # (16,) packed
+        self._constant: Dict[int, set] = {}
+        self._imu: List[dict] = []  # (i, j, factor-array dict)
+        self._walks: List[tuple] = []  # (i, j, w6)
+        self._edges: List[dict] = []
+        self._priors: Dict[str, List[tuple]] = {"pos": [], "vel": [], "bias": []}
+
+    # -- registry ------------------------------------------------------
+    def add_state(
+        self, index: int, pose: Pose, velocity=None, gyro_bias=None, accel_bias=None
+    ) -> None:
+        v = np.zeros(3) if velocity is None else np.asarray(velocity, np.float64)
+        bg = np.zeros(3) if gyro_bias is None else np.asarray(gyro_bias, np.float64)
+        ba = np.zeros(3) if accel_bias is None else np.asarray(accel_bias, np.float64)
+        self._states[index] = np.concatenate(
+            [pose.translation, pose.quaternion(), v, bg, ba]
+        )
+
+    _COMPONENT_SLICES = {"pose": slice(0, 7), "velocity": slice(7, 10),
+                         "bias": slice(10, 16)}
+
+    def set_state_constant(self, index: int, components=("pose",)) -> None:
+        """Freeze components of a state. DEFAULT freezes only the POSE
+        (the gauge): freezing the whole state would pin its bias at the
+        initial guess, and strong bias-walk factors then drag every
+        other bias toward that frozen value — the classic way to
+        silently break bias estimation. Pass
+        components=("pose", "velocity", "bias") to freeze everything."""
+        if index not in self._states:
+            raise KeyError(f"state {index} not registered")
+        for c in components:
+            if c not in self._COMPONENT_SLICES:
+                raise ValueError(
+                    f"unknown component {c!r}; use pose/velocity/bias"
+                )
+        self._constant.setdefault(index, set()).update(components)
+
+    def add_imu_factor(self, i: int, j: int, preintegrated) -> None:
+        """``preintegrated``: an ops.imu.ImuPreintegrator (or its
+        to_factor_arrays() dict)."""
+        if i not in self._states or j not in self._states:
+            raise KeyError("IMU factor endpoints must be registered states")
+        arr = (
+            preintegrated.to_factor_arrays()
+            if isinstance(preintegrated, ImuPreintegrator)
+            else dict(preintegrated)
+        )
+        self._imu.append(dict(i=i, j=j, **arr))
+
+    def add_bias_walk(self, i: int, j: int, sqrt_info) -> None:
+        """Random-walk factor (b_j - b_i) * w; ``sqrt_info``: scalar,
+        (2,) = (gyro, accel), or (6,)."""
+        if i not in self._states or j not in self._states:
+            raise KeyError("bias-walk endpoints must be registered states")
+        w = np.asarray(sqrt_info, np.float64).reshape(-1)
+        if w.size == 1:
+            w = np.full(6, w[0])
+        elif w.size == 2:
+            w = np.concatenate([np.full(3, w[0]), np.full(3, w[1])])
+        elif w.size != 6:
+            raise ValueError(f"sqrt_info must be scalar/(2,)/(6,), got {w.size}")
+        self._walks.append((i, j, w))
+
+    def set_constraint(self, i: int, j: int, relative_pose: Pose, sqrt_info=None) -> None:
+        """Relative-pose (odometry) edge on the pose slice — the
+        pose-graph edge machinery, no switch variables."""
+        if i not in self._states or j not in self._states:
+            raise KeyError("edge endpoints must be registered states")
+        self._edges.append(
+            dict(
+                i=i, j=j, rel=relative_pose.copy(),
+                sqrt_info=_expand_sqrt_info(sqrt_info),
+            )
+        )
+
+    def add_position_prior(self, index: int, position, sqrt_info=1.0) -> None:
+        """GPS-style unary prior on p; ``sqrt_info`` scalar or (3,)."""
+        self._add_prior("pos", index, np.asarray(position, np.float64), sqrt_info, 3)
+
+    def add_velocity_prior(self, index: int, velocity, sqrt_info=1.0) -> None:
+        self._add_prior("vel", index, np.asarray(velocity, np.float64), sqrt_info, 3)
+
+    def add_bias_prior(self, index: int, bias6, sqrt_info=1.0) -> None:
+        self._add_prior("bias", index, np.asarray(bias6, np.float64), sqrt_info, 6)
+
+    def _add_prior(self, key, index, value, sqrt_info, d):
+        if index not in self._states:
+            raise KeyError(f"state {index} not registered")
+        w = np.asarray(sqrt_info, np.float64).reshape(-1)
+        w = np.full(d, w[0]) if w.size == 1 else w
+        if w.size != d or value.size != d:
+            raise ValueError(f"{key} prior needs ({d},) value/weight")
+        self._priors[key].append((index, value, w))
+
+    def get_state(self, index: int):
+        """(Pose, velocity (3,), bias (6,))."""
+        x = self._states[index]
+        q = x[3:7] / np.linalg.norm(x[3:7])
+        return Pose(np_quat_to_rotmat(q), x[:3].copy()), x[7:10].copy(), x[10:16].copy()
+
+    def get_pose(self, index: int) -> Pose:
+        return self.get_state(index)[0]
+
+    @property
+    def num_states(self) -> int:
+        return len(self._states)
+
+    # -- solve ---------------------------------------------------------
+    def solve(self, options: Optional[Options] = None):
+        if options is None:
+            options = Options().replace(max_iterations=100)
+        if not self._imu and not self._edges:
+            raise ValueError(
+                "InertialGraphOptimizer.solve: no IMU factors or edges"
+            )
+        ids = sorted(self._states)
+        of = {si: k for k, si in enumerate(ids)}
+        N = len(ids)
+        dtype = self.dtype
+        x0 = np.stack([self._states[si] for si in ids])
+
+        F = len(self._imu)
+        if F:
+            def st(key):
+                return jnp.asarray(np.stack([f[key] for f in self._imu]), dtype)
+
+            factors = PreintegratedImuFactor(
+                jnp.asarray(np.array([of[f["i"]] for f in self._imu], np.int32)),
+                jnp.asarray(np.array([of[f["j"]] for f in self._imu], np.int32)),
+                st("delta_q"), st("delta_v"), st("delta_p"),
+                jnp.asarray(np.array([f["dt"] for f in self._imu]), dtype),
+                st("dR_dbg"), st("dv_dbg"), st("dv_dba"),
+                st("dp_dbg"), st("dp_dba"), st("sqrt_info"), st("bias0"),
+            )
+        else:
+            z3 = jnp.zeros((0, 3), dtype)
+            z33 = jnp.zeros((0, 3, 3), dtype)
+            factors = PreintegratedImuFactor(
+                jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32),
+                jnp.zeros((0, 4), dtype), z3, z3, jnp.zeros((0,), dtype),
+                z33, z33, z33, z33, z33,
+                jnp.zeros((0, 9, 9), dtype), jnp.zeros((0, 6), dtype),
+            )
+
+        walk_pairs = jnp.asarray(
+            np.array([[of[i], of[j]] for (i, j, _) in self._walks], np.int32).reshape(-1, 2)
+        )
+        walk_w = jnp.asarray(
+            np.array([w for (_, _, w) in self._walks], np.float64).reshape(-1, 6), dtype
+        )
+
+        if self._edges:
+            E = len(self._edges)
+            edges = PoseGraphEdges(
+                jnp.asarray(np.array([of[e["i"]] for e in self._edges], np.int32)),
+                jnp.asarray(np.array([of[e["j"]] for e in self._edges], np.int32)),
+                jnp.asarray(np.stack([e["rel"].translation for e in self._edges]), dtype),
+                jnp.asarray(np.stack([e["rel"].quaternion() for e in self._edges]), dtype),
+                jnp.zeros((E,), dtype),
+                jnp.ones((E,), dtype),
+                sqrt_info=(
+                    None
+                    if (w := stack_sqrt_info([e["sqrt_info"] for e in self._edges], 6)) is None
+                    else jnp.asarray(w, dtype)
+                ),
+            )
+        else:
+            edges = None
+
+        priors = {}
+        for key, d in (("pos", 3), ("vel", 3), ("bias", 6)):
+            rows = self._priors[key]
+            priors[key] = _Priors(
+                jnp.asarray(np.array([of[i] for (i, _, _) in rows], np.int32)),
+                jnp.asarray(np.array([v for (_, v, _) in rows], np.float64).reshape(-1, d), dtype),
+                jnp.asarray(np.array([w for (_, _, w) in rows], np.float64).reshape(-1, d), dtype),
+            )
+
+        free = np.ones((N, 16))
+        for si, comps in self._constant.items():
+            for c in comps:
+                free[of[si], self._COMPONENT_SLICES[c]] = 0.0
+
+        x, summary = _inertial_solve(
+            jnp.asarray(x0, dtype), factors, walk_pairs, walk_w, edges,
+            priors, jnp.asarray(free, dtype), N, options,
+        )
+        x = np.array(jax.device_get(x), np.float64)
+        x[:, 3:7] /= np.linalg.norm(x[:, 3:7], axis=1, keepdims=True)
+        for k, si in enumerate(ids):
+            self._states[si] = x[k]
+        return summary
