@@ -52,12 +52,28 @@ GRAVITY = np.array([0.0, 0.0, -9.81])
 @dataclasses.dataclass(frozen=True)
 class ImuParams:
     """Continuous-time noise densities (units per sqrt(Hz)); discrete
-    per-sample covariance is density^2 / dt."""
+    per-sample covariance is density^2 / dt. The bias-walk densities
+    feed :func:`bias_walk_sqrt_info` (the between-keyframe bias
+    random-walk factor weight); gyro/accel densities feed the
+    preintegration covariance."""
 
     gyro_noise: float = 1.7e-4  # rad / s / sqrt(Hz)
     accel_noise: float = 2.0e-3  # m / s^2 / sqrt(Hz)
     gyro_bias_walk: float = 2.0e-5  # rad / s^2 / sqrt(Hz)
     accel_bias_walk: float = 3.0e-3  # m / s^3 / sqrt(Hz)
+
+
+def bias_walk_sqrt_info(params: ImuParams, dt: float) -> np.ndarray:
+    """(6,) diagonal sqrt-information for the bias random-walk factor
+    (b_j - b_i) over an interval of ``dt`` seconds: the walk variance is
+    density^2 * dt, so w = 1 / (density * sqrt(dt)). Pass to
+    InertialGraphOptimizer.add_bias_walk — these are exactly the
+    datasheet densities in :class:`ImuParams`."""
+    if dt <= 0.0:
+        raise ValueError(f"dt must be positive, got {dt}")
+    wg = 1.0 / (params.gyro_bias_walk * np.sqrt(dt))
+    wa = 1.0 / (params.accel_bias_walk * np.sqrt(dt))
+    return np.array([wg, wg, wg, wa, wa, wa])
 
 
 def _skew(v):
@@ -182,6 +198,13 @@ class ImuPreintegrator:
     def to_factor_arrays(self) -> dict:
         """Flat dict of arrays for PreintegratedImuFactor stacking."""
         from ..core.pose import np_rotmat_to_quat
+
+        if self.num_samples == 0:
+            raise ValueError(
+                "preintegrator holds no samples — an empty factor would "
+                "whiten against the 1e-16 covariance floor and rigidly "
+                "weld its two states together"
+            )
 
         return dict(
             delta_q=np_rotmat_to_quat(self.dR),

@@ -52,7 +52,7 @@ class _Priors(NamedTuple):
     weight: Array  # (K, d) diagonal sqrt-info
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8))
+@functools.partial(jax.jit, static_argnums=(8, 9))
 def _inertial_solve(
     x0,  # (N, 16)
     factors: PreintegratedImuFactor,
@@ -61,12 +61,12 @@ def _inertial_solve(
     edges: Optional[PoseGraphEdges],
     priors,  # dict of _Priors (pos / vel / bias / yawless pose handled via pos+vel)
     free_mask,  # (N, 16) per-component
+    gravity,  # (3,) world-frame gravity vector
     num_states: int,
     options: Options,
 ):
     N = num_states
     dtype = x0.dtype
-    gravity = jnp.asarray(GRAVITY, dtype)
     col_mask = free_mask.reshape(-1)
 
     def residual_stack(xflat):
@@ -108,8 +108,14 @@ def _inertial_solve(
 class InertialGraphOptimizer:
     """Registry + solve() for the inertial keyframe graph."""
 
-    def __init__(self, dtype=jnp.float64):
+    def __init__(self, dtype=jnp.float64, gravity=None):
+        """``gravity``: world-frame gravity vector; default ENU
+        (0, 0, -9.81). Pass (0, 0, +9.81) for NED, or a locally
+        calibrated magnitude — every IMU residual whitens against it."""
         self.dtype = dtype
+        self.gravity = (
+            GRAVITY.copy() if gravity is None else np.asarray(gravity, np.float64)
+        )
         self._states: Dict[int, np.ndarray] = {}  # (16,) packed
         self._constant: Dict[int, set] = {}
         self._imu: List[dict] = []  # (i, j, factor-array dict)
@@ -295,7 +301,8 @@ class InertialGraphOptimizer:
 
         x, summary = _inertial_solve(
             jnp.asarray(x0, dtype), factors, walk_pairs, walk_w, edges,
-            priors, jnp.asarray(free, dtype), N, options,
+            priors, jnp.asarray(free, dtype),
+            jnp.asarray(self.gravity, dtype), N, options,
         )
         x = np.array(jax.device_get(x), np.float64)
         x[:, 3:7] /= np.linalg.norm(x[:, 3:7], axis=1, keepdims=True)

@@ -325,9 +325,11 @@ class PoseLandmarkOptimizer:
     # -- registry ----------------------------------------------------
     def set_pose(self, index: int, pose: Pose) -> None:
         self._poses[index] = pose.copy()
+        self._cov_cache = None
 
     def set_landmark(self, index: int, position) -> None:
         self._landmarks[index] = np.asarray(position, np.float64).copy()
+        self._cov_cache = None
 
     def set_pose_constant(self, index: int) -> None:
         if index not in self._poses:
@@ -533,6 +535,8 @@ class PoseLandmarkOptimizer:
             )
         for j, li in enumerate(lm_ids):
             self._landmarks[li] = np.asarray(lms_out[j], np.float64)
+        self._last_switches = np.asarray(sw, np.float64).copy()
+        self._cov_cache = None
         return summary, np.asarray(sw, np.float64)
 
     # -- uncertainty ---------------------------------------------------
@@ -568,6 +572,10 @@ class PoseLandmarkOptimizer:
             np_quat_left_matrix,
         )
 
+        if getattr(self, "_cov_cache", None) is not None:
+            # one O((6P+3M)^3) inverse serves both covariance() and
+            # landmark_covariance(); invalidated by solve()/registry edits
+            return self._cov_cache
         if not self._observations:
             raise ValueError("covariance: no observations registered")
         if not self._constant_poses and not self._constant_landmarks:
@@ -594,20 +602,30 @@ class PoseLandmarkOptimizer:
         H = np.zeros((dim, dim))
         r6 = np.arange(6)
 
-        # pose-pose edges (loops at their final switch values = 1.0; the
-        # batch solver reports switches via solve() — landmark graphs
-        # typically carry none, and absorbing s<1 into covariance would
-        # need the switch column too; keep s=1 like fresh edges)
+        # pose-pose edges, LOOP edges linearized at the switch values
+        # the last solve() learned (treated as FIXED at their MAP value
+        # — a rejected loop, s ~ 0, contributes ~no information; the
+        # switch's own uncertainty is not propagated)
         if self._constraints:
             ref_i = np.array([pose_of[c["reference_index"]] for c in self._constraints])
             qry_i = np.array([pose_of[c["query_index"]] for c in self._constraints])
+            is_loop = np.array(
+                [1.0 if c["type"] == ConstraintType.LOOP else 0.0
+                 for c in self._constraints]
+            )
+            sw = getattr(self, "_last_switches", None)
+            L = int(is_loop.sum())
+            if sw is None or len(sw) != L:
+                sw = np.ones(L)
+            slot = np.clip(np.cumsum(is_loop.astype(int)) - 1, 0, max(L - 1, 0))
+            sw_full = np.where(is_loop > 0, sw[slot] if L else 1.0, 1.0)
             w6 = stack_sqrt_info([c["sqrt_info"] for c in self._constraints], 6)
             r, J_ref, J_qry, _ = np_edge_residuals_and_jacobians(
-                pos, quat, np.ones(len(ref_i)),
+                pos, quat, sw_full,
                 ref_i, qry_i,
                 np.stack([c["relative_pose"].translation for c in self._constraints]),
                 np.stack([c["relative_pose"].quaternion() for c in self._constraints]),
-                np.zeros(len(ref_i)),
+                is_loop,
                 0.0,
                 sqrt_info=w6,
             )
@@ -625,14 +643,7 @@ class PoseLandmarkOptimizer:
             ) * free_p[qry_i][:, None, None]
             rows_ref = 6 * ref_i[:, None] + r6[None, :]
             rows_qry = 6 * qry_i[:, None] + r6[None, :]
-            np.add.at(H, (rows_ref[:, :, None], rows_ref[:, None, :]),
-                      np.einsum("edi,edj->eij", J_ref, J_ref))
-            np.add.at(H, (rows_qry[:, :, None], rows_qry[:, None, :]),
-                      np.einsum("edi,edj->eij", J_qry, J_qry))
-            cross = np.einsum("edi,edj->eij", J_ref, J_qry)
-            np.add.at(H, (rows_ref[:, :, None], rows_qry[:, None, :]), cross)
-            np.add.at(H, (rows_qry[:, :, None], rows_ref[:, None, :]),
-                      np.swapaxes(cross, 1, 2))
+            _np_scatter_pair(H, rows_ref, rows_qry, J_ref, J_qry)
 
         # observations
         o_pi = np.array([pose_of[o["pose_index"]] for o in self._observations])
@@ -654,14 +665,7 @@ class PoseLandmarkOptimizer:
         J_lm = J_lm * free_l[o_li][:, None, None]
         rows_p = 6 * o_pi[:, None] + r6[None, :]
         rows_l = 6 * P + 3 * o_li[:, None] + np.arange(3)[None, :]
-        np.add.at(H, (rows_p[:, :, None], rows_p[:, None, :]),
-                  np.einsum("edi,edj->eij", J_pose, J_pose))
-        np.add.at(H, (rows_l[:, :, None], rows_l[:, None, :]),
-                  np.einsum("edi,edj->eij", J_lm, J_lm))
-        cross = np.einsum("edi,edj->eij", J_pose, J_lm)
-        np.add.at(H, (rows_p[:, :, None], rows_l[:, None, :]), cross)
-        np.add.at(H, (rows_l[:, :, None], rows_p[:, None, :]),
-                  np.swapaxes(cross, 1, 2))
+        _np_scatter_pair(H, rows_p, rows_l, J_pose, J_lm)
 
         keep = np.concatenate(
             [np.repeat(free_p, 6).astype(bool), np.repeat(free_l, 3).astype(bool)]
@@ -678,7 +682,23 @@ class PoseLandmarkOptimizer:
         Sigma = np.zeros((dim, dim))
         kk = np.nonzero(keep)[0]
         Sigma[np.ix_(kk, kk)] = Sigma_red
-        return Sigma, pose_of, lm_of
+        self._cov_cache = (Sigma, pose_of, lm_of)
+        return self._cov_cache
+
+
+def _np_scatter_pair(H, rows_a, rows_b, J_a, J_b):
+    """Scatter-add the Gauss-Newton contributions of a two-block factor
+    batch into dense H: diag blocks for a and b plus the symmetric cross
+    term (shared by the edge and observation assemblies of both joint-
+    covariance builders; same idiom as PoseGraphOptimizer.covariance)."""
+    np.add.at(H, (rows_a[:, :, None], rows_a[:, None, :]),
+              np.einsum("edi,edj->eij", J_a, J_a))
+    np.add.at(H, (rows_b[:, :, None], rows_b[:, None, :]),
+              np.einsum("edi,edj->eij", J_b, J_b))
+    cross = np.einsum("edi,edj->eij", J_a, J_b)
+    np.add.at(H, (rows_a[:, :, None], rows_b[:, None, :]), cross)
+    np.add.at(H, (rows_b[:, :, None], rows_a[:, None, :]),
+              np.swapaxes(cross, 1, 2))
 
 
 def np_observation_jacobians(
@@ -929,9 +949,11 @@ class PoseLandmark2DOptimizer:
 
     def set_pose(self, index: int, xyt) -> None:
         self._poses[index] = np.asarray(xyt, np.float64).copy()
+        self._cov_cache = None
 
     def set_landmark(self, index: int, position) -> None:
         self._landmarks[index] = np.asarray(position, np.float64).copy()
+        self._cov_cache = None
 
     def set_pose_constant(self, index: int) -> None:
         if index not in self._poses:
@@ -1128,6 +1150,8 @@ class PoseLandmark2DOptimizer:
             self._poses[pi] = o
         for j, li in enumerate(lm_ids):
             self._landmarks[li] = np.asarray(lms_out[j], np.float64)
+        self._last_switches = np.asarray(sw, np.float64).copy()
+        self._cov_cache = None
         return summary, np.asarray(sw, np.float64)
 
     # -- uncertainty ---------------------------------------------------
@@ -1155,6 +1179,8 @@ class PoseLandmark2DOptimizer:
         }
 
     def _joint_covariance(self):
+        if getattr(self, "_cov_cache", None) is not None:
+            return self._cov_cache
         if not self._observations:
             raise ValueError("covariance: no observations registered")
         if not self._constant_poses and not self._constant_landmarks:
@@ -1224,18 +1250,23 @@ class PoseLandmark2DOptimizer:
                 sw_ = np.sqrt(np.asarray(w, np.float64))[:, None, None]
                 J_ref = J_ref * sw_
                 J_qry = J_qry * sw_
-            J_ref = J_ref * free_p[ref_i][:, None, None]
-            J_qry = J_qry * free_p[qry_i][:, None, None]
+            # LOOP edges at their learned (fixed) switch values, like
+            # the 3-D class
+            is_loop = np.array(
+                [1.0 if c["type"] == ConstraintType.LOOP else 0.0
+                 for c in self._constraints]
+            )
+            L = int(is_loop.sum())
+            sw = getattr(self, "_last_switches", None)
+            if sw is None or len(sw) != L:
+                sw = np.ones(L)
+            slot = np.clip(np.cumsum(is_loop.astype(int)) - 1, 0, max(L - 1, 0))
+            sw_full = np.where(is_loop > 0, sw[slot] if L else 1.0, 1.0)
+            J_ref = J_ref * (sw_full * free_p[ref_i])[:, None, None]
+            J_qry = J_qry * (sw_full * free_p[qry_i])[:, None, None]
             rows_ref = 3 * ref_i[:, None] + r3[None, :]
             rows_qry = 3 * qry_i[:, None] + r3[None, :]
-            np.add.at(H, (rows_ref[:, :, None], rows_ref[:, None, :]),
-                      np.einsum("edi,edj->eij", J_ref, J_ref))
-            np.add.at(H, (rows_qry[:, :, None], rows_qry[:, None, :]),
-                      np.einsum("edi,edj->eij", J_qry, J_qry))
-            cross = np.einsum("edi,edj->eij", J_ref, J_qry)
-            np.add.at(H, (rows_ref[:, :, None], rows_qry[:, None, :]), cross)
-            np.add.at(H, (rows_qry[:, :, None], rows_ref[:, None, :]),
-                      np.swapaxes(cross, 1, 2))
+            _np_scatter_pair(H, rows_ref, rows_qry, J_ref, J_qry)
 
         # observations
         o_pi = np.array([pose_of[o["pose_index"]] for o in self._observations])
@@ -1270,14 +1301,7 @@ class PoseLandmark2DOptimizer:
         J_lm = J_lm * free_l[o_li][:, None, None]
         rows_p = 3 * o_pi[:, None] + r3[None, :]
         rows_l = 3 * P + 2 * o_li[:, None] + np.arange(2)[None, :]
-        np.add.at(H, (rows_p[:, :, None], rows_p[:, None, :]),
-                  np.einsum("edi,edj->eij", J_pose, J_pose))
-        np.add.at(H, (rows_l[:, :, None], rows_l[:, None, :]),
-                  np.einsum("edi,edj->eij", J_lm, J_lm))
-        cross = np.einsum("edi,edj->eij", J_pose, J_lm)
-        np.add.at(H, (rows_p[:, :, None], rows_l[:, None, :]), cross)
-        np.add.at(H, (rows_l[:, :, None], rows_p[:, None, :]),
-                  np.swapaxes(cross, 1, 2))
+        _np_scatter_pair(H, rows_p, rows_l, J_pose, J_lm)
 
         keep = np.concatenate(
             [np.repeat(free_p, 3).astype(bool), np.repeat(free_l, 2).astype(bool)]
@@ -1293,4 +1317,5 @@ class PoseLandmark2DOptimizer:
         Sigma = np.zeros((dim, dim))
         kk = np.nonzero(keep)[0]
         Sigma[np.ix_(kk, kk)] = Sigma_red
-        return Sigma, pose_of, lm_of
+        self._cov_cache = (Sigma, pose_of, lm_of)
+        return self._cov_cache

@@ -64,12 +64,10 @@ class Circle:
         return self.rot(t).T @ (self.acc(t) - GRAVITY) + bias
 
 
-def _integrate(traj, T, dt, bg=np.zeros(3), ba=np.zeros(3), bias0=None, seed=None, ng=0.0, na=0.0):
-    pre = ImuPreintegrator(
-        ImuParams(), gyro_bias=bias0, accel_bias=None if bias0 is None else np.zeros(3)
-    )
-    if bias0 is not None:
-        pre = ImuPreintegrator(ImuParams(), gyro_bias=bias0[:3], accel_bias=bias0[3:])
+def _integrate(traj, T, dt, bg=np.zeros(3), ba=np.zeros(3), seed=None, ng=0.0, na=0.0):
+    """Feed midpoint-sampled measurements (+ optional bias / noise) to a
+    fresh zero-bias preintegrator."""
+    pre = ImuPreintegrator(ImuParams())
     rng = np.random.default_rng(seed) if seed is not None else None
     t = 0.0
     while t < T - 1e-12:
@@ -287,4 +285,49 @@ def test_inertial_graph_gps_ins_smoothing():
     np.testing.assert_allclose(b_est[3:], ba_true, atol=1.5e-2)
     np.testing.assert_allclose(
         v_est, traj.vel((n_kf // 2) * kf_dt), atol=0.05
+    )
+
+
+def test_bias_walk_sqrt_info_and_empty_factor_guard():
+    from nonlinear_optimizer_for_slam_tpu.ops.imu import bias_walk_sqrt_info
+
+    params = ImuParams(gyro_bias_walk=1e-4, accel_bias_walk=1e-2)
+    w = bias_walk_sqrt_info(params, dt=0.25)
+    np.testing.assert_allclose(w[:3], 1.0 / (1e-4 * 0.5))
+    np.testing.assert_allclose(w[3:], 1.0 / (1e-2 * 0.5))
+    with pytest.raises(ValueError, match="positive"):
+        bias_walk_sqrt_info(params, 0.0)
+    # empty preintegrator cannot become a factor (it would rigid-weld
+    # its two states against the covariance floor)
+    with pytest.raises(ValueError, match="no samples"):
+        ImuPreintegrator(ImuParams()).to_factor_arrays()
+
+
+def test_gravity_parameter():
+    """NED gravity: same straight-line problem as the ENU drive but with
+    g = (0, 0, +9.81) and specific force flipped; the solve must land on
+    the same trajectory (a hardcoded-gravity bug would send z flying)."""
+    from nonlinear_optimizer_for_slam_tpu.core import Options
+    from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
+    from nonlinear_optimizer_for_slam_tpu.solvers.inertial import (
+        InertialGraphOptimizer,
+    )
+
+    g_ned = np.array([0.0, 0.0, 9.81])
+    opt = InertialGraphOptimizer(gravity=g_ned)
+    v = np.array([1.0, 0.0, 0.0])
+    for k in range(3):
+        opt.add_state(k, Pose(np.eye(3), v * 0.5 * k), velocity=v)
+    for k in range(2):
+        pre = ImuPreintegrator(ImuParams())
+        for _ in range(100):
+            pre.integrate(np.zeros(3), -g_ned, 0.005)
+        opt.add_imu_factor(k, k + 1, pre)
+        opt.add_bias_walk(k, k + 1, 1e3)
+    opt.set_state_constant(0)
+    opt.add_position_prior(2, np.array([1.0, 0.0, 0.0]), 100.0)
+    s = opt.solve(Options().replace(max_iterations=50))
+    assert bool(s.converged)
+    np.testing.assert_allclose(
+        opt.get_pose(2).translation, [1.0, 0.0, 0.0], atol=1e-3
     )

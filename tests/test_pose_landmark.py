@@ -468,3 +468,46 @@ def test_2d_joint_covariance_analytic_oracle(rng):
         + np.outer(lever, lever) / w_r**2
     )
     np.testing.assert_allclose(cov_l[1], expected, rtol=1e-5, atol=1e-8)
+
+
+def test_covariance_honors_rejected_loop_switch(rng):
+    """A false loop closure that solve() switches off must contribute
+    ~no information to covariance(): the marginals must match the same
+    graph built WITHOUT the loop edge (round-2 review fix — previously
+    loops were linearized at s = 1)."""
+    gt_poses, gt_lms, obs = _world(rng, P=7, M=8)
+
+    def build(with_false_loop):
+        o = PoseLandmarkOptimizer(switch_penalty=0.03)
+        for i, p in enumerate(gt_poses):
+            o.set_pose(i, Pose(p.rotation, p.translation + (rng_l.normal(0, 0.03, 3) if i else 0.0)))
+        o.set_pose_constant(0)
+        for j in range(len(gt_lms)):
+            o.set_landmark(j, gt_lms[j] + rng_l.normal(0, 0.05, 3))
+        for i in range(len(gt_poses) - 1):
+            o.set_constraint(i, i + 1, gt_poses[i].inverse() * gt_poses[i + 1],
+                             sqrt_info=10.0)
+        if with_false_loop:
+            o.set_constraint(1, 5, Pose.identity(), ConstraintType.LOOP,
+                             sqrt_info=10.0)
+        for (i, j, z) in obs[:: 3]:
+            o.set_observation(i, j, z, sqrt_info=3.0)
+        return o
+
+    rng_l = np.random.default_rng(3)
+    with_loop = build(True)
+    s, sw = with_loop.solve(Options().replace(max_iterations=100))
+    assert sw[0] < 0.1, sw  # the false loop switched off
+    rng_l = np.random.default_rng(3)
+    without = build(False)
+    without.solve(Options().replace(max_iterations=100))
+
+    c_with = with_loop.covariance()
+    c_without = without.covariance()
+    for i in (3, 5, 6):
+        np.testing.assert_allclose(c_with[i], c_without[i], rtol=0.05, atol=1e-8)
+    # caching: second query must return the identical object
+    assert with_loop.covariance()[3] is not None
+    l1 = with_loop.landmark_covariance()
+    l2 = with_loop.landmark_covariance()
+    np.testing.assert_array_equal(l1[0], l2[0])
