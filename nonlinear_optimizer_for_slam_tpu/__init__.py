@@ -26,6 +26,7 @@ from .solvers import (
     BAData,
     BundleAdjuster,
     ConstraintType,
+    FixedLagInertialSmoother,
     InertialGraphOptimizer,
     MahalanobisDistanceMinimizer,
     MahalanobisDistanceMinimizer3DOF,

@@ -295,3 +295,62 @@ def imu_residuals(
     )
     r = jnp.concatenate([r_phi, r_v, r_p], axis=1)  # (F, 9)
     return jnp.einsum("fab,fb->fa", factors.sqrt_info, r)
+
+
+def np_imu_residual(xi, xj, arr: dict, gravity=GRAVITY) -> np.ndarray:
+    """Numpy twin of :func:`imu_residuals` for ONE factor between packed
+    states xi, xj ((16,) = [p, q(wxyz), v, b_g, b_a]); ``arr`` is an
+    ImuPreintegrator.to_factor_arrays() dict. Host-side use only
+    (fixed-lag marginalization linearizes this by finite differences —
+    eager jnp on that path would pay the dispatch floor)."""
+    from ..core.pose import np_quat_to_rotmat
+
+    def qmul(a, b):
+        w1, x1, y1, z1 = a
+        w2, x2, y2, z2 = b
+        return np.array(
+            [
+                w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            ]
+        )
+
+    def qconj(q):
+        return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+    def qexp(w):
+        th = np.linalg.norm(w)
+        if th < 1e-12:
+            return np.concatenate([[1.0], 0.5 * w])
+        return np.concatenate(
+            [[np.cos(0.5 * th)], np.sin(0.5 * th) * w / th]
+        )
+
+    def qlog(q):
+        if q[0] < 0:
+            q = -q
+        vn = np.linalg.norm(q[1:])
+        if vn < 1e-12:
+            return 2.0 * q[1:] / max(q[0], 1e-12)
+        return 2.0 * np.arctan2(vn, q[0]) * q[1:] / vn
+
+    pi, qi, vi, bi = xi[:3], xi[3:7], xi[7:10], xi[10:16]
+    pj, qj, vj = xj[:3], xj[3:7], xj[7:10]
+    qi = qi / np.linalg.norm(qi)
+    qj = qj / np.linalg.norm(qj)
+    dbg = bi[:3] - arr["bias0"][:3]
+    dba = bi[3:] - arr["bias0"][3:]
+    dt = float(arr["dt"])
+    g = np.asarray(gravity, np.float64)
+
+    q_corr = qmul(arr["delta_q"], qexp(arr["dR_dbg"] @ dbg))
+    dv_corr = arr["delta_v"] + arr["dv_dbg"] @ dbg + arr["dv_dba"] @ dba
+    dp_corr = arr["delta_p"] + arr["dp_dbg"] @ dbg + arr["dp_dba"] @ dba
+
+    Ri_T = np_quat_to_rotmat(qi).T
+    r_phi = qlog(qmul(qconj(q_corr), qmul(qconj(qi), qj)))
+    r_v = Ri_T @ (vj - vi - g * dt) - dv_corr
+    r_p = Ri_T @ (pj - pi - vi * dt - 0.5 * g * dt * dt) - dp_corr
+    return arr["sqrt_info"] @ np.concatenate([r_phi, r_v, r_p])

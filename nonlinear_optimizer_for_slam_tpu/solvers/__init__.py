@@ -19,7 +19,7 @@ from .pose_graph import (
     PoseGraphOptimizer2D,
     sqrt_info_from_information,
 )
-from .inertial import InertialGraphOptimizer
+from .inertial import FixedLagInertialSmoother, InertialGraphOptimizer
 from .pose_landmark import PoseLandmark2DOptimizer, PoseLandmarkOptimizer
 from .problem import GenericOptions, PoseOptimizer, Problem
 
@@ -42,6 +42,7 @@ __all__ = [
     "PoseLandmark2DOptimizer",
     "inertial",
     "InertialGraphOptimizer",
+    "FixedLagInertialSmoother",
     "problem",
     "GenericOptions",
     "PoseOptimizer",

@@ -52,7 +52,7 @@ class _Priors(NamedTuple):
     weight: Array  # (K, d) diagonal sqrt-info
 
 
-@functools.partial(jax.jit, static_argnums=(8, 9))
+@functools.partial(jax.jit, static_argnums=(9, 10))
 def _inertial_solve(
     x0,  # (N, 16)
     factors: PreintegratedImuFactor,
@@ -62,6 +62,8 @@ def _inertial_solve(
     priors,  # dict of _Priors (pos / vel / bias / yawless pose handled via pos+vel)
     free_mask,  # (N, 16) per-component
     gravity,  # (3,) world-frame gravity vector
+    mprior,  # None | (idx (), S (15,15), c (15,), lin (16,)): the fixed-lag
+    # smoother's Gaussian marginal over one state's 15-DoF tangent
     num_states: int,
     options: Options,
 ):
@@ -87,6 +89,18 @@ def _inertial_solve(
             pr = priors[key]
             if pr.idx.shape[0] > 0:
                 parts.append(((x[pr.idx, sl] - pr.value) * pr.weight).reshape(-1))
+        if mprior is not None:
+            # affine tangent prior r = S dphi + c (same form and
+            # rationale as the pose fixed-lag smoother's, fixed_lag.py)
+            m_idx, m_S, m_c, m_lin = mprior
+            xs = x[m_idx]
+            q_lin = m_lin[3:7] / jnp.linalg.norm(m_lin[3:7])
+            n = xs[3:7] / jnp.linalg.norm(xs[3:7])
+            dtheta = 2.0 * lie.quat_multiply(lie.quat_conjugate(q_lin), n)[1:]
+            dphi = jnp.concatenate(
+                [xs[:3] - m_lin[:3], dtheta, xs[7:] - m_lin[7:]]
+            )
+            parts.append(m_S @ dphi + m_c)
         return jnp.concatenate(parts)
 
     def quad(xflat):
@@ -302,10 +316,357 @@ class InertialGraphOptimizer:
         x, summary = _inertial_solve(
             jnp.asarray(x0, dtype), factors, walk_pairs, walk_w, edges,
             priors, jnp.asarray(free, dtype),
-            jnp.asarray(self.gravity, dtype), N, options,
+            jnp.asarray(self.gravity, dtype), None, N, options,
         )
         x = np.array(jax.device_get(x), np.float64)
         x[:, 3:7] /= np.linalg.norm(x[:, 3:7], axis=1, keepdims=True)
         for k, si in enumerate(ids):
             self._states[si] = x[k]
+        return summary
+
+
+class FixedLagInertialSmoother:
+    """Online sliding-window inertial smoother (fixed-lag VIO/GPS-INS
+    backend): keeps the last ``lag`` keyframe states, marginalizes
+    older ones EXACTLY — the graph is a Markov chain (IMU + bias-walk
+    factors couple only consecutive states, priors are unary), so
+    dropping the oldest state produces a single dense Gaussian prior
+    over the next state's 15-DoF tangent, carried forward as the
+    affine residual r = S dphi + c (the same prior form the pose
+    fixed-lag smoother earned the hard way, fixed_lag.py).
+
+    Marginalization runs host-side in f64; the IMU-factor tangent
+    Jacobians come from central differences of the numpy residual twin
+    (ops.imu.np_imu_residual; step 1e-6 on f64 -> ~1e-9 accurate, far
+    below the prior's own linearization error). Window solves are the
+    jitted _inertial_solve program.
+
+    Usage::
+
+        sm = FixedLagInertialSmoother(lag=10)
+        sm.add_state(0, pose0, velocity=v0)
+        for k, pre in stream:           # consecutive keyframes
+            sm.add_state(k, prediction, velocity=v_pred)
+            sm.add_imu_factor(k - 1, k, pre)
+            sm.add_position_prior(k, gps, 1 / sigma)
+            sm.update()
+    """
+
+    def __init__(self, lag: int = 10, dtype=jnp.float64, gravity=None):
+        if lag < 2:
+            raise ValueError("lag must be >= 2")
+        self.lag = lag
+        self.dtype = dtype
+        self.gravity = (
+            GRAVITY.copy() if gravity is None else np.asarray(gravity, np.float64)
+        )
+        self._est: Dict[int, np.ndarray] = {}
+        self._history: Dict[int, np.ndarray] = {}
+        self._window: List[int] = []
+        self._imu: List[dict] = []  # consecutive (i, j) only
+        self._walks: List[tuple] = []
+        self._priors: Dict[str, List[tuple]] = {"pos": [], "vel": [], "bias": []}
+        self._mprior = None  # (anchor_idx, S (15,15), c (15,), lin (16,))
+        self._gauge: Optional[int] = None
+
+    # -- registry (same shapes as InertialGraphOptimizer) ---------------
+    def add_state(self, index, pose, velocity=None, gyro_bias=None, accel_bias=None):
+        if self._window and index != self._window[-1] + 1:
+            raise ValueError(
+                f"states must be consecutive (next is {self._window[-1] + 1})"
+            )
+        v = np.zeros(3) if velocity is None else np.asarray(velocity, np.float64)
+        bg = np.zeros(3) if gyro_bias is None else np.asarray(gyro_bias, np.float64)
+        ba = np.zeros(3) if accel_bias is None else np.asarray(accel_bias, np.float64)
+        self._est[index] = np.concatenate(
+            [pose.translation, pose.quaternion(), v, bg, ba]
+        )
+        self._window.append(index)
+        if self._gauge is None and self._mprior is None:
+            self._gauge = index
+
+    def add_imu_factor(self, i, j, preintegrated):
+        if j != i + 1:
+            raise ValueError("chain smoother: IMU factors must join i, i+1")
+        if i not in self._est or j not in self._est:
+            raise KeyError("IMU factor endpoints must be in the window")
+        arr = (
+            preintegrated.to_factor_arrays()
+            if isinstance(preintegrated, ImuPreintegrator)
+            else dict(preintegrated)
+        )
+        self._imu.append(dict(i=i, j=j, **arr))
+
+    def add_bias_walk(self, i, j, sqrt_info):
+        if j != i + 1:
+            raise ValueError("chain smoother: bias walks must join i, i+1")
+        w = np.asarray(sqrt_info, np.float64).reshape(-1)
+        if w.size == 1:
+            w = np.full(6, w[0])
+        elif w.size == 2:
+            w = np.concatenate([np.full(3, w[0]), np.full(3, w[1])])
+        self._walks.append((i, j, w))
+
+    def add_position_prior(self, index, position, sqrt_info=1.0):
+        w = np.asarray(sqrt_info, np.float64).reshape(-1)
+        self._priors["pos"].append(
+            (index, np.asarray(position, np.float64),
+             np.full(3, w[0]) if w.size == 1 else w)
+        )
+
+    def add_velocity_prior(self, index, velocity, sqrt_info=1.0):
+        w = np.asarray(sqrt_info, np.float64).reshape(-1)
+        self._priors["vel"].append(
+            (index, np.asarray(velocity, np.float64),
+             np.full(3, w[0]) if w.size == 1 else w)
+        )
+
+    def add_bias_prior(self, index, bias6, sqrt_info=1.0):
+        w = np.asarray(sqrt_info, np.float64).reshape(-1)
+        self._priors["bias"].append(
+            (index, np.asarray(bias6, np.float64),
+             np.full(6, w[0]) if w.size == 1 else w)
+        )
+
+    def get_state(self, index):
+        x = self._est.get(index)
+        if x is None:
+            x = self._history[index]
+        q = x[3:7] / np.linalg.norm(x[3:7])
+        return (
+            Pose(np_quat_to_rotmat(q), x[:3].copy()),
+            x[7:10].copy(),
+            x[10:16].copy(),
+        )
+
+    def get_pose(self, index) -> Pose:
+        return self.get_state(index)[0]
+
+    @property
+    def window(self) -> List[int]:
+        return list(self._window)
+
+    # -- marginalization -------------------------------------------------
+    @staticmethod
+    def _tangent_chart(x):
+        """d(packed ambient 16)/d(tangent 15) at unit-quaternion x."""
+        q = x[3:7] / np.linalg.norm(x[3:7])
+        from ..ops.relative_pose import np_quat_left_matrix
+
+        T = np.zeros((16, 15))
+        T[:3, :3] = np.eye(3)
+        T[3:7, 3:6] = 0.5 * np_quat_left_matrix(q)[:, 1:]
+        T[7:16, 6:15] = np.eye(9)
+        return T
+
+    @staticmethod
+    def _apply_tangent(x, dphi):
+        from ..ops.relative_pose import np_quat_multiply
+
+        out = x.copy()
+        out[:3] += dphi[:3]
+        q = x[3:7] / np.linalg.norm(x[3:7])
+        dq = np.concatenate([[1.0], 0.5 * dphi[3:6]])
+        out[3:7] = np_quat_multiply(q, dq)
+        out[7:16] += dphi[6:15]
+        return out
+
+    def _dphi(self, x, lin):
+        from ..ops.relative_pose import np_quat_conjugate, np_quat_multiply
+
+        q = x[3:7] / np.linalg.norm(x[3:7])
+        q_lin = lin[3:7] / np.linalg.norm(lin[3:7])
+        dtheta = 2.0 * np_quat_multiply(np_quat_conjugate(q_lin), q)[1:]
+        return np.concatenate([x[:3] - lin[:3], dtheta, x[7:] - lin[7:]])
+
+    def _marginalize_oldest(self):
+        """Drop the oldest window state: absorb every factor touching it
+        into a Gaussian over (x_old, x_next) tangent (30 dims),
+        Schur-eliminate the old 15 -> new affine prior on x_next."""
+        old = self._window[0]
+        nxt = self._window[1]
+        x_old = self._est[old]
+        x_nxt = self._est[nxt]
+        H = np.zeros((30, 30))
+        g = np.zeros(30)
+
+        def fd_jacobian(res_fn, x_o, x_n):
+            r0 = res_fn(x_o, x_n)
+            J = np.zeros((r0.size, 30))
+            eps = 1e-6
+            for a in range(15):
+                d = np.zeros(15); d[a] = eps
+                J[:, a] = (
+                    res_fn(self._apply_tangent(x_o, d), x_n)
+                    - res_fn(self._apply_tangent(x_o, -d), x_n)
+                ) / (2 * eps)
+            for a in range(15):
+                d = np.zeros(15); d[a] = eps
+                J[:, 15 + a] = (
+                    res_fn(x_o, self._apply_tangent(x_n, d))
+                    - res_fn(x_o, self._apply_tangent(x_n, -d))
+                ) / (2 * eps)
+            return r0, J
+
+        def absorb(r0, J):
+            nonlocal H, g
+            H += J.T @ J
+            g += J.T @ r0
+
+        from ..ops.imu import np_imu_residual
+
+        imu_keep = []
+        for f in self._imu:
+            if f["i"] == old:
+                r0, J = fd_jacobian(
+                    lambda a, b: np_imu_residual(a, b, f, self.gravity),
+                    x_old, x_nxt,
+                )
+                absorb(r0, J)
+            else:
+                imu_keep.append(f)
+        self._imu = imu_keep
+
+        walk_keep = []
+        for (i, j, w) in self._walks:
+            if i == old:
+                r0 = (x_nxt[10:16] - x_old[10:16]) * w
+                J = np.zeros((6, 30))
+                J[:, 9:15] = -np.diag(w)
+                J[:, 24:30] = np.diag(w)
+                absorb(r0, J)
+            else:
+                walk_keep.append((i, j, w))
+        self._walks = walk_keep
+
+        for key, sl, tsl in (("pos", slice(0, 3), slice(0, 3)),
+                             ("vel", slice(7, 10), slice(6, 9)),
+                             ("bias", slice(10, 16), slice(9, 15))):
+            keep = []
+            for (idx, val, w) in self._priors[key]:
+                if idx == old:
+                    r0 = (x_old[sl] - val) * w
+                    J = np.zeros((r0.size, 30))
+                    J[:, tsl] = np.diag(w)
+                    absorb(r0, J)
+                else:
+                    keep.append((idx, val, w))
+            self._priors[key] = keep
+
+        if self._mprior is not None:
+            a_idx, S, c, lin = self._mprior
+            assert a_idx == old, "marginal prior must sit on the oldest state"
+            r0 = S @ self._dphi(x_old, lin) + c
+            # d dphi/d tangent at x_old: translation/vel/bias identity;
+            # rotation block d(2 vec(q_lin^-1 (q (x) (1, dth/2))))/d dth
+            # = vec-part of L(q_lin^-1 q); FD keeps it simple and exact
+            # to O(eps^2) like the factor Jacobians
+            J = np.zeros((15, 30))
+            eps = 1e-6
+            for a in range(15):
+                d = np.zeros(15); d[a] = eps
+                J[:, a] = (
+                    S @ self._dphi(self._apply_tangent(x_old, d), lin)
+                    - S @ self._dphi(self._apply_tangent(x_old, -d), lin)
+                ) / (2 * eps)
+            absorb(r0, J)
+            self._mprior = None
+
+        if self._gauge == old:
+            # the very first marginalization absorbs the gauge: pin the
+            # old state's POSE tangent (only — its velocity/bias carry
+            # real information from the absorbed factors) so the
+            # eliminated block is nonsingular and the gauge flows into
+            # the prior
+            H[:6, :6] += 1e8 * np.eye(6)
+            self._gauge = None
+
+        H_oo = H[:15, :15]
+        H_on = H[:15, 15:]
+        g_o = g[:15]
+        sol = np.linalg.solve(H_oo + 1e-12 * np.eye(15),
+                              np.concatenate([H_on, g_o[:, None]], axis=1))
+        Lam = H[15:, 15:] - H_on.T @ sol[:, :15]
+        g_n = g[15:] - H_on.T @ sol[:, 15]
+        w_e, Vec = np.linalg.eigh(Lam)
+        w_e = np.clip(w_e, 0.0, None)
+        S_new = np.sqrt(w_e)[:, None] * Vec.T
+        keep = w_e > 1e-12 * max(w_e.max(), 1.0)
+        c_new = np.where(
+            keep, (Vec.T @ g_n) / np.sqrt(np.maximum(w_e, 1e-300)), 0.0
+        )
+        self._mprior = (nxt, S_new, c_new, x_nxt.copy())
+        self._history[old] = self._est.pop(old)
+        self._window = self._window[1:]
+
+    # -- update ----------------------------------------------------------
+    def update(self, options: Optional[Options] = None):
+        """Marginalize down to the lag, then solve the window."""
+        if options is None:
+            options = Options().replace(max_iterations=50)
+        while len(self._window) > self.lag:
+            self._marginalize_oldest()
+        ids = list(self._window)
+        of = {si: k for k, si in enumerate(ids)}
+        N = len(ids)
+        dtype = self.dtype
+        x0 = np.stack([self._est[si] for si in ids])
+
+        imu = [f for f in self._imu]
+        if imu:
+            def st(key):
+                return jnp.asarray(np.stack([f[key] for f in imu]), dtype)
+
+            factors = PreintegratedImuFactor(
+                jnp.asarray(np.array([of[f["i"]] for f in imu], np.int32)),
+                jnp.asarray(np.array([of[f["j"]] for f in imu], np.int32)),
+                st("delta_q"), st("delta_v"), st("delta_p"),
+                jnp.asarray(np.array([f["dt"] for f in imu]), dtype),
+                st("dR_dbg"), st("dv_dbg"), st("dv_dba"),
+                st("dp_dbg"), st("dp_dba"), st("sqrt_info"), st("bias0"),
+            )
+        else:
+            z3 = jnp.zeros((0, 3), dtype)
+            z33 = jnp.zeros((0, 3, 3), dtype)
+            factors = PreintegratedImuFactor(
+                jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32),
+                jnp.zeros((0, 4), dtype), z3, z3, jnp.zeros((0,), dtype),
+                z33, z33, z33, z33, z33,
+                jnp.zeros((0, 9, 9), dtype), jnp.zeros((0, 6), dtype),
+            )
+        walk_pairs = jnp.asarray(
+            np.array([[of[i], of[j]] for (i, j, _) in self._walks], np.int32).reshape(-1, 2)
+        )
+        walk_w = jnp.asarray(
+            np.array([w for (_, _, w) in self._walks], np.float64).reshape(-1, 6), dtype
+        )
+        priors = {}
+        for key, d in (("pos", 3), ("vel", 3), ("bias", 6)):
+            rows = self._priors[key]
+            priors[key] = _Priors(
+                jnp.asarray(np.array([of[i] for (i, _, _) in rows], np.int32)),
+                jnp.asarray(np.array([v for (_, v, _) in rows], np.float64).reshape(-1, d), dtype),
+                jnp.asarray(np.array([w for (_, _, w) in rows], np.float64).reshape(-1, d), dtype),
+            )
+        free = np.ones((N, 16))
+        if self._gauge is not None:
+            free[of[self._gauge], :7] = 0.0
+        mprior = None
+        if self._mprior is not None:
+            a_idx, S, c, lin = self._mprior
+            mprior = (
+                jnp.asarray(of[a_idx], jnp.int32),
+                jnp.asarray(S, dtype),
+                jnp.asarray(c, dtype),
+                jnp.asarray(lin, dtype),
+            )
+        x, summary = _inertial_solve(
+            jnp.asarray(x0, dtype), factors, walk_pairs, walk_w, None,
+            priors, jnp.asarray(free, dtype),
+            jnp.asarray(self.gravity, dtype), mprior, N, options,
+        )
+        x = np.array(jax.device_get(x), np.float64)
+        x[:, 3:7] /= np.linalg.norm(x[:, 3:7], axis=1, keepdims=True)
+        for k, si in enumerate(ids):
+            self._est[si] = x[k]
         return summary

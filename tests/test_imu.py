@@ -331,3 +331,157 @@ def test_gravity_parameter():
     np.testing.assert_allclose(
         opt.get_pose(2).translation, [1.0, 0.0, 0.0], atol=1e-3
     )
+
+
+def _gps_ins_problem(rng_seed=0):
+    """Shared GPS-INS fixture for the batch-vs-fixed-lag tests."""
+    traj = Circle(rho=3.0, omega=0.6, yaw_amp=0.7)
+    T_total, kf_dt, imu_dt = 6.0, 0.5, 0.002
+    n_kf = int(T_total / kf_dt) + 1
+    bg_true = np.array([2e-3, -1e-3, 3e-3])
+    ba_true = np.array([2e-2, -1e-2, 1e-2])
+    params = ImuParams(gyro_noise=1e-4, accel_noise=1e-3)
+    rng = np.random.default_rng(rng_seed)
+    sg = params.gyro_noise / np.sqrt(imu_dt)
+    sa = params.accel_noise / np.sqrt(imu_dt)
+    pres, gps = [], []
+    for k in range(n_kf - 1):
+        pre = ImuPreintegrator(params)
+        t = k * kf_dt
+        while t < (k + 1) * kf_dt - 1e-9:
+            tm = t + 0.5 * imu_dt
+            pre.integrate(
+                traj.gyro(tm) + bg_true + rng.normal(0, sg, 3),
+                traj.accel_meas(tm, ba_true) + rng.normal(0, sa, 3),
+                imu_dt,
+            )
+            t += imu_dt
+        pres.append(pre)
+    for k in range(n_kf):
+        gps.append(traj.pos(k * kf_dt) + rng.normal(0, 0.05, 3))
+    return traj, kf_dt, n_kf, pres, gps
+
+
+def _feed_smoother(sm, traj, kf_dt, n_kf, pres, gps):
+    from nonlinear_optimizer_for_slam_tpu.core import Options
+    from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
+
+    deep = Options().replace(max_iterations=200)
+    R, p, v = traj.rot(0.0), traj.pos(0.0), traj.vel(0.0)
+    sm.add_state(0, Pose(R, p), velocity=v)
+    sm.add_position_prior(0, gps[0], 20.0)
+    sm.add_bias_prior(0, np.zeros(6), 10.0)
+    sm.update(deep)
+    for k, pre in enumerate(pres):
+        dR, dv, dp = pre.corrected(np.zeros(3), np.zeros(3))
+        p = p + v * pre.dt + 0.5 * GRAVITY * pre.dt**2 + R @ dp
+        v = v + GRAVITY * pre.dt + R @ dv
+        R = R @ dR
+        sm.add_state(k + 1, Pose(R, p), velocity=v)
+        sm.add_imu_factor(k, k + 1, pre)
+        sm.add_bias_walk(k, k + 1, (1e4, 1e3))
+        sm.add_position_prior(k + 1, gps[k + 1], 20.0)
+        s = sm.update(deep)
+        # feed-forward: next prediction starts from the smoothed state
+        pose_k, v, _ = sm.get_state(k + 1)
+        R, p = pose_k.rotation, pose_k.translation
+    return s
+
+
+def test_fixed_lag_inertial_no_marginalization_matches_batch():
+    """lag >= N: the smoother's last update IS the batch problem — the
+    optima must agree tightly."""
+    from nonlinear_optimizer_for_slam_tpu.core import Options
+    from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
+    from nonlinear_optimizer_for_slam_tpu.solvers.inertial import (
+        FixedLagInertialSmoother,
+        InertialGraphOptimizer,
+    )
+
+    traj, kf_dt, n_kf, pres, gps = _gps_ins_problem()
+    sm = FixedLagInertialSmoother(lag=100)
+    _feed_smoother(sm, traj, kf_dt, n_kf, pres, gps)
+    assert sm.window == list(range(n_kf))
+
+    batch = InertialGraphOptimizer()
+    R, p, v = traj.rot(0.0), traj.pos(0.0), traj.vel(0.0)
+    batch.add_state(0, Pose(R, p), velocity=v)
+    for k, pre in enumerate(pres):
+        dR, dv, dp = pre.corrected(np.zeros(3), np.zeros(3))
+        p = p + v * pre.dt + 0.5 * GRAVITY * pre.dt**2 + R @ dp
+        v = v + GRAVITY * pre.dt + R @ dv
+        R = R @ dR
+        batch.add_state(k + 1, Pose(R, p), velocity=v)
+        batch.add_imu_factor(k, k + 1, pre)
+        batch.add_bias_walk(k, k + 1, (1e4, 1e3))
+    batch.set_state_constant(0)
+    for k in range(n_kf):
+        batch.add_position_prior(k, gps[k], 20.0)
+    batch.add_bias_prior(0, np.zeros(6), 10.0)
+    batch.solve(Options().replace(max_iterations=200))
+
+    # NOTE the smoother's gauge is its first update's state-0 pose
+    # (identical to the batch gauge: same init, frozen before moving)
+    for k in range(n_kf):
+        np.testing.assert_allclose(
+            sm.get_pose(k).translation, batch.get_pose(k).translation,
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            sm.get_state(k)[1], batch.get_state(k)[1], atol=5e-3
+        )
+
+
+def test_fixed_lag_inertial_marginalization_tracks_batch():
+    """Finite lag: marginalization only adds linearization error — the
+    online estimates must stay close to the full batch MAP, old states
+    freeze, and the window stays bounded."""
+    from nonlinear_optimizer_for_slam_tpu.core import Options
+    from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
+    from nonlinear_optimizer_for_slam_tpu.solvers.inertial import (
+        FixedLagInertialSmoother,
+        InertialGraphOptimizer,
+    )
+
+    traj, kf_dt, n_kf, pres, gps = _gps_ins_problem()
+    sm = FixedLagInertialSmoother(lag=5)
+    _feed_smoother(sm, traj, kf_dt, n_kf, pres, gps)
+    assert len(sm.window) == 5
+    frozen = sm.get_pose(2).translation.copy()
+
+    batch = InertialGraphOptimizer()
+    R, p, v = traj.rot(0.0), traj.pos(0.0), traj.vel(0.0)
+    batch.add_state(0, Pose(R, p), velocity=v)
+    for k, pre in enumerate(pres):
+        dR, dv, dp = pre.corrected(np.zeros(3), np.zeros(3))
+        p = p + v * pre.dt + 0.5 * GRAVITY * pre.dt**2 + R @ dp
+        v = v + GRAVITY * pre.dt + R @ dv
+        R = R @ dR
+        batch.add_state(k + 1, Pose(R, p), velocity=v)
+        batch.add_imu_factor(k, k + 1, pre)
+        batch.add_bias_walk(k, k + 1, (1e4, 1e3))
+    batch.set_state_constant(0)
+    for k in range(n_kf):
+        batch.add_position_prior(k, gps[k], 20.0)
+    batch.add_bias_prior(0, np.zeros(6), 10.0)
+    batch.solve(Options().replace(max_iterations=200))
+
+    # window states close to the batch MAP
+    for k in sm.window:
+        d = np.linalg.norm(
+            sm.get_pose(k).translation - batch.get_pose(k).translation
+        )
+        assert d < 0.02, (k, d)
+    # bias tracked through marginalization too
+    np.testing.assert_allclose(
+        sm.get_state(sm.window[-1])[2], batch.get_state(n_kf - 1)[2],
+        atol=5e-3,
+    )
+    # marginalized states are frozen
+    np.testing.assert_array_equal(sm.get_pose(2).translation, frozen)
+    # and the trajectory is good in absolute terms
+    errs = [
+        np.linalg.norm(sm.get_pose(k).translation - traj.pos(k * kf_dt))
+        for k in range(n_kf)
+    ]
+    assert max(errs) < 0.12, max(errs)
