@@ -485,3 +485,66 @@ def test_fixed_lag_inertial_marginalization_tracks_batch():
         for k in range(n_kf)
     ]
     assert max(errs) < 0.12, max(errs)
+
+
+def test_inertial_graph_pose_edges_fuse_with_imu():
+    """Vision/lidar odometry edges (set_constraint) sharpen the IMU-only
+    solution: with a few noisy GPS fixes plus exact relative-pose edges,
+    the fused trajectory beats the no-edge solve."""
+    from nonlinear_optimizer_for_slam_tpu.core import Options
+    from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
+    from nonlinear_optimizer_for_slam_tpu.solvers.inertial import (
+        InertialGraphOptimizer,
+    )
+
+    traj = Circle(rho=3.0, omega=0.6, yaw_amp=0.5)
+    kf_dt, imu_dt, n_kf = 0.5, 0.002, 9
+    params = ImuParams(gyro_noise=1e-4, accel_noise=1e-3)
+    rng = np.random.default_rng(4)
+    sg = params.gyro_noise / np.sqrt(imu_dt)
+    sa = params.accel_noise / np.sqrt(imu_dt)
+
+    def kf_pose(t):
+        return Pose(traj.rot(t), traj.pos(t))
+
+    def build(with_edges):
+        opt = InertialGraphOptimizer()
+        r = np.random.default_rng(4)
+        for k in range(n_kf):
+            t = k * kf_dt
+            opt.add_state(
+                k,
+                Pose(traj.rot(t), traj.pos(t) + (r.normal(0, 0.1, 3) if k else 0.0)),
+                velocity=traj.vel(t),
+            )
+        opt.set_state_constant(0)
+        for k in range(n_kf - 1):
+            pre = ImuPreintegrator(params)
+            t = k * kf_dt
+            while t < (k + 1) * kf_dt - 1e-9:
+                tm = t + 0.5 * imu_dt
+                pre.integrate(
+                    traj.gyro(tm) + r.normal(0, sg, 3),
+                    traj.accel_meas(tm) + r.normal(0, sa, 3),
+                    imu_dt,
+                )
+                t += imu_dt
+            opt.add_imu_factor(k, k + 1, pre)
+            opt.add_bias_walk(k, k + 1, 1e4)
+            if with_edges:
+                rel = kf_pose(k * kf_dt).inverse() * kf_pose((k + 1) * kf_dt)
+                opt.set_constraint(k, k + 1, rel, sqrt_info=(100.0, 100.0))
+        # sparse, noisy GPS (every 4th keyframe)
+        for k in range(0, n_kf, 4):
+            opt.add_position_prior(k, traj.pos(k * kf_dt) + r.normal(0, 0.2, 3), 5.0)
+        opt.add_bias_prior(0, np.zeros(6), 10.0)
+        opt.solve(Options().replace(max_iterations=150))
+        return max(
+            np.linalg.norm(opt.get_pose(k).translation - traj.pos(k * kf_dt))
+            for k in range(n_kf)
+        )
+
+    err_no = build(False)
+    err_with = build(True)
+    assert err_with < 0.03, err_with  # exact strong edges pin the chain
+    assert err_with < 0.5 * err_no, (err_with, err_no)
