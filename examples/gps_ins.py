@@ -5,9 +5,10 @@
 
 Shows the full inertial stack: per-interval IMU preintegration
 (ops/imu.py), keyframe states (p, q, v, b_g, b_a), bias random-walk
-factors weighted from the datasheet densities, GPS priors, and one
-jitted smoothing solve — then prints dead-reckoning vs smoothed error
-and the recovered bias.
+factors weighted from the datasheet densities, GPS priors, one jitted
+BATCH smoothing solve, and the ONLINE FixedLagInertialSmoother
+processing the same stream keyframe by keyframe — then prints
+dead-reckoning vs batch vs online error and the recovered bias.
 """
 
 import os
@@ -118,9 +119,40 @@ def main():
         f"converged={bool(summary.converged)}"
     )
     print(f"dead-reckoned final error : {dead_err:.3f} m")
-    print(f"smoothed max / mean error : {max(errs):.3f} / {np.mean(errs):.3f} m")
+    print(f"batch max / mean error    : {max(errs):.3f} / {np.mean(errs):.3f} m")
     print(f"gyro bias  est {np.round(b_est[:3], 5)}  true {bg_true}")
     print(f"accel bias est {np.round(b_est[3:], 4)}  true {ba_true}")
+
+    # ---- ONLINE: fixed-lag smoother over the same stream -------------
+    sm = nls.FixedLagInertialSmoother(lag=6)
+    R, p, v = rot(0.0), pos(0.0), vel(0.0)
+    sm.add_state(0, Pose(R, p), velocity=v)
+    sm.add_position_prior(0, pos(0.0) + rng.normal(0, gps_sigma, 3), 1.0 / gps_sigma)
+    sm.add_bias_prior(0, np.zeros(6), 10.0)
+    sm.update()
+    online_errs = []
+    t0 = time.perf_counter()
+    for k, pre in enumerate(pres):
+        dR, dv, dp = pre.corrected(np.zeros(3), np.zeros(3))
+        p = p + v * pre.dt + 0.5 * GRAVITY * pre.dt**2 + R @ dp
+        v = v + GRAVITY * pre.dt + R @ dv
+        R = R @ dR
+        sm.add_state(k + 1, Pose(R, p), velocity=v)
+        sm.add_imu_factor(k, k + 1, pre)
+        sm.add_bias_walk(k, k + 1, bias_walk_sqrt_info(params, pre.dt))
+        sm.add_position_prior(
+            k + 1, pos((k + 1) * kf_dt) + rng.normal(0, gps_sigma, 3),
+            1.0 / gps_sigma,
+        )
+        sm.update()
+        pose_k, v, _ = sm.get_state(k + 1)
+        R, p = pose_k.rotation, pose_k.translation
+        online_errs.append(np.linalg.norm(p - pos((k + 1) * kf_dt)))
+    dt_online = (time.perf_counter() - t0) * 1e3 / len(pres)
+    print(
+        f"online (lag=6) max error  : {max(online_errs):.3f} m, "
+        f"{dt_online:.0f} ms/keyframe, window={sm.window}"
+    )
 
 
 if __name__ == "__main__":

@@ -304,21 +304,10 @@ def np_imu_residual(xi, xj, arr: dict, gravity=GRAVITY) -> np.ndarray:
     (fixed-lag marginalization linearizes this by finite differences —
     eager jnp on that path would pay the dispatch floor)."""
     from ..core.pose import np_quat_to_rotmat
-
-    def qmul(a, b):
-        w1, x1, y1, z1 = a
-        w2, x2, y2, z2 = b
-        return np.array(
-            [
-                w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
-                w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
-                w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
-                w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
-            ]
-        )
-
-    def qconj(q):
-        return q * np.array([1.0, -1.0, -1.0, -1.0])
+    from .relative_pose import (
+        np_quat_conjugate as qconj,
+        np_quat_multiply as qmul,
+    )
 
     def qexp(w):
         th = np.linalg.norm(w)

@@ -96,7 +96,12 @@ def _inertial_solve(
             xs = x[m_idx]
             q_lin = m_lin[3:7] / jnp.linalg.norm(m_lin[3:7])
             n = xs[3:7] / jnp.linalg.norm(xs[3:7])
-            dtheta = 2.0 * lie.quat_multiply(lie.quat_conjugate(q_lin), n)[1:]
+            e_q = lie.quat_multiply(lie.quat_conjugate(q_lin), n)
+            # shortest-arc hemisphere (every other rotation residual in
+            # this file sign-normalizes; without it a large window step
+            # that flips the ambient sign measures the 2pi complement)
+            e_q = jnp.where(e_q[0] < 0, -e_q, e_q)
+            dtheta = 2.0 * e_q[1:]
             dphi = jnp.concatenate(
                 [xs[:3] - m_lin[:3], dtheta, xs[7:] - m_lin[7:]]
             )
@@ -117,6 +122,53 @@ def _inertial_solve(
 
     x, summary = lm.solve(quad, retract, x0.reshape(-1), options)
     return x.reshape(N, 16), summary
+
+
+def _pack_imu_factors(imu, of, dtype) -> PreintegratedImuFactor:
+    """SoA-pack registered IMU factor dicts (shared by the batch
+    optimizer and the fixed-lag smoother)."""
+    if imu:
+        def st(key):
+            return jnp.asarray(np.stack([f[key] for f in imu]), dtype)
+
+        return PreintegratedImuFactor(
+            jnp.asarray(np.array([of[f["i"]] for f in imu], np.int32)),
+            jnp.asarray(np.array([of[f["j"]] for f in imu], np.int32)),
+            st("delta_q"), st("delta_v"), st("delta_p"),
+            jnp.asarray(np.array([f["dt"] for f in imu]), dtype),
+            st("dR_dbg"), st("dv_dbg"), st("dv_dba"),
+            st("dp_dbg"), st("dp_dba"), st("sqrt_info"), st("bias0"),
+        )
+    z3 = jnp.zeros((0, 3), dtype)
+    z33 = jnp.zeros((0, 3, 3), dtype)
+    return PreintegratedImuFactor(
+        jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32),
+        jnp.zeros((0, 4), dtype), z3, z3, jnp.zeros((0,), dtype),
+        z33, z33, z33, z33, z33,
+        jnp.zeros((0, 9, 9), dtype), jnp.zeros((0, 6), dtype),
+    )
+
+
+def _pack_walks(walks, of, dtype):
+    pairs = jnp.asarray(
+        np.array([[of[i], of[j]] for (i, j, _) in walks], np.int32).reshape(-1, 2)
+    )
+    w = jnp.asarray(
+        np.array([w for (_, _, w) in walks], np.float64).reshape(-1, 6), dtype
+    )
+    return pairs, w
+
+
+def _pack_priors(prior_lists, of, dtype):
+    out = {}
+    for key, d in (("pos", 3), ("vel", 3), ("bias", 6)):
+        rows = prior_lists[key]
+        out[key] = _Priors(
+            jnp.asarray(np.array([of[i] for (i, _, _) in rows], np.int32)),
+            jnp.asarray(np.array([v for (_, v, _) in rows], np.float64).reshape(-1, d), dtype),
+            jnp.asarray(np.array([w for (_, _, w) in rows], np.float64).reshape(-1, d), dtype),
+        )
+    return out
 
 
 class InertialGraphOptimizer:
@@ -251,35 +303,8 @@ class InertialGraphOptimizer:
         dtype = self.dtype
         x0 = np.stack([self._states[si] for si in ids])
 
-        F = len(self._imu)
-        if F:
-            def st(key):
-                return jnp.asarray(np.stack([f[key] for f in self._imu]), dtype)
-
-            factors = PreintegratedImuFactor(
-                jnp.asarray(np.array([of[f["i"]] for f in self._imu], np.int32)),
-                jnp.asarray(np.array([of[f["j"]] for f in self._imu], np.int32)),
-                st("delta_q"), st("delta_v"), st("delta_p"),
-                jnp.asarray(np.array([f["dt"] for f in self._imu]), dtype),
-                st("dR_dbg"), st("dv_dbg"), st("dv_dba"),
-                st("dp_dbg"), st("dp_dba"), st("sqrt_info"), st("bias0"),
-            )
-        else:
-            z3 = jnp.zeros((0, 3), dtype)
-            z33 = jnp.zeros((0, 3, 3), dtype)
-            factors = PreintegratedImuFactor(
-                jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32),
-                jnp.zeros((0, 4), dtype), z3, z3, jnp.zeros((0,), dtype),
-                z33, z33, z33, z33, z33,
-                jnp.zeros((0, 9, 9), dtype), jnp.zeros((0, 6), dtype),
-            )
-
-        walk_pairs = jnp.asarray(
-            np.array([[of[i], of[j]] for (i, j, _) in self._walks], np.int32).reshape(-1, 2)
-        )
-        walk_w = jnp.asarray(
-            np.array([w for (_, _, w) in self._walks], np.float64).reshape(-1, 6), dtype
-        )
+        factors = _pack_imu_factors(self._imu, of, dtype)
+        walk_pairs, walk_w = _pack_walks(self._walks, of, dtype)
 
         if self._edges:
             E = len(self._edges)
@@ -299,14 +324,7 @@ class InertialGraphOptimizer:
         else:
             edges = None
 
-        priors = {}
-        for key, d in (("pos", 3), ("vel", 3), ("bias", 6)):
-            rows = self._priors[key]
-            priors[key] = _Priors(
-                jnp.asarray(np.array([of[i] for (i, _, _) in rows], np.int32)),
-                jnp.asarray(np.array([v for (_, v, _) in rows], np.float64).reshape(-1, d), dtype),
-                jnp.asarray(np.array([w for (_, _, w) in rows], np.float64).reshape(-1, d), dtype),
-            )
+        priors = _pack_priors(self._priors, of, dtype)
 
         free = np.ones((N, 16))
         for si, comps in self._constant.items():
@@ -400,14 +418,26 @@ class FixedLagInertialSmoother:
     def add_bias_walk(self, i, j, sqrt_info):
         if j != i + 1:
             raise ValueError("chain smoother: bias walks must join i, i+1")
+        if i not in self._est or j not in self._est:
+            raise KeyError("bias-walk endpoints must be in the window")
         w = np.asarray(sqrt_info, np.float64).reshape(-1)
         if w.size == 1:
             w = np.full(6, w[0])
         elif w.size == 2:
             w = np.concatenate([np.full(3, w[0]), np.full(3, w[1])])
+        elif w.size != 6:
+            raise ValueError(f"sqrt_info must be scalar/(2,)/(6,), got {w.size}")
         self._walks.append((i, j, w))
 
+    def _check_in_window(self, index):
+        if index not in self._est:
+            raise KeyError(
+                f"state {index} is not in the active window "
+                f"(marginalized or never added)"
+            )
+
     def add_position_prior(self, index, position, sqrt_info=1.0):
+        self._check_in_window(index)
         w = np.asarray(sqrt_info, np.float64).reshape(-1)
         self._priors["pos"].append(
             (index, np.asarray(position, np.float64),
@@ -415,6 +445,7 @@ class FixedLagInertialSmoother:
         )
 
     def add_velocity_prior(self, index, velocity, sqrt_info=1.0):
+        self._check_in_window(index)
         w = np.asarray(sqrt_info, np.float64).reshape(-1)
         self._priors["vel"].append(
             (index, np.asarray(velocity, np.float64),
@@ -422,6 +453,7 @@ class FixedLagInertialSmoother:
         )
 
     def add_bias_prior(self, index, bias6, sqrt_info=1.0):
+        self._check_in_window(index)
         w = np.asarray(sqrt_info, np.float64).reshape(-1)
         self._priors["bias"].append(
             (index, np.asarray(bias6, np.float64),
@@ -448,18 +480,6 @@ class FixedLagInertialSmoother:
 
     # -- marginalization -------------------------------------------------
     @staticmethod
-    def _tangent_chart(x):
-        """d(packed ambient 16)/d(tangent 15) at unit-quaternion x."""
-        q = x[3:7] / np.linalg.norm(x[3:7])
-        from ..ops.relative_pose import np_quat_left_matrix
-
-        T = np.zeros((16, 15))
-        T[:3, :3] = np.eye(3)
-        T[3:7, 3:6] = 0.5 * np_quat_left_matrix(q)[:, 1:]
-        T[7:16, 6:15] = np.eye(9)
-        return T
-
-    @staticmethod
     def _apply_tangent(x, dphi):
         from ..ops.relative_pose import np_quat_multiply
 
@@ -476,8 +496,12 @@ class FixedLagInertialSmoother:
 
         q = x[3:7] / np.linalg.norm(x[3:7])
         q_lin = lin[3:7] / np.linalg.norm(lin[3:7])
-        dtheta = 2.0 * np_quat_multiply(np_quat_conjugate(q_lin), q)[1:]
-        return np.concatenate([x[:3] - lin[:3], dtheta, x[7:] - lin[7:]])
+        e_q = np_quat_multiply(np_quat_conjugate(q_lin), q)
+        if e_q[0] < 0:  # shortest arc, matching the jitted prior
+            e_q = -e_q
+        return np.concatenate(
+            [x[:3] - lin[:3], 2.0 * e_q[1:], x[7:] - lin[7:]]
+        )
 
     def _marginalize_oldest(self):
         """Drop the oldest window state: absorb every factor touching it
@@ -612,42 +636,9 @@ class FixedLagInertialSmoother:
         dtype = self.dtype
         x0 = np.stack([self._est[si] for si in ids])
 
-        imu = [f for f in self._imu]
-        if imu:
-            def st(key):
-                return jnp.asarray(np.stack([f[key] for f in imu]), dtype)
-
-            factors = PreintegratedImuFactor(
-                jnp.asarray(np.array([of[f["i"]] for f in imu], np.int32)),
-                jnp.asarray(np.array([of[f["j"]] for f in imu], np.int32)),
-                st("delta_q"), st("delta_v"), st("delta_p"),
-                jnp.asarray(np.array([f["dt"] for f in imu]), dtype),
-                st("dR_dbg"), st("dv_dbg"), st("dv_dba"),
-                st("dp_dbg"), st("dp_dba"), st("sqrt_info"), st("bias0"),
-            )
-        else:
-            z3 = jnp.zeros((0, 3), dtype)
-            z33 = jnp.zeros((0, 3, 3), dtype)
-            factors = PreintegratedImuFactor(
-                jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32),
-                jnp.zeros((0, 4), dtype), z3, z3, jnp.zeros((0,), dtype),
-                z33, z33, z33, z33, z33,
-                jnp.zeros((0, 9, 9), dtype), jnp.zeros((0, 6), dtype),
-            )
-        walk_pairs = jnp.asarray(
-            np.array([[of[i], of[j]] for (i, j, _) in self._walks], np.int32).reshape(-1, 2)
-        )
-        walk_w = jnp.asarray(
-            np.array([w for (_, _, w) in self._walks], np.float64).reshape(-1, 6), dtype
-        )
-        priors = {}
-        for key, d in (("pos", 3), ("vel", 3), ("bias", 6)):
-            rows = self._priors[key]
-            priors[key] = _Priors(
-                jnp.asarray(np.array([of[i] for (i, _, _) in rows], np.int32)),
-                jnp.asarray(np.array([v for (_, v, _) in rows], np.float64).reshape(-1, d), dtype),
-                jnp.asarray(np.array([w for (_, _, w) in rows], np.float64).reshape(-1, d), dtype),
-            )
+        factors = _pack_imu_factors(self._imu, of, dtype)
+        walk_pairs, walk_w = _pack_walks(self._walks, of, dtype)
+        priors = _pack_priors(self._priors, of, dtype)
         free = np.ones((N, 16))
         if self._gauge is not None:
             free[of[self._gauge], :7] = 0.0
