@@ -36,6 +36,7 @@ from .solvers import (
     PoseLandmark2DOptimizer,
     PoseLandmarkOptimizer,
     ReprojectionErrorMinimizer,
+    Sim3GraphOptimizer,
     Summary,
     sqrt_info_from_information,
 )

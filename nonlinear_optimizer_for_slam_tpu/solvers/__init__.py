@@ -1,4 +1,4 @@
-from . import autodiff, batched, bundle_adjustment, fixed_lag, inertial, linear, lm, manifolds, pose_graph, pose_landmark, problem
+from . import autodiff, batched, bundle_adjustment, fixed_lag, inertial, linear, lm, manifolds, pose_graph, pose_landmark, problem, sim3_graph
 from .fixed_lag import FixedLagSmoother
 from .lm import Summary
 from .batched import (
@@ -20,6 +20,7 @@ from .pose_graph import (
     sqrt_info_from_information,
 )
 from .inertial import FixedLagInertialSmoother, InertialGraphOptimizer
+from .sim3_graph import Sim3GraphOptimizer
 from .pose_landmark import PoseLandmark2DOptimizer, PoseLandmarkOptimizer
 from .problem import GenericOptions, PoseOptimizer, Problem
 
@@ -43,6 +44,8 @@ __all__ = [
     "inertial",
     "InertialGraphOptimizer",
     "FixedLagInertialSmoother",
+    "sim3_graph",
+    "Sim3GraphOptimizer",
     "problem",
     "GenericOptions",
     "PoseOptimizer",

@@ -1,0 +1,301 @@
+"""Sim(3) pose graph: scale-drift-aware loop-closure optimization for
+monocular SLAM (Strasdat et al., "Scale Drift-Aware Large Scale
+Monocular SLAM", RSS 2010 — the essential-graph optimization ORB-SLAM
+runs at every loop closure).
+
+Monocular odometry drifts in SCALE as well as pose; closing a loop with
+an SE(3) graph forces the scale error into the translations. The Sim(3)
+state adds one log-scale per keyframe and the edge residual measures
+relative similarity transforms, so the optimizer can absorb drift where
+it actually happened. State per pose: [p (3), q (4, ambient), log_s].
+
+Edge residual for measurement (t_rel, q_rel, s_rel) on edge (i, j),
+with the similarity T = (s R, p) acting as x -> s R x + p:
+
+    S_ij = T_i^-1 T_j:  s_ij = s_j / s_i,
+                        R_ij = R_i^T R_j,
+                        t_ij = (1 / s_i) R_i^T (p_j - p_i)
+    r = [ t_ij - t_rel ; 2 vec(q_rel^-1 q_i^-1 q_j) ;
+          log(s_ij) - log(s_rel) ]                      (7,)
+
+whitened by optional sqrt-information (scalar / (3,) = (t, rot, scale)
+/ (7,) diagonal). Jacobians come from ONE vmapped per-edge jacfwd (17
+ambient inputs, 7 residual rows — cheap), scatter-assembled into the
+dense (8P)^2 normal matrix exactly like the SE(3) dense path; the
+canonical lm.solve loop drives the solve. An SE(3) measurement is the
+s_rel = 1 special case, so ordinary odometry edges and loop closures
+mix freely.
+
+The reference has nothing Sim(3); its pose graph (like its Ceres
+functors) is SE(3)-only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from ..core.options import Options
+from ..core.pose import Pose, np_quat_to_rotmat
+from . import lm
+
+Array = jax.Array
+
+
+class Sim3Edges(NamedTuple):
+    reference_indices: Array  # (E,) int32
+    query_indices: Array  # (E,) int32
+    rel_t: Array  # (E, 3)
+    rel_q: Array  # (E, 4) wxyz
+    rel_log_s: Array  # (E,)
+    mask: Array  # (E,)
+    sqrt_info: Optional[Array] = None  # (E, 7) diagonal
+
+
+def sim3_edge_residual(x_ref: Array, x_query: Array, meas: Array) -> Array:
+    """7-D residual of one edge; states (8,) = [p, q, log_s], measurement
+    (8,) = [t_rel, q_rel, log_s_rel]."""
+    p_r, q_r, ls_r = x_ref[:3], x_ref[3:7], x_ref[7]
+    p_q, q_q, ls_q = x_query[:3], x_query[3:7], x_query[7]
+    t_rel, q_rel, ls_rel = meas[:3], meas[3:7], meas[7]
+    n_r = lie.quat_normalize(q_r)
+    n_q = lie.quat_normalize(q_q)
+    t_ij = jnp.exp(-ls_r) * lie.quat_rotate(lie.quat_conjugate(n_r), p_q - p_r)
+    err_q = lie.quat_multiply(
+        lie.quat_conjugate(q_rel),
+        lie.quat_multiply(lie.quat_conjugate(n_r), n_q),
+    )
+    err_q = jnp.where(err_q[0] < 0, -err_q, err_q)
+    return jnp.concatenate(
+        [t_ij - t_rel, 2.0 * err_q[1:], ((ls_q - ls_r) - ls_rel)[None]]
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _sim3_solve(
+    x0,  # (P, 8)
+    edges: Sim3Edges,
+    free_mask,  # (P,)
+    scale_free,  # (P,) 1.0 = log-scale free (gauge may pin one scale)
+    edge_loss,
+    num_poses: int,
+    options: Options,
+):
+    P = num_poses
+    dtype = x0.dtype
+    E = edges.mask.shape[0]
+    ref_i = edges.reference_indices
+    qry_i = edges.query_indices
+    meas = jnp.concatenate(
+        [edges.rel_t, edges.rel_q, edges.rel_log_s[:, None]], axis=1
+    )
+    # per-component column mask: pose block gated by free_mask, scale by
+    # scale_free (a fully-fixed pose fixes both)
+    col = jnp.concatenate(
+        [
+            jnp.repeat(free_mask, 7).reshape(P, 7),
+            (free_mask * scale_free)[:, None],
+        ],
+        axis=1,
+    ).reshape(-1)
+
+    eights = jnp.arange(8, dtype=jnp.int32)
+    rows_ref = 8 * ref_i[:, None] + eights[None, :]
+    rows_qry = 8 * qry_i[:, None] + eights[None, :]
+
+    res_and_jac = jax.vmap(
+        lambda xr, xq, m: (
+            sim3_edge_residual(xr, xq, m),
+            jax.jacfwd(sim3_edge_residual, argnums=0)(xr, xq, m),
+            jax.jacfwd(sim3_edge_residual, argnums=1)(xr, xq, m),
+        )
+    )
+
+    def quad(x):
+        xs = x.reshape(P, 8)
+        r, J_ref, J_qry = res_and_jac(xs[ref_i], xs[qry_i], meas)
+        if edges.sqrt_info is not None:
+            w = edges.sqrt_info
+            r = r * w
+            J_ref = J_ref * w[:, :, None]
+            J_qry = J_qry * w[:, :, None]
+        m = edges.mask
+        r = r * m[:, None]
+        J_ref = J_ref * (m * free_mask[ref_i])[:, None, None]
+        J_qry = J_qry * (m * free_mask[qry_i])[:, None, None]
+
+        if edge_loss is not None:
+            sq = jnp.sum(r * r, axis=1)
+            rho, wts, _ = edge_loss.evaluate(sq)
+            cost = jnp.sum(rho)
+            sw = jnp.sqrt(wts)
+            r = r * sw[:, None]
+            J_ref = J_ref * sw[:, None, None]
+            J_qry = J_qry * sw[:, None, None]
+        else:
+            cost = jnp.sum(r * r)
+
+        dim = 8 * P
+        H = jnp.zeros((dim, dim), dtype)
+        g = jnp.zeros((dim,), dtype)
+        with jax.default_matmul_precision("highest"):
+            B_rr = jnp.sum(J_ref[:, :, :, None] * J_ref[:, :, None, :], axis=1)
+            B_rq = jnp.sum(J_ref[:, :, :, None] * J_qry[:, :, None, :], axis=1)
+            B_qq = jnp.sum(J_qry[:, :, :, None] * J_qry[:, :, None, :], axis=1)
+            g_r = jnp.sum(J_ref * r[:, :, None], axis=1)
+            g_q = jnp.sum(J_qry * r[:, :, None], axis=1)
+        H = H.at[rows_ref[:, :, None], rows_ref[:, None, :]].add(B_rr)
+        H = H.at[rows_ref[:, :, None], rows_qry[:, None, :]].add(B_rq)
+        H = H.at[rows_qry[:, :, None], rows_ref[:, None, :]].add(
+            jnp.swapaxes(B_rq, 1, 2)
+        )
+        H = H.at[rows_qry[:, :, None], rows_qry[:, None, :]].add(B_qq)
+        g = g.at[rows_ref].add(g_r).at[rows_qry].add(g_q)
+        H = H + jnp.diag(1.0 - col) + 1e-8 * jnp.eye(dim, dtype=dtype)
+        return H, g, cost
+
+    def retract(x, delta):
+        return x + delta * col
+
+    x, summary = lm.solve(quad, retract, x0.reshape(-1), options)
+    return x.reshape(P, 8), summary
+
+
+class Sim3GraphOptimizer:
+    """Registry + solve() for the Sim(3) essential graph (same API shape
+    as PoseGraphOptimizer, with a scale per pose)."""
+
+    def __init__(self, dtype=jnp.float64, edge_loss=None):
+        self.dtype = dtype
+        self.edge_loss = edge_loss
+        self._poses: Dict[int, np.ndarray] = {}  # (8,) [p, q, log_s]
+        self._constant: set = set()
+        self._fix_scale: set = set()
+        self._constraints: List[dict] = []
+
+    # -- registry ------------------------------------------------------
+    def set_pose(self, index: int, pose: Pose, scale: float = 1.0) -> None:
+        if scale <= 0.0:
+            raise ValueError(f"scale must be positive, got {scale}")
+        self._poses[index] = np.concatenate(
+            [pose.translation, pose.quaternion(), [np.log(scale)]]
+        )
+
+    def set_pose_constant(self, index: int) -> None:
+        """Freeze pose AND scale (the Sim(3) gauge has 7 dof: 6 pose + 1
+        global scale; one fully-fixed keyframe pins all of it)."""
+        if index not in self._poses:
+            raise KeyError(f"pose {index} not registered")
+        self._constant.add(index)
+
+    def set_scale_constant(self, index: int) -> None:
+        """Freeze only the scale of a pose (e.g. anchor the metric scale
+        at a keyframe whose depth is known)."""
+        if index not in self._poses:
+            raise KeyError(f"pose {index} not registered")
+        self._fix_scale.add(index)
+
+    def set_constraint(
+        self,
+        reference_index: int,
+        query_index: int,
+        relative_pose: Pose,
+        relative_scale: float = 1.0,
+        sqrt_info=None,
+    ) -> None:
+        """Sim(3) edge: SE(3) measurement + relative scale s_j/s_i
+        (1.0 = an ordinary rigid odometry edge). ``sqrt_info``: scalar,
+        (3,) = (trans, rot, scale), or (7,) diagonal."""
+        if reference_index not in self._poses or query_index not in self._poses:
+            raise KeyError("constraint endpoints must be registered poses")
+        if reference_index == query_index:
+            raise ValueError("self-constraint is not allowed")
+        if relative_scale <= 0.0:
+            raise ValueError(f"relative_scale must be positive, got {relative_scale}")
+        w = None
+        if sqrt_info is not None:
+            a = np.asarray(sqrt_info, np.float64).reshape(-1)
+            if a.size == 1:
+                w = np.full(7, a[0])
+            elif a.size == 3:
+                w = np.concatenate([np.full(3, a[0]), np.full(3, a[1]), [a[2]]])
+            elif a.size == 7:
+                w = a.copy()
+            else:
+                raise ValueError(
+                    f"sqrt_info must be scalar/(3,)/(7,), got {a.size}"
+                )
+        self._constraints.append(
+            dict(
+                reference_index=reference_index,
+                query_index=query_index,
+                rel_t=relative_pose.translation.copy(),
+                rel_q=relative_pose.quaternion(),
+                rel_log_s=float(np.log(relative_scale)),
+                sqrt_info=w,
+            )
+        )
+
+    def get_pose(self, index: int) -> Pose:
+        x = self._poses[index]
+        q = x[3:7] / np.linalg.norm(x[3:7])
+        return Pose(np_quat_to_rotmat(q), x[:3].copy())
+
+    def get_scale(self, index: int) -> float:
+        return float(np.exp(self._poses[index][7]))
+
+    @property
+    def num_poses(self) -> int:
+        return len(self._poses)
+
+    # -- solve ---------------------------------------------------------
+    def solve(self, options: Optional[Options] = None):
+        if options is None:
+            options = Options().replace(max_iterations=200)
+        if not self._constraints:
+            raise ValueError("Sim3GraphOptimizer.solve: no constraints registered")
+        ids = sorted(self._poses)
+        of = {pi: i for i, pi in enumerate(ids)}
+        P = len(ids)
+        E = len(self._constraints)
+        dtype = self.dtype
+        x0 = np.stack([self._poses[pi] for pi in ids])
+
+        w_rows = [c["sqrt_info"] for c in self._constraints]
+        edges = Sim3Edges(
+            jnp.asarray(np.array([of[c["reference_index"]] for c in self._constraints], np.int32)),
+            jnp.asarray(np.array([of[c["query_index"]] for c in self._constraints], np.int32)),
+            jnp.asarray(np.stack([c["rel_t"] for c in self._constraints]), dtype),
+            jnp.asarray(np.stack([c["rel_q"] for c in self._constraints]), dtype),
+            jnp.asarray(np.array([c["rel_log_s"] for c in self._constraints]), dtype),
+            jnp.ones((E,), dtype),
+            sqrt_info=(
+                jnp.asarray(
+                    np.stack([w if w is not None else np.ones(7) for w in w_rows]),
+                    dtype,
+                )
+                if any(w is not None for w in w_rows)
+                else None
+            ),
+        )
+        free = np.ones(P)
+        for pi in self._constant:
+            free[of[pi]] = 0.0
+        scale_free = np.ones(P)
+        for pi in self._fix_scale:
+            scale_free[of[pi]] = 0.0
+
+        x, summary = _sim3_solve(
+            jnp.asarray(x0, dtype), edges, jnp.asarray(free, dtype),
+            jnp.asarray(scale_free, dtype), self.edge_loss, P, options,
+        )
+        x = np.array(jax.device_get(x), np.float64)
+        x[:, 3:7] /= np.linalg.norm(x[:, 3:7], axis=1, keepdims=True)
+        for i, pi in enumerate(ids):
+            self._poses[pi] = x[i]
+        return summary

@@ -1,0 +1,192 @@
+"""Sim(3) pose-graph tests: residual conventions, rigid-subgroup
+consistency with the SE(3) graph, and the headline capability — a
+monocular loop closure absorbing accumulated SCALE drift (Strasdat
+RSS'10 / ORB-SLAM essential graph)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import nonlinear_optimizer_for_slam_tpu as nls
+from nonlinear_optimizer_for_slam_tpu.core import Options
+from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
+from nonlinear_optimizer_for_slam_tpu.solvers.sim3_graph import (
+    Sim3GraphOptimizer,
+    sim3_edge_residual,
+)
+
+
+def _rotz(th):
+    c, s = np.cos(th), np.sin(th)
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def _sim3_compose(a, b):
+    """T_a * T_b for (8,) [p, q, log_s] states (x -> s R x + p)."""
+    from nonlinear_optimizer_for_slam_tpu.ops.relative_pose import (
+        np_quat_multiply,
+    )
+
+    Ra = np_rot(a)
+    sa = np.exp(a[7])
+    p = sa * Ra @ b[:3] + a[:3]
+    q = np_quat_multiply(a[3:7], b[3:7])
+    return np.concatenate([p, q, [a[7] + b[7]]])
+
+
+def np_rot(x):
+    from nonlinear_optimizer_for_slam_tpu.core.pose import np_quat_to_rotmat
+
+    return np_quat_to_rotmat(x[3:7] / np.linalg.norm(x[3:7]))
+
+
+def _between(a, b):
+    """Measurement (8,) = T_a^-1 T_b as [t_rel, q_rel, log_s_rel]."""
+    from nonlinear_optimizer_for_slam_tpu.ops.relative_pose import (
+        np_quat_conjugate,
+        np_quat_multiply,
+    )
+
+    Ra = np_rot(a)
+    sa = np.exp(a[7])
+    t = (1.0 / sa) * Ra.T @ (b[:3] - a[:3])
+    q = np_quat_multiply(np_quat_conjugate(a[3:7]), b[3:7])
+    return np.concatenate([t, q, [b[7] - a[7]]])
+
+
+def test_residual_zero_at_consistency():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        a = np.concatenate(
+            [rng.normal(size=3), rng.normal(size=4), [rng.normal(0, 0.3)]]
+        )
+        a[3:7] /= np.linalg.norm(a[3:7])
+        b = np.concatenate(
+            [rng.normal(size=3), rng.normal(size=4), [rng.normal(0, 0.3)]]
+        )
+        b[3:7] /= np.linalg.norm(b[3:7])
+        meas = _between(a, b)
+        r = np.asarray(
+            sim3_edge_residual(jnp.asarray(a), jnp.asarray(b), jnp.asarray(meas))
+        )
+        np.testing.assert_allclose(r, 0.0, atol=1e-12)
+
+
+def test_rigid_subgroup_matches_se3_graph():
+    """All scales 1 and rigid measurements: the Sim(3) solve must land
+    where the SE(3) pose graph does (scale stays 1)."""
+    rng = np.random.default_rng(1)
+    P = 12
+    true = [
+        Pose.from_axis_angle(2 * np.pi * k / P, [0, 0, 1],
+                             [np.cos(2 * np.pi * k / P), np.sin(2 * np.pi * k / P), 0.0])
+        for k in range(P)
+    ]
+
+    def noisy_t(k, r):
+        return true[k].translation + (r.normal(0, 0.05, 3) if k else 0.0)
+
+    r1 = np.random.default_rng(2)
+    se3 = nls.PoseGraphOptimizer()
+    for k, p in enumerate(true):
+        se3.set_pose(k, Pose(p.rotation, noisy_t(k, r1)))
+    se3.set_pose_constant(0)
+    for k in range(P):
+        se3.set_constraint(k, (k + 1) % P, true[k].inverse() * true[(k + 1) % P])
+    se3.solve()
+
+    r1 = np.random.default_rng(2)
+    sim3 = Sim3GraphOptimizer()
+    for k, p in enumerate(true):
+        sim3.set_pose(k, Pose(p.rotation, noisy_t(k, r1)))
+    sim3.set_pose_constant(0)
+    for k in range(P):
+        sim3.set_constraint(k, (k + 1) % P, true[k].inverse() * true[(k + 1) % P])
+    s = sim3.solve()
+    assert bool(s.converged)
+    for k in range(P):
+        np.testing.assert_allclose(
+            sim3.get_pose(k).translation, se3.get_pose(k).translation, atol=1e-5
+        )
+        np.testing.assert_allclose(sim3.get_scale(k), 1.0, atol=1e-8)
+
+
+def test_monocular_scale_drift_corrected_by_loop():
+    """THE Sim(3) use case (Strasdat RSS'10): monocular odometry whose
+    translation magnitudes drift by a constant factor per edge. The
+    consistent explanation is per-keyframe scales s_k = d^-k; a naive
+    rigid (SE(3)-style) dead reckoning of the same measurements spirals
+    outward. The Sim(3) graph with one loop closure must recover BOTH
+    the true positions and the drift profile exactly."""
+    P = 20
+    drift = 1.04  # 4% scale growth per edge -> 2.1x over the loop
+    # target (consistent) Sim(3) states: true circle poses, ls_k = -k ln d
+    target = []
+    for k in range(P):
+        q = np.array([np.cos(np.pi * k / P), 0, 0, np.sin(np.pi * k / P)])
+        target.append(np.concatenate(
+            [[3 * np.cos(2 * np.pi * k / P), 3 * np.sin(2 * np.pi * k / P), 0.0],
+             q, [-k * np.log(drift)]]
+        ))
+
+    # every measurement is the exact similarity between targets — the
+    # odometry translations come out inflated by d^k (monocular drift)
+    meas = [_between(target[k], target[k + 1]) for k in range(P - 1)]
+    loop_meas = _between(target[P - 1], target[0])
+
+    # naive rigid dead reckoning of those measurements spirals out
+    init = [target[0].copy()]
+    for k in range(P - 1):
+        m = meas[k]
+        prev = init[-1]
+        p_next = prev[:3] + np_rot(prev) @ m[:3]  # ignores scale
+        from nonlinear_optimizer_for_slam_tpu.ops.relative_pose import (
+            np_quat_multiply,
+        )
+        q_next = np_quat_multiply(prev[3:7], m[3:7])
+        init.append(np.concatenate([p_next, q_next, [0.0]]))
+    spiral_err = max(
+        np.linalg.norm(init[k][:3] - target[k][:3]) for k in range(P)
+    )
+    assert spiral_err > 1.0, spiral_err  # the drift really is large
+
+    opt = Sim3GraphOptimizer()
+    for k in range(P):
+        opt.set_pose(k, Pose(np_rot(init[k]), init[k][:3]), scale=1.0)
+    opt.set_pose_constant(0)
+    for k in range(P - 1):
+        m = meas[k]
+        opt.set_constraint(
+            k, k + 1, Pose(np_rot(m), m[:3]),
+            relative_scale=float(np.exp(m[7])), sqrt_info=(10.0, 20.0, 1.0),
+        )
+    m = loop_meas
+    opt.set_constraint(
+        P - 1, 0, Pose(np_rot(m), m[:3]),
+        relative_scale=float(np.exp(m[7])), sqrt_info=(50.0, 100.0, 50.0),
+    )
+    s = opt.solve(Options().replace(max_iterations=300))
+    assert float(s.final_cost) < 1e-10  # measurements are consistent
+
+    for k in range(P):
+        np.testing.assert_allclose(
+            opt.get_pose(k).translation, target[k][:3], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.log(opt.get_scale(k)), target[k][7], atol=1e-6
+        )
+
+
+def test_api_validation():
+    o = Sim3GraphOptimizer()
+    o.set_pose(0, Pose.identity())
+    o.set_pose(1, Pose.identity(), scale=2.0)
+    assert o.get_scale(1) == pytest.approx(2.0)
+    with pytest.raises(ValueError, match="positive"):
+        o.set_pose(2, Pose.identity(), scale=-1.0)
+    with pytest.raises(ValueError, match="positive"):
+        o.set_constraint(0, 1, Pose.identity(), relative_scale=0.0)
+    with pytest.raises(KeyError):
+        o.set_constraint(0, 9, Pose.identity())
+    with pytest.raises(ValueError, match="no constraints"):
+        o.solve()
