@@ -28,6 +28,33 @@ def log(*a):
 
 
 def main():
+    import os
+    import threading
+
+    # Fail FAST if the TPU relay is unreachable: jax.devices() hangs
+    # indefinitely when the axon tunnel is down (observed multi-hour
+    # outages) and a silently hung benchmark is worse than an explicit
+    # failure. The watchdog is disarmed as soon as devices enumerate.
+    armed = threading.Event()
+    armed.set()
+
+    def watchdog():
+        if not armed.wait(timeout=0.0):  # pragma: no cover
+            return
+        import time as _t
+
+        deadline = _t.time() + 420.0
+        while _t.time() < deadline:
+            if not armed.is_set():
+                return
+            _t.sleep(5.0)
+        if armed.is_set():
+            log("FATAL: TPU device enumeration exceeded 420 s — the relay "
+                "tunnel is likely down; aborting instead of hanging")
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -39,6 +66,7 @@ def main():
     from nonlinear_optimizer_for_slam_tpu.utils import testing
 
     log(f"devices: {jax.devices()}")
+    armed.clear()  # devices enumerated; disarm the watchdog
 
     t0 = time.perf_counter()
     points = testing.generate_room_points()  # ~954,605 pts (reference world)
