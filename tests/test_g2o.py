@@ -604,3 +604,24 @@ def test_save_landmark_optimizer_without_graph(tmp_path, rng):
     g2o_io.save_pose_graph(p2, o2)
     g2 = g2o_io.read_g2o(p2)
     assert g2.dim == 2 and len(g2.landmarks) == 1 and len(g2.landmark_edges) == 1
+
+
+def test_unit_information_flag(tmp_path, rng):
+    """unit_information=True ignores file info matrices — the loaded
+    optimizer must carry no sqrt_info (the reference's unweighted
+    behavior)."""
+    g = g2o_io.G2oGraph(dim=3)
+    for k in range(3):
+        g.vertices[k] = np.array([k, 0, 0, 1.0, 0, 0, 0][0:3] + [1.0, 0, 0, 0])
+        g.vertices[k][:3] = [k, 0.0, 0.0]
+    info = random_spd(rng, 6)
+    for k in range(2):
+        g.edges.append(g2o_io.G2oEdge(
+            k, k + 1, np.array([1.0, 0, 0, 1.0, 0, 0, 0]), info))
+    path = str(tmp_path / "u.g2o")
+    g2o_io.write_g2o(path, g)
+
+    weighted = g2o_io.load_pose_graph(path)
+    unweighted = g2o_io.load_pose_graph(path, unit_information=True)
+    assert all(c["sqrt_info"] is None for c in unweighted.constraints())
+    assert all(c["sqrt_info"] is not None for c in weighted.constraints())
