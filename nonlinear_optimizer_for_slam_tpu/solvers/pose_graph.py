@@ -311,6 +311,67 @@ def _pose_graph_solve(
     return pos, quat, sw, summary
 
 
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def _pose_graph_solve_batch(
+    positions0,  # (B, P, 3)
+    quaternions0,  # (B, P, 4)
+    switches0,  # (B, L)
+    edges: PoseGraphEdges,  # measurements (B, E, 3)/(B, E, 4); rest shared
+    free_mask,
+    switch_penalty,
+    edge_loss,
+    num_poses: int,
+    num_loops: int,
+    options: Options,
+    prior_sqrt=None,
+    prior_mean=None,
+    prior_sel=None,
+    prior_offset=None,
+):
+    """B independent instances of one graph TOPOLOGY in ONE device
+    program: vmap of the dense direct path (the pose-graph analog of the
+    serving-mode batched solvers, solvers/batched.py). Topology (edge
+    indices, loop flags, sqrt-information, gauge fixing, priors) is
+    shared; initial states, switch states, and edge MEASUREMENTS are
+    per-instance. Each instance keeps its own lambda / convergence state
+    inside the vmapped while_loop, so per-instance trajectories match
+    individual solves.
+
+    The reference has no batched counterpart (one Ceres problem per
+    Solve); on this runtime B solves in one dispatch amortize the fixed
+    per-dispatch quantum, and on any TPU they fill the chip that one
+    80-pose system cannot."""
+
+    def one(pos0, quat0, sw0, rel_t, rel_q):
+        e = edges._replace(
+            relative_translations=rel_t, relative_quaternions=rel_q
+        )
+        return _pose_graph_solve(
+            pos0,
+            quat0,
+            sw0,
+            e,
+            free_mask,
+            switch_penalty,
+            edge_loss,
+            num_poses,
+            num_loops,
+            options,
+            prior_sqrt,
+            prior_mean,
+            prior_sel,
+            prior_offset,
+        )
+
+    return jax.vmap(one)(
+        positions0,
+        quaternions0,
+        switches0,
+        edges.relative_translations,
+        edges.relative_quaternions,
+    )
+
+
 class PoseGraphOptimizer:
     """Mirror of the reference API (pose_graph_optimizer.h:21-108) with a
     real analytic solve."""
@@ -749,21 +810,9 @@ class PoseGraphOptimizer:
                     self.cg_precond,
                 )
         else:
-            prior_sqrt = prior_mean = prior_sel = prior_offset = None
-            if self._priors:
-                sel = sorted(self._priors)
-                B = len(sel)
-                S = np.zeros((6 * B, 6 * B))
-                for k, pi in enumerate(sel):
-                    S[6 * k : 6 * k + 6, 6 * k : 6 * k + 6] = self._priors[pi][1]
-                prior_sqrt = jnp.asarray(S, dtype)
-                prior_mean = jnp.asarray(
-                    np.stack([self._priors[pi][0] for pi in sel]), dtype
-                )
-                prior_sel = jnp.asarray(
-                    np.array([index_of[pi] for pi in sel], np.int32)
-                )
-                prior_offset = jnp.zeros((6 * B,), dtype)
+            prior_sqrt, prior_mean, prior_sel, prior_offset = self._prior_args(
+                index_of, dtype
+            )
             pos, quat, sw, summary = _pose_graph_solve(
                 jnp.asarray(positions, dtype),
                 jnp.asarray(quaternions, dtype),
@@ -800,6 +849,155 @@ class PoseGraphOptimizer:
         sw = np.asarray(sw, np.float64)
         self._last_switches = sw.copy()  # for covariance() linearization
         return summary, sw
+
+    def _prior_args(self, index_of: dict, dtype):
+        """Device arrays for the tangent-space unary priors consumed by
+        ``_pose_graph_solve`` (None placeholders when no priors are set)."""
+        if not self._priors:
+            return None, None, None, None
+        sel = sorted(self._priors)
+        B = len(sel)
+        S = np.zeros((6 * B, 6 * B))
+        for k, pi in enumerate(sel):
+            S[6 * k : 6 * k + 6, 6 * k : 6 * k + 6] = self._priors[pi][1]
+        prior_sqrt = jnp.asarray(S, dtype)
+        prior_mean = jnp.asarray(
+            np.stack([self._priors[pi][0] for pi in sel]), dtype
+        )
+        prior_sel = jnp.asarray(np.array([index_of[pi] for pi in sel], np.int32))
+        prior_offset = jnp.zeros((6 * B,), dtype)
+        return prior_sqrt, prior_mean, prior_sel, prior_offset
+
+    def solve_batch(
+        self,
+        batch_size: Optional[int] = None,
+        initial_positions=None,  # (B, P, 3), pose_indices() order
+        initial_quaternions=None,  # (B, P, 4) wxyz
+        relative_translations=None,  # (B, E, 3), constraints() order
+        relative_quaternions=None,  # (B, E, 4) wxyz
+        options: Optional[Options] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, lm.Summary]:
+        """Solve B independent instances sharing THIS graph's topology in
+        one vmapped device program (serving mode; see solvers/batched.py
+        for the registration-side analog and the dispatch-floor math).
+
+        All instances share the edge structure: endpoint indices, loop
+        flags, per-edge sqrt-information, gauge fixing, switch penalty,
+        edge loss, and any unary priors. Per-instance inputs (each
+        optional; this graph's own state/measurements are broadcast for
+        whatever is omitted):
+
+        - ``initial_positions`` / ``initial_quaternions``: starting
+          estimates, ordered like :meth:`pose_indices`;
+        - ``relative_translations`` / ``relative_quaternions``: edge
+          measurements, ordered like :meth:`constraints` — the Monte-Carlo
+          /multi-hypothesis axis: resample measurements per instance and
+          every instance optimizes its own graph realization.
+
+        ``batch_size`` is required only when every per-instance input is
+        omitted. The registry is NOT written back (instances have no
+        single answer); returns ``(positions (B, P, 3), quaternions
+        (B, P, 4) renormalized, switches (B, L), summary)`` with numpy
+        arrays and a per-instance ``lm.Summary`` pytree (leading axis B).
+
+        The reference API is strictly one-problem-per-Solve
+        (pose_graph_optimizer.h:67); this is the TPU serving shape —
+        one 80-pose system cannot fill a chip, B of them can.
+        """
+        if self.solver != "dense":
+            raise ValueError(
+                "solve_batch runs on the dense direct path; construct the "
+                "optimizer with solver='dense' (CG/tridiag batching would "
+                "multiply their iteration-count compromises, not amortize "
+                "them)"
+            )
+        if options is None:
+            options = Options().replace(max_iterations=500)
+        if not self._constraints:
+            raise ValueError(
+                "PoseGraphOptimizer.solve_batch: no constraints registered"
+            )
+        flat = self._flatten()
+        indices, index_of = flat["indices"], flat["index_of"]
+        P, E, L = flat["P"], flat["E"], flat["L"]
+        edges = flat["edges_dev"]
+        dtype = self.dtype
+
+        sizes = {
+            np.shape(a)[0]
+            for a in (
+                initial_positions,
+                initial_quaternions,
+                relative_translations,
+                relative_quaternions,
+            )
+            if a is not None
+        }
+        if batch_size is not None:
+            sizes.add(int(batch_size))
+        if len(sizes) != 1:
+            raise ValueError(
+                f"inconsistent or missing batch size: {sorted(sizes)}; pass "
+                "batch_size= or at least one (B, ...) per-instance array"
+            )
+        B = sizes.pop()
+
+        def _batched(arr, default, shape, name):
+            if arr is None:
+                return jnp.broadcast_to(jnp.asarray(default, dtype), (B,) + shape)
+            a = jnp.asarray(arr, dtype)
+            if a.shape != (B,) + shape:
+                raise ValueError(f"{name} must be (B,) + {shape}; got {a.shape}")
+            return a
+
+        pos0, quat0 = self._packed(indices, index_of)
+        pos_b = _batched(initial_positions, pos0, (P, 3), "initial_positions")
+        quat_b = _batched(
+            initial_quaternions, quat0, (P, 4), "initial_quaternions"
+        )
+        rel_t_b = _batched(
+            relative_translations,
+            edges.relative_translations,
+            (E, 3),
+            "relative_translations",
+        )
+        rel_q_b = _batched(
+            relative_quaternions,
+            edges.relative_quaternions,
+            (E, 4),
+            "relative_quaternions",
+        )
+
+        free = np.ones(P)
+        for pi in self._constant:
+            free[index_of[pi]] = 0.0
+        prior_sqrt, prior_mean, prior_sel, prior_offset = self._prior_args(
+            index_of, dtype
+        )
+        edges_b = edges._replace(
+            relative_translations=rel_t_b, relative_quaternions=rel_q_b
+        )
+        pos, quat, sw, summary = _pose_graph_solve_batch(
+            pos_b,
+            quat_b,
+            jnp.ones((B, L), dtype),
+            edges_b,
+            jnp.asarray(free, dtype),
+            jnp.asarray(self.switch_penalty, dtype),
+            self.edge_loss,
+            P,
+            L,
+            options,
+            prior_sqrt,
+            prior_mean,
+            prior_sel,
+            prior_offset,
+        )
+        # one batched fetch (per-fetch dispatch quantum, CLAUDE.md)
+        pos, quat, sw, summary = jax.device_get((pos, quat, sw, summary))
+        quat = np.array(quat, np.float64)
+        quat /= np.linalg.norm(quat, axis=2, keepdims=True)
+        return np.array(pos, np.float64), quat, np.asarray(sw, np.float64), summary
 
     def covariance(self, indices: Optional[List[int]] = None) -> Dict[int, np.ndarray]:
         """Marginal 6x6 TANGENT-space covariance blocks per pose.
