@@ -15,6 +15,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+import jax
+
+if "--cpu" in sys.argv:  # run off-TPU (this runtime ignores JAX_PLATFORMS)
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
 import nonlinear_optimizer_for_slam_tpu as nls
 from nonlinear_optimizer_for_slam_tpu.utils import testing
 
