@@ -5,8 +5,12 @@ from .fused_registration import (
     NdtRegistrar,
     register_ndt_fused,
 )
-from .ndt import NdtMap, build_ndt_map, filter_points
-from .registration import RegistrationResult, register_ndt
+from .ndt import NdtMap, build_ndt_map, filter_points, voxel_normals
+from .registration import (
+    RegistrationResult,
+    register_ndt,
+    register_point_to_plane,
+)
 
 __all__ = [
     "fused_registration",
@@ -22,4 +26,6 @@ __all__ = [
     "filter_points",
     "register_ndt",
     "register_ndt_fused",
+    "register_point_to_plane",
+    "voxel_normals",
 ]

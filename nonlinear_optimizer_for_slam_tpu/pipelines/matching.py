@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.mahalanobis import MahalanobisData
+from ..ops.point_to_plane import PointToPlaneData
 
 Array = jax.Array
 
@@ -76,6 +77,78 @@ def match_point_cloud(
         means=ndt_means[flat_idx],
         sqrt_infos=ndt_sqrt_infos[flat_idx],
         mask=mask.reshape(n * k),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_neighbors",))
+def match_point_to_plane(
+    ndt_means: Array,  # (M, 3) valid-voxel means
+    ndt_normals: Array,  # (M, 3) unit plane normals (ndt.voxel_normals)
+    voxel_weights: Array,  # (M,) 1.0 = usable plane (e.g. flatness gate)
+    local_points: Array,  # (N, 3)
+    points_mask: Array,  # (N,) 1.0 = real point (padding support)
+    rotation: Array,  # (3, 3) current pose estimate
+    translation: Array,  # (3,)
+    search_radius: float = 1.0,
+    num_neighbors: int = 4,
+    trim_distance: float = 0.3,
+) -> PointToPlaneData:
+    """Point-to-plane correspondence search.
+
+    Same dense top-k candidate search as :func:`match_point_cloud`, but
+    each point keeps ONE plane: of its ``num_neighbors``
+    Euclidean-nearest in-radius voxels, the one whose plane the warped
+    point is closest to PERPENDICULARLY. Nearest-mean association alone
+    is wrong for planes — near a room corner a floor point can sit closer
+    to the wall voxel's mean than to its own floor voxel's, and matching
+    it to the wall plane pulls the optimum millimeters-to-centimeters off
+    truth (the mahalanobis factor is immune because its sqrt-information
+    carries the full anisotropy; a bare plane does not). Min point-plane
+    distance among the Euclidean candidates makes the true pose a fixed
+    point: there, every point lies ON its own voxel's plane.
+
+    Matches farther than ``trim_distance`` from every candidate plane are
+    masked out (trimmed-ICP outlier rejection). ``voxel_weights``
+    multiplies into the candidate mask, so non-planar voxels (see
+    ``ndt.voxel_normals`` flatness) are excluded without changing the
+    static map shape. Correspondences carry the LOCAL (unwarped) point,
+    like the mahalanobis matcher; returns N rows (one per point).
+    """
+    warped = local_points @ rotation.T + translation  # (N, 3)
+
+    centroid = jnp.mean(ndt_means, axis=0)
+    wc = warped - centroid
+    mc = ndt_means - centroid
+    d2 = (
+        jnp.sum(wc * wc, axis=1, keepdims=True)
+        - 2.0 * wc @ mc.T
+        + jnp.sum(mc * mc, axis=1)[None, :]
+    )  # (N, M)
+
+    neg_d2, idx = jax.lax.top_k(-d2, num_neighbors)  # (N, k)
+    within = (-neg_d2) <= search_radius * search_radius
+    cand_ok = within & (voxel_weights[idx] > 0.0)  # (N, k)
+
+    # Perpendicular distance of each warped point to each candidate plane.
+    cand_means = ndt_means[idx]  # (N, k, 3)
+    cand_normals = ndt_normals[idx]  # (N, k, 3)
+    plane_d = jnp.abs(
+        jnp.sum(cand_normals * (warped[:, None, :] - cand_means), axis=-1)
+    )  # (N, k)
+    plane_d = jnp.where(cand_ok, plane_d, jnp.inf)
+    best = jnp.argmin(plane_d, axis=1)  # (N,)
+    rows = jnp.arange(idx.shape[0])
+    best_d = plane_d[rows, best]
+
+    mask = (
+        (best_d <= trim_distance).astype(local_points.dtype)
+        * points_mask
+    )
+    return PointToPlaneData(
+        points=local_points,
+        means=cand_means[rows, best],
+        normals=cand_normals[rows, best],
+        mask=mask,
     )
 
 

@@ -25,6 +25,7 @@ Semantics reproduced exactly:
 from __future__ import annotations
 
 import dataclasses
+from typing import Tuple
 
 import numpy as np
 
@@ -236,9 +237,18 @@ def compute_voxel_keys(points: np.ndarray, inv_resolution: float) -> np.ndarray:
     return (xy + z) * (xy + z + 1) // 2 + z
 
 
-def build_ndt_map(points: np.ndarray, voxel_resolution: float) -> NdtMap:
+def build_ndt_map(
+    points: np.ndarray, voxel_resolution: float, identity_moment: bool = True
+) -> NdtMap:
     """Vectorized equivalent of UpdateNdtMap
-    (reference: tests/simple_optimization_test.cc:236-280)."""
+    (reference: tests/simple_optimization_test.cc:236-280).
+
+    ``identity_moment=False`` drops the reference's moment-accumulator
+    initialization quirk (see below), giving UNBIASED covariances: a
+    perfectly planar voxel then has a near-zero smallest eigenvalue
+    instead of +1/count. Mahalanobis registration and every parity
+    fixture keep the default; point-to-plane wants the unbiased build so
+    plane thickness stays measurable (see ``voxel_normals``)."""
     points = np.asarray(points, dtype=np.float64)
     inv_res = 1.0 / voxel_resolution
     ijk = np.floor(points * inv_res).astype(np.int64)
@@ -259,7 +269,10 @@ def build_ndt_map(points: np.ndarray, voxel_resolution: float) -> NdtMap:
     # requires reproducing it — including the summation ORDER: I first,
     # then points in input order (np.add.at accumulates in input order,
     # matching the reference's serial loop bit-for-bit).
-    moments = np.tile(np.eye(3), (num_voxels, 1, 1))
+    if identity_moment:
+        moments = np.tile(np.eye(3), (num_voxels, 1, 1))
+    else:
+        moments = np.zeros((num_voxels, 3, 3))
     np.add.at(moments, inverse, points[:, :, None] * points[:, None, :])
 
     means = sums / counts[:, None]
@@ -292,6 +305,48 @@ def build_ndt_map(points: np.ndarray, voxel_resolution: float) -> NdtMap:
         counts=counts,
         valid=valid,
     )
+
+
+def voxel_normals(
+    ndt_map: NdtMap,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-voxel plane normals, flatness, and thickness, derived from the
+    stored sqrt-information (no extra map state).
+
+    ``sqrt_information`` is the reference-quirk S = D^{-1/2} V where V has
+    eigenvectors as COLUMNS and D^{-1/2} scales ROWS (the reference's own
+    construction, simple_optimization_test.cc:275-276 — mathematically a
+    row-scaled eigvec matrix, not a true matrix square root). Rows of V
+    are unit-norm, so the floored eigenvalues are recoverable as
+    1 / ||S row k||^2, V as S with rows re-normalized, and the plane
+    normal — the eigenvector of the SMALLEST eigenvalue — as V's column 0
+    (NOT row 0 of S: rows of V are not eigenvectors, and reading row 0
+    gives wildly tilted normals on exactly-planar voxels whose top
+    eigenvalues are degenerate).
+
+    Returns ``(normals (M, 3) unit, flatness (M,), thickness (M,))``:
+    flatness is lambda_0 / lambda_2 in [MIN_EIGENVALUE_RATIO, 1] and
+    thickness is sqrt(lambda_0) — the stddev of the voxel's points along
+    the normal, in meters. Thickness is the discriminating plane test: a
+    boundary voxel that swallows two walls keeps decimeter thickness,
+    while a single-plane voxel bottoms out at the eigenvalue floor — but
+    ONLY on a map built with ``identity_moment=False``; the reference's
+    moment quirk pads every voxel by 1/count of isotropic variance, which
+    at typical counts exceeds a true plane's thickness.
+
+    The reference declares an ``is_planar`` flag on its NDT struct
+    (mahalanobis .../types.h:20) but never computes or reads it — this is
+    the realization that its point-to-plane TBD would have needed.
+    """
+    S = np.asarray(ndt_map.sqrt_informations, np.float64)
+    row_norms = np.linalg.norm(S, axis=2)  # (M, 3), 1/sqrt(lambda_k)
+    safe = np.maximum(row_norms, 1e-30)
+    V = S / safe[:, :, None]  # eigenvectors as columns, rows unit-norm
+    normals = V[:, :, 0]  # column 0 = smallest-eigenvalue eigenvector
+    lambdas = 1.0 / (safe * safe)  # floored eigenvalues, ascending
+    flatness = lambdas[:, 0] / np.maximum(lambdas[:, 2], 1e-30)
+    thickness = np.sqrt(lambdas[:, 0])
+    return normals, flatness, thickness
 
 
 def filter_points(points: np.ndarray, filter_voxel_size: float) -> np.ndarray:

@@ -85,3 +85,90 @@ def register_ndt(
         last_pose = pose.copy()
 
     return RegistrationResult(pose=pose, outer_iterations=outer_iter, summaries=summaries)
+
+
+def register_point_to_plane(
+    ndt_map: NdtMap,
+    local_points: np.ndarray,
+    initial_pose: Pose,
+    minimizer: _MinimizerBase,
+    options: Options,
+    search_radius: float = 1.0,
+    max_flatness: float = 0.2,
+    max_thickness: float = None,
+    num_neighbors: int = 4,
+    trim_distance: float = 0.3,
+    max_outer_iterations: int = OUTER_MAX_ITERATIONS,
+    outer_tolerance: float = OUTER_TOLERANCE,
+) -> RegistrationResult:
+    """Point-to-plane ICP against the NDT map's voxel planes.
+
+    The reference lists point-to-plane as TBD (README) and only sketches
+    the factor in its unbuilt generic module
+    (pose_optimizer/cost_functors.h:106-157); this is the full
+    registration loop for it. Each valid voxel whose flatness
+    (lambda_min / lambda_max) is at most ``max_flatness`` — and, when
+    ``max_thickness`` is set, whose point stddev along the normal (in
+    meters, see ``ndt.voxel_normals``) is at most ``max_thickness`` —
+    contributes a plane (mean, normal); every scan point matches the best
+    of its ``num_neighbors`` nearest in-radius voxel planes (minimum
+    perpendicular distance — see ``matching.match_point_to_plane`` for
+    why nearest-mean association alone biases plane factors), matches
+    beyond ``trim_distance`` are rejected, and the loss-weighted
+    point-to-plane distance is minimized with ``minimizer`` (typically
+    ``PointToPlaneMinimizer``).
+
+    For accurate planes, build the map with
+    ``ndt.build_ndt_map(..., identity_moment=False)`` and gate with
+    ``max_thickness`` (a few cm): that excludes plane-boundary voxels
+    whose mixed point sets produce tilted normals, the dominant p2p error
+    source. The default leaves thickness gating off because the
+    reference-parity map build (the quirked default) pads every voxel's
+    thickness by 1/count of isotropic variance.
+    """
+    from . import ndt as ndt_mod
+
+    valid = ndt_map.valid_only()
+    normals_np, flatness, thickness = ndt_mod.voxel_normals(valid)
+    ok = flatness <= max_flatness
+    if max_thickness is not None:
+        ok &= thickness <= max_thickness
+    weights_np = ok.astype(np.float64)
+
+    dtype = minimizer.dtype
+    means = jnp.asarray(valid.means, dtype)
+    normals = jnp.asarray(normals_np, dtype)
+    weights = jnp.asarray(weights_np, dtype)
+    points = jnp.asarray(local_points, dtype)
+    points_mask = jnp.ones(points.shape[0], dtype)
+
+    pose = initial_pose.copy()
+    last_pose = pose.copy()
+    summaries = []
+    outer_iter = 0
+    for outer_iter in range(max_outer_iterations):
+        data = matching.match_point_to_plane(
+            means,
+            normals,
+            weights,
+            points,
+            points_mask,
+            jnp.asarray(pose.rotation, dtype),
+            jnp.asarray(pose.translation, dtype),
+            search_radius=search_radius,
+            num_neighbors=num_neighbors,
+            trim_distance=trim_distance,
+        )
+        pose, summary = minimizer.solve(options, data, pose)
+        summaries.append(summary)
+
+        diff = pose.inverse() * last_pose
+        dq = pose_mod.np_rotmat_to_quat(diff.rotation)
+        if (
+            np.linalg.norm(diff.translation) < outer_tolerance
+            and np.linalg.norm(dq[1:]) < outer_tolerance
+        ):
+            break
+        last_pose = pose.copy()
+
+    return RegistrationResult(pose=pose, outer_iterations=outer_iter, summaries=summaries)
