@@ -542,6 +542,40 @@ def bench_pose_graph(runs):
     )
     log(f"  dense: {ms:.2f} ms")
 
+    # batched serving: B measurement realizations of the 80-pose graph as
+    # ONE vmapped device program (PoseGraphOptimizer.solve_batch), every
+    # instance re-solved from the drifted fixture init. Fresh per-rep
+    # measurement jitter keeps instances distinct AND defeats the relay's
+    # identical-dispatch cache (CLAUDE.md).
+    Bsv = 64
+    init_p = np.broadcast_to(
+        np.stack([p.translation for p in noisy]), (Bsv, 80, 3)
+    )
+    init_q = np.broadcast_to(
+        np.stack([p.quaternion() for p in noisy]), (Bsv, 80, 4)
+    )
+    cons = opt.constraints()
+    rel_t0 = np.stack([c["relative_pose"].translation for c in cons])
+    rel_q0 = np.stack([c["relative_pose"].quaternion() for c in cons])
+    rngb = np.random.default_rng(7)
+
+    def _batch_solve():
+        ts = rel_t0[None] + 1e-3 * rngb.standard_normal((Bsv,) + rel_t0.shape)
+        return opt.solve_batch(
+            initial_positions=init_p,
+            initial_quaternions=init_q,
+            relative_translations=ts,
+            options=opts,
+        )
+
+    ms, (bp, bq, bsw, bsum) = timed(_batch_solve, max(1, runs // 2))
+    rows.append(
+        (f"dense batched serving, B={Bsv}", f"{ms / Bsv:.3f} ms/solve",
+         f"{float(np.asarray(bsum.final_cost).mean()):.2e}",
+         f"{ms:.1f} ms total, all from drifted init")
+    )
+    log(f"  batched serving B={Bsv}: {ms / Bsv:.3f} ms/solve")
+
     # sphere2500 through the g2o dataset path (the classic benchmark
     # construction: 2,500 poses spiraling a sphere, 4,899 edges incl.
     # one ring closure per pose, dead-reckoned drifted init, full
