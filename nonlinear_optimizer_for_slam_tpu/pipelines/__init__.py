@@ -5,9 +5,16 @@ from .fused_registration import (
     NdtRegistrar,
     register_ndt_fused,
 )
-from .ndt import NdtMap, build_ndt_map, filter_points, voxel_normals
+from .ndt import (
+    NdtMap,
+    build_ndt_map,
+    filter_points,
+    voxel_covariances,
+    voxel_normals,
+)
 from .registration import (
     RegistrationResult,
+    register_d2d_ndt,
     register_ndt,
     register_point_to_plane,
 )
@@ -24,8 +31,10 @@ __all__ = [
     "RegistrationResult",
     "build_ndt_map",
     "filter_points",
+    "register_d2d_ndt",
     "register_ndt",
     "register_ndt_fused",
     "register_point_to_plane",
+    "voxel_covariances",
     "voxel_normals",
 ]

@@ -349,6 +349,26 @@ def voxel_normals(
     return normals, flatness, thickness
 
 
+def voxel_covariances(ndt_map: NdtMap) -> np.ndarray:
+    """Reconstruct per-voxel (floored) covariances V diag(lambda) V^T from
+    the stored sqrt-information (see ``voxel_normals`` for the S = D^{-1/2} V
+    row/column conventions).
+
+    These are the eigenvalue-floored covariances — exactly the
+    plane-regularized covariances GICP-style distribution-to-distribution
+    matching wants (Segal et al. RSS'09 regularize theirs to (eps, 1, 1);
+    the NDT builder's 1%-of-lambda-max floor plays the same role). Use a
+    map built with ``identity_moment=False`` to avoid the reference's
+    +I/count moment-quirk inflation.
+    """
+    S = np.asarray(ndt_map.sqrt_informations, np.float64)
+    row_norms = np.linalg.norm(S, axis=2)
+    safe = np.maximum(row_norms, 1e-30)
+    V = S / safe[:, :, None]  # eigenvectors as columns of V
+    lambdas = 1.0 / (safe * safe)  # floored eigenvalues, ascending
+    return np.einsum("mik,mk,mjk->mij", V, lambdas, V)
+
+
 def filter_points(points: np.ndarray, filter_voxel_size: float) -> np.ndarray:
     """Voxel-grid downsample keeping the FIRST point that lands in each
     voxel, in input order (reference: tests/simple_optimization_test.cc:

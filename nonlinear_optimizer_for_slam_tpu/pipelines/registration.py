@@ -22,6 +22,7 @@ import numpy as np
 from ..core import pose as pose_mod
 from ..core.options import Options
 from ..core.pose import Pose
+from ..ops import mahalanobis
 from ..solvers.lm import Summary
 from ..solvers.minimizers import _MinimizerBase
 from . import matching
@@ -85,6 +86,109 @@ def register_ndt(
         last_pose = pose.copy()
 
     return RegistrationResult(pose=pose, outer_iterations=outer_iter, summaries=summaries)
+
+
+def register_d2d_ndt(
+    ndt_map: NdtMap,
+    local_points: np.ndarray,
+    initial_pose: Pose,
+    minimizer: _MinimizerBase,
+    options: Options,
+    scan_voxel_resolution: float = 0.5,
+    search_radius: float = 1.0,
+    max_outer_iterations: int = OUTER_MAX_ITERATIONS,
+    outer_tolerance: float = OUTER_TOLERANCE,
+) -> RegistrationResult:
+    """Distribution-to-distribution (D2D) NDT / generalized-ICP
+    registration: the scan is itself summarized as an NDT map and voxel
+    GAUSSIANS are matched, not raw points (Stoyanov et al. IJRR'12 D2D-NDT;
+    Segal et al. RSS'09 GICP). Beyond the reference, which is strictly
+    point-to-distribution (mahalanobis .../types.h Correspondence).
+
+    Each matched pair contributes r = W^{1/2} (R mu_s + t - mu_m) with the
+    GICP combined-covariance whitening W = (Sigma_m + R Sigma_s R^T)^{-1},
+    recomputed at the current rotation every outer iteration (the standard
+    GICP approximation: W is held fixed during the inner LM solve, exactly
+    like correspondences are). The inner problem is then literally
+    ``MahalanobisData`` — the flagship solver (any backend, any mesh
+    sharding) runs unchanged; only the whitening differs from
+    scan-point-to-voxel NDT.
+
+    Voxel covariances come eigenvalue-floored from the map (GICP's
+    plane-regularization, see ``ndt.voxel_covariances``); the scan map is
+    built unquirked (``identity_moment=False``) at
+    ``scan_voxel_resolution``. D2D cost scales with #voxel pairs
+    (~hundreds), not #points — it is the cheap coarse-alignment mode.
+    """
+    from . import ndt as ndt_mod
+
+    map_valid = ndt_map.valid_only()
+    map_means = np.asarray(map_valid.means)
+    map_covs = ndt_mod.voxel_covariances(map_valid)
+
+    scan_map = ndt_mod.build_ndt_map(
+        np.asarray(local_points), scan_voxel_resolution, identity_moment=False
+    ).valid_only()
+    if scan_map.num_voxels == 0:
+        raise ValueError(
+            "register_d2d_ndt: no valid scan voxel passed the count/"
+            "eigenvalue tests — scan_voxel_resolution "
+            f"({scan_voxel_resolution}) is too fine for the scan density "
+            "(each voxel needs >= 5 points and lambda_max >= 0.01)"
+        )
+    scan_means = np.asarray(scan_map.means)  # local frame
+    scan_covs = ndt_mod.voxel_covariances(scan_map)
+
+    dtype = minimizer.dtype
+    pose = initial_pose.copy()
+    last_pose = pose.copy()
+    summaries = []
+    outer_iter = 0
+    for outer_iter in range(max_outer_iterations):
+        R = np.asarray(pose.rotation)
+        warped = scan_means @ R.T + pose.translation
+
+        # Host-side nearest-mean matching: both sets are tiny (hundreds).
+        d2 = np.sum(
+            (warped[:, None, :] - map_means[None, :, :]) ** 2, axis=-1
+        )
+        idx = np.argmin(d2, axis=1)
+        mask = (
+            d2[np.arange(len(idx)), idx] <= search_radius * search_radius
+        ).astype(np.float64)
+
+        # GICP whitening at the current rotation: symmetric inverse sqrt
+        # of Sigma_m + R Sigma_s R^T per pair.
+        combined = map_covs[idx] + np.einsum(
+            "ij,mjk,lk->mil", R, scan_covs, R
+        )
+        w, V = np.linalg.eigh(combined)
+        inv_sqrt_w = 1.0 / np.sqrt(np.maximum(w, 1e-12))
+        sqrt_infos = np.einsum(
+            "mik,mk,mjk->mij", V, inv_sqrt_w, V
+        )
+
+        data = mahalanobis.MahalanobisData(
+            points=jnp.asarray(scan_means, dtype),
+            means=jnp.asarray(map_means[idx], dtype),
+            sqrt_infos=jnp.asarray(sqrt_infos, dtype),
+            mask=jnp.asarray(mask, dtype),
+        )
+        pose, summary = minimizer.solve(options, data, pose)
+        summaries.append(summary)
+
+        diff = pose.inverse() * last_pose
+        dq = pose_mod.np_rotmat_to_quat(diff.rotation)
+        if (
+            np.linalg.norm(diff.translation) < outer_tolerance
+            and np.linalg.norm(dq[1:]) < outer_tolerance
+        ):
+            break
+        last_pose = pose.copy()
+
+    return RegistrationResult(
+        pose=pose, outer_iterations=outer_iter, summaries=summaries
+    )
 
 
 def register_point_to_plane(
