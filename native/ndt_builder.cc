@@ -50,11 +50,15 @@ struct VoxelStats {
   double sum[3] = {0, 0, 0};
   // The reference's NDT struct initializes the second-moment accumulator
   // to IDENTITY (types.h:14 `Mat3x3 moment{Mat3x3::Identity()}`), giving
-  // every covariance a +I/count offset. Reproduced — including the
-  // summation order (I first, then points in input order) — because the
-  // offset shifts the recorded cost traces this framework is checked
-  // against (tests/test_trace_parity.py).
-  double moment[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
+  // every covariance a +I/count offset. When identity_moment is
+  // requested, accumulation starts from I BEFORE the first point (set in
+  // accumulate_range on first touch), reproducing the reference's
+  // summation order exactly — the offset shifts the recorded cost traces
+  // this framework is checked against (tests/test_trace_parity.py). The
+  // unbiased build starts from zero; subtracting I afterward instead
+  // would perturb degenerate voxels by an ulp and rotate their
+  // eigenbasis.
+  double moment[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
   int64_t count = 0;
 
   void add(const double* p) {
@@ -63,15 +67,17 @@ struct VoxelStats {
     for (int i = 0; i < 3; ++i)
       for (int j = 0; j < 3; ++j) moment[3 * i + j] += p[i] * p[j];
   }
-  void merge(const VoxelStats& o) {
+  void merge(const VoxelStats& o, bool identity_moment) {
     count += o.count;
     for (int i = 0; i < 3; ++i) sum[i] += o.sum[i];
     for (int i = 0; i < 9; ++i) moment[i] += o.moment[i];
-    // Each thread-partial default-constructed its own identity; keep
-    // exactly one per voxel after the merge.
-    moment[0] -= 1.0;
-    moment[4] -= 1.0;
-    moment[8] -= 1.0;
+    if (identity_moment) {
+      // Each thread-partial seeded its own identity on first touch; keep
+      // exactly one per voxel after the merge.
+      moment[0] -= 1.0;
+      moment[4] -= 1.0;
+      moment[8] -= 1.0;
+    }
   }
 };
 
@@ -99,7 +105,7 @@ using VoxelMap = std::unordered_map<uint64_t, VoxelStats>;
 
 // Returns false if any voxel index falls outside the packed-key range.
 bool accumulate_range(const double* points, int64_t begin, int64_t end,
-                      double inv_res, VoxelMap* map) {
+                      double inv_res, bool identity_moment, VoxelMap* map) {
   map->reserve(1024);
   bool ok = true;
   for (int64_t k = begin; k < end; ++k) {
@@ -108,7 +114,15 @@ bool accumulate_range(const double* points, int64_t begin, int64_t end,
     const int64_t iy = (int64_t)std::floor(p[1] * inv_res);
     const int64_t iz = (int64_t)std::floor(p[2] * inv_res);
     if (!key_in_range(ix, iy, iz)) { ok = false; continue; }
-    (*map)[pack_key(ix, iy, iz)].add(p);
+    VoxelStats& st = (*map)[pack_key(ix, iy, iz)];
+    if (identity_moment && st.count == 0) {
+      // Seed the reference's identity quirk before the first point so the
+      // accumulation order matches its serial loop bit-for-bit.
+      st.moment[0] = 1.0;
+      st.moment[4] = 1.0;
+      st.moment[8] = 1.0;
+    }
+    st.add(p);
   }
   return ok;
 }
@@ -125,11 +139,16 @@ extern "C" {
 // Returns the number of voxels, -1 if it would exceed max_voxels, or -2
 // if any voxel index falls outside the +/-2^20 packed-key range (use the
 // numpy fallback for such extents).
+// identity_moment != 0 keeps the reference's moment-init quirk (the
+// parity default); 0 removes the +I before forming covariances (unbiased
+// build for point-to-plane / D2D, matching the numpy builder's
+// identity_moment=False).
 int64_t nls_build_ndt_map(const double* points, int64_t n, double resolution,
                           int64_t min_points, double min_eigenvalue,
                           double eigenvalue_ratio, int64_t max_voxels,
                           double* means, double* sqrt_infos, double* infos,
-                          int64_t* counts, uint8_t* valid, int num_threads) {
+                          int64_t* counts, uint8_t* valid, int num_threads,
+                          int identity_moment) {
   const double inv_res = 1.0 / resolution;
   if (num_threads < 1) num_threads = 1;
   const int64_t chunk = (n + num_threads - 1) / num_threads;
@@ -137,7 +156,8 @@ int64_t nls_build_ndt_map(const double* points, int64_t n, double resolution,
   std::vector<VoxelMap> partials((size_t)num_threads);
   bool in_range = true;
   if (num_threads == 1 || n < 4096) {
-    in_range = accumulate_range(points, 0, n, inv_res, &partials[0]);
+    in_range = accumulate_range(points, 0, n, inv_res,
+                                identity_moment != 0, &partials[0]);
   } else {
     std::vector<std::thread> workers;
     std::vector<char> worker_ok((size_t)num_threads, 1);
@@ -145,9 +165,10 @@ int64_t nls_build_ndt_map(const double* points, int64_t n, double resolution,
       const int64_t b = t * chunk;
       const int64_t e = std::min(n, b + chunk);
       if (b >= e) break;
-      workers.emplace_back([points, b, e, inv_res, &partials, &worker_ok, t] {
-        worker_ok[(size_t)t] =
-            accumulate_range(points, b, e, inv_res, &partials[(size_t)t]);
+      workers.emplace_back([points, b, e, inv_res, identity_moment,
+                            &partials, &worker_ok, t] {
+        worker_ok[(size_t)t] = accumulate_range(
+            points, b, e, inv_res, identity_moment != 0, &partials[(size_t)t]);
       });
     }
     for (auto& w : workers) w.join();
@@ -157,7 +178,8 @@ int64_t nls_build_ndt_map(const double* points, int64_t n, double resolution,
 
   VoxelMap& global = partials[0];
   for (size_t t = 1; t < partials.size(); ++t) {
-    for (auto& kv : partials[t]) global[kv.first].merge(kv.second);
+    for (auto& kv : partials[t])
+      global[kv.first].merge(kv.second, identity_moment != 0);
     partials[t].clear();
   }
 

@@ -61,6 +61,7 @@ def load(build_if_missing: bool = True) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int64),  # counts
         ctypes.POINTER(ctypes.c_uint8),  # valid
         ctypes.c_int,  # num_threads
+        ctypes.c_int,  # identity_moment
     ]
     lib.nls_voxel_filter.restype = ctypes.c_int64
     lib.nls_voxel_filter.argtypes = [
@@ -90,6 +91,7 @@ def build_ndt_map(
     voxel_resolution: float,
     num_threads: int = 1,
     max_voxels: int = 1 << 20,
+    identity_moment: bool = True,
 ) -> NdtMap:
     """Native equivalent of pipelines.ndt.build_ndt_map.
 
@@ -102,7 +104,10 @@ def build_ndt_map(
     trace. ``num_threads=0`` uses the host CPU count (the
     MultiThreadExecutor analog; each thread accumulates a voxel-map
     partial, merged at the end) when raw throughput matters more than
-    bit-determinism."""
+    bit-determinism. ``identity_moment`` mirrors the numpy builder's
+    flag: True (default) keeps the reference's moment-init quirk for
+    trace parity; False gives unbiased covariances for point-to-plane /
+    D2D plane extraction."""
     lib = load()
     pts = np.ascontiguousarray(points, dtype=np.float64)
     n = pts.shape[0]
@@ -129,6 +134,7 @@ def build_ndt_map(
         _ptr(counts, ctypes.c_int64),
         _ptr(valid, ctypes.c_uint8),
         num_threads,
+        1 if identity_moment else 0,
     )
     if m == -2:
         raise ValueError(

@@ -181,3 +181,31 @@ def test_hybrid_registrar_matches_fused():
     np.testing.assert_allclose(hybrid.pose.rotation, fused.pose.rotation, atol=1e-4)
     t_err = np.linalg.norm(hybrid.pose.translation - true_pose.translation)
     assert t_err < 0.03, t_err
+
+
+def test_ndt_map_identity_moment_flag(rng):
+    """identity_moment=False (unbiased build for p2p/D2D plane extraction)
+    is BIT-exact with the numpy twin in serial mode, and the two modes
+    differ by exactly the reference's +I/count covariance offset."""
+    pts = rng.uniform(-4, 4, size=(30000, 3))
+    m_np = ndt.build_ndt_map(pts, 1.0, identity_moment=False)
+    m_nat = native.build_ndt_map(pts, 1.0, identity_moment=False, num_threads=1)
+    order = _match_order(m_np, m_nat)
+    np.testing.assert_allclose(m_nat.means[order], m_np.means, rtol=0, atol=0)
+    np.testing.assert_array_equal(m_nat.counts[order], m_np.counts)
+    np.testing.assert_allclose(
+        m_nat.sqrt_informations[order], m_np.sqrt_informations, rtol=0, atol=0
+    )
+
+    # quirked minus unquirked covariance == I / count, per voxel
+    m_q = ndt.build_ndt_map(pts, 1.0, identity_moment=True)
+    cov_q = ndt.voxel_covariances(m_q)
+    cov_u = ndt.voxel_covariances(m_np)
+    # compare on voxels whose eigenvalues are unfloored in both builds
+    # (flooring breaks the clean +I/count relation)
+    well = (m_np.counts >= 30) & m_np.valid
+    sep = []
+    for i in np.where(well)[0][:20]:
+        d = cov_q[i] - cov_u[i]
+        sep.append(np.allclose(d, np.eye(3) / m_np.counts[i], atol=1e-9))
+    assert sep and all(sep)
