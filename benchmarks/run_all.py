@@ -169,6 +169,49 @@ def bench_maha_simple(runs):
          f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
     )
     log(f"  fused: {ms:.2f} ms")
+
+    # Alternative objectives over the same world (both beyond the
+    # reference: point-to-plane is README-TBD there, D2D absent). The
+    # p2p/D2D plane extraction wants the unbiased (identity_moment=False)
+    # map build; the mahalanobis rows above keep the parity build.
+    pts = testing.generate_room_points()
+    try:
+        from nonlinear_optimizer_for_slam_tpu import native
+
+        unq_map = native.build_ndt_map(pts, 1.0, identity_moment=False)
+    except Exception:
+        unq_map = ndt.build_ndt_map(pts, 1.0, identity_moment=False)
+
+    p2p_min = nls.PointToPlaneMinimizer().set_loss_function(loss)
+    ms, res = timed(
+        lambda: registration.register_point_to_plane(
+            unq_map, local, nls.Pose.identity(), p2p_min, options,
+            max_thickness=0.05,
+        ),
+        runs,
+    )
+    err = np.linalg.norm(res.pose.translation - true_pose.translation)
+    rows.append(
+        ("point-to-plane ICP (ref: TBD)", f"{ms:.2f} ms",
+         f"{float(res.summaries[-1].final_cost):.4f}",
+         f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
+    )
+    log(f"  point-to-plane: {ms:.2f} ms")
+
+    d2d_min = nls.MahalanobisDistanceMinimizer()
+    ms, res = timed(
+        lambda: registration.register_d2d_ndt(
+            unq_map, local, nls.Pose.identity(), d2d_min, options
+        ),
+        runs,
+    )
+    err = np.linalg.norm(res.pose.translation - true_pose.translation)
+    rows.append(
+        ("D2D-NDT/GICP coarse (no ref impl)", f"{ms:.2f} ms",
+         f"{float(res.summaries[-1].final_cost):.4f}",
+         f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
+    )
+    log(f"  D2D: {ms:.2f} ms")
     return table(
         "maha simple: 6-DoF NDT registration (reference best: 58.9 ms AVX2)",
         rows,
