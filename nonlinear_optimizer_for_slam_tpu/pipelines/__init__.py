@@ -1,4 +1,5 @@
-from . import fused_registration, matching, ndt, registration
+from . import fused_registration, loop_closure, matching, ndt, registration
+from .loop_closure import LoopClosure, LoopClosureDetector
 from .fused_registration import (
     FusedRegistrationResult,
     HybridRegistrar,
@@ -26,6 +27,9 @@ __all__ = [
     "registration",
     "FusedRegistrationResult",
     "HybridRegistrar",
+    "LoopClosure",
+    "LoopClosureDetector",
+    "loop_closure",
     "NdtMap",
     "NdtRegistrar",
     "RegistrationResult",

@@ -168,6 +168,20 @@ class MahalanobisDistanceMinimizer(_MinimizerBase):
         out = _pose_from_params(params)
         return out, summary
 
+    def information(
+        self, data: mahalanobis.MahalanobisData, pose: Pose
+    ) -> np.ndarray:
+        """Gauss-Newton information J^T W J (6, 6) of the objective at
+        ``pose``, in the right-retraction tangent [dt, dtheta].
+
+        This is the registration-result uncertainty a pose-graph backend
+        wants: ``sqrt_info = cholesky(information)`` whitens a
+        relative-pose edge produced by this solve (the edge residual's
+        rotation part 2*vec(q_err) matches dtheta to first order). The
+        reference has no uncertainty output anywhere; see
+        pipelines/loop_closure.py for the consumer."""
+        return _information_impl(self, data, pose, "maha6")
+
 
 class MahalanobisDistanceMinimizer3DOF(_MinimizerBase):
     """3-DoF planar (x, y, yaw) NDT alignment
@@ -286,6 +300,13 @@ class PointToPlaneMinimizer(_MinimizerBase):
         )
         out = _pose_from_params(params)
         return out, summary
+
+    def information(
+        self, data: point_to_plane.PointToPlaneData, pose: Pose
+    ) -> np.ndarray:
+        """Gauss-Newton information of the point-to-plane objective at
+        ``pose`` — see MahalanobisDistanceMinimizer.information."""
+        return _information_impl(self, data, pose, "p2p")
 
 
 # ----------------------------------------------------------------------------
@@ -489,6 +510,34 @@ def _p2p_solve(
         return lm.solve(quad, se3_retract, SE3Params(t0, q0), options)
 
     return _maybe_shard(solve_fn, mesh, data)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _se3_information(t0, q0, data, loss, factor_kind, pad_n, dtype_name):
+    data = _prepare(data, pad_n, dtype_name)
+    R = lie.quat_to_rotmat(lie.quat_normalize(q0))
+    if factor_kind == "maha6":
+        H, _, _ = mahalanobis.eval_quadratic(R, t0, data, loss)
+    elif factor_kind == "p2p":
+        H, _, _ = point_to_plane.eval_quadratic(R, t0, data, loss)
+    else:
+        raise ValueError(factor_kind)
+    return H
+
+
+def _information_impl(minimizer, data, pose: Pose, factor_kind: str):
+    t0 = jnp.asarray(pose.translation, minimizer.dtype)
+    q0 = jnp.asarray(pose.quaternion(), minimizer.dtype)
+    H = _se3_information(
+        t0,
+        q0,
+        data,
+        minimizer.loss_function,
+        factor_kind,
+        minimizer._pad(data.num_factors),
+        _dtype_name(minimizer.dtype),
+    )
+    return np.asarray(jax.device_get(H), np.float64)
 
 
 # Batched multi-problem solving (serving mode) lives in solvers/batched.py;
