@@ -5,10 +5,11 @@ Per frame:
   1. simulate a noisy lidar scan of the room world from the true pose;
   2. FRONTEND: register the scan against the previous scan's NDT map
      (scan-to-scan odometry, the fused single-dispatch ICP) — drifts;
-  3. every few frames, keep the scan as a KEYFRAME; when the robot
-     revisits a keyframe's neighborhood, register the current scan
-     against the old keyframe's map -> loop-closure edge (switchable;
-     one deliberately corrupted loop is planted to show rejection);
+  3. every few frames, keep the scan as a KEYFRAME; the
+     LoopClosureDetector proposes revisits from ESTIMATED poses (no
+     ground truth), verifies them coarse-D2D -> full registration with
+     an overlap test, and yields the loop edge (switchable; one
+     deliberately corrupted loop is planted to show rejection);
   4. BACKEND: feed whitened odometry/loop edges to the FixedLagSmoother
      (constant-size window solve + tangent-space marginalization).
 
@@ -37,7 +38,11 @@ if "--cpu" in sys.argv:  # run off-TPU (this runtime ignores JAX_PLATFORMS)
 import nonlinear_optimizer_for_slam_tpu as nls
 from nonlinear_optimizer_for_slam_tpu.core import ExponentialLoss, Options
 from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
-from nonlinear_optimizer_for_slam_tpu.pipelines import fused_registration, ndt
+from nonlinear_optimizer_for_slam_tpu.pipelines import (
+    fused_registration,
+    loop_closure,
+    ndt,
+)
 from nonlinear_optimizer_for_slam_tpu.utils import testing
 
 
@@ -107,6 +112,17 @@ def main(n_frames=48, n_scan=1500, keyframe_every=6, lag=None, verbose=True):
     keyframes = [0]
     est = gt[0]
     sm.add_pose(0, est)
+    # loop-closure detection from ESTIMATED poses only (candidate radius
+    # covers odometry drift; id gap keeps the current lap out)
+    det = loop_closure.LoopClosureDetector(
+        candidate_radius=1.5,  # must cover worst-case odometry drift
+        max_translation_correction=1.5,  # ditto: the correction IS the drift
+        min_id_gap=n_per_lap - 2,
+        min_match_fraction=0.5,
+        options=reg_options,
+        loss=loss,
+    )
+    det.add_keyframe(0, scans[0], est)
     odo_chain = [gt[0]]  # raw dead-reckoned odometry chain
     online_err, online_err_od = [], []  # current-pose error at each k
     planted = None
@@ -130,18 +146,20 @@ def main(n_frames=48, n_scan=1500, keyframe_every=6, lag=None, verbose=True):
         sm.add_pose(k, est)
         sm.add_odometry(k - 1, k, rel, sqrt_info=ODO_W)
 
-        # loop closure against an old keyframe we are revisiting
-        for i in keyframes:
-            if i not in sm.window or k - i < n_per_lap - 2:
-                continue
-            if np.linalg.norm(gt[k].translation - gt[i].translation) < 0.8:
-                est_i = sm.get_pose(i)
-                guess_l = est_i.inverse() * est
-                lres = registrars[i].register(scan, guess_l)
-                sm.add_loop(i, k, lres.pose, sqrt_info=LOOP_W)
-                if verbose:
-                    print(f"  loop {i} -> {k}")
-                break
+        # loop closure: detector proposes from estimates, verifies by
+        # coarse-D2D + full registration with an overlap test, and also
+        # reports the registration's own information (printed; the
+        # smoother edge keeps the example's calibrated scalar weights)
+        closure = det.detect(k, scan, est)
+        if closure is not None and closure.reference_id in sm.window:
+            sm.add_loop(closure.reference_id, k, closure.relative_pose,
+                        sqrt_info=LOOP_W)
+            if verbose:
+                H = closure.sqrt_info.T @ closure.sqrt_info
+                print(f"  loop {closure.reference_id} -> {k} "
+                      f"(overlap {closure.matched_fraction:.2f}, "
+                      f"correction {closure.correction * 1e3:.0f} mm, "
+                      f"info trace {np.trace(H):.2e})")
         if k == n_per_lap + 3:
             # planted outlier: claims an exact-identity relative pose to
             # the farthest-away keyframe still in the window
@@ -161,6 +179,10 @@ def main(n_frames=48, n_scan=1500, keyframe_every=6, lag=None, verbose=True):
 
         summary = sm.update()
         est = sm.get_pose(k)
+        # keep the detector's keyframe poses in sync with the backend
+        for i in keyframes:
+            if i in sm.window:
+                det.update_pose(i, sm.get_pose(i))
         online_err.append(
             np.linalg.norm(est.translation - gt[k].translation)
         )
@@ -172,6 +194,7 @@ def main(n_frames=48, n_scan=1500, keyframe_every=6, lag=None, verbose=True):
         registrars[k] = make_registrar(scan)
         if k % keyframe_every == 0:
             keyframes.append(k)
+            det.add_keyframe(k, scan, est)
         # drop registrars that can no longer be queried (bounded memory)
         for i in list(registrars):
             if i != k and i not in keyframes:

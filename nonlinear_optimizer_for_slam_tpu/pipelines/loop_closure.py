@@ -83,6 +83,7 @@ class LoopClosureDetector:
         options: Optional[Options] = None,
         loss=None,
         dtype=jnp.float32,
+        identity_moment: bool = True,
     ):
         self.voxel_resolution = voxel_resolution
         self.candidate_radius = candidate_radius
@@ -94,6 +95,15 @@ class LoopClosureDetector:
         self.coarse_d2d = coarse_d2d
         self.options = options if options is not None else Options()
         self.loss = loss if loss is not None else ExponentialLoss()
+        # Keyframe maps default to the quirked (identity_moment=True)
+        # build on purpose: the +I/count offset fattens sparse-scan voxel
+        # covariances exactly like classical NDT covariance
+        # regularization, widening the convergence basin when the initial
+        # guess carries real odometry drift. Unquirked maps from noisy
+        # few-hundred-point scans are sharp to the sensor noise (~cm) and
+        # strand LM in local minima decimeters out. Set False only for
+        # dense low-noise keyframe scans.
+        self.identity_moment = identity_moment
         self.minimizer = MahalanobisDistanceMinimizer(
             dtype=dtype
         ).set_loss_function(self.loss)
@@ -112,11 +122,13 @@ class LoopClosureDetector:
             from .. import native
 
             m = native.build_ndt_map(
-                pts, self.voxel_resolution, identity_moment=False
+                pts, self.voxel_resolution,
+                identity_moment=self.identity_moment,
             )
         except Exception:
             m = ndt.build_ndt_map(
-                pts, self.voxel_resolution, identity_moment=False
+                pts, self.voxel_resolution,
+                identity_moment=self.identity_moment,
             )
         self._keyframes[keyframe_id] = _Keyframe(pose_estimate.copy(), m)
 
