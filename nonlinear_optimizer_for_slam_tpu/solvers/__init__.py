@@ -1,4 +1,4 @@
-from . import autodiff, batched, bundle_adjustment, fixed_lag, inertial, linear, lm, manifolds, pose_graph, pose_landmark, problem, sim3_graph
+from . import autodiff, batched, bundle_adjustment, fixed_lag, graph_init, inertial, linear, lm, manifolds, pose_graph, pose_landmark, problem, sim3_graph
 from .fixed_lag import FixedLagSmoother
 from .lm import Summary
 from .batched import (
@@ -37,6 +37,7 @@ __all__ = [
     "linear",
     "lm",
     "manifolds",
+    "graph_init",
     "pose_graph",
     "pose_landmark",
     "PoseLandmarkOptimizer",

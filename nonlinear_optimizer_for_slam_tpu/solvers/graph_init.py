@@ -1,0 +1,196 @@
+"""Pose-graph initialization: spanning-tree composition and chordal
+(rotation-averaging) relaxation.
+
+LM on a pose graph only converges to the global basin it starts in; the
+classic initializers (g2o's spanning tree, GTSAM's
+``InitializePose3``/chordal, Martinec & Pajdla CVPR'07, Carlone et al.
+ICRA'15) are the difference between solving sphere-scale graphs and
+stalling in a fold. The reference has no initializer (its fixture starts
+from hand-noised ground truth); this module provides both, TPU-shaped:
+
+- ``spanning_tree_init``: BFS from the anchor composing measured relative
+  poses along tree edges. Host-side graph walk (irregular), vectorized
+  composition per BFS level.
+- ``chordal_init``: two matrix-free linear least squares solved by CG
+  with Jacobi (degree) preconditioning — entirely ``segment_sum`` /
+  gather shaped, so the same program runs on CPU for tests and on a TPU
+  mesh for 50k-pose graphs:
+    1. rotations: min sum_e ||X_q - X_i R_e||_F^2 over UNCONSTRAINED
+       3x3 matrices (the chordal relaxation), anchored at the fixed
+       poses, then projected to SO(3) by SVD;
+    2. translations: min sum_e ||t_q - t_i - R_i t_e||^2 with the
+       projected rotations fixed (a graph-Laplacian solve, 3 RHS).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.pose import np_quat_to_rotmat, np_rotmat_to_quat
+
+Array = jax.Array
+
+
+def spanning_tree_init(
+    ref_idx: np.ndarray,  # (E,) int
+    query_idx: np.ndarray,  # (E,) int
+    rel_q: np.ndarray,  # (E, 4) wxyz, T_ref<-query rotation
+    rel_t: np.ndarray,  # (E, 3)
+    num_poses: int,
+    anchors: Dict[int, Tuple[np.ndarray, np.ndarray]],  # i -> (R (3,3), t)
+    edge_priority: Optional[np.ndarray] = None,  # lower = preferred
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Compose measured relative poses along a BFS spanning tree from the
+    anchor(s). Returns ``(positions (P, 3), quaternions (P, 4))``.
+
+    ``edge_priority`` orders each node's adjacency (e.g. odometry edges
+    first so the tree follows the trajectory chain and loops only bridge
+    components). Unreachable poses keep identity."""
+    E = len(ref_idx)
+    order = np.argsort(edge_priority, kind="stable") if edge_priority is not None else np.arange(E)
+    adj: Dict[int, list] = {}
+    for e in order:
+        i, j = int(ref_idx[e]), int(query_idx[e])
+        adj.setdefault(i, []).append((j, e, +1))
+        adj.setdefault(j, []).append((i, e, -1))
+
+    R = np.tile(np.eye(3), (num_poses, 1, 1))
+    t = np.zeros((num_poses, 3))
+    seen = np.zeros(num_poses, bool)
+    frontier = []
+    for a, (Ra, ta) in anchors.items():
+        R[a], t[a] = Ra, ta
+        seen[a] = True
+        frontier.append(a)
+
+    Re = np.stack([np_quat_to_rotmat(q) for q in rel_q]) if E else np.zeros((0, 3, 3))
+    while frontier:
+        nxt = []
+        for i in frontier:
+            for j, e, sgn in adj.get(i, ()):  # T_ref<-query
+                if seen[j]:
+                    continue
+                if sgn > 0:  # i = ref, j = query: X_j = X_i * T_e
+                    R[j] = R[i] @ Re[e]
+                    t[j] = t[i] + R[i] @ rel_t[e]
+                else:  # i = query, j = ref: X_j = X_i * T_e^-1
+                    R[j] = R[i] @ Re[e].T
+                    t[j] = t[i] - R[j] @ rel_t[e]
+                seen[j] = True
+                nxt.append(j)
+        frontier = nxt
+    quats = np.stack([np_rotmat_to_quat(r) for r in R])
+    return t, quats
+
+
+def _project_so3(X: Array) -> Array:
+    """Closest rotations (Frobenius) to a batch of 3x3 matrices."""
+    U, _, Vt = jnp.linalg.svd(X)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.stack(
+        [jnp.ones_like(det), jnp.ones_like(det), det], axis=-1
+    )
+    return (U * D[:, None, :]) @ Vt
+
+
+def _cg_graph_solve(op, b, diag, iters: int, tol: float):
+    """Jacobi-preconditioned CG; ``diag`` broadcasts against b."""
+    inv_diag = 1.0 / jnp.maximum(diag, 1.0)
+    x, _ = jax.scipy.sparse.linalg.cg(
+        op, b, M=lambda v: v * inv_diag, tol=tol, maxiter=iters
+    )
+    return x
+
+
+def chordal_init(
+    ref_idx: np.ndarray,
+    query_idx: np.ndarray,
+    rel_q: np.ndarray,
+    rel_t: np.ndarray,
+    num_poses: int,
+    anchors: Dict[int, Tuple[np.ndarray, np.ndarray]],
+    cg_iterations: int = 300,
+    cg_tol: float = 1e-8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Chordal initialization. Returns ``(positions (P, 3), quaternions
+    (P, 4))``; anchored poses are returned exactly as given."""
+    P, E = num_poses, len(ref_idx)
+    ri = jnp.asarray(ref_idx, jnp.int32)
+    qi = jnp.asarray(query_idx, jnp.int32)
+    Re = jnp.asarray(
+        np.stack([np_quat_to_rotmat(q) for q in rel_q])
+        if E
+        else np.zeros((0, 3, 3))
+    )
+    te = jnp.asarray(rel_t)
+
+    free = np.ones(P)
+    Xa = np.zeros((P, 3, 3))
+    ta_np = np.zeros((P, 3))
+    for a, (Ra, ta) in anchors.items():
+        free[a] = 0.0
+        Xa[a] = Ra
+        ta_np[a] = ta
+    m = jnp.asarray(free)[:, None, None]
+    Xa = jnp.asarray(Xa)
+    ta = jnp.asarray(ta_np)
+
+    # degree of each pose = diagonal of both normal operators
+    deg = np.zeros(P)
+    np.add.at(deg, ref_idx, 1.0)
+    np.add.at(deg, query_idx, 1.0)
+    deg = jnp.asarray(deg)
+
+    def rot_normal_op(V):
+        V = V * m
+        d = V[qi] - jnp.einsum("emk,ekn->emn", V[ri], Re)
+        out = jax.ops.segment_sum(d, qi, num_segments=P)
+        out = out - jax.ops.segment_sum(
+            jnp.einsum("emk,enk->emn", d, Re), ri, num_segments=P
+        )
+        return out * m
+
+    # RHS: -A^T r(Xa) restricted to free slots
+    d0 = Xa[qi] - jnp.einsum("emk,ekn->emn", Xa[ri], Re)
+    b = -(
+        jax.ops.segment_sum(d0, qi, num_segments=P)
+        - jax.ops.segment_sum(
+            jnp.einsum("emk,enk->emn", d0, Re), ri, num_segments=P
+        )
+    ) * m
+
+    Xf = _cg_graph_solve(
+        rot_normal_op, b, deg[:, None, None], cg_iterations, cg_tol
+    )
+    R = _project_so3(Xf * m + Xa)
+    # anchors exactly (projection of an exact rotation is itself, but keep
+    # them bit-identical to the caller's values)
+    R = R * m + Xa
+
+    # translations with rotations fixed
+    mt = m[:, :, 0]
+    c = jnp.einsum("emk,ek->em", R[ri], te)  # R_i t_e
+
+    def tr_normal_op(v):
+        v = v * mt
+        d = v[qi] - v[ri]
+        out = jax.ops.segment_sum(d, qi, num_segments=P)
+        out = out - jax.ops.segment_sum(d, ri, num_segments=P)
+        return out * mt
+
+    d0t = ta[qi] - ta[ri] - c
+    bt = -(
+        jax.ops.segment_sum(d0t, qi, num_segments=P)
+        - jax.ops.segment_sum(d0t, ri, num_segments=P)
+    ) * mt
+    tf = _cg_graph_solve(tr_normal_op, bt, deg[:, None], cg_iterations, cg_tol)
+    t = tf * mt + ta
+
+    t_np = np.asarray(jax.device_get(t), np.float64)
+    R_np = np.asarray(jax.device_get(R), np.float64)
+    quats = np.stack([np_rotmat_to_quat(r) for r in R_np])
+    return t_np, quats

@@ -720,6 +720,73 @@ class PoseGraphOptimizer:
         self._dirty_poses.clear()
         return self._packed_poses
 
+    # -- initialization ----------------------------------------------------
+    def initialize(
+        self,
+        method: str = "chordal",
+        include_loops: bool = True,
+        cg_iterations: int = 300,
+    ) -> None:
+        """Replace the non-constant pose estimates with an initialization
+        computed from the relative-pose measurements (the registry's
+        current values are ignored except at anchors).
+
+        ``method="spanning_tree"`` composes measurements along a BFS tree
+        from the anchors (odometry edges preferred); ``"chordal"`` solves
+        the rotation-averaging chordal relaxation + a translation
+        Laplacian by preconditioned CG (see solvers/graph_init.py). LM
+        converges from far worse starts after either — the classic cure
+        for sphere-scale graphs whose dead-reckoned init is a fold.
+
+        ``include_loops=False`` initializes from odometry edges only —
+        robust when loop measurements may contain outliers (chordal
+        averaging has no switch variables; a wrong loop bends the whole
+        init). Anchors: the ``set_pose_constant`` poses, else the lowest
+        pose index at its current registry value.
+        """
+        from . import graph_init
+
+        flat = self._flatten()
+        indices, index_of = flat["indices"], flat["index_of"]
+        P = flat["P"]
+        ref_idx, query_idx = flat["ref_idx"], flat["query_idx"]
+        rel_t, rel_q = flat["rel_t"], flat["rel_q"]
+        is_loop = flat["is_loop"]
+
+        if not include_loops:
+            keep = is_loop == 0.0
+            ref_idx, query_idx = ref_idx[keep], query_idx[keep]
+            rel_t, rel_q = rel_t[keep], rel_q[keep]
+            is_loop = is_loop[keep]
+
+        anchor_ids = sorted(self._constant) or [indices[0]]
+        anchors = {}
+        for pi in anchor_ids:
+            p = self.get_pose(pi)
+            anchors[index_of[pi]] = (p.rotation, p.translation)
+
+        if method == "spanning_tree":
+            t, q = graph_init.spanning_tree_init(
+                ref_idx, query_idx, rel_q, rel_t, P, anchors,
+                edge_priority=is_loop,
+            )
+        elif method == "chordal":
+            t, q = graph_init.chordal_init(
+                ref_idx, query_idx, rel_q, rel_t, P, anchors,
+                cg_iterations=cg_iterations,
+            )
+        else:
+            raise ValueError(
+                f"unknown initialization method {method!r} "
+                "(spanning_tree | chordal)"
+            )
+
+        for pi in indices:
+            if pi in self._constant:
+                continue
+            i = index_of[pi]
+            self.set_pose(pi, Pose(np_quat_to_rotmat(q[i]), t[i]))
+
     # -- solve -------------------------------------------------------------
     def solve(self, options: Optional[Options] = None) -> Tuple[lm.Summary, np.ndarray]:
         """Optimize all registered poses; write results back into the
