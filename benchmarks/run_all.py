@@ -673,6 +673,32 @@ def bench_pose_graph(runs):
          f"err {init_err:.1f}m -> {err:.2f}m")
     )
     log(f"  sphere2500 g2o: {ms:.0f} ms, err {init_err:.1f} -> {err:.2f} m")
+
+    # same graph, chordal initialization first (solvers/graph_init.py):
+    # timed END TO END (init + solve) — rotation averaging plus the
+    # translation Laplacian land near the optimum before any LM step,
+    # cutting the LM iterations needed from the wound-up dead-reckon
+    def _sphere_solve_chordal():
+        sph_rep[0] += 1
+        eps = 1e-9 * sph_rep[0]
+        for k, v in sphere_init.items():
+            p = _pose_from_vec7(v)
+            p.translation[0] += eps
+            sph.set_pose(k, p)
+        sph.initialize(method="chordal")
+        return sph.solve(sph_opts)
+
+    ms, (summary, _) = timed(_sphere_solve_chordal, max(1, runs // 5))
+    err = max(
+        np.linalg.norm(sph.get_pose(k).translation - gt_pos[k])
+        for k in range(len(gt_pos))
+    )
+    rows.append(
+        ("sphere2500 chordal-init + PCG", f"{ms:.0f} ms",
+         f"{float(summary.final_cost):.3e}",
+         f"err {init_err:.1f}m -> {err:.2f}m incl. init")
+    )
+    log(f"  sphere2500 chordal: {ms:.0f} ms, err -> {err:.2f} m")
     os.unlink(sphere_path)
 
     # PCG on ITS domain: a graph too large for the dense normal matrix

@@ -1,7 +1,8 @@
 """Solve a g2o pose-graph file and write the optimized graph back.
 
     python examples/g2o_solve.py input.g2o [-o solved.g2o]
-        [--solver dense|cg|tridiag] [--switchable-loops]
+        [--solver dense|cg|tridiag] [--init chordal|spanning_tree]
+        [--switchable-loops]
         [--unit-information] [--max-iterations N]
 
 Works on the standard 2-D (VERTEX_SE2/EDGE_SE2) and 3-D
@@ -82,6 +83,12 @@ def main() -> None:
     ap.add_argument("--switchable-loops", action="store_true")
     ap.add_argument("--unit-information", action="store_true")
     ap.add_argument("--max-iterations", type=int, default=200)
+    ap.add_argument(
+        "--init", choices=["none", "spanning_tree", "chordal"],
+        default="none",
+        help="replace the file's vertex estimates with a spanning-tree "
+        "or chordal initialization before solving (3-D graphs)",
+    )
     args = ap.parse_args()
 
     path = args.input
@@ -120,6 +127,13 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
+    if args.init != "none":
+        if graph.landmarks or graph.dim != 3:
+            print(f"note: --init {args.init} is 3-D pose-graph only; skipped")
+        else:
+            opt.initialize(method=args.init)
+            print(f"{args.init} initialization: "
+                  f"{(time.perf_counter() - t0) * 1e3:.1f} ms")
     summary, switches = opt.solve(
         Options().replace(max_iterations=args.max_iterations)
     )
