@@ -194,3 +194,148 @@ def chordal_init(
     R_np = np.asarray(jax.device_get(R), np.float64)
     quats = np.stack([np_rotmat_to_quat(r) for r in R_np])
     return t_np, quats
+
+
+# ---------------------------------------------------------------------------
+# SE(2)
+# ---------------------------------------------------------------------------
+
+
+def _rot2(theta):
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, -s], [s, c]])
+
+
+def spanning_tree_init_2d(
+    ref_idx: np.ndarray,
+    query_idx: np.ndarray,
+    rel_xyt: np.ndarray,  # (E, 3) (dx, dy, dtheta), T_ref<-query
+    num_poses: int,
+    anchors: Dict[int, np.ndarray],  # i -> (x, y, theta)
+    edge_priority: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """BFS spanning-tree composition for SE(2); returns xyt (P, 3)."""
+    E = len(ref_idx)
+    order = np.argsort(edge_priority, kind="stable") if edge_priority is not None else np.arange(E)
+    adj: Dict[int, list] = {}
+    for e in order:
+        i, j = int(ref_idx[e]), int(query_idx[e])
+        adj.setdefault(i, []).append((j, e, +1))
+        adj.setdefault(j, []).append((i, e, -1))
+
+    xyt = np.zeros((num_poses, 3))
+    seen = np.zeros(num_poses, bool)
+    frontier = []
+    for a, v in anchors.items():
+        xyt[a] = v
+        seen[a] = True
+        frontier.append(a)
+    while frontier:
+        nxt = []
+        for i in frontier:
+            for j, e, sgn in adj.get(i, ()):
+                if seen[j]:
+                    continue
+                dx, dy, dth = rel_xyt[e]
+                if sgn > 0:
+                    xyt[j, :2] = xyt[i, :2] + _rot2(xyt[i, 2]) @ (dx, dy)
+                    xyt[j, 2] = xyt[i, 2] + dth
+                else:
+                    xyt[j, 2] = xyt[i, 2] - dth
+                    xyt[j, :2] = xyt[i, :2] - _rot2(xyt[j, 2]) @ (dx, dy)
+                seen[j] = True
+                nxt.append(j)
+        frontier = nxt
+    xyt[:, 2] = np.arctan2(np.sin(xyt[:, 2]), np.cos(xyt[:, 2]))
+    return xyt
+
+
+def chordal_init_2d(
+    ref_idx: np.ndarray,
+    query_idx: np.ndarray,
+    rel_xyt: np.ndarray,
+    num_poses: int,
+    anchors: Dict[int, np.ndarray],
+    cg_iterations: int = 300,
+    cg_tol: float = 1e-8,
+) -> np.ndarray:
+    """SE(2) chordal initialization; returns xyt (P, 3).
+
+    Rotations as unit vectors v_i = (cos th, sin th): the relaxation
+    min sum_e ||v_q - R(dth_e) v_i||^2 is linear (complex rotation
+    averaging in real form), then normalized back to the circle; the
+    translation Laplacian follows with rotations fixed."""
+    P, E = num_poses, len(ref_idx)
+    ri = jnp.asarray(ref_idx, jnp.int32)
+    qi = jnp.asarray(query_idx, jnp.int32)
+    Re = jnp.asarray(
+        np.stack([_rot2(x[2]) for x in rel_xyt]) if E else np.zeros((0, 2, 2))
+    )
+    te = jnp.asarray(rel_xyt[:, :2] if E else np.zeros((0, 2)))
+
+    free = np.ones(P)
+    va_np = np.zeros((P, 2))
+    ta_np = np.zeros((P, 2))
+    for a, v in anchors.items():
+        free[a] = 0.0
+        va_np[a] = (np.cos(v[2]), np.sin(v[2]))
+        ta_np[a] = v[:2]
+    m = jnp.asarray(free)[:, None]
+    va = jnp.asarray(va_np)
+    ta = jnp.asarray(ta_np)
+
+    deg = np.zeros(P)
+    np.add.at(deg, ref_idx, 1.0)
+    np.add.at(deg, query_idx, 1.0)
+    deg = jnp.asarray(deg)[:, None]
+
+    def rot_op(v):
+        v = v * m
+        d = v[qi] - jnp.einsum("emk,ek->em", Re, v[ri])
+        out = jax.ops.segment_sum(d, qi, num_segments=P)
+        out = out - jax.ops.segment_sum(
+            jnp.einsum("ekm,ek->em", Re, d), ri, num_segments=P
+        )
+        return out * m
+
+    d0 = va[qi] - jnp.einsum("emk,ek->em", Re, va[ri])
+    b = -(
+        jax.ops.segment_sum(d0, qi, num_segments=P)
+        - jax.ops.segment_sum(
+            jnp.einsum("ekm,ek->em", Re, d0), ri, num_segments=P
+        )
+    ) * m
+    vf = _cg_graph_solve(rot_op, b, deg, cg_iterations, cg_tol)
+    v = vf * m + va
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    v = v * m + va
+
+    # translations: t_q - t_i - R_i t_e with R_i from the unit vectors
+    Ri = jnp.stack(
+        [
+            jnp.stack([v[:, 0], -v[:, 1]], axis=1),
+            jnp.stack([v[:, 1], v[:, 0]], axis=1),
+        ],
+        axis=1,
+    )  # (P, 2, 2)
+    c = jnp.einsum("emk,ek->em", Ri[ri], te)
+
+    def tr_op(w):
+        w = w * m
+        d = w[qi] - w[ri]
+        out = jax.ops.segment_sum(d, qi, num_segments=P)
+        out = out - jax.ops.segment_sum(d, ri, num_segments=P)
+        return out * m
+
+    d0t = ta[qi] - ta[ri] - c
+    bt = -(
+        jax.ops.segment_sum(d0t, qi, num_segments=P)
+        - jax.ops.segment_sum(d0t, ri, num_segments=P)
+    ) * m
+    tf = _cg_graph_solve(tr_op, bt, deg, cg_iterations, cg_tol)
+    t = tf * m + ta
+
+    v_np = np.asarray(jax.device_get(v), np.float64)
+    t_np = np.asarray(jax.device_get(t), np.float64)
+    theta = np.arctan2(v_np[:, 1], v_np[:, 0])
+    return np.concatenate([t_np, theta[:, None]], axis=1)

@@ -1656,6 +1656,56 @@ class PoseGraphOptimizer2D:
         (reference_index, query_index, relative_xyt, type, sqrt_info)."""
         return [dict(c) for c in self._constraints]
 
+    def initialize(
+        self,
+        method: str = "chordal",
+        include_loops: bool = True,
+        cg_iterations: int = 300,
+    ) -> None:
+        """SE(2) counterpart of PoseGraphOptimizer.initialize (which see):
+        replace non-constant estimates with a spanning-tree or chordal
+        (complex rotation averaging) initialization from the edge
+        measurements."""
+        from . import graph_init
+
+        indices = sorted(self._poses)
+        index_of = {pi: i for i, pi in enumerate(indices)}
+        P = len(indices)
+        cons = self._constraints
+        if not include_loops:
+            cons = [c for c in cons if c["type"] != ConstraintType.LOOP]
+        ref_idx = np.array([index_of[c["reference_index"]] for c in cons], np.int32)
+        query_idx = np.array([index_of[c["query_index"]] for c in cons], np.int32)
+        rel_xyt = (
+            np.stack([c["relative_xyt"] for c in cons])
+            if cons
+            else np.zeros((0, 3))
+        )
+        is_loop = np.array(
+            [1.0 if c["type"] == ConstraintType.LOOP else 0.0 for c in cons]
+        )
+        anchor_ids = sorted(self._constant) or [indices[0]]
+        anchors = {index_of[pi]: self._poses[pi].copy() for pi in anchor_ids}
+
+        if method == "spanning_tree":
+            xyt = graph_init.spanning_tree_init_2d(
+                ref_idx, query_idx, rel_xyt, P, anchors, edge_priority=is_loop
+            )
+        elif method == "chordal":
+            xyt = graph_init.chordal_init_2d(
+                ref_idx, query_idx, rel_xyt, P, anchors,
+                cg_iterations=cg_iterations,
+            )
+        else:
+            raise ValueError(
+                f"unknown initialization method {method!r} "
+                "(spanning_tree | chordal)"
+            )
+        for pi in indices:
+            if pi in self._constant:
+                continue
+            self._poses[pi] = xyt[index_of[pi]].copy()
+
     def solve(self, options: Optional[Options] = None):
         if options is None:
             options = Options().replace(max_iterations=500)

@@ -124,3 +124,104 @@ def test_unknown_method_raises():
     opt, _ = _sphere_optimizer()
     with pytest.raises(ValueError, match="unknown initialization"):
         opt.initialize(method="magic")
+
+
+# ---------------------------------------------------------------------------
+# SE(2)
+# ---------------------------------------------------------------------------
+
+
+def _wrap2(a):
+    return np.arctan2(np.sin(a), np.cos(a))
+
+
+def _rel2(a, b):
+    c, s = np.cos(a[2]), np.sin(a[2])
+    dp = b[:2] - a[:2]
+    return np.array(
+        [c * dp[0] + s * dp[1], -s * dp[0] + c * dp[1], _wrap2(b[2] - a[2])]
+    )
+
+
+def _circle_2d(P=120, radius=12.0, seed=4):
+    """Noisy-odometry circle with ring loop closures and a dead-reckoned
+    drifted init (M3500-style construction at test scale)."""
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_graph import (
+        PoseGraphOptimizer2D,
+    )
+
+    rng = np.random.default_rng(seed)
+    gt = np.stack(
+        [
+            np.array(
+                [radius * np.cos(2 * np.pi * k / P),
+                 radius * np.sin(2 * np.pi * k / P),
+                 _wrap2(2 * np.pi * k / P + np.pi / 2)]
+            )
+            for k in range(P)
+        ]
+    )
+    odo = [
+        _rel2(gt[k], gt[k + 1])
+        + np.concatenate([rng.normal(0, 0.02, 2), rng.normal(0, 0.01, 1)])
+        for k in range(P - 1)
+    ]
+    # dead-reckon the noisy odometry for the drifted init
+    init = np.zeros((P, 3))
+    init[0] = gt[0]
+    for k in range(P - 1):
+        c, s = np.cos(init[k, 2]), np.sin(init[k, 2])
+        init[k + 1, :2] = init[k, :2] + np.array(
+            [c * odo[k][0] - s * odo[k][1], s * odo[k][0] + c * odo[k][1]]
+        )
+        init[k + 1, 2] = _wrap2(init[k, 2] + odo[k][2])
+
+    # a real switch penalty: with the reference's 1e-9 default the solver
+    # can switch every (inlier) loop off for free and keep the drift
+    opt = PoseGraphOptimizer2D(switch_penalty=1.0)
+    for k in range(P):
+        opt.set_pose(k, init[k])
+    opt.set_pose_constant(0)
+    for k in range(P - 1):
+        opt.set_constraint(k, k + 1, odo[k])
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_graph import (
+        ConstraintType,
+    )
+
+    for k in range(0, P, P // 8):  # chords across the circle (wrapping,
+        # so the tail of the trajectory is loop-constrained too)
+        j = (k + P // 4) % P
+        opt.set_constraint(
+            k, j, _rel2(gt[k], gt[j]), ConstraintType.LOOP
+        )
+    return opt, gt
+
+
+def _max_err_2d(opt, gt):
+    return max(
+        np.linalg.norm(opt.get_pose(k)[:2] - gt[k][:2])
+        for k in range(len(gt))
+    )
+
+
+def test_chordal_2d_beats_dead_reckoning():
+    opt, gt = _circle_2d()
+    dead = _max_err_2d(opt, gt)
+    assert dead > 0.5  # genuinely drifted
+
+    opt.initialize(method="chordal")
+    chord = _max_err_2d(opt, gt)
+    assert chord < 0.5 * dead, (chord, dead)
+    np.testing.assert_allclose(opt.get_pose(0), gt[0], atol=1e-12)
+
+    # and the solve still converges to the noise floor from there
+    summary, _ = opt.solve(Options().replace(max_iterations=100))
+    assert _max_err_2d(opt, gt) < 0.2
+
+
+def test_spanning_tree_2d_beats_dead_reckoning():
+    opt, gt = _circle_2d()
+    dead = _max_err_2d(opt, gt)
+    opt.initialize(method="spanning_tree")
+    tree = _max_err_2d(opt, gt)
+    assert tree < dead, (tree, dead)
