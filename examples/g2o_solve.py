@@ -87,7 +87,7 @@ def main() -> None:
         "--init", choices=["none", "spanning_tree", "chordal"],
         default="none",
         help="replace the file's vertex estimates with a spanning-tree "
-        "or chordal initialization before solving (3-D graphs)",
+        "or chordal initialization before solving (2-D and 3-D graphs)",
     )
     args = ap.parse_args()
 
@@ -128,8 +128,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     if args.init != "none":
-        if graph.landmarks or graph.dim != 3:
-            print(f"note: --init {args.init} is 3-D pose-graph only; skipped")
+        if graph.landmarks:
+            print(f"note: --init {args.init} is pose-graph only; skipped")
         else:
             opt.initialize(method=args.init)
             print(f"{args.init} initialization: "
