@@ -150,8 +150,8 @@ def main(n_frames=48, n_scan=1500, keyframe_every=6, lag=None, verbose=True):
         # coarse-D2D + full registration with an overlap test, and also
         # reports the registration's own information (printed; the
         # smoother edge keeps the example's calibrated scalar weights)
-        closure = det.detect(k, scan, est)
-        if closure is not None and closure.reference_id in sm.window:
+        closure = det.detect(k, scan, est, eligible=set(sm.window))
+        if closure is not None:
             sm.add_loop(closure.reference_id, k, closure.relative_pose,
                         sqrt_info=LOOP_W)
             if verbose:

@@ -38,6 +38,8 @@ def main():
     objective = "maha"
     if "--objective" in sys.argv:
         i = sys.argv.index("--objective")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--objective needs a value (maha|p2p|d2d)")
         objective = sys.argv[i + 1]
         del sys.argv[i : i + 2]
     if objective not in ("maha", "p2p", "d2d"):

@@ -131,6 +131,11 @@ bool accumulate_range(const double* points, int64_t begin, int64_t end,
 
 extern "C" {
 
+// Bumped whenever an entry-point signature changes; the Python loader
+// refuses stale .so files (a pre-existing binary would silently ignore
+// a new trailing argument on x86-64 and compute the wrong thing).
+int64_t nls_abi_version() { return 2; }
+
 // Build an NDT map from n points (row-major (n, 3) float64).
 // Outputs are caller-allocated with capacity max_voxels rows:
 //   means (max_voxels, 3), sqrt_infos (max_voxels, 3, 3),
@@ -178,8 +183,15 @@ int64_t nls_build_ndt_map(const double* points, int64_t n, double resolution,
 
   VoxelMap& global = partials[0];
   for (size_t t = 1; t < partials.size(); ++t) {
-    for (auto& kv : partials[t])
-      global[kv.first].merge(kv.second, identity_moment != 0);
+    for (auto& kv : partials[t]) {
+      // emplace, don't operator[]+merge: a voxel absent from earlier
+      // partials must keep its seeded identity — merging into a
+      // default-constructed (zero-moment) entry would subtract the one
+      // identity the partial carries and silently drop the quirk offset
+      // for every voxel not touched by thread 0.
+      auto ins = global.emplace(kv.first, kv.second);
+      if (!ins.second) ins.first->second.merge(kv.second, identity_moment != 0);
+    }
     partials[t].clear();
   }
 

@@ -38,6 +38,9 @@ def ensure_built(force: bool = False) -> str:
     return _SO_PATH
 
 
+_ABI_VERSION = 2  # must match nls_abi_version() in ndt_builder.cc
+
+
 def load(build_if_missing: bool = True) -> ctypes.CDLL:
     global _lib
     if _lib is not None:
@@ -45,6 +48,34 @@ def load(build_if_missing: bool = True) -> ctypes.CDLL:
     if build_if_missing:
         ensure_built()
     lib = ctypes.CDLL(_SO_PATH)
+
+    # Refuse stale binaries: an old .so would silently ignore newer
+    # trailing arguments (x86-64 calling convention) and return wrong
+    # results (e.g. identity_moment=False handing back the quirked map).
+    # Rebuild once if the sources are present, then re-check.
+    def _abi(l):
+        try:
+            l.nls_abi_version.restype = ctypes.c_int64
+            return int(l.nls_abi_version())
+        except AttributeError:
+            return 0
+
+    if _abi(lib) != _ABI_VERSION:
+        if not build_if_missing:
+            raise OSError(
+                f"{_SO_PATH}: native ABI {_abi(lib)} != expected "
+                f"{_ABI_VERSION}; rebuild with `make -C native/`"
+            )
+        del lib
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-B"], check=True, capture_output=True
+        )
+        lib = ctypes.CDLL(_SO_PATH)
+        if _abi(lib) != _ABI_VERSION:
+            raise OSError(
+                f"{_SO_PATH}: native ABI {_abi(lib)} != expected "
+                f"{_ABI_VERSION} even after rebuild"
+            )
 
     lib.nls_build_ndt_map.restype = ctypes.c_int64
     lib.nls_build_ndt_map.argtypes = [

@@ -130,6 +130,13 @@ class LoopClosureDetector:
                 pts, self.voxel_resolution,
                 identity_moment=self.identity_moment,
             )
+        if int(m.valid.sum()) == 0:
+            raise ValueError(
+                f"add_keyframe({keyframe_id}): no valid NDT voxel (every "
+                f"voxel needs >= 5 points and lambda_max >= 0.01 at "
+                f"resolution {self.voxel_resolution}); a later detect() "
+                "against an empty map cannot match anything"
+            )
         self._keyframes[keyframe_id] = _Keyframe(pose_estimate.copy(), m)
 
     def update_pose(self, keyframe_id: int, pose_estimate: Pose) -> None:
@@ -144,13 +151,22 @@ class LoopClosureDetector:
         query_id: int,
         scan_points: np.ndarray,
         pose_estimate: Pose,
+        eligible=None,
     ) -> Optional[LoopClosure]:
         """Try to close a loop for the query scan (SENSOR frame) at the
         current ``pose_estimate``. Returns the best verified closure
-        (nearest candidate wins) or None."""
+        (nearest candidate wins) or None.
+
+        ``eligible``: optional container of keyframe ids the CALLER can
+        still use (e.g. a fixed-lag smoother's active window). Filtering
+        here — not on the returned closure — matters: an ineligible
+        nearest candidate must not shadow an eligible farther one, and
+        verification registrations are not wasted on unusable edges."""
         cands = []
         for kid, kf in self._keyframes.items():
             if abs(query_id - kid) < self.min_id_gap:
+                continue
+            if eligible is not None and kid not in eligible:
                 continue
             d = np.linalg.norm(
                 kf.pose.translation - pose_estimate.translation

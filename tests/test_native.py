@@ -209,3 +209,23 @@ def test_ndt_map_identity_moment_flag(rng):
         d = cov_q[i] - cov_u[i]
         sep.append(np.allclose(d, np.eye(3) / m_np.counts[i], atol=1e-9))
     assert sep and all(sep)
+
+
+def test_ndt_map_threaded_merge_keeps_quirk(rng):
+    """Thread-partial merge must keep exactly ONE +I moment offset per
+    voxel in the quirked build — including voxels absent from thread 0's
+    partial (regression: emplace-vs-merge in nls_build_ndt_map)."""
+    # two spatially separated clusters ordered so threads see disjoint
+    # voxel sets
+    a = rng.uniform(0.0, 2.0, size=(6000, 3))
+    b = rng.uniform(10.0, 12.0, size=(6000, 3))
+    pts = np.concatenate([a, b])  # thread chunks correlate with position
+    m1 = native.build_ndt_map(pts, 1.0, num_threads=1)
+    m4 = native.build_ndt_map(pts, 1.0, num_threads=4)
+    order = _match_order(m1, m4)
+    np.testing.assert_array_equal(m4.counts[order], m1.counts)
+    # covariances agree to summation-reassociation tolerance; a lost +I
+    # offset would show up as ~1/count ~ 1e-2
+    c1 = ndt.voxel_covariances(m1)
+    c4 = ndt.voxel_covariances(m4)[order]
+    np.testing.assert_allclose(c4, c1, atol=1e-9)
