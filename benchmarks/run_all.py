@@ -182,21 +182,19 @@ def bench_maha_simple(runs):
     except Exception:
         unq_map = ndt.build_ndt_map(pts, 1.0, identity_moment=False)
 
-    p2p_min = nls.PointToPlaneMinimizer().set_loss_function(loss)
+    p2p_reg = fused_registration.NdtRegistrar(
+        unq_map, options, loss, objective="p2p", max_thickness=0.05
+    )
     ms, res = timed(
-        lambda: registration.register_point_to_plane(
-            unq_map, local, nls.Pose.identity(), p2p_min, options,
-            max_thickness=0.05,
-        ),
-        runs,
+        lambda: p2p_reg.register(local, nls.Pose.identity()), runs
     )
     err = np.linalg.norm(res.pose.translation - true_pose.translation)
     rows.append(
-        ("point-to-plane ICP (ref: TBD)", f"{ms:.2f} ms",
-         f"{float(res.summaries[-1].final_cost):.4f}",
+        ("point-to-plane fused ICP (ref: TBD)", f"{ms:.2f} ms",
+         f"{res.final_cost:.4f}",
          f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
     )
-    log(f"  point-to-plane: {ms:.2f} ms")
+    log(f"  point-to-plane fused: {ms:.2f} ms")
 
     d2d_min = nls.MahalanobisDistanceMinimizer()
     ms, res = timed(

@@ -23,6 +23,21 @@ from .quadratic import highest_precision, quadratic_from_jacobians
 Array = jax.Array
 
 
+def unpack_p2p(packed: Array) -> "PointToPlaneData":
+    """Inverse of ops.pallas_kernels.pack_p2p: packed transposed rows
+    ((16, N) or the (16, N // 128, 128) plane form) -> SoA
+    PointToPlaneData (rows 10..15 are padding). The jnp evaluation path
+    over the same packed buffer the Pallas kernel consumes."""
+    if packed.ndim == 3:
+        packed = packed.reshape(packed.shape[0], -1)
+    return PointToPlaneData(
+        points=packed[0:3].T,
+        means=packed[3:6].T,
+        normals=packed[6:9].T,
+        mask=packed[9],
+    )
+
+
 class PointToPlaneData(NamedTuple):
     points: Array  # (N, 3) local points p_i
     means: Array  # (N, 3) plane anchor points mu_i

@@ -70,10 +70,20 @@ def _fused_register_impl(
     psum_axis=None,
     eval_backend: str = "pallas",
     map_mask=None,  # optional (M,) 1.0 = real voxel, 0.0 = bucket padding
+    objective: str = "maha",
+    normals_T=None,  # (3, M) unit plane normals (objective="p2p")
+    voxel_weights=None,  # (M,) 1.0 = usable plane (objective="p2p")
+    trim_distance=0.3,  # p2p trimmed-ICP rejection (meters)
 ):
+    if objective == "p2p" and planar:
+        raise NotImplementedError("planar mode is mahalanobis-only")
     n = points.shape[0]
     k = num_neighbors
-    lanes = _round_up(n * k, pk.LANE_BLOCK)
+    # p2p keeps ONE plane per point (min-perpendicular-distance selection
+    # among the k Euclidean candidates, matching.match_point_to_plane),
+    # so its packed buffer has n lanes, not n*k
+    out_lanes = n if objective == "p2p" else n * k
+    lanes = _round_up(out_lanes, pk.LANE_BLOCK)
     dtype = points.dtype
 
     # Center on the map centroid before the expanded-form distance: avoids
@@ -94,11 +104,56 @@ def _fused_register_impl(
         # padded voxels can never win the top-k or pass the radius test
         means_sq = means_sq + (1.0 - map_mask) * jnp.asarray(1e10, dtype)
     # point rows of the packed buffer never change: repeat each point k
-    # times along the lane axis, pad to the block multiple
-    p_rows = jnp.repeat(points_T, k, axis=1)  # (3, N*k)
-    p_rows = jnp.pad(p_rows, ((0, 0), (0, lanes - n * k)))
+    # times along the lane axis (maha; p2p keeps one lane per point),
+    # pad to the block multiple
+    p_rows = (
+        points_T if objective == "p2p" else jnp.repeat(points_T, k, axis=1)
+    )
+    p_rows = jnp.pad(p_rows, ((0, 0), (0, lanes - out_lanes)))
 
-    def match(t, q):
+    def match_p2p(t, q):
+        """Dense top-k candidates -> min-perpendicular-distance plane per
+        point -> packed (16, lanes // 128, 128) p2p kernel buffer (see
+        matching.match_point_to_plane for why nearest-MEAN association
+        biases plane factors)."""
+        R = lie.quat_to_rotmat(q)
+        warped = points @ R.T + t - centroid[:, 0]  # (N, 3), centered
+        d2 = (
+            jnp.sum(warped * warped, axis=1, keepdims=True)
+            - 2.0 * warped @ means_c_T
+            + means_sq[None, :]
+        )  # (N, M)
+        neg_d2, idx = jax.lax.top_k(-d2, k)  # (N, k)
+        within = (-neg_d2) <= search_radius * search_radius
+        cand_ok = within & (voxel_weights[idx] > 0.0)
+
+        cand_mu = means_c_T.T[idx]  # (N, k, 3) centered
+        cand_n = normals_T.T[idx]  # (N, k, 3)
+        plane_d = jnp.abs(
+            jnp.sum(cand_n * (warped[:, None, :] - cand_mu), axis=-1)
+        )
+        plane_d = jnp.where(cand_ok, plane_d, jnp.asarray(jnp.inf, dtype))
+        best = jnp.argmin(plane_d, axis=1)
+        rows_i = jnp.arange(n)
+        best_d = plane_d[rows_i, best]
+        mask = (best_d <= trim_distance).astype(dtype) * points_mask
+
+        mu_rows = (cand_mu[rows_i, best] + centroid[:, 0]).T  # (3, N)
+        n_rows = cand_n[rows_i, best].T  # (3, N)
+        packed = jnp.concatenate(
+            [
+                p_rows[:, :n],
+                mu_rows,
+                n_rows,
+                mask[None, :],
+                jnp.zeros((6, n), dtype),
+            ],
+            axis=0,
+        ).astype(jnp.float32)
+        packed = jnp.pad(packed, ((0, 0), (0, lanes - n)))
+        return packed.reshape(16, lanes // 128, 128)
+
+    def match_maha(t, q):
         """Dense top-k matching -> packed (16, lanes // 128, 128) plane
         kernel buffer (one relayout per rematch, amortized over the
         inner LM iterations that re-read it)."""
@@ -128,6 +183,8 @@ def _fused_register_impl(
         ).astype(jnp.float32)
         packed = jnp.pad(packed, ((0, 0), (0, lanes - n * k)))
         return packed.reshape(16, lanes // 128, 128)
+
+    match = match_p2p if objective == "p2p" else match_maha
 
     # ------------------------------------------------------------------
     # FLATTENED state machine: ONE while_loop, one LM iteration per step,
@@ -159,7 +216,21 @@ def _fused_register_impl(
     #                of falling back to the ~4x-slower jnp eval
     #   "jnp"      — XLA-fused einsums (oracle / fallback)
     # Identical objective; kernel-parity tested.
-    if eval_backend == "jnp":
+    if objective == "p2p":
+        from ..ops import point_to_plane as p2p_ops
+
+        eval3 = None
+        if eval_backend in ("jnp", "pallas_v"):
+            # jnp over the same packed buffer (and the vmappable path for
+            # batched serving — no _v variant of the p2p kernel yet)
+            eval6 = lambda R, t_, packed_: p2p_ops.eval_quadratic(
+                R, t_, p2p_ops.unpack_p2p(packed_), loss
+            )
+        else:
+            eval6 = lambda R, t_, packed_: pk.p2p_eval_quadratic_packed(
+                R, t_, packed_, loss
+            )
+    elif eval_backend == "jnp":
         eval6 = lambda R, t_, packed_: maha_ops.eval_quadratic(
             R, t_, maha_ops.unpack_maha6(packed_), loss
         )
@@ -306,27 +377,33 @@ def _fused_register_impl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_neighbors", "max_outer", "options", "planar"),
+    static_argnames=("num_neighbors", "max_outer", "options", "planar",
+                     "objective"),
 )
 def _fused_register(
     means_T, infos_T, points, points_T, points_mask, t0, q0, loss,
     search_radius, outer_tol, num_neighbors, max_outer, options, planar=False,
-    map_mask=None,
+    map_mask=None, objective="maha", normals_T=None, voxel_weights=None,
+    trim_distance=0.3,
 ):
     return _fused_register_impl(
         means_T, infos_T, points, points_T, points_mask, t0, q0, loss,
         search_radius, outer_tol, num_neighbors, max_outer, options, planar,
-        psum_axis=None, map_mask=map_mask,
+        psum_axis=None, map_mask=map_mask, objective=objective,
+        normals_T=normals_T, voxel_weights=voxel_weights,
+        trim_distance=trim_distance,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_neighbors", "max_outer", "options", "planar"),
+    static_argnames=("num_neighbors", "max_outer", "options", "planar",
+                     "objective"),
 )
 def _fused_register_batched(
     means_T, infos_T, points, points_T, points_mask, t0s, q0s, loss,
     search_radius, outer_tol, num_neighbors, max_outer, options, planar=False,
+    objective="maha", normals_T=None, voxel_weights=None, trim_distance=0.3,
 ):
     """B independent scan-to-map registrations against ONE shared map in a
     single XLA program (serving mode): the whole flattened ICP+LM state
@@ -347,6 +424,8 @@ def _fused_register_batched(
             means_T, infos_T, pts, pts_T, mask, t0, q0, loss,
             search_radius, outer_tol, num_neighbors, max_outer, options,
             planar, psum_axis=None, eval_backend="pallas_v",
+            objective=objective, normals_T=normals_T,
+            voxel_weights=voxel_weights, trim_distance=trim_distance,
         )
 
     return jax.vmap(one)(points, points_T, points_mask, t0s, q0s)
@@ -354,11 +433,13 @@ def _fused_register_batched(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_neighbors", "max_outer", "options", "planar", "mesh"),
+    static_argnames=("num_neighbors", "max_outer", "options", "planar", "mesh",
+                     "objective"),
 )
 def _fused_register_sharded(
     means_T, infos_T, points, points_T, points_mask, t0, q0, loss,
     search_radius, outer_tol, num_neighbors, max_outer, options, planar, mesh,
+    objective="maha", normals_T=None, voxel_weights=None, trim_distance=0.3,
 ):
     """Multi-chip fused registration: scan points shard over the mesh's
     factor axis (each device matches and evaluates its own block against
@@ -375,12 +456,13 @@ def _fused_register_sharded(
 
     def local_fn(
         means_T_, infos_T_, points_s, points_T_s, pmask_s, t0_, q0_, loss_,
-        radius_, tol_,
+        radius_, tol_, normals_T_, weights_, trim_,
     ):
         return _fused_register_impl(
             means_T_, infos_T_, points_s, points_T_s, pmask_s, t0_, q0_, loss_,
             radius_, tol_, num_neighbors, max_outer, options, planar,
-            psum_axis=FACTOR_AXIS,
+            psum_axis=FACTOR_AXIS, objective=objective, normals_T=normals_T_,
+            voxel_weights=weights_, trim_distance=trim_,
         )
 
     loss_specs = jax.tree_util.tree_map(lambda _: P(), loss)
@@ -393,6 +475,7 @@ def _fused_register_sharded(
             P(None, FACTOR_AXIS),  # points_T (3, N) -> lanes sharded
             P(FACTOR_AXIS),      # mask
             P(), P(), loss_specs, P(), P(),
+            P(), P(), P(),       # normals_T / voxel_weights / trim (replicated)
         ),
         out_specs=P(),
     )
@@ -400,9 +483,16 @@ def _fused_register_sharded(
         fn = shard_map(local_fn, check_vma=False, **kwargs)
     except TypeError:  # pragma: no cover - older check_rep spelling
         fn = shard_map(local_fn, check_rep=False, **kwargs)
+    # shard_map rejects literal None leaves; replicate tiny placeholders
+    # for the mahalanobis objective
+    if normals_T is None:
+        normals_T = jnp.zeros((3, means_T.shape[1]), means_T.dtype)
+    if voxel_weights is None:
+        voxel_weights = jnp.zeros((means_T.shape[1],), means_T.dtype)
+    trim = jnp.asarray(trim_distance, means_T.dtype)
     return fn(
         means_T, infos_T, points, points_T, points_mask, t0, q0, loss,
-        search_radius, outer_tol,
+        search_radius, outer_tol, normals_T, voxel_weights, trim,
     )
 
 
@@ -428,8 +518,20 @@ class NdtRegistrar:
         planar: bool = False,
         mesh=None,
         map_pad_multiple: Optional[int] = None,
+        objective: str = "maha",
+        max_flatness: float = 0.2,
+        max_thickness: Optional[float] = None,
+        trim_distance: float = 0.3,
     ):
-        """``map_pad_multiple``: pad the (valid) voxel count to a bucket
+        """``objective``: "maha" (the flagship point-to-NDT score) or
+        "p2p" (point-to-plane ICP against the voxel planes, fully fused —
+        plane extraction via ndt.voxel_normals with the
+        ``max_flatness``/``max_thickness`` gates, min-perpendicular-
+        distance association among the k nearest voxels, trimmed at
+        ``trim_distance``; build the map with ``identity_moment=False``
+        for accurate planes). ``planar`` is mahalanobis-only.
+
+        ``map_pad_multiple``: pad the (valid) voxel count to a bucket
         so registrars over DIFFERENT maps of similar size share one
         compiled program — the scan-to-scan odometry case, where every
         frame builds a fresh small NDT map and an exact-sized program
@@ -441,8 +543,23 @@ class NdtRegistrar:
         self.planar = planar
         self.mesh = mesh
         self.map_mask = None
+        self.objective = objective
+        self.trim_distance = trim_distance
+        if objective not in ("maha", "p2p"):
+            raise ValueError(f"unknown objective {objective!r} (maha | p2p)")
+        if objective == "p2p" and planar:
+            raise NotImplementedError("planar mode is mahalanobis-only")
         means = valid.means
         sqinfos = valid.sqrt_informations
+        normals = weights = None
+        if objective == "p2p":
+            from . import ndt as ndt_mod
+
+            normals, flatness, thickness = ndt_mod.voxel_normals(valid)
+            ok = flatness <= max_flatness
+            if max_thickness is not None:
+                ok &= thickness <= max_thickness
+            weights = ok.astype(np.float64)
         if map_pad_multiple is not None:
             if mesh is not None:
                 raise NotImplementedError(
@@ -456,11 +573,22 @@ class NdtRegistrar:
                 means = np.concatenate([means, np.zeros((Mp - M, 3))])
                 eye = np.broadcast_to(np.eye(3), (Mp - M, 3, 3))
                 sqinfos = np.concatenate([sqinfos, eye])
+                if normals is not None:
+                    pad_n = np.zeros((Mp - M, 3))
+                    pad_n[:, 2] = 1.0
+                    normals = np.concatenate([normals, pad_n])
+                    weights = np.concatenate([weights, np.zeros(Mp - M)])
             self.map_mask = jnp.asarray(
                 (np.arange(means.shape[0]) < M).astype(np.float64), dtype
             )
         self.means_T = jnp.asarray(means.T, dtype)
         self.infos_T = jnp.asarray(sqinfos.reshape(-1, 9).T, dtype)
+        self.normals_T = (
+            None if normals is None else jnp.asarray(normals.T, dtype)
+        )
+        self.voxel_weights = (
+            None if weights is None else jnp.asarray(weights, dtype)
+        )
         self.options = options
         self.loss = loss
         self.search_radius = jnp.asarray(search_radius, dtype)
@@ -538,7 +666,9 @@ class NdtRegistrar:
             self.means_T, self.infos_T, points, points_T, pmask, t0s, q0s,
             self.loss, self.search_radius, self.outer_tolerance,
             self.num_neighbors, self.max_outer_iterations, self.options,
-            self.planar,
+            self.planar, objective=self.objective, normals_T=self.normals_T,
+            voxel_weights=self.voxel_weights,
+            trim_distance=self.trim_distance,
         )
         ts, qs, its, inner_its, costs, final_costs = jax.device_get(out)
         results = []
@@ -589,13 +719,19 @@ class NdtRegistrar:
             self.options,
             self.planar,
         )
+        extra = dict(
+            objective=self.objective,
+            normals_T=self.normals_T,
+            voxel_weights=self.voxel_weights,
+            trim_distance=self.trim_distance,
+        )
         if self.mesh is None:
             t, q, it, inner_its, costs, final_cost = _fused_register(
-                *args, map_mask=self.map_mask
+                *args, map_mask=self.map_mask, **extra
             )
         else:
             t, q, it, inner_its, costs, final_cost = _fused_register_sharded(
-                *args, self.mesh
+                *args, self.mesh, **extra
             )
         return (t, q, it, inner_its, costs, final_cost)
 

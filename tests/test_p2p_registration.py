@@ -149,3 +149,76 @@ def test_register_point_to_plane_quirked_map_still_converges(world):
     )
     t_err = np.linalg.norm(result.pose.translation - true_pose.translation)
     assert t_err < 0.03, t_err
+
+
+def test_fused_p2p_matches_host_loop(world):
+    """Single-dispatch fused p2p ICP lands on the same pose as the
+    host-loop pipeline (same objective, same gates)."""
+    from nonlinear_optimizer_for_slam_tpu.pipelines import fused_registration
+
+    ndt_map, scan = world
+    true_pose = testing.maha_true_pose()
+    local = true_pose.inverse().apply(scan)
+
+    reg = fused_registration.NdtRegistrar(
+        ndt_map,
+        Options(),
+        ExponentialLoss(),
+        objective="p2p",
+        max_thickness=0.05,
+    )
+    fused = reg.register(local, Pose.identity())
+
+    minimizer = PointToPlaneMinimizer(dtype=jnp.float32).set_loss_function(
+        ExponentialLoss()
+    )
+    host = registration.register_point_to_plane(
+        ndt_map, local, Pose.identity(), minimizer, Options(),
+        max_thickness=0.05,
+    )
+    np.testing.assert_allclose(
+        fused.pose.translation, host.pose.translation, atol=2e-3
+    )
+    t_err = np.linalg.norm(fused.pose.translation - true_pose.translation)
+    assert t_err < 5e-3, t_err
+
+    # batched serving path (vmapped machine, jnp eval) matches serial
+    batch = reg.register_batch(
+        [local, local], [Pose.identity(), Pose.identity()]
+    )
+    for b in batch:
+        np.testing.assert_allclose(
+            b.pose.translation, fused.pose.translation, atol=2e-3
+        )
+
+
+def test_fused_p2p_sharded_matches_unsharded(world):
+    from nonlinear_optimizer_for_slam_tpu.parallel.mesh import make_factor_mesh
+    from nonlinear_optimizer_for_slam_tpu.pipelines import fused_registration
+
+    ndt_map, scan = world
+    true_pose = testing.maha_true_pose()
+    local = true_pose.inverse().apply(scan)
+
+    kw = dict(objective="p2p", max_thickness=0.05)
+    serial = fused_registration.NdtRegistrar(
+        ndt_map, Options(), ExponentialLoss(), **kw
+    ).register(local, Pose.identity())
+    sharded = fused_registration.NdtRegistrar(
+        ndt_map, Options(), ExponentialLoss(), mesh=make_factor_mesh(), **kw
+    ).register(local, Pose.identity())
+    np.testing.assert_allclose(
+        sharded.pose.translation, serial.pose.translation, atol=1e-4
+    )
+    t_err = np.linalg.norm(sharded.pose.translation - true_pose.translation)
+    assert t_err < 5e-3, t_err
+
+
+def test_fused_p2p_rejects_planar_mode(world):
+    from nonlinear_optimizer_for_slam_tpu.pipelines import fused_registration
+
+    ndt_map, _ = world
+    with pytest.raises(NotImplementedError, match="mahalanobis-only"):
+        fused_registration.NdtRegistrar(
+            ndt_map, Options(), ExponentialLoss(), objective="p2p", planar=True
+        )
