@@ -953,10 +953,16 @@ _P2P_OUT = 28  # 21 H upper + 6 g + 1 cost
 
 def _p2p_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
     """Fused point-to-plane quadratic: r = n.(R p + t - mu), J = [n^T |
-    -n^T R skew(p)] (reference: pose_optimizer/cost_functors.h:106-157)."""
-    R = [params_ref[k] for k in range(9)]
-    t = [params_ref[9 + k] for k in range(3)]
-    la, lb = params_ref[12], params_ref[13]
+    -n^T R skew(p)] (reference: pose_optimizer/cost_functors.h:106-157).
+    Params/out are (16,)/(28,) SMEM/VMEM on the single-problem path or
+    (1, 16)/(1, 28) VMEM on the vmap-compatible one (see _maha6_kernel)."""
+    if params_ref.ndim == 2:
+        prm = lambda k: params_ref[0, k]
+    else:
+        prm = lambda k: params_ref[k]
+    R = [prm(k) for k in range(9)]
+    t = [prm(9 + k) for k in range(3)]
+    la, lb = prm(12), prm(13)
 
     ld = lambda k: packed_ref[k].astype(jnp.float32)
     p = [ld(k) for k in range(3)]
@@ -1000,7 +1006,10 @@ def _p2p_kernel(params_ref, packed_ref, out_ref, *, loss_code: int):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[:] = out_ref[:] + partial
+    if out_ref.ndim == 2:
+        out_ref[0, :] = out_ref[0, :] + partial
+    else:
+        out_ref[:] = out_ref[:] + partial
 
 
 def pack_p2p(data) -> Array:
@@ -1061,6 +1070,52 @@ def p2p_eval_quadratic_packed(
         ]
     )
     out = _p2p_pallas(params_vec, packed, loss_code)
+    return unpack_symmetric(out[:21], 6), out[21:27], out[27]
+
+
+@functools.partial(jax.jit, static_argnames=("loss_code",))
+def _p2p_pallas_v(params_2d: Array, packed: Array, loss_code: int) -> Array:
+    """vmap-compatible variant (VMEM (1, 16) params, (1, 28) output —
+    see _maha6_pallas_v for why SMEM/1-D forms cannot auto-batch)."""
+    n = _lane_count(packed)
+    grid = n // LANE_BLOCK
+    return pl.pallas_call(
+        functools.partial(_p2p_kernel, loss_code=loss_code),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (16, LANE_BLOCK // 128, 128),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _P2P_OUT), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, _P2P_OUT), jnp.float32),
+        interpret=_interpret(),
+    )(params_2d, _as_planes(packed))
+
+
+def p2p_eval_quadratic_packed_v(
+    rotation: Array,
+    translation: Array,
+    packed: Array,
+    loss: Optional[LossFunction],
+) -> Tuple[Array, Array, Array]:
+    """vmap-compatible twin of p2p_eval_quadratic_packed (identical
+    math). Safe under jax.vmap over (rotation, translation, packed)."""
+    loss_code, (a, b) = _loss_static(loss)
+    params_2d = jnp.concatenate(
+        [
+            rotation.reshape(9).astype(jnp.float32),
+            translation.astype(jnp.float32),
+            jnp.asarray([a, b], jnp.float32).reshape(2),
+            jnp.zeros(2, jnp.float32),
+        ]
+    ).reshape(1, 16)
+    out = _p2p_pallas_v(params_2d, packed, loss_code)[0]
     return unpack_symmetric(out[:21], 6), out[21:27], out[27]
 
 

@@ -220,11 +220,13 @@ def _fused_register_impl(
         from ..ops import point_to_plane as p2p_ops
 
         eval3 = None
-        if eval_backend in ("jnp", "pallas_v"):
-            # jnp over the same packed buffer (and the vmappable path for
-            # batched serving — no _v variant of the p2p kernel yet)
+        if eval_backend == "jnp":
             eval6 = lambda R, t_, packed_: p2p_ops.eval_quadratic(
                 R, t_, p2p_ops.unpack_p2p(packed_), loss
+            )
+        elif eval_backend == "pallas_v":
+            eval6 = lambda R, t_, packed_: pk.p2p_eval_quadratic_packed_v(
+                R, t_, packed_, loss
             )
         else:
             eval6 = lambda R, t_, packed_: pk.p2p_eval_quadratic_packed(

@@ -205,6 +205,43 @@ def test_p2p_kernel_matches_jnp(rng, pose_f32):
     np.testing.assert_allclose(float(c2), float(c1), rtol=2e-5)
 
 
+def test_p2p_v_kernel_matches_packed_and_vmaps(rng, pose_f32):
+    """The vmap-compatible p2p kernel variant: identical outputs to the
+    SMEM-params kernel, and auto-batchable under jax.vmap (the fused
+    batched-serving requirement)."""
+    from nonlinear_optimizer_for_slam_tpu.ops import point_to_plane
+
+    n = 384
+    normals = rng.normal(size=(n, 3))
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    data = point_to_plane.PointToPlaneData(
+        points=jnp.asarray(rng.normal(size=(n, 3)), F32),
+        means=jnp.asarray(rng.normal(size=(n, 3)), F32),
+        normals=jnp.asarray(normals, F32),
+        mask=jnp.asarray((rng.uniform(size=n) > 0.1), F32),
+    )
+    R, t = pose_f32
+    loss = HuberLoss(1.0)
+    packed = pk.pack_p2p(data)
+    H1, g1, c1 = pk.p2p_eval_quadratic_packed(R, t, packed, loss)
+    H2, g2, c2 = pk.p2p_eval_quadratic_packed_v(R, t, packed, loss)
+    np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-6)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=1e-6)
+
+    B = 3
+    Rb = jnp.stack([R] * B)
+    tb = jnp.stack([t, t + 0.01, t - 0.02])
+    pb = jnp.stack([packed] * B)
+    Hb, gb, cb = jax.vmap(
+        lambda R_, t_, p_: pk.p2p_eval_quadratic_packed_v(R_, t_, p_, loss)
+    )(Rb, tb, pb)
+    assert Hb.shape == (B, 6, 6) and gb.shape == (B, 6)
+    H0, g0, c0 = pk.p2p_eval_quadratic_packed(Rb[1], tb[1], packed, loss)
+    np.testing.assert_allclose(np.asarray(Hb[1]), np.asarray(H0), rtol=1e-6)
+    np.testing.assert_allclose(float(cb[1]), float(c0), rtol=1e-6)
+
+
 def test_p2p_pallas_backend_solve(rng):
     from nonlinear_optimizer_for_slam_tpu.ops import point_to_plane
 
