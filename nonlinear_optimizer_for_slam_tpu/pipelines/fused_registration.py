@@ -553,6 +553,7 @@ class NdtRegistrar:
             raise NotImplementedError("planar mode is mahalanobis-only")
         means = valid.means
         sqinfos = valid.sqrt_informations
+        self._num_real_voxels = means.shape[0]
         normals = weights = None
         if objective == "p2p":
             from . import ndt as ndt_mod
@@ -597,6 +598,56 @@ class NdtRegistrar:
         self.outer_tolerance = jnp.asarray(outer_tolerance, dtype)
         self.num_neighbors = num_neighbors
         self.max_outer_iterations = max_outer_iterations
+
+    def information(self, local_points, pose: Pose) -> np.ndarray:
+        """Gauss-Newton information J^T W J (6, 6) of this registrar's
+        objective at ``pose`` (typically the result of :meth:`register`),
+        in the right-retraction tangent [dt, dtheta] — the edge whitening
+        a pose-graph backend wants for odometry/loop edges produced by
+        this registrar (``sqrt_info = cholesky(information)``; see
+        MahalanobisDistanceMinimizer.information and
+        pipelines/loop_closure.py). One extra matching + evaluation
+        dispatch; the registration itself never surfaces it."""
+        from ..solvers import minimizers as mins
+        from . import matching
+
+        dtype = self.dtype
+        pts = jnp.asarray(np.asarray(local_points), dtype)
+        pmask = jnp.ones(pts.shape[0], dtype)
+        R = jnp.asarray(pose.rotation, dtype)
+        t = jnp.asarray(pose.translation, dtype)
+        # slice off bucket-padding voxels (they sit at the origin and the
+        # host matchers have no map mask)
+        m_real = self._num_real_voxels
+        if self.objective == "p2p":
+            data = matching.match_point_to_plane(
+                self.means_T.T[:m_real],
+                self.normals_T.T[:m_real],
+                self.voxel_weights[:m_real],
+                pts,
+                pmask,
+                R,
+                t,
+                search_radius=float(self.search_radius),
+                num_neighbors=max(self.num_neighbors, 2),
+                trim_distance=self.trim_distance,
+            )
+            minimizer = mins.PointToPlaneMinimizer(dtype=dtype)
+        else:
+            sqinfos = self.infos_T.T.reshape(-1, 3, 3)
+            data = matching.match_point_cloud(
+                self.means_T.T[:m_real],
+                sqinfos[:m_real],
+                pts,
+                pmask,
+                R,
+                t,
+                search_radius=float(self.search_radius),
+                num_neighbors=self.num_neighbors,
+            )
+            minimizer = mins.MahalanobisDistanceMinimizer(dtype=dtype)
+        minimizer.set_loss_function(self.loss)
+        return minimizer.information(data, pose)
 
     def register_async(self, local_points, initial_pose: Pose):
         """Launch the fused program WITHOUT a host sync; returns device

@@ -70,3 +70,56 @@ def test_sharded_fused_matches_single_device(small_world):
         sharded.pose.rotation, single.pose.rotation, atol=1e-4
     )
     assert sharded.outer_iterations == single.outer_iterations
+
+
+def test_registrar_information_matches_minimizer():
+    """NdtRegistrar.information == the minimizer-level information on the
+    same matched data, identical with a bucket-padded map (padding voxels
+    must not leak into the matching)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nonlinear_optimizer_for_slam_tpu.core import ExponentialLoss, Options
+    from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
+    from nonlinear_optimizer_for_slam_tpu.pipelines import (
+        fused_registration,
+        matching,
+        ndt,
+    )
+    from nonlinear_optimizer_for_slam_tpu.solvers.minimizers import (
+        MahalanobisDistanceMinimizer,
+    )
+    from nonlinear_optimizer_for_slam_tpu.utils import testing
+
+    pts = testing.generate_room_points(point_step=0.05)
+    m = ndt.build_ndt_map(pts, 1.0)
+    scan = ndt.filter_points(pts, 0.2)
+    true_pose = testing.maha_true_pose()
+    local = true_pose.inverse().apply(scan)
+
+    reg = fused_registration.NdtRegistrar(m, Options(), ExponentialLoss())
+    res = reg.register(local, Pose.identity())
+    H = reg.information(local, res.pose)
+    assert H.shape == (6, 6)
+    np.linalg.cholesky(H)  # SPD
+
+    # oracle: explicit matching + minimizer.information
+    valid = m.valid_only()
+    data = matching.match_point_cloud(
+        jnp.asarray(valid.means, jnp.float32),
+        jnp.asarray(valid.sqrt_informations, jnp.float32),
+        jnp.asarray(local, jnp.float32),
+        jnp.ones(local.shape[0], jnp.float32),
+        jnp.asarray(res.pose.rotation, jnp.float32),
+        jnp.asarray(res.pose.translation, jnp.float32),
+    )
+    mini = MahalanobisDistanceMinimizer().set_loss_function(ExponentialLoss())
+    H2 = mini.information(data, res.pose)
+    np.testing.assert_allclose(H, H2, rtol=1e-6)
+
+    # bucket-padded map: identical information (padding can't match)
+    reg_p = fused_registration.NdtRegistrar(
+        m, Options(), ExponentialLoss(), map_pad_multiple=64
+    )
+    H3 = reg_p.information(local, res.pose)
+    np.testing.assert_allclose(H3, H, rtol=1e-6)
