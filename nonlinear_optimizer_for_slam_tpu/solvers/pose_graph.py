@@ -1576,6 +1576,31 @@ def _pose_graph_2d_solve_cg(
     return xyt, switches, summary
 
 
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def _pose_graph_2d_solve_batch(
+    xyt0_b,  # (B, P, 3)
+    switches0_b,  # (B, L)
+    edges: "PoseGraph2DEdges",  # relative_xyt (B, E, 3); rest shared
+    free_mask,
+    switch_penalty,
+    edge_loss,
+    num_poses: int,
+    num_loops: int,
+    options: Options,
+):
+    """SE(2) analog of _pose_graph_solve_batch (which see): B instances
+    of one topology as one vmapped dense device program."""
+
+    def one(xyt0, sw0, rel):
+        e = edges._replace(relative_xyt=rel)
+        return _pose_graph_2d_solve(
+            xyt0, sw0, e, free_mask, switch_penalty, edge_loss,
+            num_poses, num_loops, options,
+        )
+
+    return jax.vmap(one)(xyt0_b, switches0_b, edges.relative_xyt)
+
+
 class PoseGraphOptimizer2D:
     """SE(2) pose-graph optimizer; same API shape as the 3D one."""
 
@@ -1706,14 +1731,9 @@ class PoseGraphOptimizer2D:
                 continue
             self._poses[pi] = xyt[index_of[pi]].copy()
 
-    def solve(self, options: Optional[Options] = None):
-        if options is None:
-            options = Options().replace(max_iterations=500)
-        if not self._constraints:
-            raise ValueError(
-                "PoseGraphOptimizer2D.solve: no constraints registered; add "
-                "edges with set_constraint() before solving"
-            )
+    def _flat_2d(self):
+        """Pack the registry into solver arrays (shared by solve and
+        solve_batch)."""
         indices = sorted(self._poses)
         index_of = {pi: i for i, pi in enumerate(indices)}
         P = len(indices)
@@ -1752,6 +1772,18 @@ class PoseGraphOptimizer2D:
         free = np.ones(P)
         for pi in self._constant:
             free[index_of[pi]] = 0.0
+        return indices, index_of, P, E, L, xyt, edges, free
+
+    def solve(self, options: Optional[Options] = None):
+        if options is None:
+            options = Options().replace(max_iterations=500)
+        if not self._constraints:
+            raise ValueError(
+                "PoseGraphOptimizer2D.solve: no constraints registered; add "
+                "edges with set_constraint() before solving"
+            )
+        indices, index_of, P, E, L, xyt, edges, free = self._flat_2d()
+        dtype = self.dtype
 
         if self.solver == "cg":
             out_xyt, sw, summary = _pose_graph_2d_solve_cg(
@@ -1789,6 +1821,79 @@ class PoseGraphOptimizer2D:
         sw = np.asarray(sw, np.float64)
         self._last_switches = sw.copy()
         return summary, sw
+
+    def solve_batch(
+        self,
+        batch_size: Optional[int] = None,
+        initial_xyt=None,  # (B, P, 3), pose_indices() order
+        relative_xyt=None,  # (B, E, 3), constraints() order
+        options: Optional[Options] = None,
+    ):
+        """B independent instances sharing THIS graph's topology in one
+        vmapped dense device program — the SE(2) analog of
+        :meth:`PoseGraphOptimizer.solve_batch` (which see for semantics:
+        shared topology/gauge/weights, per-instance initial states and
+        edge measurements, registry NOT written back). Returns
+        ``(xyt (B, P, 3) theta-wrapped, switches (B, L), summary)``."""
+        if self.solver != "dense":
+            raise ValueError(
+                "solve_batch runs on the dense direct path; construct the "
+                "optimizer with solver='dense'"
+            )
+        if options is None:
+            options = Options().replace(max_iterations=500)
+        if not self._constraints:
+            raise ValueError(
+                "PoseGraphOptimizer2D.solve_batch: no constraints registered"
+            )
+        indices, index_of, P, E, L, xyt, edges, free = self._flat_2d()
+        dtype = self.dtype
+
+        sizes = {
+            np.shape(a)[0]
+            for a in (initial_xyt, relative_xyt)
+            if a is not None
+        }
+        if batch_size is not None:
+            sizes.add(int(batch_size))
+        if len(sizes) != 1:
+            raise ValueError(
+                f"inconsistent or missing batch size: {sorted(sizes)}; pass "
+                "batch_size= or at least one (B, ...) per-instance array"
+            )
+        B = sizes.pop()
+
+        def _batched(arr, default, shape, name):
+            if arr is None:
+                return jnp.broadcast_to(
+                    jnp.asarray(default, dtype), (B,) + shape
+                )
+            a = jnp.asarray(arr, dtype)
+            if a.shape != (B,) + shape:
+                raise ValueError(
+                    f"{name} must be (B,) + {shape}; got {a.shape}"
+                )
+            return a
+
+        xyt_b = _batched(initial_xyt, xyt, (P, 3), "initial_xyt")
+        rel_b = _batched(
+            relative_xyt, edges.relative_xyt, (E, 3), "relative_xyt"
+        )
+        out_xyt, sw, summary = _pose_graph_2d_solve_batch(
+            xyt_b,
+            jnp.ones((B, L), dtype),
+            edges._replace(relative_xyt=rel_b),
+            jnp.asarray(free, dtype),
+            jnp.asarray(self.switch_penalty, dtype),
+            self.edge_loss,
+            P,
+            L,
+            options,
+        )
+        out_xyt, sw, summary = jax.device_get((out_xyt, sw, summary))
+        out = np.array(out_xyt, np.float64)  # writable copy
+        out[:, :, 2] = np.arctan2(np.sin(out[:, :, 2]), np.cos(out[:, :, 2]))
+        return out, np.asarray(sw, np.float64), summary
 
     def covariance(self, indices: Optional[List[int]] = None) -> Dict[int, np.ndarray]:
         """Marginal 3x3 (x, y, theta) covariance blocks per pose — the

@@ -244,3 +244,78 @@ def test_monte_carlo_ensemble_matches_covariance():
         assert err < 0.25, f"pose {i}: ensemble-vs-GN covariance off by {err:.3f}"
         diag_ratio = np.diag(sample) / np.diag(cov[i])
         assert np.all(diag_ratio > 0.75) and np.all(diag_ratio < 1.3), diag_ratio
+
+
+def test_2d_solve_batch_matches_individual_solves():
+    """SE(2) serving mode: B measurement realizations of one topology in
+    one vmapped program match per-instance individual solves."""
+    import numpy as np
+
+    from nonlinear_optimizer_for_slam_tpu.core import Options
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_graph import (
+        ConstraintType,
+        PoseGraphOptimizer2D,
+    )
+
+    rng = np.random.default_rng(9)
+    P = 24
+    gt = np.stack(
+        [
+            [np.cos(2 * np.pi * k / P) * 5,
+             np.sin(2 * np.pi * k / P) * 5,
+             np.arctan2(np.cos(2 * np.pi * k / P), -np.sin(2 * np.pi * k / P))]
+            for k in range(P)
+        ]
+    )
+
+    def rel(a, b):
+        c, s = np.cos(a[2]), np.sin(a[2])
+        dp = b[:2] - a[:2]
+        return np.array(
+            [c * dp[0] + s * dp[1], -s * dp[0] + c * dp[1],
+             np.arctan2(np.sin(b[2] - a[2]), np.cos(b[2] - a[2]))]
+        )
+
+    def build():
+        opt = PoseGraphOptimizer2D(switch_penalty=1.0)
+        noisy = gt + np.concatenate(
+            [0.1 * rng.standard_normal((P, 2)), 0.05 * rng.standard_normal((P, 1))],
+            axis=1,
+        )
+        noisy[0] = gt[0]
+        for k in range(P):
+            opt.set_pose(k, noisy[k])
+        opt.set_pose_constant(0)
+        for k in range(P - 1):
+            opt.set_constraint(k, k + 1, rel(gt[k], gt[k + 1]))
+        opt.set_constraint(0, P // 2, rel(gt[0], gt[P // 2]), ConstraintType.LOOP)
+        return opt
+
+    opt = build()
+    B = 4
+    cons = opt.constraints()
+    rel0 = np.stack([c["relative_xyt"] for c in cons])
+    rels = rel0[None] + 1e-3 * rng.standard_normal((B,) + rel0.shape)
+    init = np.stack([opt.get_pose(k) for k in opt.pose_indices()])
+    init_b = np.broadcast_to(init, (B, P, 3))
+
+    opts = Options().replace(max_iterations=100)
+    xyt_b, sw_b, summary = opt.solve_batch(
+        initial_xyt=init_b, relative_xyt=rels, options=opts
+    )
+    assert xyt_b.shape == (B, P, 3) and sw_b.shape == (B, 1)
+
+    for b in range(B):
+        single = build()
+        for k in range(P):
+            single.set_pose(k, init[k])
+        # overwrite measurements with instance b's realization
+        single._constraints = []
+        for e, c in enumerate(cons):
+            single.set_constraint(
+                c["reference_index"], c["query_index"], rels[b, e], c["type"]
+            )
+        s, sw = single.solve(opts)
+        ref = np.stack([single.get_pose(k) for k in single.pose_indices()])
+        np.testing.assert_allclose(xyt_b[b], ref, atol=1e-8)
+        np.testing.assert_allclose(sw_b[b], sw, atol=1e-8)
