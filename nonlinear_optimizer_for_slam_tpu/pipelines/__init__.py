@@ -8,6 +8,7 @@ from .fused_registration import (
 )
 from .ndt import (
     NdtMap,
+    NdtMapAccumulator,
     build_ndt_map,
     filter_points,
     voxel_covariances,
@@ -31,6 +32,7 @@ __all__ = [
     "LoopClosureDetector",
     "loop_closure",
     "NdtMap",
+    "NdtMapAccumulator",
     "NdtRegistrar",
     "RegistrationResult",
     "build_ndt_map",

@@ -275,6 +275,14 @@ def build_ndt_map(
         moments = np.zeros((num_voxels, 3, 3))
     np.add.at(moments, inverse, points[:, :, None] * points[:, None, :])
 
+    return _finalize_ndt(counts, sums, moments)
+
+
+def _finalize_ndt(
+    counts: np.ndarray, sums: np.ndarray, moments: np.ndarray
+) -> NdtMap:
+    """Voxel statistics -> NdtMap (mean/cov/eigendecomp/flooring/
+    sqrt-information — reference simple_optimization_test.cc:258-276)."""
     means = sums / counts[:, None]
     covs = moments / counts[:, None, None] - means[:, :, None] * means[:, None, :]
 
@@ -305,6 +313,79 @@ def build_ndt_map(
         counts=counts,
         valid=valid,
     )
+
+
+class NdtMapAccumulator:
+    """Incremental NDT mapping: accumulate voxel statistics scan by scan
+    and finalize on demand — the map-UPDATE semantics of the reference's
+    ``UpdateNdtMap`` (it accumulates into a caller-held voxel hash,
+    tests/simple_optimization_test.cc:236-280; the in-repo one-shot
+    builders cover only its single-call use). The SLAM mapping side:
+    register a scan, accumulate it at its estimated pose, repeat.
+
+    Accumulation is the builders' arithmetic (identity-moment quirk
+    seeded once per voxel on first touch, per-call partials formed with
+    the same ``np.add.at`` order). A single ``add_points`` call over all
+    points is BIT-identical to the one-shot ``build_ndt_map``; chunked
+    feeding reassociates the float sums at chunk boundaries (same caveat
+    as the native builder's threaded mode) — statistics agree to
+    reassociation tolerance, the voxel partition exactly.
+    """
+
+    def __init__(self, voxel_resolution: float, identity_moment: bool = True):
+        self.inv_res = 1.0 / voxel_resolution
+        self.identity_moment = identity_moment
+        self._stats: dict = {}  # (i, j, k) -> [count, sum (3,), moment (3,3)]
+
+    @property
+    def num_voxels(self) -> int:
+        return len(self._stats)
+
+    def add_points(self, points: np.ndarray) -> None:
+        """Accumulate world-frame points."""
+        pts = np.asarray(points, np.float64)
+        ijk = np.floor(pts * self.inv_res).astype(np.int64)
+        keys, inverse, cnts = np.unique(
+            ijk, axis=0, return_inverse=True, return_counts=True
+        )
+        inverse = inverse.reshape(-1)
+        tkeys = [tuple(k) for k in keys]
+        # per-call partials with the one-shot builder's np.add.at order.
+        # First-touch voxels are seeded with the quirk identity BEFORE the
+        # point accumulation (I + p1 + p2 + ... in that exact order — the
+        # same first-touch seeding the native builder uses; adding I
+        # afterward would round differently).
+        psums = np.zeros((len(keys), 3))
+        np.add.at(psums, inverse, pts)
+        pmoms = np.zeros((len(keys), 3, 3))
+        if self.identity_moment:
+            for v, key in enumerate(tkeys):
+                if key not in self._stats:
+                    pmoms[v] = np.eye(3)
+        np.add.at(pmoms, inverse, pts[:, :, None] * pts[:, None, :])
+        for v, key in enumerate(tkeys):
+            st = self._stats.get(key)
+            if st is None:
+                self._stats[key] = [int(cnts[v]), psums[v].copy(), pmoms[v]]
+            else:
+                st[0] += int(cnts[v])
+                st[1] = st[1] + psums[v]
+                st[2] = st[2] + pmoms[v]
+
+    def add_scan(self, local_points: np.ndarray, pose) -> None:
+        """Accumulate a sensor-frame scan observed from ``pose``."""
+        self.add_points(pose.apply(np.asarray(local_points, np.float64)))
+
+    def to_map(self) -> NdtMap:
+        """Finalize the current statistics (the accumulator keeps going —
+        call again after more scans)."""
+        if not self._stats:
+            raise ValueError("NdtMapAccumulator: no points accumulated")
+        keys = sorted(self._stats)  # deterministic voxel order
+        counts = np.array([self._stats[k][0] for k in keys], np.int64)
+        sums = np.stack([self._stats[k][1] for k in keys])
+        moments = np.stack([self._stats[k][2] for k in keys])
+        return _finalize_ndt(counts, sums, moments)
 
 
 def voxel_normals(

@@ -2,6 +2,7 @@
 mahalanobis tests/simple_optimization_test.cc:236-294)."""
 
 import numpy as np
+import pytest
 
 from nonlinear_optimizer_for_slam_tpu.pipelines import ndt
 
@@ -85,3 +86,60 @@ def test_filter_points_keeps_first_per_voxel():
     out = ndt.filter_points(pts, 0.5)
     # voxel keys at res 0.5: (0,0,0), (0,0,0), (1,0,0), (0,0,0)
     np.testing.assert_allclose(out, pts[[0, 2]])
+
+
+def test_accumulator_single_call_bit_exact():
+    """One add_points over everything == the one-shot builder, bitwise
+    (both quirk modes), including voxel row order."""
+    from nonlinear_optimizer_for_slam_tpu.utils import testing
+
+    pts = testing.generate_room_points(point_step=0.1)
+    for quirk in (True, False):
+        acc = ndt.NdtMapAccumulator(1.0, identity_moment=quirk)
+        acc.add_points(pts)
+        a = acc.to_map()
+        b = ndt.build_ndt_map(pts, 1.0, identity_moment=quirk)
+        np.testing.assert_array_equal(a.counts, b.counts)
+        np.testing.assert_allclose(a.means, b.means, rtol=0, atol=0)
+        np.testing.assert_allclose(
+            a.sqrt_informations, b.sqrt_informations, rtol=0, atol=0
+        )
+        np.testing.assert_array_equal(a.valid, b.valid)
+
+
+def test_accumulator_chunked_matches_one_shot():
+    """Chunked scans agree with the one-shot build to float
+    reassociation tolerance; the voxel partition exactly."""
+    from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
+    from nonlinear_optimizer_for_slam_tpu.utils import testing
+
+    pts = testing.generate_room_points(point_step=0.1)
+    acc = ndt.NdtMapAccumulator(1.0)
+    third = len(pts) // 3
+    acc.add_points(pts[:third])
+    acc.add_points(pts[third : 2 * third])
+    # feed the last chunk through the scan API (identity pose: the room
+    # fixture's points sit exactly ON voxel boundaries, so a non-trivial
+    # pose round-trip would legitimately re-bin them)
+    acc.add_scan(pts[2 * third :], Pose.identity())
+    a = acc.to_map()
+    b = ndt.build_ndt_map(pts, 1.0)
+    np.testing.assert_array_equal(a.counts, b.counts)
+    np.testing.assert_allclose(a.means, b.means, atol=1e-9)
+    # covariances (basis-invariant) agree; sqrt_informations may rotate
+    # their eigenbasis on degenerate voxels under reassociation
+    np.testing.assert_allclose(
+        ndt.voxel_covariances(a), ndt.voxel_covariances(b), atol=1e-7
+    )
+    np.testing.assert_array_equal(a.valid, b.valid)
+
+    # incremental growth: more scans -> counts only grow, finalize again
+    n0 = a.counts.sum()
+    acc.add_points(pts[:third])
+    a2 = acc.to_map()
+    assert a2.counts.sum() == n0 + third
+
+
+def test_accumulator_empty_raises():
+    with pytest.raises(ValueError, match="no points"):
+        ndt.NdtMapAccumulator(1.0).to_map()
