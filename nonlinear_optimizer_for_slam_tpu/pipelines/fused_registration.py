@@ -83,7 +83,11 @@ def _fused_register_impl(
     # among the k Euclidean candidates, matching.match_point_to_plane),
     # so its packed buffer has n lanes, not n*k
     out_lanes = n if objective == "p2p" else n * k
-    lanes = _round_up(out_lanes, pk.LANE_BLOCK)
+    # pad with the SAME adaptive lane block the packed evals resolve:
+    # above the large-lane threshold they run a 16384 grid block, and a
+    # 4096-multiple buffer that is not a 16384 multiple would floor-drop
+    # its tail correspondences from H/g/cost (review-found)
+    lanes = _round_up(out_lanes, pk._resolve_lane_block(out_lanes, None))
     dtype = points.dtype
 
     # Center on the map centroid before the expanded-form distance: avoids
@@ -103,13 +107,12 @@ def _fused_register_impl(
     if map_mask is not None:
         # padded voxels can never win the top-k or pass the radius test
         means_sq = means_sq + (1.0 - map_mask) * jnp.asarray(1e10, dtype)
-    # point rows of the packed buffer never change: repeat each point k
-    # times along the lane axis (maha; p2p keeps one lane per point),
-    # pad to the block multiple
-    p_rows = (
-        points_T if objective == "p2p" else jnp.repeat(points_T, k, axis=1)
-    )
-    p_rows = jnp.pad(p_rows, ((0, 0), (0, lanes - out_lanes)))
+    # point rows of the maha packed buffer never change: repeat each
+    # point k times along the lane axis (p2p uses points_T directly —
+    # one lane per point)
+    if objective != "p2p":
+        p_rows = jnp.repeat(points_T, k, axis=1)
+        p_rows = jnp.pad(p_rows, ((0, 0), (0, lanes - out_lanes)))
 
     def match_p2p(t, q):
         """Dense top-k candidates -> min-perpendicular-distance plane per
@@ -142,7 +145,7 @@ def _fused_register_impl(
         n_rows = cand_n[rows_i, best].T  # (3, N)
         packed = jnp.concatenate(
             [
-                p_rows[:, :n],
+                points_T,
                 mu_rows,
                 n_rows,
                 mask[None, :],
@@ -513,7 +516,7 @@ class NdtRegistrar:
         options: Options,
         loss: Optional[LossFunction] = None,
         search_radius: float = 1.0,
-        num_neighbors: int = 2,
+        num_neighbors: Optional[int] = None,
         max_outer_iterations: int = OUTER_MAX_ITERATIONS,
         outer_tolerance: float = OUTER_TOLERANCE,
         dtype=jnp.float32,
@@ -554,6 +557,12 @@ class NdtRegistrar:
         means = valid.means
         sqinfos = valid.sqrt_informations
         self._num_real_voxels = means.shape[0]
+        # host-side copies of the REAL (unpadded) map for information():
+        # deriving them from the device-transposed buffers would pay
+        # several eager-dispatch quanta per call (CLAUDE.md)
+        self._means_np = np.asarray(means)
+        self._sqinfos_np = np.asarray(sqinfos)
+        self._normals_np = self._weights_np = None
         normals = weights = None
         if objective == "p2p":
             from . import ndt as ndt_mod
@@ -563,6 +572,8 @@ class NdtRegistrar:
             if max_thickness is not None:
                 ok &= thickness <= max_thickness
             weights = ok.astype(np.float64)
+            self._normals_np = normals
+            self._weights_np = weights
         if map_pad_multiple is not None:
             if mesh is not None:
                 raise NotImplementedError(
@@ -596,6 +607,11 @@ class NdtRegistrar:
         self.loss = loss
         self.search_radius = jnp.asarray(search_radius, dtype)
         self.outer_tolerance = jnp.asarray(outer_tolerance, dtype)
+        # defaults follow the host-loop pipelines: maha = 2 (reference
+        # FLANN parity), p2p = 4 (candidate pool for the
+        # min-perpendicular-distance plane selection)
+        if num_neighbors is None:
+            num_neighbors = 4 if objective == "p2p" else 2
         self.num_neighbors = num_neighbors
         self.max_outer_iterations = max_outer_iterations
 
@@ -616,28 +632,26 @@ class NdtRegistrar:
         pmask = jnp.ones(pts.shape[0], dtype)
         R = jnp.asarray(pose.rotation, dtype)
         t = jnp.asarray(pose.translation, dtype)
-        # slice off bucket-padding voxels (they sit at the origin and the
-        # host matchers have no map mask)
-        m_real = self._num_real_voxels
+        # host-cached REAL (unpadded) map arrays: one upload into the
+        # jitted matcher, no eager transposes of device buffers
         if self.objective == "p2p":
             data = matching.match_point_to_plane(
-                self.means_T.T[:m_real],
-                self.normals_T.T[:m_real],
-                self.voxel_weights[:m_real],
+                jnp.asarray(self._means_np, dtype),
+                jnp.asarray(self._normals_np, dtype),
+                jnp.asarray(self._weights_np, dtype),
                 pts,
                 pmask,
                 R,
                 t,
                 search_radius=float(self.search_radius),
-                num_neighbors=max(self.num_neighbors, 2),
+                num_neighbors=self.num_neighbors,
                 trim_distance=self.trim_distance,
             )
             minimizer = mins.PointToPlaneMinimizer(dtype=dtype)
         else:
-            sqinfos = self.infos_T.T.reshape(-1, 3, 3)
             data = matching.match_point_cloud(
-                self.means_T.T[:m_real],
-                sqinfos[:m_real],
+                jnp.asarray(self._means_np, dtype),
+                jnp.asarray(self._sqinfos_np, dtype),
                 pts,
                 pmask,
                 R,

@@ -366,7 +366,12 @@ class NdtMapAccumulator:
         for v, key in enumerate(tkeys):
             st = self._stats.get(key)
             if st is None:
-                self._stats[key] = [int(cnts[v]), psums[v].copy(), pmoms[v]]
+                self._stats[key] = [
+                    int(cnts[v]),
+                    psums[v].copy(),
+                    pmoms[v].copy(),  # break the view: a view pins the
+                    # whole per-call (K, 3, 3) array in memory
+                ]
             else:
                 st[0] += int(cnts[v])
                 st[1] = st[1] + psums[v]

@@ -320,3 +320,18 @@ def test_maha3_compact_kernel_parity(maha_data, loss):
         np.asarray(Hc), np.asarray(H64), rtol=1e-4, atol=1e-5
     )
     np.testing.assert_allclose(float(cc), float(c64), rtol=1e-4)
+
+
+def test_adaptive_lane_block_padding_invariant():
+    """Any buffer padded to a multiple of _resolve_lane_block(raw) must
+    still be a multiple of _resolve_lane_block(padded): the packed evals
+    compute grid = padded // block and would silently FLOOR-DROP tail
+    lanes otherwise (review-found in the fused registrar, which used to
+    pad with the small block unconditionally)."""
+    T = pk._LARGE_LANE_THRESHOLD
+    for raw in (1, 100, pk.LANE_BLOCK, T - 1, T, T + 1, T + pk.LANE_BLOCK,
+                4 * T + 7):
+        block = pk._resolve_lane_block(raw, None)
+        padded = ((raw + block - 1) // block) * block
+        eval_block = pk._resolve_lane_block(padded, None)
+        assert padded % eval_block == 0, (raw, block, padded, eval_block)
