@@ -142,6 +142,12 @@ class LoopClosureDetector:
     def update_pose(self, keyframe_id: int, pose_estimate: Pose) -> None:
         self._keyframes[keyframe_id].pose = pose_estimate.copy()
 
+    def remove_keyframe(self, keyframe_id: int) -> None:
+        """Drop a keyframe (and its map) — bound memory on long runs by
+        evicting keyframes the caller can no longer close against (e.g.
+        marginalized out of a fixed-lag window)."""
+        self._keyframes.pop(keyframe_id, None)
+
     def keyframe_ids(self) -> List[int]:
         return sorted(self._keyframes)
 

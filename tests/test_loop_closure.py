@@ -134,3 +134,15 @@ def test_sqrt_info_reflects_geometry(world):
     assert d[2] > 10.0 * min(d[0], d[1])
     # and the overall spread is far wider than the full-room case (~11x)
     assert eig[-1] / eig[0] > 50.0
+
+
+def test_remove_keyframe_bounds_candidates(world):
+    _, scan = world
+    kf0 = _yaw_pose(0.0, 0.0, 0.0)
+    det = LoopClosureDetector(min_id_gap=1, candidate_radius=2.0)
+    det.add_keyframe(0, _scan_at(scan, kf0), kf0)
+    assert det.keyframe_ids() == [0]
+    det.remove_keyframe(0)
+    assert det.keyframe_ids() == []
+    det.remove_keyframe(0)  # idempotent
+    assert det.detect(30, _scan_at(scan, kf0), kf0) is None
