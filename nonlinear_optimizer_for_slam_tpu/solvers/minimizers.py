@@ -272,6 +272,22 @@ class ReprojectionErrorMinimizer(_MinimizerBase):
         out = _pose_from_params(params)
         return out, summary
 
+    def information(
+        self,
+        data: reprojection.ReprojectionData,
+        intrinsics: CameraIntrinsics,
+        pose: Pose,
+    ) -> np.ndarray:
+        """Gauss-Newton information of the reprojection objective at
+        ``pose`` (PnP uncertainty) — see
+        MahalanobisDistanceMinimizer.information."""
+        intr = CameraIntrinsics(
+            *(jnp.asarray(v, self.dtype) for v in intrinsics[:6]),
+            intrinsics.width,
+            intrinsics.height,
+        )
+        return _information_impl(self, data, pose, "reproj", intr)
+
 
 class PointToPlaneMinimizer(_MinimizerBase):
     """6-DoF point-to-plane ICP (the reference's TBD module, implemented;
@@ -512,20 +528,22 @@ def _p2p_solve(
     return _maybe_shard(solve_fn, mesh, data)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _se3_information(t0, q0, data, loss, factor_kind, pad_n, dtype_name):
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _se3_information(t0, q0, data, loss, intrinsics, factor_kind, pad_n, dtype_name):
     data = _prepare(data, pad_n, dtype_name)
     R = lie.quat_to_rotmat(lie.quat_normalize(q0))
     if factor_kind == "maha6":
         H, _, _ = mahalanobis.eval_quadratic(R, t0, data, loss)
     elif factor_kind == "p2p":
         H, _, _ = point_to_plane.eval_quadratic(R, t0, data, loss)
+    elif factor_kind == "reproj":
+        H, _, _ = reprojection.eval_quadratic(R, t0, data, intrinsics, loss)
     else:
         raise ValueError(factor_kind)
     return H
 
 
-def _information_impl(minimizer, data, pose: Pose, factor_kind: str):
+def _information_impl(minimizer, data, pose: Pose, factor_kind: str, intrinsics=None):
     t0 = jnp.asarray(pose.translation, minimizer.dtype)
     q0 = jnp.asarray(pose.quaternion(), minimizer.dtype)
     H = _se3_information(
@@ -533,6 +551,7 @@ def _information_impl(minimizer, data, pose: Pose, factor_kind: str):
         q0,
         data,
         minimizer.loss_function,
+        intrinsics,
         factor_kind,
         minimizer._pad(data.num_factors),
         _dtype_name(minimizer.dtype),

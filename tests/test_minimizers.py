@@ -397,3 +397,40 @@ def test_prior_constraints_reproj_and_p2p(rng):
     )
     p2, _ = pm.solve(opts, pdata, nls.Pose.identity())
     np.testing.assert_allclose(p2.translation, prior_t, atol=1e-4)
+
+
+def test_reprojection_information():
+    """PnP uncertainty: J^T W J at the solved pose is SPD and matches a
+    direct evaluation through the ops layer."""
+    import jax.numpy as jnp
+
+    from nonlinear_optimizer_for_slam_tpu.ops import reprojection as reproj_ops
+    from nonlinear_optimizer_for_slam_tpu.ops.quadratic import (
+        quadratic_from_jacobians,
+    )
+
+    points, pixels, intrinsics, true_pose = testing.generate_reprojection_fixture()
+    data = reproj_ops.ReprojectionData(
+        jnp.asarray(points, jnp.float32),
+        jnp.asarray(pixels, jnp.float32),
+        jnp.ones(points.shape[0], jnp.float32),
+    )
+    m = nls.ReprojectionErrorMinimizer().set_loss_function(ExponentialLoss())
+    pose, _ = m.solve(Options(), data, intrinsics, nls.Pose.identity())
+    H = m.information(data, intrinsics, pose)
+    assert H.shape == (6, 6)
+    np.linalg.cholesky(H)
+
+    intr32 = reproj_ops.CameraIntrinsics(
+        *(jnp.asarray(v, jnp.float32) for v in intrinsics[:6]),
+        intrinsics.width,
+        intrinsics.height,
+    )
+    r, J = reproj_ops.residuals_and_jacobians(
+        jnp.asarray(pose.rotation, jnp.float32),
+        jnp.asarray(pose.translation, jnp.float32),
+        data,
+        intr32,
+    )
+    H2, _, _ = quadratic_from_jacobians(r, J, data.mask, ExponentialLoss())
+    np.testing.assert_allclose(H, np.asarray(H2), rtol=1e-5)
