@@ -13,6 +13,14 @@ Per frame:
   4. BACKEND: feed whitened odometry/loop edges to the FixedLagSmoother
      (constant-size window solve + tangent-space marginalization).
 
+Edge whitening is END-TO-END by default (``whitening="information"``):
+every odometry edge is whitened by the registration's OWN Gauss-Newton
+information ``NdtRegistrar.information`` (one extra matching dispatch
+per frame) and every loop edge by the detector-reported
+``closure.sqrt_info`` — no hand-calibrated scalar weights anywhere in
+the graph. ``whitening="calibrated"`` keeps the scalar-weight variant
+for comparison.
+
 All registrations share a handful of compiled programs: scans are
 resampled to a fixed size and per-scan NDT maps are bucket-padded
 (``map_pad_multiple``), so frame rate is not compile-bound.
@@ -43,6 +51,9 @@ from nonlinear_optimizer_for_slam_tpu.pipelines import (
     loop_closure,
     ndt,
 )
+from nonlinear_optimizer_for_slam_tpu.solvers.pose_graph import (
+    sqrt_info_from_information,
+)
 from nonlinear_optimizer_for_slam_tpu.utils import testing
 
 
@@ -58,7 +69,8 @@ def simulate_scan(rng, world, pose, n_points, noise=0.015):
     return local + rng.normal(0.0, noise, local.shape)
 
 
-def main(n_frames=48, n_scan=1500, keyframe_every=6, lag=None, verbose=True):
+def main(n_frames=48, n_scan=1500, keyframe_every=6, lag=None, verbose=True,
+         whitening="information"):
     import jax
 
     # compile-once programs; the cache makes re-runs warm on remote-compile
@@ -98,14 +110,24 @@ def main(n_frames=48, n_scan=1500, keyframe_every=6, lag=None, verbose=True):
 
     # backend: whitened edges; registration accuracy ~2-3 cm / ~10 mrad.
     # switch_penalty calibration (PoseGraphOptimizer docstring rule):
-    # above the whitened inlier innovation — drift ~0.3 m at weight 50
-    # -> chi ~ 15-25, penalty 30 — and well below an outlier's (a wrong
-    # loop hypothesis is >= the keyframe spacing ~1 m -> chi ~ 60-100;
-    # penalty 100 here would make switching OFF cost more than keeping
-    # the false loop ON)
+    # above the whitened inlier innovation and well below an outlier's
+    # (a wrong loop hypothesis is >= the keyframe spacing ~1 m).
+    #  - calibrated weights (t 1/0.02, rot 1/0.01): drift ~0.3 m ->
+    #    chi ~ 15-25; outlier chi ~ 60-100; penalty 30.
+    #  - information whitening: the registration's own J^T W J is ~2x
+    #    (translation) / ~3x (rotation) stiffer than the calibrated
+    #    scalars on this fixture (sigma_t ~ 1 cm, honest vs the measured
+    #    ~1.7 cm registration error), so whitened chi scales ~4-9x ->
+    #    penalty 100 (planted-outlier switch settles at ~0.07 while all
+    #    real loops stay on; 150 also works but rejects less crisply).
+    use_info = whitening == "information"
+    if whitening not in ("information", "calibrated"):
+        raise ValueError(f"unknown whitening mode {whitening!r}")
     ODO_W = (1 / 0.02, 1 / 0.01)
     LOOP_W = (1 / 0.02, 1 / 0.01)
-    sm = nls.solvers.FixedLagSmoother(lag=lag, switch_penalty=30.0)
+    sm = nls.solvers.FixedLagSmoother(
+        lag=lag, switch_penalty=100.0 if use_info else 30.0
+    )
 
     scans = {0: simulate_scan(rng, world, gt[0], n_scan)}
     registrars = {0: make_registrar(scans[0])}  # frame -> map of that scan
@@ -124,6 +146,7 @@ def main(n_frames=48, n_scan=1500, keyframe_every=6, lag=None, verbose=True):
     )
     det.add_keyframe(0, scans[0], est)
     odo_chain = [gt[0]]  # raw dead-reckoned odometry chain
+    last_odo_S = None
     online_err, online_err_od = [], []  # current-pose error at each k
     planted = None
     t_start = time.perf_counter()
@@ -144,16 +167,25 @@ def main(n_frames=48, n_scan=1500, keyframe_every=6, lag=None, verbose=True):
         est = Pose(est.rotation @ rel.rotation,
                    est.translation + est.rotation @ rel.translation)
         sm.add_pose(k, est)
-        sm.add_odometry(k - 1, k, rel, sqrt_info=ODO_W)
+        if use_info:
+            # end-to-end whitening: the registration's own information
+            # at the converged pose (one extra matching dispatch)
+            odo_S = sqrt_info_from_information(
+                registrars[k - 1].information(scan, rel)
+            )
+            sm.add_odometry(k - 1, k, rel, sqrt_info=odo_S)
+            last_odo_S = odo_S
+        else:
+            sm.add_odometry(k - 1, k, rel, sqrt_info=ODO_W)
 
         # loop closure: detector proposes from estimates, verifies by
-        # coarse-D2D + full registration with an overlap test, and also
-        # reports the registration's own information (printed; the
-        # smoother edge keeps the example's calibrated scalar weights)
+        # coarse-D2D + full registration with an overlap test, and
+        # reports the registration's own information — used directly as
+        # the edge whitener in "information" mode
         closure = det.detect(k, scan, est, eligible=set(sm.window))
         if closure is not None:
             sm.add_loop(closure.reference_id, k, closure.relative_pose,
-                        sqrt_info=LOOP_W)
+                        sqrt_info=closure.sqrt_info if use_info else LOOP_W)
             if verbose:
                 H = closure.sqrt_info.T @ closure.sqrt_info
                 print(f"  loop {closure.reference_id} -> {k} "
@@ -171,8 +203,11 @@ def main(n_frames=48, n_scan=1500, keyframe_every=6, lag=None, verbose=True):
                         gt[j].translation - gt[k].translation
                     ),
                 )
+                # the false loop carries a plausible whitener (a real
+                # wrong hypothesis would come with its own confident
+                # registration information)
                 sm.add_loop(i, k, Pose(np.eye(3), np.zeros(3)),
-                            sqrt_info=LOOP_W)
+                            sqrt_info=last_odo_S if use_info else LOOP_W)
                 planted = (i, k)
                 if verbose:
                     print(f"  planted FALSE loop {i} -> {k}")

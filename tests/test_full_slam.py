@@ -2,11 +2,14 @@
 backend (examples/full_slam.py driven as a library).
 
 This is the system-level acceptance test for the glue: fused
-registration producing whitened relative-pose edges, keyframe loop
-closures registered against bucket-padded per-scan maps (one compiled
-program across different map sizes), switchable rejection of a planted
-false loop, and tangent-space marginalization keeping the online
-estimate near ground truth while raw odometry drifts.
+registration producing relative-pose edges whitened END-TO-END by the
+registration's own Gauss-Newton information (NdtRegistrar.information
+for odometry, closure.sqrt_info for loops — no hand-calibrated scalar
+weights), keyframe loop closures registered against bucket-padded
+per-scan maps (one compiled program across different map sizes),
+switchable rejection of a planted false loop, and tangent-space
+marginalization keeping the online estimate near ground truth while
+raw odometry drifts.
 """
 
 import importlib.util
