@@ -52,6 +52,7 @@ from nonlinear_optimizer_for_slam_tpu.pipelines import (
     ndt,
 )
 from nonlinear_optimizer_for_slam_tpu.solvers.pose_graph import (
+    edge_information_to_world,
     sqrt_info_from_information,
 )
 from nonlinear_optimizer_for_slam_tpu.utils import testing
@@ -164,14 +165,20 @@ def main(n_frames=48, n_scan=1500, keyframe_every=6, lag=None, verbose=True,
             Pose(p.rotation @ rel.rotation,
                  p.translation + p.rotation @ rel.translation)
         )
+        R_prev = est.rotation  # pose k-1 world-rotation estimate
         est = Pose(est.rotation @ rel.rotation,
                    est.translation + est.rotation @ rel.translation)
         sm.add_pose(k, est)
         if use_info:
             # end-to-end whitening: the registration's own information
-            # at the converged pose (one extra matching dispatch)
+            # at the converged pose (one extra matching dispatch),
+            # conjugated into the world-frame residual convention by the
+            # reference frame's rotation estimate (the raw measurement-
+            # frame info would misrotate anisotropic axes by R_ref)
             odo_S = sqrt_info_from_information(
-                registrars[k - 1].information(scan, rel)
+                edge_information_to_world(
+                    registrars[k - 1].information(scan, rel), R_prev
+                )
             )
             sm.add_odometry(k - 1, k, rel, sqrt_info=odo_S)
             last_odo_S = odo_S

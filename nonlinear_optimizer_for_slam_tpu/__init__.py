@@ -38,6 +38,7 @@ from .solvers import (
     ReprojectionErrorMinimizer,
     Sim3GraphOptimizer,
     Summary,
+    edge_information_to_world,
     sqrt_info_from_information,
 )
 from . import io  # noqa: F401  (g2o dataset IO)

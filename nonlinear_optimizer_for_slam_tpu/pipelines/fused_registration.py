@@ -557,12 +557,6 @@ class NdtRegistrar:
         means = valid.means
         sqinfos = valid.sqrt_informations
         self._num_real_voxels = means.shape[0]
-        # host-side copies of the REAL (unpadded) map for information():
-        # deriving them from the device-transposed buffers would pay
-        # several eager-dispatch quanta per call (CLAUDE.md)
-        self._means_np = np.asarray(means)
-        self._sqinfos_np = np.asarray(sqinfos)
-        self._normals_np = self._weights_np = None
         normals = weights = None
         if objective == "p2p":
             from . import ndt as ndt_mod
@@ -572,8 +566,6 @@ class NdtRegistrar:
             if max_thickness is not None:
                 ok &= thickness <= max_thickness
             weights = ok.astype(np.float64)
-            self._normals_np = normals
-            self._weights_np = weights
         if map_pad_multiple is not None:
             if mesh is not None:
                 raise NotImplementedError(
@@ -595,6 +587,20 @@ class NdtRegistrar:
             self.map_mask = jnp.asarray(
                 (np.arange(means.shape[0]) < M).astype(np.float64), dtype
             )
+        # host-side copies of the (bucket-PADDED, when padding is on) map for
+        # information(): deriving them from the device-transposed buffers
+        # would pay several eager-dispatch quanta per call (CLAUDE.md), and
+        # feeding UNPADDED arrays into the jitted matcher would recompile per
+        # distinct per-scan voxel count — padded + masked keeps one program.
+        self._means_np = np.asarray(means)
+        self._sqinfos_np = np.asarray(sqinfos)
+        self._normals_np = None if normals is None else np.asarray(normals)
+        self._weights_np = None if weights is None else np.asarray(weights)
+        self._map_mask_np = (
+            None
+            if self.map_mask is None
+            else np.asarray(self.map_mask, np.float64)
+        )
         self.means_T = jnp.asarray(means.T, dtype)
         self.infos_T = jnp.asarray(sqinfos.reshape(-1, 9).T, dtype)
         self.normals_T = (
@@ -632,8 +638,17 @@ class NdtRegistrar:
         pmask = jnp.ones(pts.shape[0], dtype)
         R = jnp.asarray(pose.rotation, dtype)
         t = jnp.asarray(pose.translation, dtype)
-        # host-cached REAL (unpadded) map arrays: one upload into the
-        # jitted matcher, no eager transposes of device buffers
+        # host-cached map arrays (bucket-padded when padding is on, with
+        # padding voxels masked out of the match): one upload into the
+        # jitted matcher, no eager transposes of device buffers, and a
+        # CONSTANT matcher shape across per-scan voxel counts so odometry
+        # frontends stay on one compiled program (26-500 s per recompile
+        # on this runtime otherwise).
+        mmask = (
+            None
+            if self._map_mask_np is None
+            else jnp.asarray(self._map_mask_np, dtype)
+        )
         if self.objective == "p2p":
             data = matching.match_point_to_plane(
                 jnp.asarray(self._means_np, dtype),
@@ -646,6 +661,7 @@ class NdtRegistrar:
                 search_radius=float(self.search_radius),
                 num_neighbors=self.num_neighbors,
                 trim_distance=self.trim_distance,
+                map_mask=mmask,
             )
             minimizer = mins.PointToPlaneMinimizer(dtype=dtype)
         else:
@@ -658,6 +674,7 @@ class NdtRegistrar:
                 t,
                 search_radius=float(self.search_radius),
                 num_neighbors=self.num_neighbors,
+                map_mask=mmask,
             )
             minimizer = mins.MahalanobisDistanceMinimizer(dtype=dtype)
         minimizer.set_loss_function(self.loss)

@@ -32,6 +32,7 @@ from ..core.losses import ExponentialLoss
 from ..core.options import Options
 from ..core.pose import Pose, np_rotmat_to_quat
 from ..solvers.minimizers import MahalanobisDistanceMinimizer
+from ..solvers.pose_graph import edge_information_to_world
 from . import matching, ndt, registration
 
 
@@ -253,6 +254,13 @@ class LoopClosureDetector:
             return None
 
         H = self.minimizer.information(data, pose)
+        # the registration information is measurement-frame (translation
+        # tangent in the reference-keyframe frame); the pose-graph edge
+        # residual's translation rows are world-frame — conjugate by the
+        # keyframe's current world rotation so anisotropic axes (e.g. a
+        # corridor-degenerate soft direction) land on the right world
+        # axes (solvers.pose_graph.edge_information_to_world)
+        H = edge_information_to_world(H, kf.pose.rotation)
         # tiny jitter keeps cholesky alive on degenerate geometry; the
         # resulting near-zero rows whiten those directions to ~nothing,
         # which is exactly the right edge weight for them

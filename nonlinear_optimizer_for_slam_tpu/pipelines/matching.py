@@ -40,13 +40,16 @@ def match_point_cloud(
     translation: Array,  # (3,)
     search_radius: float = 1.0,
     num_neighbors: int = 2,
+    map_mask: Array | None = None,  # (M,) 1.0 = real voxel (map padding)
 ) -> MahalanobisData:
     """Warp points by the current pose and match each to its nearest
     ``num_neighbors`` NDT voxels within ``search_radius``.
 
     Returns a MahalanobisData of N * num_neighbors correspondences whose
     mask zeroes out-of-radius / padded entries. Correspondences carry the
-    LOCAL (unwarped) point, as in the reference (:321-324).
+    LOCAL (unwarped) point, as in the reference (:321-324). ``map_mask``
+    excludes padding voxels (bucket-padded maps keep one compiled program
+    across per-scan voxel counts) from the neighbor ranking entirely.
     """
     warped = local_points @ rotation.T + translation  # (N, 3)
 
@@ -65,6 +68,8 @@ def match_point_cloud(
         - 2.0 * wc @ mc.T
         + jnp.sum(mc * mc, axis=1)[None, :]
     )  # (N, M)
+    if map_mask is not None:
+        d2 = jnp.where(map_mask[None, :] > 0.0, d2, jnp.inf)
 
     neg_d2, idx = jax.lax.top_k(-d2, num_neighbors)  # (N, k)
     within = (-neg_d2) <= search_radius * search_radius
@@ -92,6 +97,7 @@ def match_point_to_plane(
     search_radius: float = 1.0,
     num_neighbors: int = 4,
     trim_distance: float = 0.3,
+    map_mask: Array | None = None,  # (M,) 1.0 = real voxel (map padding)
 ) -> PointToPlaneData:
     """Point-to-plane correspondence search.
 
@@ -124,6 +130,8 @@ def match_point_to_plane(
         - 2.0 * wc @ mc.T
         + jnp.sum(mc * mc, axis=1)[None, :]
     )  # (N, M)
+    if map_mask is not None:
+        d2 = jnp.where(map_mask[None, :] > 0.0, d2, jnp.inf)
 
     neg_d2, idx = jax.lax.top_k(-d2, num_neighbors)  # (N, k)
     within = (-neg_d2) <= search_radius * search_radius

@@ -17,6 +17,7 @@ from .pose_graph import (
     ConstraintType,
     PoseGraphOptimizer,
     PoseGraphOptimizer2D,
+    edge_information_to_world,
     sqrt_info_from_information,
 )
 from .inertial import FixedLagInertialSmoother, InertialGraphOptimizer
@@ -60,5 +61,6 @@ __all__ = [
     "PoseGraphOptimizer2D",
     "ReprojectionErrorMinimizer",
     "solve_reprojection_batch",
+    "edge_information_to_world",
     "sqrt_info_from_information",
 ]

@@ -132,6 +132,42 @@ def sqrt_info_from_information(information) -> np.ndarray:
         return (V * np.sqrt(lam)) @ V.T
 
 
+def edge_information_to_world(information, reference_rotation) -> np.ndarray:
+    """Conjugate a measurement-frame edge information matrix into this
+    framework's world-frame translation-residual convention.
+
+    A registration against a reference keyframe measures T_{ref<-query};
+    its Gauss-Newton information (``MahalanobisDistanceMinimizer
+    .information`` / ``NdtRegistrar.information``) lives in that
+    measurement's right tangent: translation perturbations are vectors in
+    the REFERENCE-keyframe frame. The pose-graph edge residual here (and
+    in the reference functor, pose_graph ceres_cost_functor.h:44-52) is
+    ``r_t = (p_q - p_r) - R_ref t_rel`` — the same error expressed in the
+    WORLD frame. Whitening that residual with the raw measurement-frame
+    Omega misrotates anisotropic axes by the keyframe's world rotation
+    (a corridor-degenerate soft axis would soften the wrong world
+    direction); the frame-consistent edge information is
+
+        Omega_world = blkdiag(R_ref, I) Omega blkdiag(R_ref, I)^T.
+
+    Only the translation and cross blocks rotate: the rotation-residual
+    rows ``2 vec(q_q* q_r q_rel)`` respond to right-tangent perturbations
+    of q_rel exactly like the registration's own rotation tangent, so
+    that block is already frame-consistent. ``reference_rotation`` is the
+    reference pose's current world-rotation ESTIMATE at edge-build time;
+    the residual relinearizes while this whitener stays constant — the
+    standard constant-information approximation, second-order in the
+    estimate's rotation error.
+    """
+    R = np.asarray(reference_rotation, np.float64)
+    if R.shape != (3, 3):
+        raise ValueError(f"reference_rotation must be (3, 3); got {R.shape}")
+    B = np.eye(6)
+    B[:3, :3] = R
+    omega = np.asarray(information, np.float64)
+    return B @ omega @ B.T
+
+
 @functools.partial(jax.jit, static_argnums=(7, 8, 9))
 def _pose_graph_solve(
     positions0,  # (P, 3)

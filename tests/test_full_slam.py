@@ -23,9 +23,14 @@ full_slam = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(full_slam)
 
 
-def test_full_slam_beats_odometry_and_rejects_outlier(capsys):
+import pytest
+
+
+@pytest.mark.parametrize("whitening", ["information", "calibrated"])
+def test_full_slam_beats_odometry_and_rejects_outlier(capsys, whitening):
     e_sm, e_od = full_slam.main(
-        n_frames=44, n_scan=700, keyframe_every=5, verbose=True
+        n_frames=44, n_scan=700, keyframe_every=5, verbose=True,
+        whitening=whitening,
     )
     out = capsys.readouterr().out
     # the planted false loop must have been switched off

@@ -543,3 +543,62 @@ def test_dcs_edge_loss_rejects_outlier_without_switches(fixture):
         np.testing.assert_allclose(
             dcs.get_pose(i).translation, base.get_pose(i).translation, atol=2e-2
         )
+
+
+def test_edge_information_world_frame_consistency():
+    """edge_information_to_world: a measurement-frame anisotropic
+    information whitens the WORLD-frame pose-graph residual so that the
+    whitened quadratic equals the measurement-frame quadratic d^T Omega d
+    for any reference world rotation — the raw (unconjugated) Omega would
+    swap stiff/soft axes whenever R_ref != I (advisor round-2 finding)."""
+    from nonlinear_optimizer_for_slam_tpu.core.pose import (
+        Pose,
+        np_rotmat_to_quat,
+    )
+    from nonlinear_optimizer_for_slam_tpu.ops.relative_pose import (
+        relative_pose_residual,
+    )
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_graph import (
+        edge_information_to_world,
+        sqrt_info_from_information,
+    )
+
+    # stiff along measurement-frame x (100), soft along y (1): the
+    # corridor-degenerate shape a registration information produces
+    omega = np.diag([100.0, 1.0, 1.0, 4.0, 4.0, 4.0])
+
+    th = np.deg2rad(90.0)  # keyframe rotated so world-x = ref-y
+    c, s = np.cos(th), np.sin(th)
+    R_ref = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    p_ref = np.array([0.3, -0.2, 0.1])
+    t_rel = np.array([0.5, 0.1, 0.0])  # measured T_ref<-query translation
+
+    S_world = sqrt_info_from_information(
+        edge_information_to_world(omega, R_ref)
+    )
+    q_ref = np_rotmat_to_quat(R_ref)
+    q_rel = np.array([1.0, 0.0, 0.0, 0.0])
+
+    eps = 1e-2
+    for delta_ref, expected in [
+        (np.array([eps, 0.0, 0.0]), 100.0 * eps**2),  # stiff ref-x
+        (np.array([0.0, eps, 0.0]), 1.0 * eps**2),  # soft ref-y
+    ]:
+        # query sits off the measurement by delta (REF frame)
+        p_query = p_ref + R_ref @ (t_rel + delta_ref)
+        r = np.asarray(
+            relative_pose_residual(
+                jnp.asarray(p_ref),
+                jnp.asarray(q_ref),
+                jnp.asarray(p_query),
+                jnp.asarray(q_ref),  # same orientation: zero rotation error
+                jnp.asarray(t_rel),
+                jnp.asarray(q_rel),
+            )
+        )
+        chi2 = float(r @ (S_world.T @ S_world) @ r)
+        np.testing.assert_allclose(chi2, expected, rtol=1e-6)
+        # the raw measurement-frame Omega misrotates: 90 deg swaps axes
+        chi2_raw = float(r @ omega @ r)
+        wrong = 1.0 * eps**2 if expected > 50 * eps**2 else 100.0 * eps**2
+        np.testing.assert_allclose(chi2_raw, wrong, rtol=1e-6)
