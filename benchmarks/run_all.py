@@ -21,14 +21,28 @@ results/:
 Variant-parity (same final cost/pose across variants) is the correctness
 criterion, exactly like the reference's methodology.
 
+PROCESS HYGIENE: the runtime degrades PERMANENTLY to a ~30 ms/dispatch
+floor once a process has executed a pallas kernel together with a
+gather/cond/top_k program (CLAUDE.md); timing several variants in one
+process therefore contaminates every later row (r2 published 60.88 ms
+for a path that measures 37.6 ms in a clean process). The serial-
+latency tables (maha_simple, maha_3dof_6dof, reproj, serving) now run
+EVERY VARIANT IN A FRESH SUBPROCESS (--row mode); the queued-timing
+ablation and the second-scale pose-graph/BA tables are floor-immune by
+methodology and stay in-process (but each bench still gets its own
+process via --only when run through the default path).
+
 Run: python benchmarks/run_all.py [--runs N] [--out results/]
+     python benchmarks/run_all.py --row maha_simple:fused --runs 10
 """
 
 from __future__ import annotations
 
 import argparse
 import functools
+import json
 import os
+import subprocess
 import sys
 import time
 
@@ -96,6 +110,21 @@ def table(title, rows, headers):
     return "\n".join(lines) + "\n"
 
 
+def run_row_subprocess(bench: str, key: str, runs: int):
+    """Execute one variant row in a FRESH python process (clean dispatch
+    state — see module docstring) and return its row tuple."""
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--row", f"{bench}:{key}", "--runs", str(runs),
+    ]
+    log(f"  [subprocess] {bench}:{key}")
+    p = subprocess.run(cmd, stdout=subprocess.PIPE, timeout=3600)
+    if p.returncode != 0:
+        raise RuntimeError(f"row subprocess {bench}:{key} rc={p.returncode}")
+    line = p.stdout.decode().strip().splitlines()[-1]
+    return tuple(json.loads(line))
+
+
 # ----------------------------------------------------------------------------
 # registration variants
 # ----------------------------------------------------------------------------
@@ -136,105 +165,168 @@ def _autodiff_solve_core(t0, q0, data, loss, options):
     )
 
 
-def bench_maha_simple(runs):
-    ndt_map, local, true_pose = build_world()
-    options = Options()
-    loss = ExponentialLoss()
-    rows = []
-
-    def run_host(minimizer):
-        return registration.register_ndt(
-            ndt_map, local, nls.Pose.identity(), minimizer, options
-        )
-
-    variants = [
-        ("autodiff oracle (Ceres analog)", AutodiffMahalanobisMinimizer().set_loss_function(loss)),
-        ("analytic jnp/XLA", nls.MahalanobisDistanceMinimizer().set_loss_function(loss)),
-        ("analytic pallas", nls.MahalanobisDistanceMinimizer(backend="pallas").set_loss_function(loss)),
-    ]
-    for name, minimizer in variants:
-        ms, res = timed(lambda m=minimizer: run_host(m), runs)
-        err = np.linalg.norm(res.pose.translation - true_pose.translation)
-        rows.append(
-            (name, f"{ms:.2f} ms", f"{float(res.summaries[-1].final_cost):.1f}",
-             f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
-        )
-        log(f"  {name}: {ms:.2f} ms")
-
-    registrar = fused_registration.NdtRegistrar(ndt_map, options, loss)
-    ms, res = timed(lambda: registrar.register(local, nls.Pose.identity()), runs)
-    err = np.linalg.norm(res.pose.translation - true_pose.translation)
-    rows.append(
-        ("fused device-resident ICP", f"{ms:.2f} ms", f"{res.final_cost:.1f}",
-         f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
-    )
-    log(f"  fused: {ms:.2f} ms")
-
-    # Alternative objectives over the same world (both beyond the
-    # reference: point-to-plane is README-TBD there, D2D absent). The
-    # p2p/D2D plane extraction wants the unbiased (identity_moment=False)
-    # map build; the mahalanobis rows above keep the parity build.
+def build_unquirked_map():
+    """identity_moment=False map build for the p2p/D2D plane-extraction
+    variants (thickness must be measurable — CLAUDE.md)."""
     pts = testing.generate_room_points()
     try:
         from nonlinear_optimizer_for_slam_tpu import native
 
-        unq_map = native.build_ndt_map(pts, 1.0, identity_moment=False)
+        return native.build_ndt_map(pts, 1.0, identity_moment=False)
     except Exception:
-        unq_map = ndt.build_ndt_map(pts, 1.0, identity_moment=False)
+        return ndt.build_ndt_map(pts, 1.0, identity_moment=False)
 
-    p2p_reg = fused_registration.NdtRegistrar(
-        unq_map, options, loss, objective="p2p", max_thickness=0.05
-    )
-    ms, res = timed(
-        lambda: p2p_reg.register(local, nls.Pose.identity()), runs
-    )
-    err = np.linalg.norm(res.pose.translation - true_pose.translation)
-    rows.append(
-        ("point-to-plane fused ICP (ref: TBD)", f"{ms:.2f} ms",
-         f"{res.final_cost:.4f}",
-         f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
-    )
-    log(f"  point-to-plane fused: {ms:.2f} ms")
 
-    d2d_min = nls.MahalanobisDistanceMinimizer()
-    ms, res = timed(
-        lambda: registration.register_d2d_ndt(
-            unq_map, local, nls.Pose.identity(), d2d_min, options
+def _perturbed_identity(i: int):
+    """Distinct-per-rep initial pose (sub-mm, does not change the
+    converged result) — defeats the relay's identical-dispatch cache."""
+    p = nls.Pose.identity()
+    p.translation = p.translation + 1e-5 * (i + 1)
+    return p
+
+
+def timed_vary(fn, runs):
+    """Like timed() but passes a distinct rep index so each dispatch has
+    fresh args (relay caches identical dispatches, CLAUDE.md)."""
+    fn(0)  # warm-up / compile
+    times = []
+    out = None
+    for i in range(runs):
+        t0 = time.perf_counter()
+        out = fn(i + 1)
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times)), out
+
+
+def _row_maha_host(name, minimizer, runs):
+    ndt_map, local, true_pose = build_world()
+    options = Options()
+    ms, res = timed_vary(
+        lambda i: registration.register_ndt(
+            ndt_map, local, _perturbed_identity(i), minimizer, options
         ),
         runs,
     )
     err = np.linalg.norm(res.pose.translation - true_pose.translation)
-    rows.append(
-        ("D2D-NDT/GICP coarse (no ref impl)", f"{ms:.2f} ms",
-         f"{float(res.summaries[-1].final_cost):.4f}",
-         f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
+    return (name, f"{ms:.2f} ms", f"{float(res.summaries[-1].final_cost):.1f}",
+            f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
+
+
+def _row_maha_simple_autodiff(runs):
+    loss = ExponentialLoss()
+    return _row_maha_host(
+        "autodiff oracle (Ceres analog)",
+        AutodiffMahalanobisMinimizer().set_loss_function(loss), runs,
     )
-    log(f"  D2D: {ms:.2f} ms")
+
+
+def _row_maha_simple_jnp(runs):
+    loss = ExponentialLoss()
+    return _row_maha_host(
+        "analytic jnp/XLA",
+        nls.MahalanobisDistanceMinimizer().set_loss_function(loss), runs,
+    )
+
+
+def _row_maha_simple_pallas(runs):
+    loss = ExponentialLoss()
+    return _row_maha_host(
+        "analytic pallas",
+        nls.MahalanobisDistanceMinimizer(backend="pallas").set_loss_function(loss),
+        runs,
+    )
+
+
+def _row_maha_simple_fused(runs):
+    ndt_map, local, true_pose = build_world()
+    registrar = fused_registration.NdtRegistrar(
+        ndt_map, Options(), ExponentialLoss()
+    )
+    ms, res = timed_vary(
+        lambda i: registrar.register(local, _perturbed_identity(i)), runs
+    )
+    err = np.linalg.norm(res.pose.translation - true_pose.translation)
+    return ("fused device-resident ICP", f"{ms:.2f} ms", f"{res.final_cost:.1f}",
+            f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
+
+
+def _row_maha_simple_p2p(runs):
+    _, local, true_pose = build_world()
+    unq_map = build_unquirked_map()
+    p2p_reg = fused_registration.NdtRegistrar(
+        unq_map, Options(), ExponentialLoss(), objective="p2p",
+        max_thickness=0.05,
+    )
+    ms, res = timed_vary(
+        lambda i: p2p_reg.register(local, _perturbed_identity(i)), runs
+    )
+    err = np.linalg.norm(res.pose.translation - true_pose.translation)
+    return ("point-to-plane fused ICP (ref: TBD)", f"{ms:.2f} ms",
+            f"{res.final_cost:.4f}",
+            f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
+
+
+def _row_maha_simple_d2d(runs):
+    _, local, true_pose = build_world()
+    unq_map = build_unquirked_map()
+    d2d_min = nls.MahalanobisDistanceMinimizer()
+    options = Options()
+    ms, res = timed_vary(
+        lambda i: registration.register_d2d_ndt(
+            unq_map, local, _perturbed_identity(i), d2d_min, options
+        ),
+        runs,
+    )
+    err = np.linalg.norm(res.pose.translation - true_pose.translation)
+    return ("D2D-NDT/GICP coarse (no ref impl)", f"{ms:.2f} ms",
+            f"{float(res.summaries[-1].final_cost):.4f}",
+            f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
+
+
+MAHA_SIMPLE_ROWS = {
+    "autodiff": _row_maha_simple_autodiff,
+    "jnp": _row_maha_simple_jnp,
+    "pallas": _row_maha_simple_pallas,
+    "fused": _row_maha_simple_fused,
+    "p2p": _row_maha_simple_p2p,
+    "d2d": _row_maha_simple_d2d,
+}
+
+
+def bench_maha_simple(runs):
+    rows = [run_row_subprocess("maha_simple", k, runs) for k in MAHA_SIMPLE_ROWS]
     return table(
-        "maha simple: 6-DoF NDT registration (reference best: 58.9 ms AVX2)",
+        "maha simple: 6-DoF NDT registration, each variant timed in a "
+        "fresh process (reference best: 58.9 ms AVX2)",
         rows,
         ("variant", "total", "final cost", "accuracy"),
     )
 
 
-def bench_maha_3dof_6dof(runs):
+def _row_maha_dof(name, planar, runs):
     ndt_map, local, true_pose = build_world()
-    options = Options()
-    loss = ExponentialLoss()
-    rows = []
-    for name, planar in (("6-DoF fused", False), ("3-DoF planar fused", True)):
-        registrar = fused_registration.NdtRegistrar(
-            ndt_map, options, loss, planar=planar
-        )
-        ms, res = timed(lambda r=registrar: r.register(local, nls.Pose.identity()), runs)
-        err = np.linalg.norm(res.pose.translation[:2] - true_pose.translation[:2])
-        rows.append(
-            (name, f"{ms:.2f} ms", f"{res.final_cost:.1f}",
-             f"xy_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
-        )
-        log(f"  {name}: {ms:.2f} ms")
+    registrar = fused_registration.NdtRegistrar(
+        ndt_map, Options(), ExponentialLoss(), planar=planar
+    )
+    ms, res = timed_vary(
+        lambda i: registrar.register(local, _perturbed_identity(i)), runs
+    )
+    err = np.linalg.norm(res.pose.translation[:2] - true_pose.translation[:2])
+    return (name, f"{ms:.2f} ms", f"{res.final_cost:.1f}",
+            f"xy_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
+
+
+MAHA_DOF_ROWS = {
+    "6dof": lambda runs: _row_maha_dof("6-DoF fused", False, runs),
+    "3dof": lambda runs: _row_maha_dof("3-DoF planar fused", True, runs),
+}
+
+
+def bench_maha_3dof_6dof(runs):
+    rows = [run_row_subprocess("maha_3dof_6dof", k, runs) for k in MAHA_DOF_ROWS]
     return table(
-        "maha 3-DoF vs 6-DoF (reference best: 43.7 ms 3-DoF SIMD)",
+        "maha 3-DoF vs 6-DoF, each variant timed in a fresh process "
+        "(reference best: 43.7 ms 3-DoF SIMD)",
         rows,
         ("variant", "total", "final cost", "accuracy"),
     )
@@ -421,7 +513,7 @@ def bench_backend_ablation(runs):
     )
 
 
-def bench_reproj(runs):
+def _row_reproj_serial(name, backend, runs):
     points, pixels, intrinsics, true_pose = testing.generate_reprojection_fixture()
     data = reprojection.ReprojectionData(
         jnp.asarray(points, jnp.float32),
@@ -429,119 +521,150 @@ def bench_reproj(runs):
         jnp.ones(points.shape[0], jnp.float32),
     )
     options = Options()
-    loss = ExponentialLoss()
-    rows = []
-    for name, backend in (("jnp f32", "jnp"), ("pallas f32", "pallas")):
-        minimizer = nls.ReprojectionErrorMinimizer(backend=backend)
-        minimizer.set_loss_function(loss)
-        ms, (pose, summary) = timed(
-            lambda m=minimizer: m.solve(options, data, intrinsics, nls.Pose.identity()),
-            runs,
-        )
-        expected = true_pose.inverse()
-        err = np.linalg.norm(pose.translation - expected.translation)
-        rows.append(
-            (name, f"{ms:.2f} ms", f"{float(summary.final_cost):.2e}",
-             f"iters={int(summary.iterations)} t_err={err:.2e}")
-        )
-        log(f"  {name}: {ms:.2f} ms")
+    minimizer = nls.ReprojectionErrorMinimizer(backend=backend)
+    minimizer.set_loss_function(ExponentialLoss())
+    ms, (pose, summary) = timed_vary(
+        lambda i: minimizer.solve(options, data, intrinsics, _perturbed_identity(i)),
+        runs,
+    )
+    expected = true_pose.inverse()
+    err = np.linalg.norm(pose.translation - expected.translation)
+    return (name, f"{ms:.2f} ms", f"{float(summary.final_cost):.2e}",
+            f"iters={int(summary.iterations)} t_err={err:.2e}")
 
+
+def _row_reproj_batch(B, runs):
     # Serving mode: B independent solves vmapped into ONE dispatch. The
-    # serial rows above are bound by the runtime's fixed ~30 ms dispatch
+    # serial rows are bound by the runtime's fixed ~30 ms dispatch
     # quantum (CLAUDE.md); batching amortizes it to quantum/B + device
     # time, which is how this hardware beats the 0.40 ms/solve AVX2 row.
     from nonlinear_optimizer_for_slam_tpu.solvers import solve_reprojection_batch
 
+    points, pixels, intrinsics, true_pose = testing.generate_reprojection_fixture()
+    options = Options()
+    loss = ExponentialLoss()
     n = points.shape[0]
     expected = true_pose.inverse()
-    for B in (16, 64, 256):
-        bdata = reprojection.ReprojectionData(
-            jnp.asarray(np.broadcast_to(points, (B, n, 3)), jnp.float32),
-            jnp.asarray(np.broadcast_to(pixels, (B, n, 2)), jnp.float32),
-            jnp.ones((B, n), jnp.float32),
-        )
-        inits = [nls.Pose.identity()] * B
+    bdata = reprojection.ReprojectionData(
+        jnp.asarray(np.broadcast_to(points, (B, n, 3)), jnp.float32),
+        jnp.asarray(np.broadcast_to(pixels, (B, n, 2)), jnp.float32),
+        jnp.ones((B, n), jnp.float32),
+    )
 
-        def run_batch(bdata=bdata, inits=inits):
-            return solve_reprojection_batch(
-                options, bdata, intrinsics, inits, loss=loss
-            )
+    def run_batch(i):
+        inits = [_perturbed_identity(i)] * B
+        return solve_reprojection_batch(
+            options, bdata, intrinsics, inits, loss=loss
+        )
 
-        ms, (poses, iters, costs) = timed(run_batch, runs)
-        per = ms / B
-        err = max(
-            np.linalg.norm(p.translation - expected.translation) for p in poses
-        )
-        rows.append(
-            (f"batched serving B={B}", f"{per:.3f} ms/ea",
-             f"{float(np.max(costs)):.2e}",
-             f"batch wall={ms:.2f} ms iters<={int(iters.max())} t_err={err:.2e}")
-        )
-        log(f"  batched B={B}: {per:.3f} ms/solve ({ms:.2f} ms total)")
+    ms, (poses, iters, costs) = timed_vary(run_batch, runs)
+    per = ms / B
+    err = max(
+        np.linalg.norm(p.translation - expected.translation) for p in poses
+    )
+    return (f"batched serving B={B}", f"{per:.3f} ms/ea",
+            f"{float(np.max(costs)):.2e}",
+            f"batch wall={ms:.2f} ms iters<={int(iters.max())} t_err={err:.2e}")
+
+
+REPROJ_ROWS = {
+    "jnp": lambda runs: _row_reproj_serial("jnp f32", "jnp", runs),
+    "pallas": lambda runs: _row_reproj_serial("pallas f32", "pallas", runs),
+    "batch16": lambda runs: _row_reproj_batch(16, runs),
+    "batch64": lambda runs: _row_reproj_batch(64, runs),
+    "batch256": lambda runs: _row_reproj_batch(256, runs),
+}
+
+
+def bench_reproj(runs):
+    rows = [run_row_subprocess("reproj", k, runs) for k in REPROJ_ROWS]
     return table(
-        "reprojection: 630-pt pose solve (reference best: 0.40 ms SIMD)",
+        "reprojection: 630-pt pose solve, each variant timed in a fresh "
+        "process (reference best: 0.40 ms SIMD)",
         rows,
         ("variant", "solve", "final cost", "result"),
     )
 
 
-def bench_serving(runs):
-    """Batched scan-to-map registration (serving mode): B full NDT
-    registrations — matching + inner LM + outer ICP — in ONE device
-    program. The reference has no batched mode at all; its serial 58.9 ms
-    AVX number is the per-scan baseline.
-
-    MEASURED FINDING (r2): the vmapped whole-ICP program does NOT
-    amortize: ~40 ms/scan at any B, even with the vmap-compatible fused
-    kernel (the per-scan device time inflates ~4x under vmap of the
-    flattened while_loop state machine; an unrolled restructure was
-    compile-prohibitive on this remote-compile runtime). Registration
-    THROUGHPUT therefore comes from pipelining (register_async,
-    ~10 ms/scan, see bench.py); register_batch remains the correctness-
-    tested single-program mode. Batched SOLVERS (reproj/maha/p2p, no
-    matching loop) amortize perfectly — see the reproj table's
-    0.26 ms/solve @ B=256."""
-    from nonlinear_optimizer_for_slam_tpu.pipelines import fused_registration
-
+def _row_serving_serial(runs):
     ndt_map, local, true_pose = build_world()
-    options = Options()
-    loss = ExponentialLoss(c1=1.0, c2=1.0)
-    registrar = fused_registration.NdtRegistrar(ndt_map, options, loss)
-
-    rows = []
-    serial_ms, res = timed(
-        lambda: registrar.register(local, nls.Pose.identity()), runs
+    registrar = fused_registration.NdtRegistrar(
+        ndt_map, Options(), ExponentialLoss(c1=1.0, c2=1.0)
+    )
+    ms, res = timed_vary(
+        lambda i: registrar.register(local, _perturbed_identity(i)), runs
     )
     err = np.linalg.norm(res.pose.translation - true_pose.translation)
-    rows.append(
-        ("fused single-scan (serial)", f"{serial_ms:.2f} ms",
-         f"{res.final_cost:.1f}",
-         f"outer={res.outer_iterations} t_err={err:.2e}")
+    return ("fused single-scan (serial)", f"{ms:.2f} ms",
+            f"{res.final_cost:.1f}",
+            f"outer={res.outer_iterations} t_err={err:.2e}")
+
+
+def _row_serving_pipelined(runs):
+    """register_async with 10 scans in flight, block once — a SLAM stream;
+    dispatch latency amortizes away (the bench.py throughput mode)."""
+    ndt_map, local, true_pose = build_world()
+    registrar = fused_registration.NdtRegistrar(
+        ndt_map, Options(), ExponentialLoss(c1=1.0, c2=1.0)
     )
-    log(f"  serial: {serial_ms:.2f} ms")
+    depth = 10
 
-    for B in (4, 16, 64):
-        scans = [local] * B
-        inits = [nls.Pose.identity()] * B
+    def run_pipe(i):
+        outs = [
+            registrar.register_async(local, _perturbed_identity(depth * i + k))
+            for k in range(depth)
+        ]
+        jax.block_until_ready(outs)
+        return outs
 
-        def run_batch(scans=scans, inits=inits):
-            return registrar.register_batch(scans, inits)
+    ms, outs = timed_vary(run_pipe, max(2, runs // 2))
+    per = ms / depth
+    return (f"pipelined, {depth} in flight", f"{per:.2f} ms/ea",
+            "(async)", f"window wall={ms:.1f} ms")
 
-        ms, batch = timed(run_batch, max(2, runs // 2))
-        per = ms / B
-        err = max(
-            np.linalg.norm(r.pose.translation - true_pose.translation)
-            for r in batch
-        )
-        rows.append(
-            (f"batched registration B={B}", f"{per:.2f} ms/ea",
-             f"{batch[0].final_cost:.1f}",
-             f"batch wall={ms:.1f} ms t_err={err:.2e}")
-        )
-        log(f"  batched B={B}: {per:.2f} ms/scan ({ms:.1f} ms total)")
+
+def _row_serving_vmap(B, runs):
+    # MEASURED FINDING (r2): the vmapped whole-ICP program does NOT
+    # amortize (~40 ms/scan at any B: per-scan device time inflates ~4x
+    # under vmap of the flattened while_loop state machine). Kept as the
+    # correctness-tested single-program mode; see the lockstep rows.
+    ndt_map, local, true_pose = build_world()
+    registrar = fused_registration.NdtRegistrar(
+        ndt_map, Options(), ExponentialLoss(c1=1.0, c2=1.0)
+    )
+
+    def run_batch(i):
+        inits = [_perturbed_identity(B * i + k) for k in range(B)]
+        return registrar.register_batch([local] * B, inits)
+
+    ms, batch = timed_vary(run_batch, max(2, runs // 2))
+    per = ms / B
+    err = max(
+        np.linalg.norm(r.pose.translation - true_pose.translation)
+        for r in batch
+    )
+    return (f"vmapped whole-ICP B={B}", f"{per:.2f} ms/ea",
+            f"{batch[0].final_cost:.1f}",
+            f"batch wall={ms:.1f} ms t_err={err:.2e}")
+
+
+SERVING_ROWS = {
+    "serial": _row_serving_serial,
+    "pipelined": _row_serving_pipelined,
+    "vmap4": lambda runs: _row_serving_vmap(4, runs),
+    "vmap16": lambda runs: _row_serving_vmap(16, runs),
+}
+
+
+def bench_serving(runs):
+    """Batched scan-to-map registration (serving mode): B full NDT
+    registrations — matching + inner LM + outer ICP. The reference has
+    no batched mode at all; its serial 58.9 ms AVX number is the
+    per-scan baseline. Each row runs in a fresh process."""
+    rows = [run_row_subprocess("serving", k, runs) for k in SERVING_ROWS]
     return table(
-        "serving throughput: full NDT registration, batched into one program "
-        "(reference serial AVX2: 58.9 ms/scan)",
+        "serving throughput: full NDT registration, each variant timed in "
+        "a fresh process (reference serial AVX2: 58.9 ms/scan)",
         rows,
         ("variant", "amortized", "final cost", "result"),
     )
@@ -966,17 +1089,48 @@ BENCHES = {
     "bundle_adjustment": bench_bundle_adjustment,
 }
 
+ROW_FNS = {
+    "maha_simple": MAHA_SIMPLE_ROWS,
+    "maha_3dof_6dof": MAHA_DOF_ROWS,
+    "reproj": REPROJ_ROWS,
+    "serving": SERVING_ROWS,
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", "results"))
     ap.add_argument("--only", choices=sorted(BENCHES), default=None)
+    ap.add_argument(
+        "--row", default=None, metavar="BENCH:VARIANT",
+        help="run ONE variant in this process, print its row as one JSON "
+        "line on stdout (used by the parent for process isolation)",
+    )
     args = ap.parse_args()
 
+    if args.row:
+        bench, key = args.row.split(":", 1)
+        row = ROW_FNS[bench][key](args.runs)
+        print(json.dumps(list(row)), flush=True)
+        return
+
     os.makedirs(args.out, exist_ok=True)
-    log(f"devices: {jax.devices()}")
     selected = [args.only] if args.only else list(BENCHES)
+    if args.only is None:
+        # each bench gets its own process too (the in-process benches
+        # would otherwise share dispatch state with each other)
+        for name in selected:
+            log(f"[{name}] (subprocess)")
+            t0 = time.perf_counter()
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--only", name,
+                 "--runs", str(args.runs), "--out", args.out]
+            ).returncode
+            log(f"[{name}] done in {time.perf_counter() - t0:.1f}s rc={rc}")
+        return
+
+    log(f"devices: {jax.devices()}")
     for name in selected:
         log(f"[{name}]")
         t0 = time.perf_counter()
