@@ -283,6 +283,21 @@ def _row_maha_simple_d2d(runs):
             f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
 
 
+def _row_maha_simple_d2d_fused(runs):
+    from nonlinear_optimizer_for_slam_tpu.pipelines.fused_d2d import D2dRegistrar
+
+    _, local, true_pose = build_world()
+    unq_map = build_unquirked_map()
+    reg = D2dRegistrar(unq_map, Options())
+    ms, res = timed_vary(
+        lambda i: reg.register(local, _perturbed_identity(i)), runs
+    )
+    err = np.linalg.norm(res.pose.translation - true_pose.translation)
+    return ("D2D fused single-dispatch", f"{ms:.2f} ms",
+            f"{res.final_cost:.4f}",
+            f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
+
+
 MAHA_SIMPLE_ROWS = {
     "autodiff": _row_maha_simple_autodiff,
     "jnp": _row_maha_simple_jnp,
@@ -290,6 +305,7 @@ MAHA_SIMPLE_ROWS = {
     "fused": _row_maha_simple_fused,
     "p2p": _row_maha_simple_p2p,
     "d2d": _row_maha_simple_d2d,
+    "d2d_fused": _row_maha_simple_d2d_fused,
 }
 
 

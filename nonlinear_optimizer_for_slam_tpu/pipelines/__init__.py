@@ -1,5 +1,6 @@
-from . import fused_registration, loop_closure, matching, ndt, registration
+from . import fused_d2d, fused_registration, loop_closure, matching, ndt, registration
 from .loop_closure import LoopClosure, LoopClosureDetector
+from .fused_d2d import D2dRegistrar
 from .fused_registration import (
     FusedRegistrationResult,
     HybridRegistrar,
@@ -22,10 +23,12 @@ from .registration import (
 )
 
 __all__ = [
+    "fused_d2d",
     "fused_registration",
     "matching",
     "ndt",
     "registration",
+    "D2dRegistrar",
     "FusedRegistrationResult",
     "HybridRegistrar",
     "LoopClosure",

@@ -103,3 +103,84 @@ def test_register_d2d_rejects_too_fine_scan_voxels(world):
             Options(),
             scan_voxel_resolution=0.1,
         )
+
+
+# ---------------------------------------------------------------------------
+# Fused single-dispatch D2D (pipelines/fused_d2d.py)
+# ---------------------------------------------------------------------------
+
+
+def test_inv_lower3_closed_form(rng):
+    from nonlinear_optimizer_for_slam_tpu.pipelines.fused_d2d import _inv_lower3
+
+    A = rng.normal(size=(32, 3, 3))
+    C = A @ np.transpose(A, (0, 2, 1)) + 3.0 * np.eye(3)
+    L = np.linalg.cholesky(C)
+    Linv = np.asarray(_inv_lower3(jnp.asarray(L)))
+    np.testing.assert_allclose(Linv @ L, np.broadcast_to(np.eye(3), L.shape),
+                               atol=1e-10)
+    # S = L^{-1} satisfies S^T S = C^{-1}: the only property the objective
+    # reads (r = S e, |r|^2, J^T J)
+    np.testing.assert_allclose(
+        np.transpose(Linv, (0, 2, 1)) @ Linv, np.linalg.inv(C), atol=1e-9
+    )
+
+
+def test_fused_d2d_matches_host_loop(world):
+    """The single-dispatch D2D program lands where the host-loop GICP
+    lands (same matching rule, same whitening objective — Cholesky-inverse
+    vs symmetric-eigh sqrt factors satisfy the same S^T S = W)."""
+    from nonlinear_optimizer_for_slam_tpu.pipelines.fused_d2d import D2dRegistrar
+
+    _, scan = world
+    pts = testing.generate_room_points(point_step=0.05)
+    clean_map = ndt.build_ndt_map(pts, 1.0, identity_moment=False)
+    true_pose = testing.maha_true_pose()
+    local = true_pose.inverse().apply(scan)
+
+    host = registration.register_d2d_ndt(
+        clean_map, local, Pose.identity(),
+        MahalanobisDistanceMinimizer(dtype=jnp.float32), Options(),
+    )
+    reg = D2dRegistrar(clean_map, Options(), dtype=jnp.float32)
+    fused = reg.register(local, Pose.identity())
+
+    t_err = np.linalg.norm(fused.pose.translation - true_pose.translation)
+    assert t_err < 0.01, t_err
+    # host-vs-fused parity (both converged fixed points of the same
+    # objective; mm-level, not bitwise — policies evaluate identically but
+    # the factored whitening differs in rounding)
+    np.testing.assert_allclose(
+        fused.pose.translation, host.pose.translation, atol=2e-3
+    )
+    q_f, q_h = fused.pose.quaternion(), host.pose.quaternion()
+    assert min(np.linalg.norm(q_f - q_h), np.linalg.norm(q_f + q_h)) < 2e-3
+    assert fused.outer_iterations <= 10
+
+
+def test_fused_d2d_scan_padding_invariance(world):
+    """Bucket padding (identity-covariance voxels, masked) must not change
+    the result: pad multiples give the same pose."""
+    from nonlinear_optimizer_for_slam_tpu.pipelines.fused_d2d import D2dRegistrar
+
+    _, scan = world
+    pts = testing.generate_room_points(point_step=0.05)
+    clean_map = ndt.build_ndt_map(pts, 1.0, identity_moment=False)
+    true_pose = testing.maha_true_pose()
+    local = true_pose.inverse().apply(scan)
+
+    a = D2dRegistrar(clean_map, Options(), dtype=jnp.float32,
+                     scan_pad_multiple=1).register(local, Pose.identity())
+    b = D2dRegistrar(clean_map, Options(), dtype=jnp.float32,
+                     scan_pad_multiple=256).register(local, Pose.identity())
+    np.testing.assert_allclose(a.pose.translation, b.pose.translation,
+                               atol=1e-5)
+
+
+def test_fused_d2d_rejects_too_fine_scan_voxels(world):
+    from nonlinear_optimizer_for_slam_tpu.pipelines.fused_d2d import D2dRegistrar
+
+    ndt_map, scan = world
+    reg = D2dRegistrar(ndt_map, Options(), scan_voxel_resolution=0.1)
+    with pytest.raises(ValueError, match="no valid scan voxel"):
+        reg.register(scan, Pose.identity())
