@@ -36,14 +36,44 @@ import jax.scipy.linalg as jsl
 Array = jax.Array
 
 
+# Block-size dispatch: 7x7 pose blocks contract on the VPU (a
+# contraction-7 dot_general pads to a full MXU tile and wastes >90% of
+# it), but the banded path's SUPERBLOCKS (bandwidth * 7, hundreds wide)
+# are exactly MXU shape — and the VPU broadcast form would materialize a
+# (n, k, k, k) intermediate, hopeless at k in the hundreds.
+_MXU_BLOCK_MIN = 32
+
+
 def _bmm(A: Array, B: Array) -> Array:
-    """Batched (..., k, k) @ (..., k, k) as VPU broadcast-mul-sum."""
+    """Batched (..., k, k) @ (..., k, k)."""
+    if A.shape[-1] >= _MXU_BLOCK_MIN:
+        with jax.default_matmul_precision("highest"):
+            return A @ B
     return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
 
 
 def _bmv(A: Array, x: Array) -> Array:
-    """Batched (..., k, k) @ (..., k, m) — same VPU form."""
+    """Batched (..., k, k) @ (..., k, m)."""
+    if A.shape[-1] >= _MXU_BLOCK_MIN:
+        with jax.default_matmul_precision("highest"):
+            return A @ x
     return jnp.sum(A[..., :, :, None] * x[..., None, :, :], axis=-2)
+
+
+def _binv_spd(A: Array) -> Array:
+    """Batched inverse of SPD blocks (every block cyclic reduction
+    inverts is a Schur complement of the damped SPD system, so SPD).
+    Large blocks go through Cholesky + triangular solve — the TPU's
+    LuDecomposition custom call behind jnp.linalg.inv is f32-only and
+    MXU-hostile at these shapes; small 7x7 blocks keep the LU path
+    (parity with the established tridiag behavior)."""
+    if A.shape[-1] >= _MXU_BLOCK_MIN:
+        L = jnp.linalg.cholesky(A)
+        eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+        Linv = jsl.solve_triangular(L, eye, lower=True)
+        with jax.default_matmul_precision("highest"):
+            return jnp.swapaxes(Linv, -1, -2) @ Linv
+    return jnp.linalg.inv(A)
 
 
 def factor(D: Array, O: Array, dense_cutoff: int = 256):
@@ -85,7 +115,7 @@ def factor(D: Array, O: Array, dense_cutoff: int = 256):
 
         D_odd, L_odd, U_odd = D[1::2], L[1::2], U[1::2]
         D_ev, L_ev, U_ev = D[0::2], L[0::2], U[0::2]
-        Dinv_odd = jnp.linalg.inv(D_odd)
+        Dinv_odd = _binv_spd(D_odd)
 
         # even row 2m couples left to odd 2m-1 (odd slot m-1; absent for
         # m=0 — guaranteed zero via L_ev[0] = 0) and right to odd 2m+1
@@ -111,7 +141,7 @@ def factor(D: Array, O: Array, dense_cutoff: int = 256):
         M = M.at[idx[1:], :, idx[:-1], :].set(jnp.swapaxes(U[: n - 1], -1, -2))
         tail = ("cho", jsl.cho_factor(M.reshape(n * k, n * k), lower=True), n)
     else:
-        tail = ("inv", jnp.linalg.inv(D), 1)
+        tail = ("inv", _binv_spd(D), 1)
     return (k, levels, tail)
 
 

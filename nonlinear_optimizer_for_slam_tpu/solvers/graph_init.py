@@ -115,18 +115,27 @@ def chordal_init(
     anchors: Dict[int, Tuple[np.ndarray, np.ndarray]],
     cg_iterations: int = 300,
     cg_tol: float = 1e-8,
+    dtype=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Chordal initialization. Returns ``(positions (P, 3), quaternions
-    (P, 4))``; anchored poses are returned exactly as given."""
+    (P, 4))``; anchored poses are returned exactly as given.
+
+    ``dtype``: compute precision for the two CG solves. This is an
+    INITIALIZER — f32 residual-floor error (decimeters at sphere scale)
+    is far inside LM's convergence basin, and f32 CG runs several times
+    faster than the TPU's emulated f64 (measured: the f64 init cost more
+    than the banded LM solve it was feeding). Defaults to the incoming
+    array dtype."""
     P, E = num_poses, len(ref_idx)
     ri = jnp.asarray(ref_idx, jnp.int32)
     qi = jnp.asarray(query_idx, jnp.int32)
     Re = jnp.asarray(
         np.stack([np_quat_to_rotmat(q) for q in rel_q])
         if E
-        else np.zeros((0, 3, 3))
+        else np.zeros((0, 3, 3)),
+        dtype,
     )
-    te = jnp.asarray(rel_t)
+    te = jnp.asarray(rel_t, dtype)
 
     free = np.ones(P)
     Xa = np.zeros((P, 3, 3))
@@ -135,15 +144,15 @@ def chordal_init(
         free[a] = 0.0
         Xa[a] = Ra
         ta_np[a] = ta
-    m = jnp.asarray(free)[:, None, None]
-    Xa = jnp.asarray(Xa)
-    ta = jnp.asarray(ta_np)
+    m = jnp.asarray(free, dtype)[:, None, None]
+    Xa = jnp.asarray(Xa, dtype)
+    ta = jnp.asarray(ta_np, dtype)
 
     # degree of each pose = diagonal of both normal operators
     deg = np.zeros(P)
     np.add.at(deg, ref_idx, 1.0)
     np.add.at(deg, query_idx, 1.0)
-    deg = jnp.asarray(deg)
+    deg = jnp.asarray(deg, dtype)
 
     def rot_normal_op(V):
         V = V * m

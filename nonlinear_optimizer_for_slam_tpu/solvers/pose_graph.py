@@ -451,8 +451,19 @@ class PoseGraphOptimizer:
         chain-dominated graphs (odometry chain + sparse loop closures) —
         EXACT damped-GN steps at O(E) memory and O(log P) depth, the
         fastest large-graph path when the number of non-chain edges is
-        small (its Woodbury correction grows with them; prefer "cg" past
-        a few hundred loop closures).
+        small (its Woodbury correction grows with them);
+        "banded" is the direct solver for loop-RICH graphs (the
+        reference analytic stub's "Sparse Cholesky" intent,
+        pose_graph_optimizer_analytic.cc:12-51, done TPU-first): a host
+        reverse-Cuthill-McKee ordering bounds the block bandwidth, the
+        banded system packs into bandwidth-sized superblocks that form a
+        block-TRIDIAGONAL system at superblock granularity, and the same
+        cyclic-reduction factorization solves it in log2(P/b) batched
+        dense-panel levels — exact steps at ANY loop density as long as
+        the reordered bandwidth stays moderate (sphere-class ring
+        closures: yes; uniformly random long loops: use "cg", the
+        constructor-time bandwidth check raises with the measured
+        memory need).
 
         ``edge_loss``: optional robust loss (e.g. core.losses.HuberLoss)
         applied per edge block over its squared residual norm, Ceres-style.
@@ -467,7 +478,7 @@ class PoseGraphOptimizer:
         """
         from ..ops.relative_pose import SWITCH_PENALTY_SCALE
 
-        if solver not in ("dense", "cg", "tridiag"):
+        if solver not in ("dense", "cg", "tridiag", "banded"):
             raise ValueError(f"unknown solver {solver!r}")
         if cg_precond not in ("chain", "jacobi"):
             raise ValueError(f"unknown cg_precond {cg_precond!r}")
@@ -720,6 +731,63 @@ class PoseGraphOptimizer:
         )
         return flat["tridiag"]
 
+    def _flatten_banded(self, flat: dict) -> dict:
+        """HOST symbolic phase for the banded direct solver, cached per
+        topology: reverse-Cuthill-McKee pose ordering (scipy.sparse),
+        block bandwidth, superblock size, and the permuted device edges.
+        Numeric work stays on device (_pose_graph_solve_banded)."""
+        if flat.get("banded") is not None:
+            return flat["banded"]
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        P = flat["P"]
+        ref_idx, query_idx = flat["ref_idx"], flat["query_idx"]
+        ones = np.ones(len(ref_idx))
+        A = coo_matrix(
+            (ones, (ref_idx.astype(np.int64), query_idx.astype(np.int64))),
+            shape=(P, P),
+        )
+        A = (A + A.T).tocsr()
+        perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+        inv = np.empty(P, np.int64)
+        inv[perm] = np.arange(P)
+        ref_p = inv[ref_idx]
+        qry_p = inv[query_idx]
+        bandwidth = int(np.abs(ref_p - qry_p).max()) if len(ref_p) else 1
+        s = max(bandwidth, 8)
+        K = -(-P // s)
+        itemsize = jnp.zeros((), self.dtype).dtype.itemsize
+        # superblock panel memory (the factorization roughly doubles it)
+        panel_bytes = K * (s * 7) ** 2 * itemsize
+        if panel_bytes > 2 << 30:
+            raise ValueError(
+                f"banded solver: RCM bandwidth {bandwidth} over {P} poses "
+                f"needs ~{2 * panel_bytes / 1e9:.1f} GB of superblock "
+                "panels — the graph's loop structure is not band-friendly; "
+                "use solver='cg' (matrix-free) instead"
+            )
+        dtype = self.dtype
+        E = flat["E"]
+        edges_p = PoseGraphEdges(
+            reference_indices=jnp.asarray(ref_p.astype(np.int32)),
+            query_indices=jnp.asarray(qry_p.astype(np.int32)),
+            relative_translations=jnp.asarray(flat["rel_t"], dtype),
+            relative_quaternions=jnp.asarray(flat["rel_q"], dtype),
+            is_loop=jnp.asarray(flat["is_loop"], dtype),
+            mask=jnp.ones((E,), dtype),
+            sqrt_info=(
+                None
+                if flat["sqrt_info"] is None
+                else jnp.asarray(flat["sqrt_info"], dtype)
+            ),
+        )
+        flat["banded"] = dict(
+            perm=perm, inv=inv, edges_p=edges_p,
+            super_size=s, bandwidth=bandwidth,
+        )
+        return flat["banded"]
+
     def _materialize(self) -> None:
         """Flush lazily-written-back solve results into the Pose registry
         (needed before the packed arrays are rebuilt or re-ordered)."""
@@ -762,6 +830,7 @@ class PoseGraphOptimizer:
         method: str = "chordal",
         include_loops: bool = True,
         cg_iterations: int = 300,
+        init_dtype=jnp.float32,
     ) -> None:
         """Replace the non-constant pose estimates with an initialization
         computed from the relative-pose measurements (the registry's
@@ -779,6 +848,13 @@ class PoseGraphOptimizer:
         averaging has no switch variables; a wrong loop bends the whole
         init). Anchors: the ``set_pose_constant`` poses, else the lowest
         pose index at its current registry value.
+
+        ``init_dtype``: precision of the chordal CG solves. f32 (default)
+        because this is an INITIALIZER — its residual floor (decimeters
+        at sphere scale) is deep inside LM's basin, while emulated-f64 CG
+        on TPU costs more than the direct LM solve it feeds (measured
+        3.3 s vs 0.5 s on sphere2500). Pass jnp.float64 to reproduce the
+        old behavior.
         """
         from . import graph_init
 
@@ -809,7 +885,7 @@ class PoseGraphOptimizer:
         elif method == "chordal":
             t, q = graph_init.chordal_init(
                 ref_idx, query_idx, rel_q, rel_t, P, anchors,
-                cg_iterations=cg_iterations,
+                cg_iterations=cg_iterations, dtype=init_dtype,
             )
         else:
             raise ValueError(
@@ -862,7 +938,27 @@ class PoseGraphOptimizer:
         # switch variables initialized to 1.0 (inlier)
         switches0 = jnp.ones((L,), dtype)
 
-        if self.solver == "tridiag":
+        if self.solver == "banded":
+            bd = self._flatten_banded(flat)
+            perm = bd["perm"]
+            pos_p, quat_p, sw, summary = _pose_graph_solve_banded(
+                jnp.asarray(positions[perm], dtype),
+                jnp.asarray(quaternions[perm], dtype),
+                switches0,
+                bd["edges_p"],
+                jnp.asarray(free[perm], dtype),
+                jnp.asarray(self.switch_penalty, dtype),
+                self.edge_loss,
+                P,
+                L,
+                bd["super_size"],
+                options,
+            )
+            # un-permute back to registry order (device-side: two tiny
+            # gathers beat two extra host round-trips)
+            inv = jnp.asarray(bd["inv"])
+            pos, quat = pos_p[inv], quat_p[inv]
+        elif self.solver == "tridiag":
             td = self._flatten_tridiag(flat)
             pos, quat, sw, summary = _pose_graph_solve_tridiag(
                 jnp.asarray(positions, dtype),
@@ -2819,6 +2915,275 @@ def _pose_graph_solve_tridiag(
         pose_params, switches = params
         dp, ds = delta
         return (pose_params + dp * free_mask[:, None], switches + ds)
+
+    pose0 = jnp.concatenate([positions0, quaternions0], axis=1)
+    (pose_params, switches), summary = lm.solve(
+        eval_quadratic, retract, (pose0, switches0), options,
+        solve_linear=solve_linear,
+    )
+    return pose_params[:, :3], pose_params[:, 3:], switches, summary
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def _pose_graph_solve_banded(
+    positions0,  # (P, 3) in RCM-PERMUTED order
+    quaternions0,  # (P, 4) same order
+    switches0,  # (L,)
+    edges: PoseGraphEdges,  # endpoint indices in PERMUTED order
+    free_mask,  # (P,) permuted
+    switch_penalty,
+    edge_loss,
+    num_poses: int,
+    num_loops: int,
+    super_size: int,  # s >= block bandwidth of the permuted graph
+    options: Options,
+):
+    """Direct LM for loop-RICH graphs: block-BANDED Cholesky via
+    superblock cyclic reduction.
+
+    The reference's pose-graph analytic path is an unimplemented stub
+    whose comments name "Sparse Cholesky"
+    (pose_graph_optimizer_analytic.cc:12-51). A general sparse Cholesky
+    (dynamic fill-in, pointer-chasing supernodes) is the wrong shape for
+    a TPU; the TPU-native equivalent built here is:
+
+      1. HOST symbolic phase, once per topology: a reverse Cuthill-McKee
+         ordering of the pose graph (scipy.sparse.csgraph) bounds the
+         block bandwidth b = max |perm_i - perm_j| over edges.
+      2. DEVICE numeric phase, per LM iteration: the banded system is
+         packed into K = ceil(P/s) consecutive SUPERBLOCKS of s = b poses
+         (7s x 7s dense panels). Any edge then couples the same or
+         adjacent superblocks, so the banded matrix IS block-tridiagonal
+         at superblock granularity and the existing cyclic-reduction
+         solver (solvers/block_tridiag.py) factors it in log2(K) levels
+         of BATCHED dense panel products — MXU work with static shapes,
+         instead of P sequential pivots or hundreds of CG matvecs.
+
+    Unlike the "tridiag" solver there is NO low-rank correction: sphere-
+    class graphs (one ring closure per pose; ~2.4k loops) make the
+    Woodbury capacitance larger than the original system, while here
+    every loop edge lands inside the band. Switchable-constraint switch
+    variables are eliminated EXACTLY per edge (their damped Schur
+    complement is a rank-1 update to the edge's 2x2 pose-block square,
+    which by construction also lies in the band) and recovered by exact
+    back-substitution — the same algebra as the tridiag path's signed
+    Woodbury columns, but folded into the band.
+
+    Same eval_quadratic/LM policy as the dense/cg/tridiag paths; only the
+    linear solver differs.
+    """
+    P, L = num_poses, num_loops
+    s = super_size
+    K = max(1, -(-P // s))
+    Pp = K * s  # padded pose count (pad poses decouple: identity diagonal)
+    dtype = positions0.dtype
+    E = edges.mask.shape[0]
+    ref_i = edges.reference_indices
+    qry_i = edges.query_indices
+
+    if L > 0:
+        loop_slot = jnp.clip(
+            jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1, 0, L - 1
+        )
+    else:
+        loop_slot = jnp.zeros((E,), jnp.int32)
+    is_loop = edges.is_loop > 0
+
+    free_ref = free_mask[ref_i]
+    free_qry = free_mask[qry_i]
+    fixed_p = (1.0 - free_mask)[:, None]
+
+    # lo/hi endpoint split (lo = smaller permuted index); bandwidth
+    # guarantee: hi - lo <= s, so superblocks are same or adjacent
+    swap = qry_i < ref_i
+    lo_i = jnp.where(swap, qry_i, ref_i)
+    hi_i = jnp.where(swap, ref_i, qry_i)
+    k_lo, r_lo = lo_i // s, lo_i % s
+    k_hi, r_hi = hi_i // s, hi_i % s
+    same_k = (k_lo == k_hi)[:, None, None]
+
+    def accumulate_pose(contrib_ref, contrib_qry):
+        out = jnp.zeros((P,) + contrib_ref.shape[1:], dtype)
+        return out.at[ref_i].add(contrib_ref).at[qry_i].add(contrib_qry)
+
+    def eval_quadratic(params):
+        pose_params, switches = params
+        pos = pose_params[:, :3]
+        quat = pose_params[:, 3:]
+        sw_full = switches[loop_slot] if L > 0 else jnp.zeros((E,), dtype)
+        r, J_ref, J_query, J_s = edge_residuals_and_jacobians(
+            pos, quat, sw_full, edges, switch_penalty
+        )
+        J_ref = J_ref * free_ref[:, None, None]
+        J_query = J_query * free_qry[:, None, None]
+
+        if edge_loss is not None:
+            sq = jnp.sum(r * r, axis=1)
+            rho, w, _ = edge_loss.evaluate(sq)
+            cost = jnp.sum(rho)
+            sqrt_w = jnp.sqrt(w)
+            r = r * sqrt_w[:, None]
+            J_ref = J_ref * sqrt_w[:, None, None]
+            J_query = J_query * sqrt_w[:, None, None]
+            J_s = J_s * sqrt_w[:, None]
+        else:
+            cost = jnp.sum(r * r)
+
+        g_p = accumulate_pose(
+            jnp.sum(J_ref * r[:, :, None], axis=1),
+            jnp.sum(J_query * r[:, :, None], axis=1),
+        )
+        if L > 0:
+            gs_e = jnp.sum(J_s * r, axis=1) * is_loop
+            g_s = jnp.zeros((L,), dtype).at[loop_slot].add(gs_e)
+        else:
+            g_s = jnp.zeros((0,), dtype)
+
+        d_p = accumulate_pose(
+            jnp.sum(J_ref * J_ref, axis=1), jnp.sum(J_query * J_query, axis=1)
+        )
+        if L > 0:
+            d_s = jnp.zeros((L,), dtype).at[loop_slot].add(
+                jnp.sum(J_s * J_s, axis=1) * is_loop
+            )
+        else:
+            d_s = jnp.zeros((0,), dtype)
+
+        H_rep = (J_ref, J_query, J_s, d_p, d_s)
+        return H_rep, (g_p, g_s), cost
+
+    def solve_linear(H_rep, g, lam):
+        J_ref, J_query, J_s, d_p, d_s = H_rep
+        g_p, g_s = g
+
+        J_lo = jnp.where(swap[:, None, None], J_query, J_ref)  # (E, 7, 7)
+        J_hi = jnp.where(swap[:, None, None], J_ref, J_query)
+
+        # per-edge pose blocks (res axis contracted on the VPU)
+        B_ll = jnp.sum(J_lo[:, :, :, None] * J_lo[:, :, None, :], axis=1)
+        B_hh = jnp.sum(J_hi[:, :, :, None] * J_hi[:, :, None, :], axis=1)
+        B_hl = jnp.sum(J_hi[:, :, :, None] * J_lo[:, :, None, :], axis=1)
+
+        b_p = -g_p
+
+        if L > 0:
+            # exact damped-Schur elimination of each loop edge's switch:
+            # H_pp -= (A^T c)(A^T c)^T / gamma,  b_p += (A^T c) g_s / gamma
+            c = J_s  # (E, 7)
+            cc = jnp.sum(c * c, axis=1)
+            gamma = cc + lam * d_s[loop_slot] + 1e-8
+            inv_gamma = jnp.where(is_loop, 1.0 / gamma, 0.0)  # (E,)
+            Jlc = jnp.sum(J_lo * c[:, :, None], axis=1)  # (E, 7) = A_lo^T c
+            Jhc = jnp.sum(J_hi * c[:, :, None], axis=1)
+            g_s_e = g_s[loop_slot]
+            coef = inv_gamma * g_s_e
+            b_p = b_p.at[lo_i].add(Jlc * coef[:, None])
+            b_p = b_p.at[hi_i].add(Jhc * coef[:, None])
+            B_ll = B_ll - inv_gamma[:, None, None] * (
+                Jlc[:, :, None] * Jlc[:, None, :]
+            )
+            B_hh = B_hh - inv_gamma[:, None, None] * (
+                Jhc[:, :, None] * Jhc[:, None, :]
+            )
+            B_hl = B_hl - inv_gamma[:, None, None] * (
+                Jhc[:, :, None] * Jlc[:, None, :]
+            )
+
+        # ---- scatter into superblock panels ------------------------------
+        Dsup = jnp.zeros((K, s, 7, s, 7), dtype)
+        Dsup = Dsup.at[k_lo, r_lo, :, r_lo, :].add(B_ll)
+        Dsup = Dsup.at[k_hi, r_hi, :, r_hi, :].add(B_hh)
+        B_hl_T = jnp.swapaxes(B_hl, -1, -2)
+        # same-superblock off blocks: (r_hi, r_lo) and its transpose
+        Dsup = Dsup.at[k_lo, r_hi, :, r_lo, :].add(
+            jnp.where(same_k, B_hl, 0.0)
+        )
+        Dsup = Dsup.at[k_lo, r_lo, :, r_hi, :].add(
+            jnp.where(same_k, B_hl_T, 0.0)
+        )
+        D = Dsup.reshape(K, s * 7, s * 7)
+        if K > 1:
+            # cross-superblock: O[k] = H(superblock k, k+1); the (lo, hi)
+            # block is B_hl^T. Same-superblock edges scatter zeros at a
+            # clipped index.
+            Osup = jnp.zeros((K - 1, s, 7, s, 7), dtype)
+            k_off = jnp.minimum(k_lo, K - 2)
+            Osup = Osup.at[k_off, r_lo, :, r_hi, :].add(
+                jnp.where(same_k, 0.0, B_hl_T)
+            )
+            O = Osup.reshape(K - 1, s * 7, s * 7)
+        else:
+            O = jnp.zeros((0, s * 7, s * 7), dtype)
+
+        # damping diagonal (reference policy: lam * diag(H), plus gauge
+        # fixing and the rank-deficiency floor); padded poses get 1.0
+        dvec = lam * d_p + fixed_p + 1e-8  # (P, 7)
+        dpad = jnp.concatenate(
+            [dvec, jnp.ones((Pp - P, 7), dtype)], axis=0
+        ).reshape(K, s * 7)
+        D = D + jnp.eye(s * 7, dtype=dtype) * dpad[:, None, :]
+
+        rhs = jnp.concatenate(
+            [b_p, jnp.zeros((Pp - P, 7), dtype)], axis=0
+        ).reshape(K, s * 7)
+        # dense_cutoff in SUPERBLOCK rows: stop reduction once the dense
+        # tail stays MXU-sized (~4k)
+        cutoff = max(1, 4096 // (s * 7))
+        if dtype == jnp.float64:
+            # MIXED PRECISION: factor the panels in f32 (the TPU's native
+            # precision — f64 panel products are ~10x emulated) and recover
+            # f64 step accuracy with iterative refinement: the residual
+            # matvec is ONE banded f64 product per step vs a whole
+            # factorization, and two steps push the relative residual to
+            # f64 roundoff for any LM-damped conditioning (classic
+            # Wilkinson refinement, done the TPU way).
+            fact = block_tridiag.factor(
+                D.astype(jnp.float32), O.astype(jnp.float32), cutoff
+            )
+
+            def banded_matvec(x):
+                with jax.default_matmul_precision("highest"):
+                    y = jnp.einsum("kij,kj->ki", D, x)
+                    if K > 1:
+                        y = y.at[:-1].add(
+                            jnp.einsum("kij,kj->ki", O, x[1:])
+                        )
+                        y = y.at[1:].add(
+                            jnp.einsum("kji,kj->ki", O, x[:-1])
+                        )
+                return y
+
+            x = block_tridiag.solve_factored(
+                fact, rhs.astype(jnp.float32)
+            ).astype(dtype)
+            for _ in range(2):
+                resid = rhs - banded_matvec(x)
+                x = x + block_tridiag.solve_factored(
+                    fact, resid.astype(jnp.float32)
+                ).astype(dtype)
+        else:
+            x = block_tridiag.solve(D, O, rhs, dense_cutoff=cutoff)
+        dp = x.reshape(Pp, 7)[:P]
+
+        # exact switch back-substitution ds = (-g_s - c^T A dp) / gamma
+        if L > 0:
+            v = jnp.sum(J_lo * dp[lo_i][:, None, :], axis=2) + jnp.sum(
+                J_hi * dp[hi_i][:, None, :], axis=2
+            )  # (E, 7) = A_e dp
+            ds_e = jnp.where(
+                is_loop, (-g_s[loop_slot] - jnp.sum(c * v, axis=1)) * inv_gamma, 0.0
+            )
+            ds = jnp.zeros((L,), dtype).at[loop_slot].add(ds_e)
+        else:
+            ds = jnp.zeros((0,), dtype)
+        return dp, ds
+
+    def retract(params, delta):
+        pose_params, switches = params
+        dp, ds = delta
+        return (pose_params + dp * free_mask[:, None], switches + ds)
+
+    from . import block_tridiag
 
     pose0 = jnp.concatenate([positions0, quaternions0], axis=1)
     (pose_params, switches), summary = lm.solve(
