@@ -836,6 +836,36 @@ def bench_pose_graph(runs):
          f"err {init_err:.1f}m -> {err:.2f}m incl. init")
     )
     log(f"  sphere2500 chordal: {ms:.0f} ms, err -> {err:.2f} m")
+
+    # same graph, chordal init + the BANDED direct solver (the sparse-
+    # Cholesky intent of the reference's analytic stub,
+    # pose_graph_optimizer_analytic.cc:12-51): RCM bounds the sphere's
+    # block bandwidth at ~51 (its per-pose ring closures), superblock
+    # cyclic reduction then takes EXACT damped-GN steps — 7 LM iterations
+    # instead of 150x300 PCG matvecs. Timed end to end (init + solve).
+    sphb = g2o_io.load_pose_graph(sphere_path, dtype=jnp.float64, solver="banded")
+
+    def _sphere_solve_banded():
+        sph_rep[0] += 1
+        eps = 1e-9 * sph_rep[0]
+        for k, v in sphere_init.items():
+            p = _pose_from_vec7(v)
+            p.translation[0] += eps
+            sphb.set_pose(k, p)
+        sphb.initialize(method="chordal")
+        return sphb.solve(sph_opts)
+
+    ms, (summary, _) = timed(_sphere_solve_banded, max(1, runs // 5))
+    err = max(
+        np.linalg.norm(sphb.get_pose(k).translation - gt_pos[k])
+        for k in range(len(gt_pos))
+    )
+    rows.append(
+        ("sphere2500 chordal-init + banded", f"{ms:.0f} ms",
+         f"{float(summary.final_cost):.3e}",
+         f"err {init_err:.1f}m -> {err:.2f}m incl. init")
+    )
+    log(f"  sphere2500 banded: {ms:.0f} ms, err -> {err:.2f} m")
     os.unlink(sphere_path)
 
     # PCG on ITS domain: a graph too large for the dense normal matrix
@@ -951,6 +981,53 @@ def bench_pose_graph(runs):
          f"err {err0 * 1e3:.0f}mm -> {err * 1e3:.1f}mm")
     )
     log(f"  tridiag chunked {P2} poses + 99 loops: {ms:.0f} ms")
+
+    # loop-RICH city graph: 999 ring-revisit closures (span 50, every 50
+    # poses). Here the tridiag Woodbury capacitance would be 7,992
+    # columns — bigger than its own superblock system — so the round-2
+    # paths left only CG. The banded solver keeps every closure inside
+    # the RCM band (bandwidth 50) and takes exact steps: measured 7.7 s
+    # vs 17.7 s CG on the same graph (both 30 LM iterations).
+    for label, kw in (
+        ("banded direct", dict(solver="banded")),
+        ("matrix-free PCG", dict(solver="cg", cg_iterations=250)),
+    ):
+        rich = PGO(dtype=jnp.float32, switch_penalty=0.03, **kw)
+        for i in range(P2):
+            rich.set_pose(i, nls.Pose(np.eye(3), noisy2[i]))
+        rich.set_pose_constant(0)
+        for i in range(P2 - 1):
+            rich.set_constraint(
+                i, i + 1, nls.Pose(np.eye(3), true2[i + 1] - true2[i])
+            )
+        for k in range(50, P2, 50):
+            rich.set_constraint(
+                k - 50, k, nls.Pose(np.eye(3), true2[k] - true2[k - 50]),
+                ConstraintType.LOOP,
+            )
+        rich_rep = [0]
+
+        def _rich_solve():
+            # re-seed the drifted init each rep (a converged-state
+            # re-solve is both a different problem and an identical
+            # dispatch the relay would serve from cache)
+            rich_rep[0] += 1
+            eps = 1e-9 * rich_rep[0]
+            for i in range(0, P2, 499):
+                rich.set_pose(i, nls.Pose(np.eye(3), noisy2[i] + eps))
+            return rich.solve(big_opts)
+
+        ms, (summary, _) = timed(_rich_solve, max(1, runs // 5))
+        err = max(
+            np.linalg.norm(rich.get_pose(i).translation - true2[i])
+            for i in range(0, P2, 7)
+        )
+        rows.append(
+            (f"{label}, {P2} poses + 999 loops", f"{ms:.0f} ms",
+             f"{float(summary.final_cost):.2e}",
+             f"err {err0 * 1e3:.0f}mm -> {err * 1e3:.1f}mm")
+        )
+        log(f"  {label} {P2} poses + 999 loops: {ms:.0f} ms")
     return table(
         "pose graph (reference: Ceres-only stub, no recorded time)",
         rows,
