@@ -73,6 +73,63 @@ def quat_log_vec(q: Array) -> Array:
     return scale * vec
 
 
+def so3_exp_quaternion_jacobian(w: Array) -> Array:
+    """d so3_exp_quaternion / dw: (..., 4, 3), branch-for-branch the
+    derivative of :func:`so3_exp_quaternion` (small-angle branch included:
+    d(1, w/2)/dw = [0; I/2]). Feeds the closed-form IMU-factor Jacobians
+    (ops/imu.py); verified against jacfwd in tests/test_inertial.py."""
+    dtype = w.dtype
+    theta_sq = jnp.sum(w * w, axis=-1, keepdims=True)
+    theta = jnp.sqrt(theta_sq)
+    small = theta < _SMALL_ANGLE
+    safe_theta = jnp.where(small, jnp.ones_like(theta), theta)
+    half = 0.5 * safe_theta
+    sin_half = jnp.sin(half)
+    u_hat = w / safe_theta  # (..., 3)
+    # d qw / dw = -0.5 sin(theta/2) u_hat^T   (0 in the small branch)
+    d_qw = jnp.where(small, jnp.zeros_like(w), -0.5 * sin_half * u_hat)
+    # vec = s(theta) w, s = sin(theta/2)/theta:
+    # d vec / dw = s I + s'(theta) w u_hat^T
+    s = sin_half / safe_theta
+    s_prime = 0.5 * jnp.cos(half) / safe_theta - sin_half / (safe_theta**2)
+    eye = jnp.eye(3, dtype=dtype)
+    d_vec_large = s[..., None] * eye + s_prime[..., None] * (
+        w[..., :, None] * u_hat[..., None, :]
+    )
+    d_vec = jnp.where(small[..., None], 0.5 * eye, d_vec_large)
+    return jnp.concatenate([d_qw[..., None, :], d_vec], axis=-2)
+
+
+def quat_log_vec_jacobian(q: Array) -> Array:
+    """d quat_log_vec / dq: (..., 3, 4), branch-for-branch the derivative
+    of :func:`quat_log_vec` including the shortest-arc sign flip (the flip
+    chains a global factor sign(qw); its switch point qw = 0 is pi
+    rotations where Log itself is discontinuous)."""
+    sign = jnp.where(q[..., :1] < 0, -1.0, 1.0)
+    qs = sign * q
+    w = qs[..., :1]
+    vec = qs[..., 1:]
+    vn_sq = jnp.sum(vec * vec, axis=-1, keepdims=True)
+    vn = jnp.sqrt(vn_sq)
+    small = vn < _SMALL_ANGLE
+    safe_vn = jnp.where(small, jnp.ones_like(vn), vn)
+    safe_w = jnp.maximum(w, 1e-12)
+    nrm_sq = w * w + vn_sq
+    theta = 2.0 * jnp.arctan2(vn, w)
+    v_hat = vec / safe_vn
+    eye = jnp.eye(3, dtype=q.dtype)
+    # d f / d w = -2 vec / (w^2 + vn^2)      (small: -2 vec / w^2)
+    d_w = jnp.where(small, -2.0 * vec / safe_w**2, -2.0 * vec / nrm_sq)
+    # d f / d vec = (theta/vn)(I - vh vh^T) + (2w/(w^2+vn^2)) vh vh^T
+    # (small: 2/w I — the derivative of 2 vec / w)
+    vvT = v_hat[..., :, None] * v_hat[..., None, :]
+    d_v_large = (theta / safe_vn)[..., None] * (eye - vvT) + (
+        2.0 * w / nrm_sq
+    )[..., None] * vvT
+    d_v = jnp.where(small[..., None], (2.0 / safe_w)[..., None] * eye, d_v_large)
+    return sign[..., None] * jnp.concatenate([d_w[..., :, None], d_v], axis=-1)
+
+
 def quat_multiply(a: Array, b: Array) -> Array:
     """Hamilton product a (x) b, both (…, 4) in (w, x, y, z)."""
     aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]

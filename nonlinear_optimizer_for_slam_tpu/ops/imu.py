@@ -297,6 +297,161 @@ def imu_residuals(
     return jnp.einsum("fab,fb->fa", factors.sqrt_info, r)
 
 
+def imu_residuals_and_jacobians(
+    positions: Array,  # (N, 3)
+    quaternions: Array,  # (N, 4) ambient
+    velocities: Array,  # (N, 3)
+    biases: Array,  # (N, 6)
+    factors: PreintegratedImuFactor,
+    gravity: Array,  # (3,)
+) -> Tuple[Array, Array, Array]:
+    """Whitened residuals and CLOSED-FORM Jacobian blocks per factor.
+
+    Returns ``(r (F, 9), J_i (F, 9, 16), J_j (F, 9, 16))`` over the packed
+    state layout [p (3), q (4, ambient), v (3), b_g (3), b_a (3)]. The
+    residual only touches x_j's pose/velocity, so J_j's bias columns are
+    zero.
+
+    Same algebra style as the pose-graph edge closed form
+    (relative_pose.edge_residuals_and_jacobians): quaternion products are
+    the linear maps L(a)/R(b), normalization contributes (I - nn^T)/|q|,
+    and the two genuinely nonlinear maps — Exp (bias correction) and Log
+    (rotation residual) — carry branch-exact Jacobians from core/lie.py.
+    Production path of solvers/inertial.py; the full-stack jacfwd is kept
+    there as the test oracle (tests/test_inertial.py asserts parity).
+    """
+    from .relative_pose import (
+        _normalize_jacobian,
+        _quat_left_matrix,
+        _quat_right_matrix,
+        _rotate_jacobian_wrt_quat,
+    )
+
+    F = factors.dt.shape[0]
+    dtype = positions.dtype
+    conj_sign = jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype)
+
+    pi = positions[factors.i]
+    pj = positions[factors.j]
+    qi = quaternions[factors.i]
+    qj = quaternions[factors.j]
+    vi = velocities[factors.i]
+    vj = velocities[factors.j]
+    bi = biases[factors.i]
+    dbg = bi[:, :3] - factors.bias0[:, :3]
+    dba = bi[:, 3:] - factors.bias0[:, 3:]
+    dt = factors.dt[:, None]
+
+    n_i = lie.quat_normalize(qi)
+    n_j = lie.quat_normalize(qj)
+    Dn_i = _normalize_jacobian(qi)  # (F, 4, 4)
+    Dn_j = _normalize_jacobian(qj)
+    c_i = lie.quat_conjugate(n_i)
+
+    # ---- corrected deltas and the rotation-residual chain ------------
+    u = jnp.einsum("fab,fb->fa", factors.dR_dbg, dbg)  # (F, 3)
+    q_exp = lie.so3_exp_quaternion(u)
+    q_corr = lie.quat_multiply(factors.delta_q, q_exp)
+    m = lie.quat_multiply(c_i, n_j)
+    e = lie.quat_multiply(lie.quat_conjugate(q_corr), m)
+    r_phi = lie.quat_log_vec(e)
+    dLog = lie.quat_log_vec_jacobian(e)  # (F, 3, 4)
+
+    # e = L(conj(q_corr) (x) c_i) n_j
+    A = lie.quat_multiply(lie.quat_conjugate(q_corr), c_i)
+    de_dqj = _quat_left_matrix(A) @ Dn_j  # (F, 4, 4)
+    # e = L(conj(q_corr)) R(n_j) conj(n_i): conj is the column sign flip
+    de_dqi = (
+        _quat_left_matrix(lie.quat_conjugate(q_corr)) @ _quat_right_matrix(n_j)
+    ) * conj_sign[None, None, :] @ Dn_i
+    # e = R(conj(delta_q) (x) m) conj(Exp(u)), u = dR_dbg dbg
+    w2 = lie.quat_multiply(lie.quat_conjugate(factors.delta_q), m)
+    Dexp = lie.so3_exp_quaternion_jacobian(u)  # (F, 4, 3)
+    de_dbg = (
+        (_quat_right_matrix(w2) * conj_sign[None, None, :]) @ Dexp
+    ) @ factors.dR_dbg  # (F, 4, 3)
+
+    dphi_dqi = dLog @ de_dqi  # (F, 3, 4)
+    dphi_dqj = dLog @ de_dqj
+    dphi_dbg = dLog @ de_dbg  # (F, 3, 3)
+
+    # ---- velocity / position rows ------------------------------------
+    dv_corr = (
+        factors.delta_v
+        + jnp.einsum("fab,fb->fa", factors.dv_dbg, dbg)
+        + jnp.einsum("fab,fb->fa", factors.dv_dba, dba)
+    )
+    dp_corr = (
+        factors.delta_p
+        + jnp.einsum("fab,fb->fa", factors.dp_dbg, dbg)
+        + jnp.einsum("fab,fb->fa", factors.dp_dba, dba)
+    )
+    w_v = vj - vi - gravity[None, :] * dt
+    w_p = pj - pi - vi * dt - 0.5 * gravity[None, :] * dt * dt
+    RiT = lie.quat_to_rotmat(c_i)  # R(n_i)^T as a matrix (F, 3, 3)
+    r_v = jnp.einsum("fab,fb->fa", RiT, w_v) - dv_corr
+    r_p = jnp.einsum("fab,fb->fa", RiT, w_p) - dp_corr
+
+    # d(R(n_i)^T x)/dq_i = drot(c_i, x) * conj_sign, chained through Dn_i
+    drv_dqi = (_rotate_jacobian_wrt_quat(c_i, w_v) * conj_sign[None, None, :]) @ Dn_i
+    drp_dqi = (_rotate_jacobian_wrt_quat(c_i, w_p) * conj_sign[None, None, :]) @ Dn_i
+
+    z33 = jnp.zeros((F, 3, 3), dtype)
+    z34 = jnp.zeros((F, 3, 4), dtype)
+    # rows: (phi, v, p) x cols: (p 0:3 | q 3:7 | v 7:10 | bg 10:13 | ba 13:16)
+    J_i = jnp.concatenate(
+        [
+            jnp.concatenate([z33, dphi_dqi, z33, dphi_dbg, z33], axis=-1),
+            jnp.concatenate([z33, drv_dqi, -RiT, -factors.dv_dbg, -factors.dv_dba], axis=-1),
+            jnp.concatenate([-RiT, drp_dqi, -RiT * dt[..., None], -factors.dp_dbg, -factors.dp_dba], axis=-1),
+        ],
+        axis=-2,
+    )  # (F, 9, 16)
+    J_j = jnp.concatenate(
+        [
+            jnp.concatenate([z33, dphi_dqj, z33, z33, z33], axis=-1),
+            jnp.concatenate([z33, z34, RiT, z33, z33], axis=-1),
+            jnp.concatenate([RiT, z34, z33, z33, z33], axis=-1),
+        ],
+        axis=-2,
+    )
+
+    r = jnp.concatenate([r_phi, r_v, r_p], axis=1)  # (F, 9)
+    S = factors.sqrt_info
+    return (
+        jnp.einsum("fab,fb->fa", S, r),
+        jnp.einsum("fab,fbn->fan", S, J_i),
+        jnp.einsum("fab,fbn->fan", S, J_j),
+    )
+
+
+def imu_residuals_and_jacobians_ad(
+    positions, quaternions, velocities, biases,
+    factors: PreintegratedImuFactor, gravity,
+) -> Tuple[Array, Array, Array]:
+    """Autodiff oracle for :func:`imu_residuals_and_jacobians` (per-factor
+    jacfwd over the two touched packed states; tests only)."""
+
+    def one(xi, xj, f_k):
+        # a 2-state micro-problem holding just this factor
+        f01 = jax.tree.map(lambda a: a[None], f_k)._replace(
+            i=jnp.zeros((1,), jnp.int32), j=jnp.ones((1,), jnp.int32)
+        )
+
+        def res(xi_, xj_):
+            x = jnp.stack([xi_, xj_])
+            return imu_residuals(
+                x[:, :3], x[:, 3:7], x[:, 7:10], x[:, 10:16], f01, gravity
+            )[0]
+
+        r = res(xi, xj)
+        Ji, Jj = jax.jacfwd(res, argnums=(0, 1))(xi, xj)
+        return r, Ji, Jj
+
+    x = jnp.concatenate([positions, quaternions, velocities, biases], axis=1)
+    return jax.vmap(one)(x[factors.i], x[factors.j], factors)
+
+
 def np_imu_residual(xi, xj, arr: dict, gravity=GRAVITY) -> np.ndarray:
     """Numpy twin of :func:`imu_residuals` for ONE factor between packed
     states xi, xj ((16,) = [p, q(wxyz), v, b_g, b_a]); ``arr`` is an

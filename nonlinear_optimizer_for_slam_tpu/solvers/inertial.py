@@ -67,6 +67,162 @@ def _inertial_solve(
     num_states: int,
     options: Options,
 ):
+    """Production inertial solve: CLOSED-FORM per-factor Jacobians
+    (ops.imu.imu_residuals_and_jacobians + the pose-graph edge closed
+    form) scatter-assembled into the dense normal equations — the same
+    optimization the pose graph got. The full-stack jacfwd formulation
+    is preserved as :func:`_inertial_solve_ad` (the test oracle,
+    tests/test_inertial.py asserts solve parity): its Jacobian is 16N
+    JVP columns of the WHOLE residual stack, which made both compile
+    time and per-iteration FLOPs grow ~quadratically with the window."""
+    from ..ops.imu import imu_residuals_and_jacobians
+    from ..ops.relative_pose import edge_residuals_and_jacobians
+
+    N = num_states
+    dtype = x0.dtype
+    col_mask = free_mask.reshape(-1)
+    n = 16 * N
+    arange16 = jnp.arange(16)
+
+    def quad(xflat):
+        x = xflat.reshape(N, 16)
+        p, q, v, b = x[:, :3], x[:, 3:7], x[:, 7:10], x[:, 10:16]
+        H = jnp.zeros((n, n), dtype)
+        g = jnp.zeros((n,), dtype)
+        cost = jnp.zeros((), dtype)
+
+        def add_pair(H, g, cost, idx_a, idx_b, Ja, Jb, r):
+            """Accumulate a two-block factor family: Ja (F, d, 16) at
+            state column block idx_a, Jb at idx_b, residual r (F, d)."""
+            rows_a = idx_a[:, None] * 16 + arange16  # (F, 16)
+            rows_b = idx_b[:, None] * 16 + arange16
+            with jax.default_matmul_precision("highest"):
+                Haa = jnp.einsum("fda,fdb->fab", Ja, Ja)
+                Hab = jnp.einsum("fda,fdb->fab", Ja, Jb)
+                Hbb = jnp.einsum("fda,fdb->fab", Jb, Jb)
+                ga = jnp.einsum("fda,fd->fa", Ja, r)
+                gb = jnp.einsum("fda,fd->fa", Jb, r)
+            H = H.at[rows_a[:, :, None], rows_a[:, None, :]].add(Haa)
+            H = H.at[rows_a[:, :, None], rows_b[:, None, :]].add(Hab)
+            H = H.at[rows_b[:, :, None], rows_a[:, None, :]].add(
+                jnp.swapaxes(Hab, -1, -2)
+            )
+            H = H.at[rows_b[:, :, None], rows_b[:, None, :]].add(Hbb)
+            g = g.at[rows_a].add(ga).at[rows_b].add(gb)
+            return H, g, cost + jnp.sum(r * r)
+
+        if factors.dt.shape[0] > 0:
+            r_f, J_i, J_j = imu_residuals_and_jacobians(
+                p, q, v, b, factors, gravity
+            )
+            J_i = J_i * free_mask[factors.i][:, None, :]
+            J_j = J_j * free_mask[factors.j][:, None, :]
+            H, g, cost = add_pair(H, g, cost, factors.i, factors.j, J_i, J_j, r_f)
+
+        if walk_pairs.shape[0] > 0:
+            wi, wj = walk_pairs[:, 0], walk_pairs[:, 1]
+            r_w = (b[wj] - b[wi]) * walk_w  # (B, 6)
+            eye6 = jnp.eye(6, dtype=dtype)
+            # bias columns live at state offset 10:16
+            Jw_i = jnp.concatenate(
+                [jnp.zeros((walk_w.shape[0], 6, 10), dtype),
+                 -walk_w[:, :, None] * eye6], axis=-1,
+            ) * free_mask[wi][:, None, :]
+            Jw_j = jnp.concatenate(
+                [jnp.zeros((walk_w.shape[0], 6, 10), dtype),
+                 walk_w[:, :, None] * eye6], axis=-1,
+            ) * free_mask[wj][:, None, :]
+            H, g, cost = add_pair(H, g, cost, wi, wj, Jw_i, Jw_j, r_w)
+
+        if edges is not None:
+            E = edges.mask.shape[0]
+            r_e, J_ref, J_qry, _ = edge_residuals_and_jacobians(
+                p, q, jnp.ones((E,), dtype), edges, 0.0
+            )  # (E, 7), (E, 7, 7) over (p, q) columns
+            pad = jnp.zeros((E, 7, 9), dtype)
+            Je_ref = jnp.concatenate([J_ref, pad], axis=-1) * free_mask[
+                edges.reference_indices
+            ][:, None, :]
+            Je_qry = jnp.concatenate([J_qry, pad], axis=-1) * free_mask[
+                edges.query_indices
+            ][:, None, :]
+            H, g, cost = add_pair(
+                H, g, cost,
+                edges.reference_indices, edges.query_indices,
+                Je_ref, Je_qry, r_e,
+            )
+
+        for key, off, d in (("pos", 0, 3), ("vel", 7, 3), ("bias", 10, 6)):
+            pr = priors[key]
+            if pr.idx.shape[0] > 0:
+                sl = slice(off, off + d)
+                r_p = (x[pr.idx, sl] - pr.value) * pr.weight  # (K, d)
+                wm = pr.weight * free_mask[pr.idx, sl]  # masked diag J
+                rows = pr.idx[:, None] * 16 + off + jnp.arange(d)
+                H = H.at[rows, rows].add(wm * wm)
+                g = g.at[rows].add(wm * r_p)
+                cost = cost + jnp.sum(r_p * r_p)
+
+        if mprior is not None:
+            m_idx, m_S, m_c, m_lin = mprior
+            xs = x[m_idx]
+            q_lin = m_lin[3:7] / jnp.linalg.norm(m_lin[3:7])
+            nq = xs[3:7] / jnp.linalg.norm(xs[3:7])
+            e_q = lie.quat_multiply(lie.quat_conjugate(q_lin), nq)
+            sign = jnp.where(e_q[0] < 0, -1.0, 1.0)
+            e_q = sign * e_q
+            dtheta = 2.0 * e_q[1:]
+            dphi = jnp.concatenate(
+                [xs[:3] - m_lin[:3], dtheta, xs[7:] - m_lin[7:]]
+            )
+            r_m = m_S @ dphi + m_c  # (15,)
+            # d dphi / d xs: translation/vel/bias identity; rotation rows
+            # 2 sign (L(conj(q_lin)) Dn)[1:4] over the ambient quaternion
+            from ..ops.relative_pose import (
+                _normalize_jacobian,
+                _quat_left_matrix,
+            )
+
+            Dn = _normalize_jacobian(xs[3:7])
+            Dth = 2.0 * sign * (_quat_left_matrix(lie.quat_conjugate(q_lin)) @ Dn)[1:4]
+            Ddphi = jnp.zeros((15, 16), dtype)
+            Ddphi = Ddphi.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype))
+            Ddphi = Ddphi.at[3:6, 3:7].set(Dth)
+            Ddphi = Ddphi.at[6:15, 7:16].set(jnp.eye(9, dtype=dtype))
+            J_m = (m_S @ Ddphi) * free_mask[m_idx][None, :]  # (15, 16)
+            rows = m_idx * 16 + arange16
+            with jax.default_matmul_precision("highest"):
+                H = H.at[rows[:, None], rows[None, :]].add(J_m.T @ J_m)
+                g = g.at[rows].add(J_m.T @ r_m)
+            cost = cost + jnp.sum(r_m * r_m)
+
+        H = H + jnp.diag(1.0 - col_mask) + 1e-10 * jnp.eye(n, dtype=dtype)
+        return H, g, cost
+
+    def retract(xflat, delta):
+        return xflat + delta * col_mask
+
+    x, summary = lm.solve(quad, retract, x0.reshape(-1), options)
+    return x.reshape(N, 16), summary
+
+
+@functools.partial(jax.jit, static_argnums=(9, 10))
+def _inertial_solve_ad(
+    x0,  # (N, 16)
+    factors: PreintegratedImuFactor,
+    walk_pairs,  # (B, 2) int32
+    walk_w,  # (B, 6)
+    edges: Optional[PoseGraphEdges],
+    priors,
+    free_mask,  # (N, 16) per-component
+    gravity,  # (3,)
+    mprior,
+    num_states: int,
+    options: Options,
+):
+    """Full-stack jacfwd formulation (the round-2 production path, now
+    the TEST ORACLE for :func:`_inertial_solve` — one jacfwd over the
+    flattened (N, 16) state, 16N JVP columns)."""
     N = num_states
     dtype = x0.dtype
     col_mask = free_mask.reshape(-1)
