@@ -521,6 +521,67 @@ def bench_backend_ablation(runs):
         )
         log(f"  1M lanes {name}: {ms:.2f} ms/solve ({gbs:.0f} GB/s streamed)")
 
+    # ROOFLINE rows: pure kernel-evaluation rate by the in-program
+    # differenced recipe (CLAUDE.md): K evaluations inside ONE dispatch
+    # via lax.fori_loop with the loop index folded into the pose, median
+    # of 7 with a fresh scalar per rep, and (t160 - t40)/120 to cancel
+    # the dispatch floor and the loop fixed cost. The queued whole-solve
+    # rows above additionally pay the 6x6 Cholesky + relayout per
+    # iteration and dispatch overheads — BOTH methodologies are
+    # legitimate; this row is the kernel's actual streaming rate (the
+    # number the ops/pallas_kernels.py docstring quotes: 609 GB/s = 74%
+    # HBM peak at f32 blk=16384).
+    @functools.partial(jax.jit, static_argnames=("iters", "lane_block", "use_jnp"))
+    def eval_loop(t0, payload, iters, lane_block, use_jnp=False):
+        eye = jnp.eye(3, dtype=jnp.float32)
+
+        def body(k, acc):
+            t = t0.at[0].add(1e-9 * jnp.asarray(k, jnp.float32))
+            if use_jnp:
+                _, _, c = maha_ops.eval_quadratic(eye, t, payload, loss)
+            else:
+                _, _, c = pk.maha6_eval_quadratic_packed(
+                    eye, t, payload, loss, lane_block
+                )
+            return acc + c
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    def timed_iters(payload, iters, blk, use_jnp=False):
+        jax.block_until_ready(eval_loop(t0j, payload, iters, blk, use_jnp))
+        ts = []
+        for r in range(7):
+            t0r = jax.block_until_ready(t0j.at[0].add(1e-6 * (r + 1)))
+            tt = time.perf_counter()
+            jax.block_until_ready(eval_loop(t0r, payload, iters, blk, use_jnp))
+            ts.append(time.perf_counter() - tt)
+        return float(np.median(ts))
+
+    for name, blk, bdt, use_jnp in (
+        ("roofline: pallas f32 blk=16384", 16384, jnp.float32, False),
+        ("roofline: pallas bf16 blk=16384", 16384, jnp.bfloat16, False),
+        ("roofline: jnp f32", None, None, True),
+    ):
+        payload = (
+            big if use_jnp
+            else jax.block_until_ready(pk.pack_maha6(big, blk, bdt))
+        )
+        dt = timed_iters(payload, 160, blk, use_jnp) - timed_iters(
+            payload, 40, blk, use_jnp
+        )
+        per_eval = dt / 120.0
+        nbytes = (
+            sum(a.nbytes for a in jax.tree.leaves(payload))
+            if use_jnp else payload.nbytes
+        )
+        gbs = nbytes / per_eval / 1e9
+        rows.append(
+            (f"1M lanes: {name}", f"{per_eval * 1e6:.1f} us/eval",
+             f"{gbs:.0f} GB/s",
+             "in-program differenced (t160-t40)/120")
+        )
+        log(f"  1M lanes {name}: {per_eval * 1e6:.1f} us/eval ({gbs:.0f} GB/s)")
+
     return table(
         "kernel ablation: 40-iter LM solve, queued x10 (reference zoo best: "
         "194.5 ms raw AVX2 @ 75k corr)",
