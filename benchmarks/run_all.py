@@ -725,11 +725,40 @@ def _row_serving_vmap(B, runs):
             f"batch wall={ms:.1f} ms t_err={err:.2e}")
 
 
+def _row_serving_lockstep(B, runs):
+    """Lockstep-outer batched machine (round 3): per-scan device work
+    matches the serial program (rematch is a real batch-level cond, fired
+    once per synchronized outer iteration), so the per-dispatch quantum
+    amortizes to quantum/B and ms/scan FALLS with B."""
+    ndt_map, local, true_pose = build_world()
+    registrar = fused_registration.NdtRegistrar(
+        ndt_map, Options(), ExponentialLoss(c1=1.0, c2=1.0)
+    )
+
+    def run_batch(i):
+        inits = [_perturbed_identity(B * i + k) for k in range(B)]
+        return registrar.register_batch([local] * B, inits, mode="lockstep")
+
+    ms, batch = timed_vary(run_batch, max(2, runs // 2))
+    per = ms / B
+    err = max(
+        np.linalg.norm(r.pose.translation - true_pose.translation)
+        for r in batch
+    )
+    return (f"lockstep batched B={B}", f"{per:.2f} ms/ea",
+            f"{batch[0].final_cost:.1f}",
+            f"batch wall={ms:.1f} ms t_err={err:.2e}")
+
+
 SERVING_ROWS = {
     "serial": _row_serving_serial,
     "pipelined": _row_serving_pipelined,
     "vmap4": lambda runs: _row_serving_vmap(4, runs),
     "vmap16": lambda runs: _row_serving_vmap(16, runs),
+    "lockstep4": lambda runs: _row_serving_lockstep(4, runs),
+    "lockstep8": lambda runs: _row_serving_lockstep(8, runs),
+    "lockstep16": lambda runs: _row_serving_lockstep(16, runs),
+    "lockstep64": lambda runs: _row_serving_lockstep(64, runs),
 }
 
 

@@ -206,9 +206,15 @@ def small_world():
     return ndt_map, local, true_pose
 
 
-def test_batched_registration_matches_single(small_world, rng):
+@pytest.mark.parametrize("mode", ["lockstep", "vmap"])
+def test_batched_registration_matches_single(small_world, rng, mode):
     """B full scan-to-map registrations (ragged scan sizes, distinct
-    initial poses) in ONE program match per-scan single registrations."""
+    initial poses) in ONE program match per-scan single registrations —
+    for BOTH batch machines: the lockstep-outer production path and the
+    vmapped whole-ICP oracle. Ragged sizes force the lanes out of sync
+    (different inner/outer schedules), which is exactly the case where
+    the lockstep freeze/sync logic must not perturb per-lane
+    trajectories."""
     from nonlinear_optimizer_for_slam_tpu.pipelines import fused_registration
 
     ndt_map, local, _ = small_world
@@ -225,7 +231,7 @@ def test_batched_registration_matches_single(small_world, rng):
         nls.Pose.identity(),
         _random_pose(rng, angle=0.02, tscale=0.05),
     ]
-    batch = registrar.register_batch(scans, inits)
+    batch = registrar.register_batch(scans, inits, mode=mode)
     assert len(batch) == 3
     for scan, init, res in zip(scans, inits, batch):
         ref = registrar.register(scan, init)
