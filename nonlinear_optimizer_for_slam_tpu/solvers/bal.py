@@ -1,0 +1,256 @@
+"""Bundle Adjustment in the Large (BAL) solver: the Snavely 9-parameter
+camera model over the Schur-complement camera/landmark solve.
+
+This is the repo's EXTERNAL-ANCHOR path. The reference anchors every
+solver to Ceres (pose_graph_optimizer_ceres.cc:15-69 pattern); Ceres'
+own published anchor for bundle adjustment is the BAL dataset family
+(simple_bundle_adjuster.cc over problem-*-pre.txt). `solve_bal` accepts
+exactly those files via `io.bal.read_bal`, and the offline anchor tests
+(tests/test_external_anchor.py) solve BAL-format problems with BOTH this
+solver and scipy.optimize.least_squares (an independent trust-region
+implementation with finite-difference Jacobians — separate optimizer,
+separate derivative machinery) and assert the final costs agree; torch
+autograd cross-checks the Jacobians themselves.
+
+Model (BAL convention, see io/bal.py):
+  P = R(rod) X + t,   p = -P_xy / P_z,   r^2 = |p|^2
+  predicted = f (1 + k1 r^2 + k2 r^4) p,   residual = predicted - observed
+  cost = 0.5 sum |residual|^2   (Ceres / scipy.least_squares convention —
+  NOTE: the rest of this repo reports sum |r|^2 without the 1/2, the
+  reference's convention; the 0.5 here is deliberate so numbers compare
+  directly to Ceres logs and scipy `result.cost`.)
+
+Parameterization matches Ceres' simple_bundle_adjuster exactly: plain
+additive updates on all 9 camera parameters (the Rodrigues vector is an
+ambient parameterization, no local manifold) and on the 3D points. The
+LM policy is the repo-wide reference policy (damping diag *= (1+lambda),
+lambda in [1e-6, 1e-2] x2.0/x0.6, convergence checked after the update —
+mahalanobis_distance_minimizer_analytic.cc:84-152), via the same loop
+shape as `_ba_lm_loop`.
+
+TPU mapping: residuals + Jacobians batch over the observation axis
+(vmap(jacfwd) of the 12-input/2-output observation function — exact,
+fused by XLA); U (9x9) / V (3x3) blocks accumulate by segment-sum; V
+inverts with the closed-form adjugate; the reduced camera system
+(9C x 9C) assembles as one einsum over the dense (C, P, 9, 3) cross-block
+scatter and solves with Cholesky. The dense cross-block tensor bounds
+this path to mid-size problems (C * P * 27 floats — 49 cams x 7776 pts
+= 40 MB, fine); the chunked-Schur layout in bundle_adjustment.py is the
+scaling recipe if a larger BAL instance is ever needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.options import Options
+from ..io.bal import BALProblem
+from .bundle_adjustment import _inv3x3
+from .lm import IterationRecord, Summary
+
+Array = jax.Array
+
+
+def _rodrigues_rotate(rod: Array, x: Array) -> Array:
+    """R(rod) @ x, AD-safe at rod = 0 (Taylor-guarded sin/cos factors)."""
+    theta2 = rod @ rod
+    small = theta2 < 1e-14
+    safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(safe)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe)
+    c1 = jnp.cross(rod, x)
+    c2 = jnp.cross(rod, c1)
+    return x + a * c1 + b * c2
+
+
+def snavely_residual(cam: Array, point: Array, observed: Array) -> Array:
+    """(2,) reprojection residual for one observation (jax twin of
+    io.bal.snavely_project; parity asserted in tests)."""
+    P = _rodrigues_rotate(cam[0:3], point) + cam[3:6]
+    p = -P[:2] / P[2]
+    r2 = p @ p
+    distortion = 1.0 + cam[7] * r2 + cam[8] * r2 * r2
+    return cam[6] * distortion * p - observed
+
+
+_res_and_jac = jax.vmap(
+    lambda c, x, o: (
+        snavely_residual(c, x, o),
+        *jax.jacfwd(snavely_residual, argnums=(0, 1))(c, x, o),
+    )
+)
+
+
+@functools.partial(jax.jit, static_argnames=("num_cameras", "num_points"))
+def _bal_cost(cams, points, cam_idx, pt_idx, obs, num_cameras, num_points):
+    r = jax.vmap(snavely_residual)(cams[cam_idx], points[pt_idx], obs)
+    return 0.5 * jnp.sum(r * r)
+
+
+def bal_cost(problem: BALProblem, dtype=jnp.float64) -> float:
+    """0.5 * sum of squared reprojection residuals (Ceres convention)."""
+    return float(
+        _bal_cost(
+            jnp.asarray(problem.camera_params, dtype),
+            jnp.asarray(problem.points, dtype),
+            jnp.asarray(problem.camera_indices),
+            jnp.asarray(problem.point_indices),
+            jnp.asarray(problem.observations, dtype),
+            problem.num_cameras,
+            problem.num_points,
+        )
+    )
+
+
+def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype):
+    C = cams0.shape[0]
+    P = points0.shape[0]
+    oh = options.optimization_handle
+    ch = options.convergence_handle
+    max_it = options.max_iterations
+    eye9 = jnp.eye(9, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    def schur_step(cams, points, lam):
+        r, Jc, Jl = _res_and_jac(cams[cam_idx], points[pt_idx], obs)
+        cost = 0.5 * jnp.sum(r * r)
+
+        # block accumulation by segment-sum over the observation axis
+        JcT_Jc = jnp.einsum("odi,odj->oij", Jc, Jc)  # (O, 9, 9)
+        JlT_Jl = jnp.einsum("odi,odj->oij", Jl, Jl)  # (O, 3, 3)
+        W = jnp.einsum("odi,odj->oij", Jc, Jl)  # (O, 9, 3)
+        JcT_r = jnp.einsum("odi,od->oi", Jc, r)  # (O, 9)
+        JlT_r = jnp.einsum("odi,od->oi", Jl, r)  # (O, 3)
+
+        U = jax.ops.segment_sum(JcT_Jc, cam_idx, C)  # (C, 9, 9)
+        V = jax.ops.segment_sum(JlT_Jl, pt_idx, P)  # (P, 3, 3)
+        g_c = -jax.ops.segment_sum(JcT_r, cam_idx, C)  # (C, 9)
+        g_l = -jax.ops.segment_sum(JlT_r, pt_idx, P)  # (P, 3)
+
+        # reference damping: diag *= (1 + lambda), plus a tiny absolute
+        # floor so never-observed blocks stay invertible (documented
+        # deviation: the reference's ldlt on singular H is UB)
+        dampU = U + lam * U * jnp.broadcast_to(eye9, U.shape) + 1e-10 * eye9
+        dampV = V + lam * V * jnp.broadcast_to(eye3, V.shape) + 1e-10 * eye3
+        Vinv = _inv3x3(dampV)
+
+        # dense cross-block scatter (C, P, 9, 3) — see module docstring
+        G = jnp.zeros((C, P, 9, 3), dtype).at[cam_idx, pt_idx].add(W)
+        GV = jnp.einsum("cpab,pbd->cpad", G, Vinv)  # (C, P, 9, 3)
+        S = -jnp.einsum("cpad,epfd->caef", GV, G)  # -(G Vinv G^T)
+        S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(dampU)
+        rhs = g_c - jnp.einsum("cpad,pd->ca", GV, g_l)  # (C, 9)
+
+        Sm = S.reshape(9 * C, 9 * C)
+        # damped S is symmetric positive definite (gauge freedom is
+        # lifted by the multiplicative damping); Cholesky solve
+        L = jnp.linalg.cholesky(Sm)
+        dc = jax.scipy.linalg.cho_solve((L, True), rhs.reshape(-1))
+        dc = dc.reshape(C, 9)
+
+        back = jnp.einsum("cpab,ca->pb", G, dc)  # G^T dc per point
+        dl = jnp.einsum("pab,pb->pa", Vinv, g_l - back)  # (P, 3)
+        return dc, dl, cost, g_c, g_l
+
+    def records_init():
+        nan = jnp.full((max_it,), jnp.nan, dtype)
+        return IterationRecord(nan, nan, nan, nan)
+
+    def body(state):
+        cams, points, lam, prev_cost, last_cost, it, done, rec = state
+        dc, dl, cost, g_c, g_l = schur_step(cams, points, lam)
+        finite = jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dl))
+        dc = jnp.where(finite, dc, jnp.zeros_like(dc))
+        dl = jnp.where(finite, dl, jnp.zeros_like(dl))
+        new_cams = cams + dc  # ambient additive (Ceres simple_bundle_adjuster)
+        new_points = points + dl
+
+        step_norm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dl * dl))
+        grad_norm = jnp.sqrt(jnp.sum(g_c * g_c) + jnp.sum(g_l * g_l))
+        converged = (step_norm < ch.parameter_tolerance) | (
+            grad_norm < ch.gradient_tolerance
+        )
+        increase = cost > prev_cost
+        adapted = jnp.where(
+            increase,
+            lam * oh.lambda_increase_factor,
+            lam * oh.lambda_decrease_factor,
+        )
+        adapted = jnp.clip(adapted, oh.min_lambda, oh.max_lambda)
+        new_lam = jnp.where(converged, lam, adapted)
+        new_prev = jnp.where(converged, prev_cost, cost)
+        rec = IterationRecord(
+            rec.cost.at[it].set(cost),
+            rec.lam.at[it].set(lam),
+            rec.gradient_norm.at[it].set(grad_norm),
+            rec.step_norm.at[it].set(step_norm),
+        )
+        return (new_cams, new_points, new_lam, new_prev, cost, it + 1,
+                converged, rec)
+
+    def cond(state):
+        return (state[5] < max_it) & (~state[6])
+
+    init = (
+        cams0,
+        points0,
+        jnp.asarray(oh.initial_lambda, dtype),
+        jnp.asarray(jnp.finfo(dtype).max, dtype),
+        jnp.asarray(jnp.finfo(dtype).max, dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        records_init(),
+    )
+    cams, points, lam, prev_cost, last_cost, it, done, rec = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    iterations = jnp.where(done, it - 1, it)
+    summary = Summary(
+        final_cost=last_cost,
+        reported_cost=prev_cost,
+        iterations=iterations,
+        final_lambda=lam,
+        converged=done,
+        records=rec,
+    )
+    return cams, points, summary
+
+
+_bal_solve_jit = jax.jit(_bal_solve_impl, static_argnames=("options", "dtype"))
+
+
+def solve_bal(
+    problem: BALProblem,
+    options: Optional[Options] = None,
+    dtype=jnp.float64,
+) -> Tuple[BALProblem, Summary]:
+    """Solve a BAL problem; returns (solved problem, Summary).
+
+    ``dtype`` defaults to float64 (requires x64 — the anchor comparisons
+    run against float64 scipy); pass jnp.float32 on TPU hardware.
+    """
+    if options is None:
+        options = Options().replace(max_iterations=50)
+    cams, points, summary = _bal_solve_jit(
+        jnp.asarray(problem.camera_params, dtype),
+        jnp.asarray(problem.points, dtype),
+        jnp.asarray(problem.camera_indices),
+        jnp.asarray(problem.point_indices),
+        jnp.asarray(problem.observations, dtype),
+        options,
+        dtype,
+    )
+    solved = BALProblem(
+        np.asarray(cams, np.float64),
+        np.asarray(points, np.float64),
+        problem.camera_indices,
+        problem.point_indices,
+        problem.observations,
+    )
+    return solved, jax.device_get(summary)

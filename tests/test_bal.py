@@ -1,0 +1,96 @@
+"""BAL format IO + Snavely-model solver tests.
+
+External-anchor cross-checks against scipy/torch live in
+tests/test_external_anchor.py; these cover the reader/writer and the
+solver in isolation.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nonlinear_optimizer_for_slam_tpu.core.options import Options
+from nonlinear_optimizer_for_slam_tpu.io import bal as bal_io
+from nonlinear_optimizer_for_slam_tpu.solvers import bal as bal_solver
+
+
+@pytest.fixture(scope="module")
+def problem_pair():
+    return bal_io.synthetic_bal_problem(
+        num_cameras=8, num_points=150, observations_per_point=4, seed=3
+    )
+
+
+def test_bal_roundtrip(tmp_path, problem_pair):
+    noisy, _ = problem_pair
+    path = str(tmp_path / "prob.txt")
+    bal_io.write_bal(path, noisy)
+    back = bal_io.read_bal(path)
+    assert back.num_cameras == noisy.num_cameras
+    assert back.num_points == noisy.num_points
+    assert back.num_observations == noisy.num_observations
+    np.testing.assert_array_equal(back.camera_indices, noisy.camera_indices)
+    np.testing.assert_array_equal(back.point_indices, noisy.point_indices)
+    np.testing.assert_allclose(back.camera_params, noisy.camera_params, rtol=1e-15)
+    np.testing.assert_allclose(back.points, noisy.points, rtol=1e-15)
+    np.testing.assert_allclose(back.observations, noisy.observations, rtol=1e-15)
+
+
+def test_bal_reader_rejects_malformed(tmp_path):
+    path = str(tmp_path / "bad.txt")
+    with open(path, "w") as f:
+        f.write("1 1 1\n0 0 1.0 2.0\n1.0 2.0\n")  # far too few params
+    with pytest.raises(ValueError):
+        bal_io.read_bal(path)
+
+
+def test_snavely_jax_matches_numpy(problem_pair):
+    """The jax residual (solver) and the numpy projector (generator) are
+    independent implementations of the same model — they must agree."""
+    noisy, _ = problem_pair
+    cams = noisy.camera_params[noisy.camera_indices]  # (O, 9)
+    pts = noisy.points[noisy.point_indices]  # (O, 3)
+    want = bal_io.snavely_project(cams, pts)
+    import jax
+
+    got = jax.vmap(bal_solver.snavely_residual)(
+        jnp.asarray(cams), jnp.asarray(pts), jnp.zeros((cams.shape[0], 2))
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12, atol=1e-12)
+
+
+def test_snavely_rodrigues_small_angle():
+    """AD-safe small-angle branch: rotation by ~0 is identity and the
+    jacobian is finite there."""
+    import jax
+
+    x = jnp.asarray([0.3, -0.2, 1.4])
+    r0 = bal_solver._rodrigues_rotate(jnp.zeros(3), x)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(x), rtol=1e-15)
+    J = jax.jacfwd(bal_solver._rodrigues_rotate)(jnp.zeros(3), x)
+    assert np.all(np.isfinite(np.asarray(J)))
+    # d(R(w) x)/dw at w = 0 is -skew(x)
+    skew = np.array([[0, -1.4, -0.2], [1.4, 0, -0.3], [0.2, 0.3, 0]])
+    np.testing.assert_allclose(np.asarray(J), -skew, atol=1e-6)
+
+
+def test_solve_bal_converges(problem_pair):
+    """Cost drops from the perturbed init to (near) the pixel-noise
+    floor; the ground-truth cost bounds the achievable minimum from
+    above (the solver can only do better than the generating params)."""
+    noisy, truth = problem_pair
+    c_init = bal_solver.bal_cost(noisy)
+    c_truth = bal_solver.bal_cost(truth)
+    solved, summary = bal_solver.solve_bal(
+        noisy, Options().replace(max_iterations=50)
+    )
+    c_final = bal_solver.bal_cost(solved)
+    assert c_final < 0.05 * c_init
+    assert c_final <= c_truth * (1.0 + 1e-6)
+    assert int(summary.iterations) <= 50
+    # per-iteration records exist and the recorded trace reaches c_final
+    rec = np.asarray(summary.records.cost)
+    rec = rec[np.isfinite(rec)]
+    assert rec.size >= 2
+    assert rec.min() <= c_init
