@@ -192,6 +192,21 @@ def main():
     log(f"pipelined throughput: {thr:.2f} ms/registration "
         f"({1000.0 / thr:.0f} scans/s; vs_baseline {BASELINE_MS / thr:.1f}x)")
 
+    # serving mode: B scans in ONE lockstep-outer program (per-lane
+    # trajectories identical to serial — tests/test_batched.py); the
+    # dispatch quantum amortizes to quantum/B
+    Bsv = 16
+    registrar.register_batch(  # warm-up compile
+        [local] * Bsv, [perturbed_pose(200 + i) for i in range(Bsv)]
+    )
+    t0 = time.perf_counter()
+    registrar.register_batch(
+        [local] * Bsv, [perturbed_pose(300 + i) for i in range(Bsv)]
+    )
+    lockstep = (time.perf_counter() - t0) / Bsv * 1000.0
+    log(f"lockstep batched serving: {lockstep:.2f} ms/scan at B={Bsv} "
+        f"(vs_baseline {BASELINE_MS / lockstep:.1f}x)")
+
     # One JSON line. The primary value is the serial wall-clock median —
     # bounded below by this runtime's ~30 ms relay dispatch quantum
     # (CLAUDE.md), which is why the pipelined number (scans in flight,
@@ -206,6 +221,8 @@ def main():
                 "vs_baseline": round(BASELINE_MS / median, 3),
                 "pipelined_ms": round(thr, 3),
                 "pipelined_vs_baseline": round(BASELINE_MS / thr, 3),
+                "lockstep_b16_ms_per_scan": round(lockstep, 3),
+                "lockstep_vs_baseline": round(BASELINE_MS / lockstep, 3),
             }
         )
     )
