@@ -1253,9 +1253,72 @@ def bench_bundle_adjustment(runs):
          f"C={C2} M={M2} obs={len(ci2)} iters={int(summary3.iterations)}")
     )
     log(f"  schur BA large rig (flat): {ms3:.1f} ms")
+
+    # BAL (Bundle Adjustment in the Large) Snavely model at the Ceres
+    # tutorial problem's shape (49 cams x 7776 pts x ~31k obs); the f64
+    # CPU anchor for the same construction is results/external_anchor.md.
+    # f32 on the chip: cost plateaus slightly above the f64 minimum
+    # (pixel residuals at focal ~800 meet f32 eps), reported for honesty.
+    from nonlinear_optimizer_for_slam_tpu.io import bal as bal_io
+    from nonlinear_optimizer_for_slam_tpu.solvers import bal as bal_solver
+
+    bal_noisy, _ = bal_io.synthetic_bal_problem(
+        num_cameras=49, num_points=7776, observations_per_point=4, seed=49
+    )
+    bal_opts = Options().replace(max_iterations=30)
+    bal_rep = [0]
+
+    def _bal_solve():
+        # vary one parameter per rep (relay identical-dispatch cache)
+        bal_rep[0] += 1
+        prob = bal_noisy._replace(
+            camera_params=bal_noisy.camera_params
+            + 1e-9 * bal_rep[0] * np.eye(1, 9, 3)
+        )
+        return bal_solver.solve_bal(prob, bal_opts, dtype=jnp.float32)
+
+    ms4, (bal_solved, bal_sum) = timed(_bal_solve, max(2, runs // 3))
+    c0 = bal_solver.bal_cost(bal_noisy, dtype=jnp.float32)
+    c1 = bal_solver.bal_cost(bal_solved, dtype=jnp.float32)
+    rows.append(
+        ("BAL Snavely 49x7776 (f32)", f"{ms4:.1f} ms", f"{c1:.1f}",
+         f"obs={bal_noisy.num_observations} init={c0:.0f} "
+         f"iters={int(bal_sum.iterations)} (f64 anchor: 18970.0)")
+    )
+    log(f"  BAL 49x7776 f32: {ms4:.1f} ms, cost {c0:.0f} -> {c1:.1f}")
+
+    # larger BAL instance through the landmark-chunked cross term (the
+    # dense (C, P, 9, 3) tensor would be 128 * 20000 * 27 * 4 B = 276 MB
+    # x2 live; chunked caps peak at O(chunk * C * 27))
+    bal_big, _ = bal_io.synthetic_bal_problem(
+        num_cameras=128, num_points=20000, observations_per_point=4,
+        seed=128,
+    )
+    log(f"  BAL large: 128 cams, 20000 pts, "
+        f"{bal_big.num_observations} obs (chunked Schur)")
+
+    def _bal_solve_big():
+        bal_rep[0] += 1
+        prob = bal_big._replace(
+            camera_params=bal_big.camera_params
+            + 1e-9 * bal_rep[0] * np.eye(1, 9, 3)
+        )
+        return bal_solver.solve_bal(
+            prob, bal_opts, dtype=jnp.float32, landmark_chunk=4096
+        )
+
+    ms5, (big_solved, big_sum) = timed(_bal_solve_big, max(2, runs // 5))
+    c0b = bal_solver.bal_cost(bal_big, dtype=jnp.float32)
+    c1b = bal_solver.bal_cost(big_solved, dtype=jnp.float32)
+    rows.append(
+        ("BAL Snavely 128x20000 chunked", f"{ms5:.1f} ms", f"{c1b:.1f}",
+         f"obs={bal_big.num_observations} init={c0b:.0f} "
+         f"iters={int(big_sum.iterations)}")
+    )
+    log(f"  BAL 128x20000 f32 chunked: {ms5:.1f} ms, cost {c0b:.0f} -> {c1b:.1f}")
     return table(
         "bundle adjustment: Schur complement, toy (8 cam x 300 lm) and "
-        "realistic (100 cam x 10k lm x ~100k obs) rigs "
+        "realistic (100 cam x 10k lm x ~100k obs) rigs, plus BAL Snavely "
         "(new capability; reference has none)",
         rows,
         ("variant", "solve", "final cost", "result"),

@@ -31,12 +31,15 @@ shape as `_ba_lm_loop`.
 TPU mapping: residuals + Jacobians batch over the observation axis
 (vmap(jacfwd) of the 12-input/2-output observation function — exact,
 fused by XLA); U (9x9) / V (3x3) blocks accumulate by segment-sum; V
-inverts with the closed-form adjugate; the reduced camera system
-(9C x 9C) assembles as one einsum over the dense (C, P, 9, 3) cross-block
-scatter and solves with Cholesky. The dense cross-block tensor bounds
-this path to mid-size problems (C * P * 27 floats — 49 cams x 7776 pts
-= 40 MB, fine); the chunked-Schur layout in bundle_adjustment.py is the
-scaling recipe if a larger BAL instance is ever needed.
+inverts with the closed-form adjugate; the Schur rhs and the landmark
+back-substitution are pure observation-level segment-sums (no dense
+cross tensor); the reduced camera system (9C x 9C) cross term assembles
+either as one einsum over the dense (C, P, 9, 3) scatter (default —
+49 cams x 7776 pts = 40 MB f64, fine) or, for larger instances, in
+landmark CHUNKS (``landmark_chunk=``, the bundle_adjustment.py recipe:
+peak memory O(chunk * C * 27) independent of P) and solves with
+Cholesky. All contractions run at Precision.HIGHEST — the TPU default
+f32 dot lowers to single-pass bf16 and stalls LM (ops/quadratic.py).
 """
 
 from __future__ import annotations
@@ -50,6 +53,7 @@ import numpy as np
 
 from ..core.options import Options
 from ..io.bal import BALProblem
+from ..ops.quadratic import highest_precision
 from .bundle_adjustment import _inv3x3
 from .lm import IterationRecord, Summary
 
@@ -108,7 +112,8 @@ def bal_cost(problem: BALProblem, dtype=jnp.float64) -> float:
     )
 
 
-def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype):
+def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype,
+                    landmark_chunk=None):
     C = cams0.shape[0]
     P = points0.shape[0]
     oh = options.optimization_handle
@@ -117,6 +122,7 @@ def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype):
     eye9 = jnp.eye(9, dtype=dtype)
     eye3 = jnp.eye(3, dtype=dtype)
 
+    @highest_precision
     def schur_step(cams, points, lam):
         r, Jc, Jl = _res_and_jac(cams[cam_idx], points[pt_idx], obs)
         cost = 0.5 * jnp.sum(r * r)
@@ -140,12 +146,51 @@ def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype):
         dampV = V + lam * V * jnp.broadcast_to(eye3, V.shape) + 1e-10 * eye3
         Vinv = _inv3x3(dampV)
 
-        # dense cross-block scatter (C, P, 9, 3) — see module docstring
-        G = jnp.zeros((C, P, 9, 3), dtype).at[cam_idx, pt_idx].add(W)
-        GV = jnp.einsum("cpab,pbd->cpad", G, Vinv)  # (C, P, 9, 3)
-        S = -jnp.einsum("cpad,epfd->caef", GV, G)  # -(G Vinv G^T)
+        # Schur rhs needs no cross tensor: sum_p G_cp Vinv_p g_l[p]
+        # = sum_o W_o Vinv[pt(o)] g_l[pt(o)] scattered to cam(o)
+        WVg = jnp.einsum(
+            "oab,ob->oa", jnp.einsum("oab,obd->oad", W, Vinv[pt_idx]),
+            g_l[pt_idx],
+        )  # (O, 9)
+        rhs = g_c - jax.ops.segment_sum(WVg, cam_idx, C)  # (C, 9)
+
+        # cross term S -= G Vinv G^T: the only piece that pairs
+        # observations sharing a landmark
+        if landmark_chunk is None or landmark_chunk >= P:
+            # dense (C, P, 9, 3) scatter — see module docstring
+            G = jnp.zeros((C, P, 9, 3), dtype).at[cam_idx, pt_idx].add(W)
+            GV = jnp.einsum("cpab,pbd->cpad", G, Vinv)  # (C, P, 9, 3)
+            S = -jnp.einsum("cpad,epfd->caef", GV, G)  # -(G Vinv G^T)
+        else:
+            # landmark-chunked accumulation (bundle_adjustment.py:309-330
+            # recipe): peak memory O(chunk * C * 27), independent of P
+            n_chunks = -(-P // landmark_chunk)
+            pad_p = n_chunks * landmark_chunk - P
+            Vinv_p = jnp.pad(Vinv, ((0, pad_p), (0, 0), (0, 0)))
+
+            def chunk_body(S_acc, k):
+                base = k * landmark_chunk
+                rel = pt_idx - base
+                in_chunk = ((rel >= 0) & (rel < landmark_chunk)).astype(dtype)
+                relc = jnp.clip(rel, 0, landmark_chunk - 1)
+                G_k = (
+                    jnp.zeros((landmark_chunk, C, 9, 3), dtype)
+                    .at[relc, cam_idx]
+                    .add(W * in_chunk[:, None, None])
+                )  # (chunk, C, 9, 3)
+                Vinv_k = jax.lax.dynamic_slice_in_dim(
+                    Vinv_p, base, landmark_chunk
+                )
+                GV_k = jnp.einsum("pcab,pbd->pcad", G_k, Vinv_k)
+                S_acc = S_acc - jnp.einsum("pcad,pefd->caef", GV_k, G_k)
+                return S_acc, None
+
+            S, _ = jax.lax.scan(
+                chunk_body,
+                jnp.zeros((C, 9, C, 9), dtype),
+                jnp.arange(n_chunks),
+            )
         S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(dampU)
-        rhs = g_c - jnp.einsum("cpad,pd->ca", GV, g_l)  # (C, 9)
 
         Sm = S.reshape(9 * C, 9 * C)
         # damped S is symmetric positive definite (gauge freedom is
@@ -154,7 +199,11 @@ def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype):
         dc = jax.scipy.linalg.cho_solve((L, True), rhs.reshape(-1))
         dc = dc.reshape(C, 9)
 
-        back = jnp.einsum("cpab,ca->pb", G, dc)  # G^T dc per point
+        # back-substitution is observation-level too:
+        # (G^T dc)_p = sum_{o: pt(o)=p} W_o^T dc[cam(o)]
+        back = jax.ops.segment_sum(
+            jnp.einsum("oab,oa->ob", W, dc[cam_idx]), pt_idx, P
+        )  # (P, 3)
         dl = jnp.einsum("pab,pb->pa", Vinv, g_l - back)  # (P, 3)
         return dc, dl, cost, g_c, g_l
 
@@ -222,21 +271,42 @@ def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype):
     return cams, points, summary
 
 
-_bal_solve_jit = jax.jit(_bal_solve_impl, static_argnames=("options", "dtype"))
+_bal_solve_jit = jax.jit(
+    _bal_solve_impl, static_argnames=("options", "dtype", "landmark_chunk")
+)
+
+# the dense (C, P, 9, 3) cross tensor auto-switches to chunked
+# accumulation above this byte budget (f64 worst case)
+_DENSE_CROSS_BUDGET_BYTES = 512 * 1024 * 1024
 
 
 def solve_bal(
     problem: BALProblem,
     options: Optional[Options] = None,
     dtype=jnp.float64,
+    landmark_chunk: Optional[int] = None,
 ) -> Tuple[BALProblem, Summary]:
     """Solve a BAL problem; returns (solved problem, Summary).
 
     ``dtype`` defaults to float64 (requires x64 — the anchor comparisons
     run against float64 scipy); pass jnp.float32 on TPU hardware.
+
+    ``landmark_chunk``: accumulate the Schur cross term in landmark
+    chunks of this size (memory O(chunk * C * 27) instead of the dense
+    O(P * C * 27) tensor). Default: dense when the cross tensor fits
+    ~512 MB, else an auto-selected chunk — identical math either way
+    (asserted in tests/test_bal.py).
     """
     if options is None:
         options = Options().replace(max_iterations=50)
+    C, P = problem.num_cameras, problem.num_points
+    if landmark_chunk is None:
+        itemsize = jnp.dtype(dtype).itemsize
+        dense_bytes = C * P * 27 * itemsize * 2  # G and GV both live
+        if dense_bytes > _DENSE_CROSS_BUDGET_BYTES:
+            landmark_chunk = max(
+                128, _DENSE_CROSS_BUDGET_BYTES // (2 * C * 27 * itemsize)
+            )
     cams, points, summary = _bal_solve_jit(
         jnp.asarray(problem.camera_params, dtype),
         jnp.asarray(problem.points, dtype),
@@ -245,6 +315,7 @@ def solve_bal(
         jnp.asarray(problem.observations, dtype),
         options,
         dtype,
+        landmark_chunk,
     )
     solved = BALProblem(
         np.asarray(cams, np.float64),

@@ -94,3 +94,42 @@ def test_solve_bal_converges(problem_pair):
     rec = rec[np.isfinite(rec)]
     assert rec.size >= 2
     assert rec.min() <= c_init
+
+
+def test_solve_bal_chunked_matches_dense(problem_pair):
+    """The landmark-chunked Schur cross-term accumulation (the memory-
+    bounded path for large BAL instances) is the identical math: same
+    trajectory, same final parameters as the dense (C, P, 9, 3) scatter."""
+    noisy, _ = problem_pair
+    opts = Options().replace(max_iterations=25)
+    dense, dsum = bal_solver.solve_bal(noisy, opts)
+    chunked, csum = bal_solver.solve_bal(noisy, opts, landmark_chunk=37)
+    assert int(dsum.iterations) == int(csum.iterations)
+    np.testing.assert_allclose(
+        chunked.camera_params, dense.camera_params, rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        chunked.points, dense.points, rtol=1e-9, atol=1e-11
+    )
+    # per-iteration cost traces identical to f64 roundoff
+    np.testing.assert_allclose(
+        np.asarray(csum.records.cost), np.asarray(dsum.records.cost),
+        rtol=1e-10, equal_nan=True,
+    )
+
+
+def test_solve_bal_auto_chunk_threshold():
+    """Auto chunk selection kicks in above the dense-cross budget and
+    still solves correctly (small problem, artificially tiny budget)."""
+    noisy, _ = bal_io.synthetic_bal_problem(
+        num_cameras=6, num_points=80, observations_per_point=3, seed=9
+    )
+    budget = bal_solver._DENSE_CROSS_BUDGET_BYTES
+    bal_solver._DENSE_CROSS_BUDGET_BYTES = 64 * 1024  # force chunking
+    try:
+        solved, _ = bal_solver.solve_bal(
+            noisy, Options().replace(max_iterations=30)
+        )
+    finally:
+        bal_solver._DENSE_CROSS_BUDGET_BYTES = budget
+    assert bal_solver.bal_cost(solved) < 0.05 * bal_solver.bal_cost(noisy)
