@@ -206,6 +206,56 @@ def _inertial_solve(
     return x.reshape(N, 16), summary
 
 
+def _residual_stack(xflat, factors, walk_pairs, walk_w, edges, priors,
+                    gravity, mprior, N):
+    """The full whitened residual stack at a flattened (N*16,) state —
+    the single objective definition every solve path (closed-form,
+    jacfwd oracle) and the external scipy anchor consume (the reference's
+    shared-cost-functor pattern, pose_graph_optimizer_ceres.cc:15-69)."""
+    dtype = xflat.dtype
+    x = xflat.reshape(N, 16)
+    p, q, v, b = x[:, :3], x[:, 3:7], x[:, 7:10], x[:, 10:16]
+    parts = [imu_residuals(p, q, v, b, factors, gravity).reshape(-1)]
+    if walk_pairs.shape[0] > 0:
+        dw = (b[walk_pairs[:, 1]] - b[walk_pairs[:, 0]]) * walk_w
+        parts.append(dw.reshape(-1))
+    if edges is not None:
+        E = edges.mask.shape[0]
+        r_e = edge_residuals(
+            p, q, jnp.ones((E,), dtype), edges, 0.0
+        )  # (E, 7); no switchable loops on odometry edges
+        parts.append(r_e.reshape(-1))
+    for key, sl in (("pos", slice(0, 3)), ("vel", slice(7, 10)),
+                    ("bias", slice(10, 16))):
+        pr = priors[key]
+        if pr.idx.shape[0] > 0:
+            parts.append(((x[pr.idx, sl] - pr.value) * pr.weight).reshape(-1))
+    if mprior is not None:
+        # affine tangent prior r = S dphi + c (same form and
+        # rationale as the pose fixed-lag smoother's, fixed_lag.py)
+        m_idx, m_S, m_c, m_lin = mprior
+        xs = x[m_idx]
+        q_lin = m_lin[3:7] / jnp.linalg.norm(m_lin[3:7])
+        n = xs[3:7] / jnp.linalg.norm(xs[3:7])
+        e_q = lie.quat_multiply(lie.quat_conjugate(q_lin), n)
+        # shortest-arc hemisphere (every other rotation residual in
+        # this file sign-normalizes; without it a large window step
+        # that flips the ambient sign measures the 2pi complement)
+        e_q = jnp.where(e_q[0] < 0, -e_q, e_q)
+        dtheta = 2.0 * e_q[1:]
+        dphi = jnp.concatenate(
+            [xs[:3] - m_lin[:3], dtheta, xs[7:] - m_lin[7:]]
+        )
+        parts.append(m_S @ dphi + m_c)
+    return jnp.concatenate(parts)
+
+
+# jitted evaluation for the host-facing residual_vector API (eager jnp
+# on host paths pays per-op dispatch — CLAUDE.md); shape-keyed, compiled
+# once per problem structure
+_residual_stack_jit = jax.jit(_residual_stack, static_argnums=(8,))
+
+
 @functools.partial(jax.jit, static_argnums=(9, 10))
 def _inertial_solve_ad(
     x0,  # (N, 16)
@@ -228,41 +278,10 @@ def _inertial_solve_ad(
     col_mask = free_mask.reshape(-1)
 
     def residual_stack(xflat):
-        x = xflat.reshape(N, 16)
-        p, q, v, b = x[:, :3], x[:, 3:7], x[:, 7:10], x[:, 10:16]
-        parts = [imu_residuals(p, q, v, b, factors, gravity).reshape(-1)]
-        if walk_pairs.shape[0] > 0:
-            dw = (b[walk_pairs[:, 1]] - b[walk_pairs[:, 0]]) * walk_w
-            parts.append(dw.reshape(-1))
-        if edges is not None:
-            E = edges.mask.shape[0]
-            r_e = edge_residuals(
-                p, q, jnp.ones((E,), dtype), edges, 0.0
-            )  # (E, 7); no switchable loops on odometry edges
-            parts.append(r_e.reshape(-1))
-        for key, sl in (("pos", slice(0, 3)), ("vel", slice(7, 10)),
-                        ("bias", slice(10, 16))):
-            pr = priors[key]
-            if pr.idx.shape[0] > 0:
-                parts.append(((x[pr.idx, sl] - pr.value) * pr.weight).reshape(-1))
-        if mprior is not None:
-            # affine tangent prior r = S dphi + c (same form and
-            # rationale as the pose fixed-lag smoother's, fixed_lag.py)
-            m_idx, m_S, m_c, m_lin = mprior
-            xs = x[m_idx]
-            q_lin = m_lin[3:7] / jnp.linalg.norm(m_lin[3:7])
-            n = xs[3:7] / jnp.linalg.norm(xs[3:7])
-            e_q = lie.quat_multiply(lie.quat_conjugate(q_lin), n)
-            # shortest-arc hemisphere (every other rotation residual in
-            # this file sign-normalizes; without it a large window step
-            # that flips the ambient sign measures the 2pi complement)
-            e_q = jnp.where(e_q[0] < 0, -e_q, e_q)
-            dtheta = 2.0 * e_q[1:]
-            dphi = jnp.concatenate(
-                [xs[:3] - m_lin[:3], dtheta, xs[7:] - m_lin[7:]]
-            )
-            parts.append(m_S @ dphi + m_c)
-        return jnp.concatenate(parts)
+        return _residual_stack(
+            xflat, factors, walk_pairs, walk_w, edges, priors, gravity,
+            mprior, N,
+        )
 
     def quad(xflat):
         r = residual_stack(xflat)
@@ -446,13 +465,9 @@ class InertialGraphOptimizer:
         return len(self._states)
 
     # -- solve ---------------------------------------------------------
-    def solve(self, options: Optional[Options] = None):
-        if options is None:
-            options = Options().replace(max_iterations=100)
-        if not self._imu and not self._edges:
-            raise ValueError(
-                "InertialGraphOptimizer.solve: no IMU factors or edges"
-            )
+    def _pack_problem(self):
+        """SoA-pack the registered factors (shared by solve / the
+        residual-vector evaluation API)."""
         ids = sorted(self._states)
         of = {si: k for k, si in enumerate(ids)}
         N = len(ids)
@@ -486,6 +501,44 @@ class InertialGraphOptimizer:
         for si, comps in self._constant.items():
             for c in comps:
                 free[of[si], self._COMPONENT_SLICES[c]] = 0.0
+        return ids, of, N, x0, factors, walk_pairs, walk_w, edges, priors, free
+
+    def residual_vector(self, states: Optional[np.ndarray] = None) -> np.ndarray:
+        """Whitened residual stack evaluated at ``states`` ((N, 16) in
+        sorted-id order; default: the optimizer's current states) — the
+        exact objective every solve path minimizes (chi^2 = |r|^2).
+        Consistency monitoring, chi^2 tests, and the external scipy
+        anchor (tests/test_external_anchor.py) all read this."""
+        ids, of, N, x0, factors, walk_pairs, walk_w, edges, priors, _ = (
+            self._pack_problem()
+        )
+        x = x0 if states is None else np.asarray(states, np.float64)
+        if x.shape != (N, 16):
+            raise ValueError(f"states must be ({N}, 16), got {x.shape}")
+        r = _residual_stack_jit(
+            jnp.asarray(x.reshape(-1), self.dtype), factors, walk_pairs,
+            walk_w, edges, priors, jnp.asarray(self.gravity, self.dtype),
+            None, N,
+        )
+        return np.asarray(jax.device_get(r), np.float64)
+
+    def chi2(self, states: Optional[np.ndarray] = None) -> float:
+        """Sum of squared whitened residuals at ``states`` (default: the
+        current estimate)."""
+        r = self.residual_vector(states)
+        return float(r @ r)
+
+    def solve(self, options: Optional[Options] = None):
+        if options is None:
+            options = Options().replace(max_iterations=100)
+        if not self._imu and not self._edges:
+            raise ValueError(
+                "InertialGraphOptimizer.solve: no IMU factors or edges"
+            )
+        ids, of, N, x0, factors, walk_pairs, walk_w, edges, priors, free = (
+            self._pack_problem()
+        )
+        dtype = self.dtype
 
         x, summary = _inertial_solve(
             jnp.asarray(x0, dtype), factors, walk_pairs, walk_w, edges,

@@ -176,3 +176,95 @@ def test_sphere_chi2_matches_scipy(sphere_fixture, tmp_path):
         chi2_scipy,
         chi2_init,
     )
+
+
+# ---------------------------------------------------------------------------
+# inertial (GPS-INS smoothing)
+# ---------------------------------------------------------------------------
+
+
+def test_inertial_chi2_matches_scipy():
+    """GPS-INS smoothing anchor: our InertialGraphOptimizer and scipy TRF
+    minimize the IDENTICAL whitened residual stack
+    (`InertialGraphOptimizer.residual_vector` — the reference's
+    shared-cost-functor pattern: Ceres consumes the same functor the
+    analytic path does, pose_graph_optimizer_ceres.cc:15-69) from the
+    same dead-reckoned init and must reach the same chi^2. The optimizer,
+    trust-region policy, linear algebra (LSMR vs our damped normal
+    equations), and derivatives (finite differences vs our closed-form
+    factor Jacobians) are all independent."""
+    from scipy.optimize import least_squares
+
+    from nonlinear_optimizer_for_slam_tpu.core import Options
+    from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
+    from nonlinear_optimizer_for_slam_tpu.ops.imu import GRAVITY
+    from nonlinear_optimizer_for_slam_tpu.solvers.inertial import (
+        InertialGraphOptimizer,
+    )
+    from test_imu import _gps_ins_problem
+
+    traj, kf_dt, n_kf, pres, gps = _gps_ins_problem()
+
+    opt = InertialGraphOptimizer()
+    R, p, v = traj.rot(0.0), traj.pos(0.0), traj.vel(0.0)
+    opt.add_state(0, Pose(R, p), velocity=v)
+    for k, pre in enumerate(pres):
+        dR, dv, dp = pre.corrected(np.zeros(3), np.zeros(3))
+        p = p + v * pre.dt + 0.5 * GRAVITY * pre.dt**2 + R @ dp
+        v = v + GRAVITY * pre.dt + R @ dv
+        R = R @ dR
+        opt.add_state(k + 1, Pose(R, p), velocity=v)
+        opt.add_imu_factor(k, k + 1, pre)
+        opt.add_bias_walk(k, k + 1, (1e4, 1e3))
+    opt.set_state_constant(0)  # pose gauge
+    for k in range(n_kf):
+        opt.add_position_prior(k, gps[k], 20.0)
+    opt.add_bias_prior(0, np.zeros(6), 10.0)
+
+    # the dead-reckoned init, captured before solve() overwrites it
+    x0 = np.stack([
+        np.concatenate([
+            opt.get_pose(k).translation, opt.get_pose(k).quaternion(),
+            opt.get_state(k)[1], opt.get_state(k)[2],
+        ])
+        for k in range(n_kf)
+    ])
+    chi2_init = opt.chi2(x0)
+
+    # ours
+    opt.solve(Options().replace(max_iterations=200))
+    chi2_ours = opt.chi2()
+
+    # scipy over the free components (state 0 pose fixed), quaternion
+    # norms pinned (exact gauge direction of the normalized residual)
+    N = n_kf
+    free = np.ones((N, 16), bool)
+    free[0, 0:7] = False
+    idx_free = np.flatnonzero(free.reshape(-1))
+
+    def unpack(z):
+        x = x0.reshape(-1).copy()
+        x[idx_free] = z
+        return x.reshape(N, 16)
+
+    def residuals(z):
+        x = unpack(z)
+        r = opt.residual_vector(x)
+        pin = np.sum(x[1:, 3:7] ** 2, axis=-1) - 1.0
+        return np.concatenate([r, pin])
+
+    z0 = x0.reshape(-1)[idx_free]
+    res = least_squares(
+        residuals, z0, method="trf", tr_solver="lsmr", x_scale="jac",
+        ftol=1e-12, xtol=1e-12, gtol=1e-12, max_nfev=120,
+    )
+    x_sp = unpack(res.x)
+    x_sp[:, 3:7] /= np.linalg.norm(x_sp[:, 3:7], axis=1, keepdims=True)
+    chi2_scipy = opt.chi2(x_sp)
+
+    # both collapse the dead-reckoned drift and agree on the minimum
+    assert chi2_ours < 0.2 * chi2_init, (chi2_ours, chi2_init)
+    assert chi2_scipy < 0.2 * chi2_init
+    assert chi2_ours == pytest.approx(chi2_scipy, rel=2e-2), (
+        chi2_ours, chi2_scipy, chi2_init,
+    )
