@@ -958,6 +958,51 @@ def bench_pose_graph(runs):
     log(f"  sphere2500 banded: {ms:.0f} ms, err -> {err:.2f} m")
     os.unlink(sphere_path)
 
+    # Manhattan-world M3500 (Olson 2006 construction, the classic 2-D
+    # corpus): 3,500 SE(2) poses on a bounded grid, ~1,500 loop
+    # closures, dead-reckoned drifted init. CG is the solver — the
+    # (3P)^2 dense H does not fit; chordal init (complex rotation
+    # averaging) first. Timed end to end (init + solve).
+    manhattan, mgt = testing.generate_manhattan_g2o()
+    with tempfile.NamedTemporaryFile(suffix=".g2o", delete=False) as tf:
+        man_path = tf.name
+    g2o_io.write_g2o(man_path, manhattan)
+    m_init_err = max(
+        np.linalg.norm(manhattan.vertices[k][:2] - mgt[k, :2])
+        for k in manhattan.vertices
+    )
+    mopt = g2o_io.load_pose_graph(
+        man_path, dtype=jnp.float64, solver="cg",
+        cg_iterations=150, cg_precond="chain",
+    )
+    man_init = {k: manhattan.vertices[k].copy() for k in manhattan.vertices}
+    man_opts = Options().replace(max_iterations=100)
+    m_rep = [0]
+
+    def _manhattan_solve():
+        m_rep[0] += 1
+        eps = 1e-9 * m_rep[0]
+        for k, v in man_init.items():
+            xyt = v.copy()
+            xyt[0] += eps
+            mopt.set_pose(k, xyt)
+        mopt.initialize(method="chordal")
+        return mopt.solve(man_opts)
+
+    ms, (summary, _) = timed(_manhattan_solve, max(1, runs // 5))
+    m_err = max(
+        np.linalg.norm(np.asarray(mopt.get_pose(k))[:2] - mgt[k, :2])
+        for k in range(len(mgt))
+    )
+    n_loops = sum(1 for e in manhattan.edges if e.j - e.i >= 20)
+    rows.append(
+        ("manhattan3500 (2D g2o, chordal+PCG)", f"{ms:.0f} ms",
+         f"{float(summary.final_cost):.3e}",
+         f"{n_loops} loops, err {m_init_err:.1f}m -> {m_err:.2f}m incl. init")
+    )
+    log(f"  manhattan3500: {ms:.0f} ms, err {m_init_err:.1f} -> {m_err:.2f} m")
+    os.unlink(man_path)
+
     # PCG on ITS domain: a graph too large for the dense normal matrix
     # (5,000 poses -> 35,000^2 dense H). NOTE: at f32 on the small
     # adversarial fixture, truncated-CG steps can land in the known
