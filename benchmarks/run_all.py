@@ -1370,6 +1370,353 @@ def bench_bundle_adjustment(runs):
     )
 
 
+def bench_slam_extras(runs):
+    """At-scale timings for the beyond-reference solver families that
+    previously had correctness tests but no perf rows: landmark SLAM
+    (3-D and the victoria-park-style 2-D), GPS-INS smoothing, fixed-lag
+    smoothing update rate, Sim(3) essential graph. All second-or-less
+    solves through the public APIs; reference has none of these."""
+    from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
+    from nonlinear_optimizer_for_slam_tpu.solvers.fixed_lag import (
+        FixedLagSmoother,
+    )
+    from nonlinear_optimizer_for_slam_tpu.solvers.inertial import (
+        InertialGraphOptimizer,
+    )
+    from nonlinear_optimizer_for_slam_tpu.ops.imu import (
+        GRAVITY,
+        ImuParams,
+        ImuPreintegrator,
+    )
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_landmark import (
+        PoseLandmark2DOptimizer,
+        PoseLandmarkOptimizer,
+    )
+    from nonlinear_optimizer_for_slam_tpu.solvers.sim3_graph import (
+        Sim3GraphOptimizer,
+    )
+
+    rows = []
+    rng = np.random.default_rng(12)
+
+    def _rotz(th):
+        c, s = np.cos(th), np.sin(th)
+        return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+    # --- landmark SLAM, 3-D: 200 poses on a circle, 2,000 landmarks,
+    # 25 observations per pose (Schur-eliminated landmark block)
+    P3, M3, K3 = 200, 2000, 25
+    gt_poses = [
+        Pose(_rotz(th), np.array([8 * np.cos(th), 8 * np.sin(th), 0.0]))
+        for th in np.linspace(0, 2 * np.pi, P3, endpoint=False)
+    ]
+    gt_lms = rng.uniform(-4.0, 4.0, size=(M3, 3))
+    obs3 = []
+    for i, pose in enumerate(gt_poses):
+        for j in rng.choice(M3, K3, replace=False):
+            z = pose.rotation.T @ (gt_lms[j] - pose.translation)
+            obs3.append((i, int(j), z + rng.normal(0, 0.01, 3)))
+    seen = {j for (_, j, _) in obs3}
+
+    def _lm3_solve(i0):
+        opt = PoseLandmarkOptimizer()
+        r2 = np.random.default_rng(100 + i0)
+        for i, p in enumerate(gt_poses):
+            opt.set_pose(i, Pose(p.rotation, p.translation
+                                 + (r2.normal(0, 0.1, 3) if i else 0.0)))
+        opt.set_pose_constant(0)
+        for j in seen:
+            opt.set_landmark(j, gt_lms[j] + r2.normal(0, 0.2, 3))
+        for i in range(P3 - 1):
+            opt.set_constraint(i, i + 1, gt_poses[i].inverse() * gt_poses[i + 1])
+        for (i, j, z) in obs3:
+            opt.set_observation(i, j, z, sqrt_info=10.0)
+        summary, _ = opt.solve(Options().replace(max_iterations=60))
+        err = max(
+            np.linalg.norm(opt.get_pose(i).translation - gt_poses[i].translation)
+            for i in range(P3)
+        )
+        return summary, err
+
+    reps = [0]
+
+    def _lm3():
+        reps[0] += 1
+        return _lm3_solve(reps[0])
+
+    ms, (summary, err) = timed(_lm3, max(2, runs // 3))
+    rows.append(
+        (f"landmark SLAM 3D ({P3} poses, {len(seen)} lms)", f"{ms:.1f} ms",
+         f"{float(summary.final_cost):.2e}",
+         f"obs={len(obs3)} max t_err={err:.2e} iters={int(summary.iterations)}")
+    )
+    log(f"  landmark SLAM 3D: {ms:.1f} ms (err {err:.2e})")
+
+    # --- landmark SLAM, 2-D (victoria-park shape): 1,000 poses, 300
+    # landmarks, ~8 observations per pose
+    P2, M2, K2 = 1000, 300, 8
+    th2 = np.cumsum(rng.normal(0.006, 0.02, P2))
+    xy2 = np.cumsum(0.3 * np.stack([np.cos(th2), np.sin(th2)], 1), axis=0)
+    gt2 = np.concatenate([xy2, th2[:, None]], axis=1)
+    lm2 = rng.uniform(xy2.min(0) - 2, xy2.max(0) + 2, size=(M2, 2))
+
+    def _wrap(a):
+        return (a + np.pi) % (2 * np.pi) - np.pi
+
+    obs2 = []
+    for i in range(P2):
+        d = np.linalg.norm(lm2 - xy2[i], axis=1)
+        for j in np.argsort(d)[:K2]:
+            c, s = np.cos(th2[i]), np.sin(th2[i])
+            dp = lm2[j] - xy2[i]
+            z = np.array([c * dp[0] + s * dp[1], -s * dp[0] + c * dp[1]])
+            obs2.append((i, int(j), z + rng.normal(0, 0.01, 2)))
+    seen2 = {j for (_, j, _) in obs2}
+
+    def _lm2():
+        reps[0] += 1
+        r2 = np.random.default_rng(200 + reps[0])
+        opt = PoseLandmark2DOptimizer()
+        for i in range(P2):
+            opt.set_pose(i, gt2[i] + (np.concatenate(
+                [r2.normal(0, 0.1, 2), [r2.normal(0, 0.03)]]) if i else 0.0))
+        opt.set_pose_constant(0)
+        for j in seen2:
+            opt.set_landmark(j, lm2[j] + r2.normal(0, 0.3, 2))
+        for i in range(P2 - 1):
+            c, s = np.cos(gt2[i, 2]), np.sin(gt2[i, 2])
+            dp = gt2[i + 1, :2] - gt2[i, :2]
+            opt.set_constraint(
+                i, i + 1,
+                [c * dp[0] + s * dp[1], -s * dp[0] + c * dp[1],
+                 _wrap(gt2[i + 1, 2] - gt2[i, 2])],
+            )
+        for (i, j, z) in obs2:
+            opt.set_observation(i, j, z, sqrt_info=10.0)
+        summary, _ = opt.solve(Options().replace(max_iterations=60))
+        err = max(
+            np.linalg.norm(np.asarray(opt.get_pose(i))[:2] - gt2[i, :2])
+            for i in range(0, P2, 7)
+        )
+        return summary, err
+
+    ms, (summary, err) = timed(_lm2, max(2, runs // 3))
+    rows.append(
+        (f"landmark SLAM 2D ({P2} poses, {len(seen2)} lms)", f"{ms:.1f} ms",
+         f"{float(summary.final_cost):.2e}",
+         f"obs={len(obs2)} max t_err={err:.2e} iters={int(summary.iterations)}")
+    )
+    log(f"  landmark SLAM 2D: {ms:.1f} ms (err {err:.2e})")
+
+    # --- GPS-INS smoothing: 41 keyframes, 200 Hz IMU, unknown constant
+    # bias, GPS position priors (the tests/test_imu.py construction)
+    class _Circle:
+        def __init__(self, rho=3.0, omega=0.6, yaw_amp=0.7, yaw_freq=1.3):
+            self.rho, self.omega = rho, omega
+            self.yaw_amp, self.yaw_freq = yaw_amp, yaw_freq
+
+        def pos(self, t):
+            return self.rho * np.array(
+                [np.cos(self.omega * t), np.sin(self.omega * t), 0.0])
+
+        def vel(self, t):
+            return self.rho * self.omega * np.array(
+                [-np.sin(self.omega * t), np.cos(self.omega * t), 0.0])
+
+        def acc(self, t):
+            return -self.rho * self.omega**2 * np.array(
+                [np.cos(self.omega * t), np.sin(self.omega * t), 0.0])
+
+        def rot(self, t):
+            return _rotz(self.omega * t + np.pi / 2
+                         + self.yaw_amp * np.sin(self.yaw_freq * t))
+
+        def gyro(self, t):
+            return np.array([0.0, 0.0, self.omega
+                             + self.yaw_amp * self.yaw_freq
+                             * np.cos(self.yaw_freq * t)])
+
+        def accel_meas(self, t, bias):
+            return self.rot(t).T @ (self.acc(t) - GRAVITY) + bias
+
+    traj = _Circle()
+    T_total, kf_dt, imu_dt = 20.0, 0.5, 0.005
+    n_kf = int(T_total / kf_dt) + 1
+    bg, ba = np.array([2e-3, -1e-3, 3e-3]), np.array([2e-2, -1e-2, 1e-2])
+    params = ImuParams(gyro_noise=1e-4, accel_noise=1e-3)
+    sg = params.gyro_noise / np.sqrt(imu_dt)
+    sa = params.accel_noise / np.sqrt(imu_dt)
+    pres, gps = [], []
+    for k in range(n_kf - 1):
+        pre = ImuPreintegrator(params)
+        t = k * kf_dt
+        while t < (k + 1) * kf_dt - 1e-9:
+            tm = t + 0.5 * imu_dt
+            pre.integrate(traj.gyro(tm) + bg + rng.normal(0, sg, 3),
+                          traj.accel_meas(tm, ba) + rng.normal(0, sa, 3),
+                          imu_dt)
+            t += imu_dt
+        pres.append(pre)
+    for k in range(n_kf):
+        gps.append(traj.pos(k * kf_dt) + rng.normal(0, 0.05, 3))
+
+    def _ins():
+        reps[0] += 1
+        opt = InertialGraphOptimizer()
+        R, p, v = traj.rot(0.0), traj.pos(0.0), traj.vel(0.0)
+        opt.add_state(0, Pose(R, p + 1e-9 * reps[0]), velocity=v)
+        for k, pre in enumerate(pres):
+            dR, dv, dp = pre.corrected(np.zeros(3), np.zeros(3))
+            p = p + v * pre.dt + 0.5 * GRAVITY * pre.dt**2 + R @ dp
+            v = v + GRAVITY * pre.dt + R @ dv
+            R = R @ dR
+            opt.add_state(k + 1, Pose(R, p), velocity=v)
+            opt.add_imu_factor(k, k + 1, pre)
+            opt.add_bias_walk(k, k + 1, (1e4, 1e3))
+        opt.set_state_constant(0)
+        for k in range(n_kf):
+            opt.add_position_prior(k, gps[k], 20.0)
+        opt.add_bias_prior(0, np.zeros(6), 10.0)
+        summary = opt.solve(Options().replace(max_iterations=100))
+        err = max(
+            np.linalg.norm(opt.get_pose(k).translation - traj.pos(k * kf_dt))
+            for k in range(n_kf)
+        )
+        return summary, err
+
+    ms, (summary, err) = timed(_ins, max(2, runs // 3))
+    rows.append(
+        (f"GPS-INS smoother ({n_kf} kf, 200Hz IMU)", f"{ms:.1f} ms",
+         f"{float(summary.final_cost):.2e}",
+         f"max t_err={err:.2e} iters={int(summary.iterations)}")
+    )
+    log(f"  GPS-INS: {ms:.1f} ms (err {err:.2e})")
+
+    # --- fixed-lag pose smoother: per-update latency on a 60-pose
+    # stream with loops (constant-shape window programs after warm-up)
+    sq_gt, sq_noisy, sq_constraints = testing.generate_pose_graph_fixture()
+
+    def _fixed_lag_stream():
+        sm = FixedLagSmoother(lag=15, switch_penalty=0.03)
+        sm.add_pose(0, sq_noisy[0])
+        per_update = []
+        by_query = {}
+        for c in sq_constraints:
+            by_query.setdefault(c["query_index"], []).append(c)
+        for k in range(1, 60):
+            sm.add_pose(k, sq_noisy[k])
+            for c in by_query.get(k, []):
+                if c["is_loop"]:
+                    # a loop whose reference left the lag window cannot
+                    # be added (it was marginalized) — the online
+                    # smoother's domain; skip it in this latency probe
+                    if c["reference_index"] in sm.window:
+                        sm.add_loop(c["reference_index"], k, c["relative_pose"])
+                else:
+                    sm.add_odometry(c["reference_index"], k, c["relative_pose"])
+            t0 = time.perf_counter()
+            sm.update()
+            per_update.append((time.perf_counter() - t0) * 1e3)
+        return float(np.median(per_update[20:]))
+
+    _fixed_lag_stream()  # warm the window-shape programs
+    med_update = _fixed_lag_stream()
+    rows.append(
+        ("fixed-lag smoother update (lag 15)", f"{med_update:.1f} ms",
+         "(online)", "median steady-state update over a 60-pose stream")
+    )
+    log(f"  fixed-lag update: {med_update:.1f} ms")
+
+    # --- Sim(3) essential graph: 200 keyframes, 2% monocular scale
+    # drift per edge (52x accumulated — far outside the scale=1 LM
+    # basin; the chordal initializer's log-scale Laplacian is what makes
+    # this solvable), noisy similarity edges, one loop closure
+    PS = 200
+    drift = 1.02
+    target = []
+    for k in range(PS):
+        q = np.array([np.cos(np.pi * k / PS), 0, 0, np.sin(np.pi * k / PS)])
+        target.append(np.concatenate(
+            [[6 * np.cos(2 * np.pi * k / PS), 6 * np.sin(2 * np.pi * k / PS),
+              0.0], q, [-k * np.log(drift)]]))
+    from nonlinear_optimizer_for_slam_tpu.ops.relative_pose import (
+        np_quat_multiply,
+    )
+
+    def np_rot(v):
+        from nonlinear_optimizer_for_slam_tpu.core.pose import np_quat_to_rotmat
+        return np_quat_to_rotmat(v[3:7] / np.linalg.norm(v[3:7]))
+
+    def _between(a, b):
+        Ra, Rb = np_rot(a), np_rot(b)
+        sa = np.exp(a[7])
+        dt_ = Ra.T @ (b[:3] - a[:3]) / sa
+        qa_conj = a[3:7] * np.array([1.0, -1, -1, -1])
+        dq = np_quat_multiply(qa_conj, b[3:7])
+        return np.concatenate([dt_, dq / np.linalg.norm(dq), [b[7] - a[7]]])
+
+    def _noise_m(m, r2):
+        dq = np.concatenate([[1.0], r2.normal(0, 2e-3, 3)])
+        q = np_quat_multiply(m[3:7], dq / np.linalg.norm(dq))
+        return np.concatenate(
+            [m[:3] + r2.normal(0, 5e-3, 3), q, [m[7] + r2.normal(0, 2e-3)]]
+        )
+
+    r2 = np.random.default_rng(77)
+    meas = [_noise_m(_between(target[k], target[k + 1]), r2)
+            for k in range(PS - 1)]
+    loop_m = _noise_m(_between(target[PS - 1], target[0]), r2)
+
+    def _sim3():
+        reps[0] += 1
+        opt = Sim3GraphOptimizer()
+        init = [target[0].copy()]
+        for k in range(PS - 1):
+            m = meas[k]
+            prev = init[-1]
+            p_next = prev[:3] + np_rot(prev) @ m[:3]
+            q_next = np_quat_multiply(prev[3:7], m[3:7])
+            init.append(np.concatenate([p_next, q_next, [0.0]]))
+        for k in range(PS):
+            opt.set_pose(
+                k, Pose(np_rot(init[k]), init[k][:3] + 1e-9 * reps[0]),
+                scale=1.0,
+            )
+        opt.set_pose_constant(0)
+        for k in range(PS - 1):
+            m = meas[k]
+            opt.set_constraint(k, k + 1, Pose(np_rot(m), m[:3]),
+                               relative_scale=float(np.exp(m[7])),
+                               sqrt_info=(10.0, 20.0, 1.0))
+        m = loop_m
+        opt.set_constraint(PS - 1, 0, Pose(np_rot(m), m[:3]),
+                           relative_scale=float(np.exp(m[7])),
+                           sqrt_info=(50.0, 100.0, 50.0))
+        opt.initialize()  # log-scale Laplacian + chordal (timed in)
+        summary = opt.solve(Options().replace(max_iterations=150))
+        err = max(
+            np.linalg.norm(opt.get_pose(k).translation - target[k][:3])
+            for k in range(PS)
+        )
+        return summary, err
+
+    ms, (summary, err) = timed(_sim3, max(2, runs // 3))
+    rows.append(
+        (f"Sim(3) essential graph ({PS} kf)", f"{ms:.1f} ms",
+         f"{float(summary.final_cost):.2e}",
+         f"drift {drift}/edge (52x), chordal init incl., "
+         f"t_err={err:.2e} iters={int(summary.iterations)}")
+    )
+    log(f"  Sim(3): {ms:.1f} ms (err {err:.2e})")
+
+    return table(
+        "SLAM extras: landmark SLAM, GPS-INS, fixed-lag, Sim(3) "
+        "(all beyond the reference — no counterpart rows exist)",
+        rows,
+        ("variant", "solve", "final cost", "result"),
+    )
+
+
 BENCHES = {
     "maha_simple": bench_maha_simple,
     "maha_3dof_6dof": bench_maha_3dof_6dof,
@@ -1378,6 +1725,7 @@ BENCHES = {
     "serving": bench_serving,
     "pose_graph": bench_pose_graph,
     "bundle_adjustment": bench_bundle_adjustment,
+    "slam_extras": bench_slam_extras,
 }
 
 ROW_FNS = {

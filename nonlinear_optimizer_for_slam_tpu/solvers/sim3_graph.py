@@ -253,6 +253,101 @@ class Sim3GraphOptimizer:
     def num_poses(self) -> int:
         return len(self._poses)
 
+    # -- initialization -------------------------------------------------
+    def initialize(self, method: str = "chordal", cg_iterations: int = 300) -> None:
+        """Sim(3) chordal initialization (the scale-aware analog of
+        PoseGraphOptimizer.initialize — LM only converges to the basin
+        it starts in, and a dead-reckoned monocular spiral leaves it
+        well below sphere scale: measured, a 200-keyframe chain with
+        2%/edge drift diverges from the scale=1 init but converges from
+        this one). Three exactly-solvable stages:
+
+        1. **log-scales** — the edge model is ls_q - ls_ref = log s_rel,
+           LINEAR in ls: solved exactly by the anchored graph Laplacian
+           (scale drift is a potential flow on the graph; Strasdat
+           RSS'10's observation);
+        2. **rotations** — the SE(3) chordal relaxation unchanged
+           (scales do not enter the rotation equations);
+        3. **translations** — the translation Laplacian with
+           scale-corrected edge vectors p_q - p_ref = s_ref R_ref t_rel
+           (graph_init.chordal_init with rel_t pre-multiplied by the
+           stage-1 s_ref).
+        """
+        if method != "chordal":
+            raise ValueError(f"unknown init method {method!r} (chordal)")
+        if not self._constraints:
+            raise ValueError("initialize: no constraints registered")
+        from scipy.sparse import lil_matrix
+        from scipy.sparse.linalg import spsolve
+
+        from .graph_init import chordal_init
+
+        ids = sorted(self._poses)
+        of = {pi: i for i, pi in enumerate(ids)}
+        P, E = len(ids), len(self._constraints)
+        ref = np.array([of[c["reference_index"]] for c in self._constraints])
+        qry = np.array([of[c["query_index"]] for c in self._constraints])
+        rel_q = np.stack([c["rel_q"] for c in self._constraints])
+        rel_t = np.stack([c["rel_t"] for c in self._constraints])
+        rel_ls = np.array([c["rel_log_s"] for c in self._constraints])
+
+        anchor_ids = sorted(self._constant) or [ids[0]]
+        # stage 1: log-scales (anchored at fully-fixed and scale-fixed poses)
+        ls_fixed = {
+            of[pi]: self._poses[pi][7]
+            for pi in set(anchor_ids) | self._fix_scale
+        }
+        free = np.array([i not in ls_fixed for i in range(P)])
+        nf = int(free.sum())
+        if nf:
+            col = -np.ones(P, np.int64)
+            col[free] = np.arange(nf)
+            L = lil_matrix((nf, nf))
+            b = np.zeros(nf)
+            ls_anchor = np.zeros(P)
+            for i, v in ls_fixed.items():
+                ls_anchor[i] = v
+            for e in range(E):
+                i, j, m = int(ref[e]), int(qry[e]), rel_ls[e]
+                # residual ls_j - ls_i - m; normal equations
+                for (a, sa) in ((j, 1.0), (i, -1.0)):
+                    if not free[a]:
+                        continue
+                    ca = col[a]
+                    L[ca, ca] += 1.0
+                    b[ca] += sa * m
+                    for (bb, sb) in ((j, 1.0), (i, -1.0)):
+                        if bb == a:
+                            continue
+                        if free[bb]:
+                            L[ca, col[bb]] += sa * sb
+                        else:
+                            b[ca] -= sa * sb * ls_anchor[bb]
+            ls = ls_anchor.copy()
+            ls[free] = spsolve(L.tocsr(), b)
+        else:
+            ls = np.array([ls_fixed[i] for i in range(P)])
+
+        # stages 2+3: chordal rotations, then the translation Laplacian
+        # with scale-corrected edge vectors
+        anchors = {
+            of[pi]: (
+                np_quat_to_rotmat(
+                    self._poses[pi][3:7]
+                    / np.linalg.norm(self._poses[pi][3:7])
+                ),
+                self._poses[pi][:3].copy(),
+            )
+            for pi in anchor_ids
+        }
+        rel_t_scaled = rel_t * np.exp(ls[ref])[:, None]
+        pos, quat = chordal_init(
+            ref, qry, rel_q, rel_t_scaled, P, anchors,
+            cg_iterations=cg_iterations,
+        )
+        for i, pi in enumerate(ids):
+            self._poses[pi] = np.concatenate([pos[i], quat[i], [ls[i]]])
+
     # -- solve ---------------------------------------------------------
     def solve(self, options: Optional[Options] = None):
         if options is None:
