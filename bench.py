@@ -55,6 +55,23 @@ def main():
 
     threading.Thread(target=watchdog, daemon=True).start()
 
+    # Whole-run watchdog: the relay has a second failure mode (observed
+    # 2026-08-20) where enumeration and small dispatches work but a
+    # larger program wedges mid-solve indefinitely. A hung benchmark
+    # blocks the driver; die loudly instead.
+    done_flag = threading.Event()
+
+    def run_watchdog():
+        # budget: worst honest case is ~3 cold compiles on a slow
+        # compile-service day (~10 min each was measured) + the run
+        if not done_flag.wait(timeout=2100.0):  # pragma: no cover
+            log("FATAL: benchmark exceeded 2100 s wall — the relay is "
+                "likely wedged mid-dispatch (known degraded mode; see "
+                "CLAUDE.md); aborting instead of hanging the driver")
+            os._exit(4)
+
+    threading.Thread(target=run_watchdog, daemon=True).start()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -212,6 +229,7 @@ def main():
     # (CLAUDE.md), which is why the pipelined number (scans in flight,
     # dispatch latency amortized) is reported alongside: it is the
     # architectural per-scan time a production stream actually pays.
+    done_flag.set()
     print(
         json.dumps(
             {
