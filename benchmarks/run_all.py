@@ -1001,6 +1001,32 @@ def bench_pose_graph(runs):
          f"{n_loops} loops, err {m_init_err:.1f}m -> {m_err:.2f}m incl. init")
     )
     log(f"  manhattan3500: {ms:.0f} ms, err {m_init_err:.1f} -> {m_err:.2f} m")
+
+    # same graph through the SE(2) BANDED direct solver (round-3 2D
+    # analog of the 3D banded path): exact damped-GN steps
+    moptb = g2o_io.load_pose_graph(man_path, dtype=jnp.float64, solver="banded")
+
+    def _manhattan_banded():
+        m_rep[0] += 1
+        eps = 1e-9 * m_rep[0]
+        for k, v in man_init.items():
+            xyt = v.copy()
+            xyt[0] += eps
+            moptb.set_pose(k, xyt)
+        moptb.initialize(method="chordal")
+        return moptb.solve(man_opts)
+
+    ms, (summary, _) = timed(_manhattan_banded, max(1, runs // 5))
+    m_err = max(
+        np.linalg.norm(np.asarray(moptb.get_pose(k))[:2] - mgt[k, :2])
+        for k in range(len(mgt))
+    )
+    rows.append(
+        ("manhattan3500 chordal + banded", f"{ms:.0f} ms",
+         f"{float(summary.final_cost):.3e}",
+         f"err {m_init_err:.1f}m -> {m_err:.2f}m incl. init")
+    )
+    log(f"  manhattan3500 banded: {ms:.0f} ms, err -> {m_err:.2f} m")
     os.unlink(man_path)
 
     # PCG on ITS domain: a graph too large for the dense normal matrix

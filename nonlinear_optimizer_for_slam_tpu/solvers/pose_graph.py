@@ -1708,6 +1708,219 @@ def _pose_graph_2d_solve_cg(
     return xyt, switches, summary
 
 
+def _pose_graph_2d_solve_banded(
+    xyt0,  # (P, 3) in RCM-PERMUTED order
+    switches0,  # (L,)
+    edges: "PoseGraph2DEdges",  # endpoint indices in PERMUTED order
+    free_mask,  # (P,) permuted
+    switch_penalty,
+    edge_loss,
+    num_poses: int,
+    num_loops: int,
+    super_size: int,
+    options: Options,
+):
+    """SE(2) banded direct solver: the exact 3-DoF analog of
+    :func:`_pose_graph_solve_banded` (which see for the full design
+    narrative — RCM symbolic phase, superblock cyclic reduction, exact
+    per-edge switch elimination, f32-factor + iterative-refinement f64).
+    Pose blocks are 3 wide (x, y, theta) and superblock panels are
+    (3s x 3s); M3500-class city graphs whose dense (3P)^2 matrix does
+    not fit become a few hundred MXU panels."""
+    P, L = num_poses, num_loops
+    s = super_size
+    K = max(1, -(-P // s))
+    Pp = K * s
+    dtype = xyt0.dtype
+    E = edges.mask.shape[0]
+    ref_i = edges.reference_indices
+    qry_i = edges.query_indices
+
+    if L > 0:
+        loop_slot = jnp.clip(
+            jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1, 0, L - 1
+        )
+    else:
+        loop_slot = jnp.zeros((E,), jnp.int32)
+    is_loop = edges.is_loop > 0
+
+    free_ref = free_mask[ref_i]
+    free_qry = free_mask[qry_i]
+    fixed_p = (1.0 - free_mask)[:, None]
+
+    swap = qry_i < ref_i
+    lo_i = jnp.where(swap, qry_i, ref_i)
+    hi_i = jnp.where(swap, ref_i, qry_i)
+    k_lo, r_lo = lo_i // s, lo_i % s
+    k_hi, r_hi = hi_i // s, hi_i % s
+    same_k = (k_lo == k_hi)[:, None, None]
+
+    def accumulate_pose(contrib_ref, contrib_qry):
+        out = jnp.zeros((P,) + contrib_ref.shape[1:], dtype)
+        return out.at[ref_i].add(contrib_ref).at[qry_i].add(contrib_qry)
+
+    def eval_quadratic(params):
+        xyt, switches = params
+        sw_full = switches[loop_slot] if L > 0 else jnp.zeros((E,), dtype)
+        r, J_ref, J_query, J_s = se2_edge_residuals_and_jacobians(
+            xyt, sw_full, edges, switch_penalty
+        )
+        J_ref = J_ref * free_ref[:, None, None]
+        J_query = J_query * free_qry[:, None, None]
+
+        if edge_loss is not None:
+            sq = jnp.sum(r * r, axis=1)
+            rho, w, _ = edge_loss.evaluate(sq)
+            cost = jnp.sum(rho)
+            sqrt_w = jnp.sqrt(w)
+            r = r * sqrt_w[:, None]
+            J_ref = J_ref * sqrt_w[:, None, None]
+            J_query = J_query * sqrt_w[:, None, None]
+            J_s = J_s * sqrt_w[:, None]
+        else:
+            cost = jnp.sum(r * r)
+
+        g_p = accumulate_pose(
+            jnp.sum(J_ref * r[:, :, None], axis=1),
+            jnp.sum(J_query * r[:, :, None], axis=1),
+        )
+        if L > 0:
+            gs_e = jnp.sum(J_s * r, axis=1) * is_loop
+            g_s = jnp.zeros((L,), dtype).at[loop_slot].add(gs_e)
+        else:
+            g_s = jnp.zeros((0,), dtype)
+
+        d_p = accumulate_pose(
+            jnp.sum(J_ref * J_ref, axis=1), jnp.sum(J_query * J_query, axis=1)
+        )
+        if L > 0:
+            d_s = jnp.zeros((L,), dtype).at[loop_slot].add(
+                jnp.sum(J_s * J_s, axis=1) * is_loop
+            )
+        else:
+            d_s = jnp.zeros((0,), dtype)
+
+        H_rep = (J_ref, J_query, J_s, d_p, d_s)
+        return H_rep, (g_p, g_s), cost
+
+    def solve_linear(H_rep, g, lam):
+        J_ref, J_query, J_s, d_p, d_s = H_rep
+        g_p, g_s = g
+
+        J_lo = jnp.where(swap[:, None, None], J_query, J_ref)  # (E, 4, 3)
+        J_hi = jnp.where(swap[:, None, None], J_ref, J_query)
+
+        B_ll = jnp.sum(J_lo[:, :, :, None] * J_lo[:, :, None, :], axis=1)
+        B_hh = jnp.sum(J_hi[:, :, :, None] * J_hi[:, :, None, :], axis=1)
+        B_hl = jnp.sum(J_hi[:, :, :, None] * J_lo[:, :, None, :], axis=1)
+
+        b_p = -g_p
+
+        if L > 0:
+            c = J_s  # (E, 4)
+            cc = jnp.sum(c * c, axis=1)
+            gamma = cc + lam * d_s[loop_slot] + 1e-8
+            inv_gamma = jnp.where(is_loop, 1.0 / gamma, 0.0)
+            Jlc = jnp.sum(J_lo * c[:, :, None], axis=1)  # (E, 3)
+            Jhc = jnp.sum(J_hi * c[:, :, None], axis=1)
+            g_s_e = g_s[loop_slot]
+            coef = inv_gamma * g_s_e
+            b_p = b_p.at[lo_i].add(Jlc * coef[:, None])
+            b_p = b_p.at[hi_i].add(Jhc * coef[:, None])
+            B_ll = B_ll - inv_gamma[:, None, None] * (
+                Jlc[:, :, None] * Jlc[:, None, :]
+            )
+            B_hh = B_hh - inv_gamma[:, None, None] * (
+                Jhc[:, :, None] * Jhc[:, None, :]
+            )
+            B_hl = B_hl - inv_gamma[:, None, None] * (
+                Jhc[:, :, None] * Jlc[:, None, :]
+            )
+
+        Dsup = jnp.zeros((K, s, 3, s, 3), dtype)
+        Dsup = Dsup.at[k_lo, r_lo, :, r_lo, :].add(B_ll)
+        Dsup = Dsup.at[k_hi, r_hi, :, r_hi, :].add(B_hh)
+        B_hl_T = jnp.swapaxes(B_hl, -1, -2)
+        Dsup = Dsup.at[k_lo, r_hi, :, r_lo, :].add(
+            jnp.where(same_k, B_hl, 0.0)
+        )
+        Dsup = Dsup.at[k_lo, r_lo, :, r_hi, :].add(
+            jnp.where(same_k, B_hl_T, 0.0)
+        )
+        D = Dsup.reshape(K, s * 3, s * 3)
+        if K > 1:
+            Osup = jnp.zeros((K - 1, s, 3, s, 3), dtype)
+            k_off = jnp.minimum(k_lo, K - 2)
+            Osup = Osup.at[k_off, r_lo, :, r_hi, :].add(
+                jnp.where(same_k, 0.0, B_hl_T)
+            )
+            O = Osup.reshape(K - 1, s * 3, s * 3)
+        else:
+            O = jnp.zeros((0, s * 3, s * 3), dtype)
+
+        dvec = lam * d_p + fixed_p + 1e-8  # (P, 3)
+        dpad = jnp.concatenate(
+            [dvec, jnp.ones((Pp - P, 3), dtype)], axis=0
+        ).reshape(K, s * 3)
+        D = D + jnp.eye(s * 3, dtype=dtype) * dpad[:, None, :]
+
+        rhs = jnp.concatenate(
+            [b_p, jnp.zeros((Pp - P, 3), dtype)], axis=0
+        ).reshape(K, s * 3)
+        cutoff = max(1, 4096 // (s * 3))
+        if dtype == jnp.float64:
+            fact = block_tridiag.factor(
+                D.astype(jnp.float32), O.astype(jnp.float32), cutoff
+            )
+
+            def banded_matvec(x):
+                with jax.default_matmul_precision("highest"):
+                    y = jnp.einsum("kij,kj->ki", D, x)
+                    if K > 1:
+                        y = y.at[:-1].add(jnp.einsum("kij,kj->ki", O, x[1:]))
+                        y = y.at[1:].add(jnp.einsum("kji,kj->ki", O, x[:-1]))
+                return y
+
+            x = block_tridiag.solve_factored(
+                fact, rhs.astype(jnp.float32)
+            ).astype(dtype)
+            for _ in range(2):
+                resid = rhs - banded_matvec(x)
+                x = x + block_tridiag.solve_factored(
+                    fact, resid.astype(jnp.float32)
+                ).astype(dtype)
+        else:
+            x = block_tridiag.solve(D, O, rhs, dense_cutoff=cutoff)
+        dp = x.reshape(Pp, 3)[:P]
+
+        if L > 0:
+            v = jnp.sum(J_lo * dp[lo_i][:, None, :], axis=2) + jnp.sum(
+                J_hi * dp[hi_i][:, None, :], axis=2
+            )  # (E, 4)
+            ds_e = jnp.where(
+                is_loop,
+                (-g_s[loop_slot] - jnp.sum(c * v, axis=1)) * inv_gamma,
+                0.0,
+            )
+            ds = jnp.zeros((L,), dtype).at[loop_slot].add(ds_e)
+        else:
+            ds = jnp.zeros((0,), dtype)
+        return dp, ds
+
+    def retract(params, delta):
+        xyt, switches = params
+        dp, ds = delta
+        return (xyt + dp * free_mask[:, None], switches + ds)
+
+    from . import block_tridiag
+
+    (xyt, switches), summary = lm.solve(
+        eval_quadratic, retract, (xyt0, switches0), options,
+        solve_linear=solve_linear,
+    )
+    return xyt, switches, summary
+
+
 @functools.partial(jax.jit, static_argnums=(6, 7, 8))
 def _pose_graph_2d_solve_batch(
     xyt0_b,  # (B, P, 3)
@@ -1748,10 +1961,14 @@ class PoseGraphOptimizer2D:
         """``solver``: "dense" materializes the (3P+L)^2 normal matrix;
         "cg" is the matrix-free path for city-scale 2D corpora
         (M3500/city10000 do not fit dense) — same ``cg_iterations`` /
-        ``cg_precond`` semantics as the 3D optimizer (which see)."""
+        ``cg_precond`` semantics as the 3D optimizer (which see);
+        "banded" is the DIRECT solver for those same large graphs (RCM
+        ordering + superblock cyclic reduction, the SE(2) analog of the
+        3D optimizer's banded path — exact damped-GN steps where
+        truncated CG is not)."""
         from ..ops.relative_pose import SWITCH_PENALTY_SCALE
 
-        if solver not in ("dense", "cg"):
+        if solver not in ("dense", "cg", "banded"):
             raise ValueError(f"unknown solver {solver!r}")
         if cg_precond not in ("chain", "jacobi"):
             raise ValueError(f"unknown cg_precond {cg_precond!r}")
@@ -1917,7 +2134,54 @@ class PoseGraphOptimizer2D:
         indices, index_of, P, E, L, xyt, edges, free = self._flat_2d()
         dtype = self.dtype
 
-        if self.solver == "cg":
+        if self.solver == "banded":
+            # HOST symbolic phase (same recipe as the 3D optimizer's
+            # _flatten_banded): RCM pose ordering bounds the block
+            # bandwidth; recomputed per solve — RCM on a 10k-pose graph
+            # costs ~ms, far below one LM iteration.
+            from scipy.sparse import coo_matrix
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            ref_np = np.asarray(edges.reference_indices, np.int64)
+            qry_np = np.asarray(edges.query_indices, np.int64)
+            A = coo_matrix(
+                (np.ones(len(ref_np)), (ref_np, qry_np)), shape=(P, P)
+            )
+            A = (A + A.T).tocsr()
+            perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+            inv = np.empty(P, np.int64)
+            inv[perm] = np.arange(P)
+            ref_p = inv[ref_np]
+            qry_p = inv[qry_np]
+            bandwidth = int(np.abs(ref_p - qry_p).max()) if len(ref_p) else 1
+            ssize = max(bandwidth, 8)
+            K = -(-P // ssize)
+            itemsize = jnp.zeros((), dtype).dtype.itemsize
+            panel_bytes = K * (ssize * 3) ** 2 * itemsize
+            if panel_bytes > 2 << 30:
+                raise ValueError(
+                    f"banded solver: RCM bandwidth {bandwidth} over {P} "
+                    f"poses needs ~{2 * panel_bytes / 1e9:.1f} GB of "
+                    "superblock panels; use solver='cg' instead"
+                )
+            edges_p = edges._replace(
+                reference_indices=jnp.asarray(ref_p.astype(np.int32)),
+                query_indices=jnp.asarray(qry_p.astype(np.int32)),
+            )
+            xyt_p, sw, summary = _pose_graph_2d_solve_banded(
+                jnp.asarray(xyt[perm], dtype),
+                jnp.ones((L,), dtype),
+                edges_p,
+                jnp.asarray(free[perm], dtype),
+                jnp.asarray(self.switch_penalty, dtype),
+                self.edge_loss,
+                P,
+                L,
+                ssize,
+                options,
+            )
+            out_xyt = xyt_p[jnp.asarray(inv)]
+        elif self.solver == "cg":
             out_xyt, sw, summary = _pose_graph_2d_solve_cg(
                 jnp.asarray(xyt, dtype),
                 jnp.ones((L,), dtype),

@@ -255,16 +255,21 @@ def generate_manhattan_g2o(
     closures to earlier poses revisiting the same cell, vertices
     initialized by dead-reckoning the noisy odometry).
 
-    ``arena``: grid side length in cells (default ~sqrt(2 * n_poses),
-    Olson-like density). Defaults produce 3,500 vertices and ~5,500
-    edges — M3500 scale.
-    Returns (G2oGraph(dim=2), ground_truth_xyt (N, 3) ndarray).
+    ``arena``: grid side length in cells. Default 10 — Olson's M3500
+    world is a 10x10-block city, and the SMALL arena is load-bearing:
+    posterior position error vs ground truth scales with arena diameter
+    (distance from the anchor), so a sqrt(n)-sized arena yields a
+    statistically-correct MAP that is still meters from the generating
+    trajectory (measured: mean 6.8 m at 3,500 poses on an 84-cell
+    arena with the chi^2 exactly at dof — wide posterior, not solver
+    error). Defaults produce 3,500 vertices and ~9,500 edges — M3500
+    scale. Returns (G2oGraph(dim=2), ground_truth_xyt (N, 3) ndarray).
     """
     from ..io.g2o import G2oEdge, G2oGraph
 
     rng = np.random.default_rng(seed)
     n = n_poses
-    side = int(arena if arena is not None else max(4, round((2 * n) ** 0.5)))
+    side = int(arena if arena is not None else 10)
 
     # bounded grid random walk: heading in {0, 1, 2, 3} * 90deg
     gt = np.zeros((n, 3))

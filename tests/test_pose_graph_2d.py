@@ -348,12 +348,55 @@ def test_manhattan_world_g2o_roundtrip_and_solve(tmp_path):
             for k in range(len(gt))
         ]
     )
-    assert init_err > 2.0, init_err  # the fixture genuinely drifts
-    # thresholds are POSTERIOR-calibrated, not aspirational: at this
-    # scale/seed the chi^2 checks out exactly (cost at gt 1557 vs 3E =
-    # 1596 residual dims; MAP cost 409 vs dof = 399), i.e. the residual
-    # gt error IS the posterior spread of a 133-loop graph — dense, CG
-    # chain, and CG jacobi all land on this same minimum to the digit
-    assert err < 0.25 * init_err, (err, init_err)
-    assert mean_err < 0.5, mean_err
+    assert init_err > 1.0, init_err  # the fixture genuinely drifts
+    # the Olson-density 10x10 arena makes the posterior tight (revisit
+    # density is what bounds absolute error vs ground truth — see the
+    # generator docstring for the measured wide-arena counterexample)
+    assert err < 0.15 * init_err, (err, init_err)
+    assert mean_err < 0.1, mean_err
     assert np.isfinite(float(summary.final_cost))
+
+
+def test_banded_2d_matches_dense():
+    """SE(2) banded direct solver (RCM + superblock cyclic reduction):
+    identical LM trajectory to the dense path on the Manhattan fixture —
+    exact steps, same final poses/switches/cost, loops landing inside
+    the band. Parametrized over plain and robust (Huber) edges."""
+    import jax.numpy as jnp
+
+    from nonlinear_optimizer_for_slam_tpu.core.losses import HuberLoss
+    from nonlinear_optimizer_for_slam_tpu.utils import testing
+
+    g, gt = testing.generate_manhattan_g2o(n_poses=150, seed=5)
+
+    def build(**kw):
+        opt = PoseGraphOptimizer2D(
+            dtype=jnp.float64, switch_penalty=0.03, **kw
+        )
+        for k in sorted(g.vertices):
+            opt.set_pose(k, g.vertices[k])
+        opt.set_pose_constant(0)
+        for e in g.edges:
+            opt.set_constraint(
+                e.i, e.j, e.measurement,
+                ConstraintType.LOOP if e.j - e.i >= 20 else ConstraintType.ODOMETRY,
+                sqrt_info=np.sqrt(np.diag(e.information)),
+            )
+        return opt
+
+    opts = Options().replace(max_iterations=60)
+    for loss in (None, HuberLoss(1.0)):
+        dense = build(edge_loss=loss)
+        s_d, sw_d = dense.solve(opts)
+        banded = build(solver="banded", edge_loss=loss)
+        s_b, sw_b = banded.solve(opts)
+        assert float(s_b.final_cost) == pytest.approx(
+            float(s_d.final_cost), rel=1e-8
+        )
+        np.testing.assert_allclose(sw_b, sw_d, atol=1e-6)
+        for k in range(len(gt)):
+            np.testing.assert_allclose(
+                np.asarray(banded.get_pose(k)),
+                np.asarray(dense.get_pose(k)),
+                atol=1e-6,
+            )
