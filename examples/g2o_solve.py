@@ -1,7 +1,7 @@
 """Solve a g2o pose-graph file and write the optimized graph back.
 
     python examples/g2o_solve.py input.g2o [-o solved.g2o]
-        [--solver dense|cg|tridiag] [--init chordal|spanning_tree]
+        [--solver dense|cg|tridiag|banded] [--init chordal|spanning_tree]
         [--switchable-loops]
         [--unit-information] [--max-iterations N]
 
@@ -78,7 +78,7 @@ def main() -> None:
     ap.add_argument("input", nargs="?", default=None)
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument(
-        "--solver", choices=["dense", "cg", "tridiag"], default="dense"
+        "--solver", choices=["dense", "cg", "tridiag", "banded"], default="dense"
     )
     ap.add_argument("--switchable-loops", action="store_true")
     ap.add_argument("--unit-information", action="store_true")
@@ -112,12 +112,12 @@ def main() -> None:
             )
     elif graph.dim == 3:
         kwargs["solver"] = args.solver
-    elif args.solver in ("dense", "cg"):
+    elif args.solver in ("dense", "cg", "banded"):
         kwargs["solver"] = args.solver
     else:
         print(
             f"note: --solver {args.solver} is 3-D only; using 'dense' "
-            f"for this 2-D graph (2-D supports dense|cg)"
+            f"for this 2-D graph (2-D supports dense|cg|banded)"
         )
     opt = g2o_io.load_pose_graph(
         path,
