@@ -63,9 +63,6 @@ def read_bal(path) -> BALProblem:
         tokens = f.read().split()
     it = iter(tokens)
 
-    def ints(n):
-        return np.fromiter((int(next(it)) for _ in range(n)), np.int64, n)
-
     C, P, O = (int(next(it)) for _ in range(3))
     cam_idx = np.empty(O, np.int32)
     pt_idx = np.empty(O, np.int32)
@@ -83,7 +80,13 @@ def read_bal(path) -> BALProblem:
         )
     cams = rest[: 9 * C].reshape(C, 9)
     pts = rest[9 * C :].reshape(P, 3)
-    if O and (cam_idx.max() >= C or pt_idx.max() >= P):
+    if O and (
+        cam_idx.max() >= C
+        or pt_idx.max() >= P
+        or cam_idx.min() < 0
+        or pt_idx.min() < 0
+    ):
+        # negative indices would silently wrap via fancy indexing
         raise ValueError("observation index out of range")
     return BALProblem(cams, pts, cam_idx, pt_idx, obs)
 

@@ -61,20 +61,25 @@ def umeyama_alignment(
     return R, t, s
 
 
-def _positions(traj) -> np.ndarray:
+def _positions(traj, planar: bool = False) -> np.ndarray:
     """Accepts (N, 3) arrays, (N, >=3) state arrays (first 3 columns are
-    position — the 2D (N, 3) xyt convention maps to (x, y, 0)), or
-    sequences of Pose."""
+    taken as raw 3D position), or sequences of Pose. NOTE an (N, 3)
+    array is interpreted as x/y/z — for the 2D xyt convention pass
+    ``planar=True`` (through ``absolute_trajectory_error``) so the third
+    column (heading, radians) is zeroed instead of scored as a
+    z-coordinate."""
     if isinstance(traj, np.ndarray):
         if traj.ndim != 2:
             raise ValueError(f"trajectory array must be 2-D, got {traj.shape}")
-        if traj.shape[1] == 3:
-            return np.asarray(traj, np.float64)
-        return np.asarray(traj[:, :3], np.float64)
-    first = traj[0]
-    if isinstance(first, Pose):
-        return np.stack([p.translation for p in traj]).astype(np.float64)
-    return np.asarray(np.stack([np.asarray(p)[:3] for p in traj]), np.float64)
+        pos = np.asarray(traj[:, :3], np.float64)
+    elif isinstance(traj[0], Pose):
+        pos = np.stack([p.translation for p in traj]).astype(np.float64)
+    else:
+        pos = np.asarray(np.stack([np.asarray(p)[:3] for p in traj]), np.float64)
+    if planar:
+        pos = pos.copy()
+        pos[:, 2] = 0.0
+    return pos
 
 
 def _stats(err: np.ndarray) -> Dict[str, float]:
@@ -91,16 +96,20 @@ def absolute_trajectory_error(
     ground_truth,
     align: bool = True,
     with_scale: bool = False,
+    planar: bool = False,
 ) -> Dict[str, float]:
     """ATE (Sturm et al. 2012): per-pose translational error after an
     optional least-squares alignment of the estimate onto the ground
     truth (``with_scale=True`` for monocular/Sim(3) estimates). Inputs:
     (N, 3) position arrays or sequences of Pose, index-associated.
-    Returns ``{rmse, mean, median, max}`` in the ground truth's units,
-    plus the alignment under keys ``scale`` (and implicitly rigid R, t
-    applied) when ``align``."""
-    est = _positions(estimated)
-    gt = _positions(ground_truth)
+    Pass ``planar=True`` for SE(2) (N, 3) xyt trajectories so the
+    heading column is excluded from the position error (otherwise the
+    third column is scored as a z-coordinate). Returns ``{rmse, mean,
+    median, max}`` in the ground truth's units, plus the alignment
+    under keys ``scale`` (and implicitly rigid R, t applied) when
+    ``align``."""
+    est = _positions(estimated, planar=planar)
+    gt = _positions(ground_truth, planar=planar)
     if est.shape != gt.shape:
         raise ValueError(f"trajectory shapes differ: {est.shape} vs {gt.shape}")
     s = 1.0

@@ -120,16 +120,41 @@ def test_solve_bal_chunked_matches_dense(problem_pair):
 
 def test_solve_bal_auto_chunk_threshold():
     """Auto chunk selection kicks in above the dense-cross budget and
-    still solves correctly (small problem, artificially tiny budget)."""
+    still solves correctly (small problem, artificially tiny budget).
+    P must exceed the 128-landmark chunk floor or the auto-selected
+    chunk >= P silently falls back to the dense branch."""
     noisy, _ = bal_io.synthetic_bal_problem(
-        num_cameras=6, num_points=80, observations_per_point=3, seed=9
+        num_cameras=6, num_points=200, observations_per_point=3, seed=9
     )
     budget = bal_solver._DENSE_CROSS_BUDGET_BYTES
     bal_solver._DENSE_CROSS_BUDGET_BYTES = 64 * 1024  # force chunking
     try:
+        # the auto-selection formula must pick a chunk that genuinely
+        # exercises the chunked branch (chunk < P) on this problem
+        itemsize = 8
+        chunk = max(128, bal_solver._DENSE_CROSS_BUDGET_BYTES // (2 * 6 * 27 * itemsize))
+        assert chunk < noisy.num_points, "fixture no longer forces chunking"
         solved, _ = bal_solver.solve_bal(
             noisy, Options().replace(max_iterations=30)
         )
     finally:
         bal_solver._DENSE_CROSS_BUDGET_BYTES = budget
     assert bal_solver.bal_cost(solved) < 0.05 * bal_solver.bal_cost(noisy)
+
+
+def test_read_bal_rejects_negative_indices(tmp_path):
+    """Negative observation indices must raise, not wrap via fancy
+    indexing into the wrong parameter blocks (ADVICE r3)."""
+    prob, _ = bal_io.synthetic_bal_problem(
+        num_cameras=3, num_points=10, observations_per_point=2, seed=1
+    )
+    path = tmp_path / "neg.txt"
+    bal_io.write_bal(path, prob)
+    text = path.read_text().split("\n")
+    # first observation line: "cam pt u v" -> corrupt cam index to -1
+    parts = text[1].split()
+    parts[0] = "-1"
+    text[1] = " ".join(parts)
+    path.write_text("\n".join(text))
+    with pytest.raises(ValueError, match="out of range"):
+        bal_io.read_bal(path)

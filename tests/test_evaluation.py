@@ -153,3 +153,18 @@ def test_solved_graph_scores_better_than_drift():
     # 300 poses on the dense arena: modest drift (0.45 m rmse) collapses
     # to the posterior floor (~0.04 m)
     assert ate_solved["rmse"] < 0.2 * ate_init["rmse"], (ate_solved, ate_init)
+
+
+def test_ate_planar_excludes_heading(rng):
+    """planar=True zeroes the xyt heading column so 2D trajectories are
+    scored on position only (ADVICE r3: heading otherwise inflates ATE
+    as a fake z-coordinate)."""
+    xy = np.cumsum(rng.normal(size=(40, 2)), axis=0)
+    theta = rng.uniform(-np.pi, np.pi, size=(40, 1))
+    est = np.concatenate([xy, theta], axis=1)  # exact positions, noisy heading
+    gt = np.concatenate([xy, np.zeros((40, 1))], axis=1)
+    out = absolute_trajectory_error(est, gt, align=False, planar=True)
+    assert out["rmse"] < 1e-12
+    # without planar the heading column is (documented) raw z
+    raw = absolute_trajectory_error(est, gt, align=False)
+    assert raw["rmse"] > 0.1
