@@ -1,0 +1,578 @@
+"""Nested-dissection multifrontal block-sparse Cholesky, the TPU way.
+
+The reference's pose-graph analytic path is an unimplemented stub whose
+comments name "Sparse Cholesky" as the intended linear solver
+(pose_graph_optimizer_analytic.cc:12-51, options.h:11-13 LinearSolverType).
+A classical supernodal sparse Cholesky (CHOLMOD-style pointer-chasing
+over dynamically-sized supernodes) is the wrong shape for a TPU; the
+TPU-native equivalent built here is the MULTIFRONTAL method with
+STATICALLY PLANNED, LEVEL-BATCHED dense fronts:
+
+  1. HOST symbolic phase (:func:`symbolic`), once per graph topology:
+     recursive nested dissection (geometric median cut when vertex
+     coordinates are available — SLAM graphs always have pose positions
+     — else a reverse-Cuthill-McKee linearization cut) produces a
+     separator tree. For every tree node we precompute its interior
+     variables, its boundary (the ancestor variables its subtree couples
+     to after fill-in, by the standard bottom-up recurrence
+     bnd(n) = (U bnd(children) U N(vars(n))) \\ subtree(n)), and flat
+     int32 scatter maps: edge block -> (front, row, col) slot,
+     variable -> (front, slot), child boundary slot -> parent slot.
+
+  2. DEVICE numeric phase (:func:`factor` / :func:`solve_factored`),
+     per LM iteration: fronts at the same tree depth are PADDED TO A
+     COMMON SIZE and processed as ONE batched tensor per depth —
+     batched Cholesky of the interior block, batched triangular solve
+     for the coupling panel, one `highest`-precision matmul for the
+     Schur complement, and a single scatter-add "extend-add" into the
+     parent depth. ceil(log2(P/leaf)) such batched steps replace the
+     P sequential pivots of a scalar sparse factorization: all FLOPs
+     are dense panels (MXU work), all shapes are static, and the whole
+     factorization lives inside one jit.
+
+Complexity matches nested dissection: O(P^{3/2}) flops on planar-ish
+SLAM graphs vs O(P * b^2) for the RCM-banded solver — on loop-rich
+"fat bandwidth" graphs (Olson's Manhattan worlds, where RCM bandwidth
+grows with the arena diameter) this is the solver class the banded
+superblock path cannot reach.
+
+Used by solvers/pose_graph.py (solver='sparse', 3D and SE(2)); generic
+over the per-vertex block dimension d.
+"""
+
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+Array = jax.Array
+
+
+class _DepthPlan(NamedTuple):
+    """Per-depth static scatter maps (all numpy on the host; converted
+    to device constants at trace time)."""
+
+    num_fronts: int
+    ni: int  # padded interior block count
+    nb: int  # padded boundary block count
+    blk_off: int  # offset of this depth in the flat BLOCK buffer
+    row_off: int  # offset of this depth in the flat ROW buffer
+    # variable assembly (solution slots)
+    va_pid: np.ndarray  # (nv,) vertex ids
+    va_f: np.ndarray  # (nv,)
+    va_slot: np.ndarray  # (nv,) interior slot
+    pad_diag: np.ndarray  # (num_fronts, (ni+nb)*d) 1.0 at padded interior
+    # extend-add of the CHILD depth (depth+1) into this depth, as a
+    # GATHER (TPU scatters serialize; gathers stream — measured 300 ms
+    # -> sub-ms on manhattan3500): each front has <= 2 children
+    # (binary dissection); dummy child index = nF_child, dummy slot =
+    # nb_child, both pointing at explicit zero padding of the child
+    # Schur buffer.
+    child_of: np.ndarray  # (num_fronts, 2) index into child S array
+    inv_map: np.ndarray  # (num_fronts, 2, ni+nb) child bnd slot per slot
+    # boundary gather for back-substitution (pads -> 0; harmless, the
+    # corresponding W columns are exactly zero)
+    bnd_pid: np.ndarray  # (num_fronts, nb)
+
+
+class Plan(NamedTuple):
+    """Symbolic factorization: static shapes + scatter maps per depth.
+
+    ``depths[0]`` is the ROOT; the numeric phase processes
+    ``depths[-1] .. depths[0]`` (leaves up) then back down."""
+
+    P: int
+    d: int
+    E: int
+    swap: np.ndarray  # (E,) True where endpoint b is eliminated first
+    depths: List[_DepthPlan]
+    # ONE sorted scatter assembles every edge block + diagonal into the
+    # flat block buffer (concatenation of all depths' (nF, nblk, nblk)
+    # block grids); per-depth fronts are then cheap slices.
+    tot_blk: int  # total (d, d) blocks across all depths
+    tot_row: int  # total d-rows across all depths
+    asm_idx: np.ndarray  # (4E + P,) SORTED flat block indices
+    asm_perm: np.ndarray  # (4E + P,) source order: concat[B_uu, B_vv,
+    #                       B_uv, B_uv^T, diag][asm_perm] aligns asm_idx
+    rhs_idx: np.ndarray  # (P,) flat row index of each vertex (unique)
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.depths)
+
+    def stats(self) -> dict:
+        """Shape diagnostics for solver selection / logging."""
+        fronts = [(dp.num_fronts, dp.ni, dp.nb) for dp in self.depths]
+        flops = sum(
+            nf * ((ni * self.d) ** 3 / 3.0 + (ni * self.d) ** 2 * (nb * self.d))
+            for nf, ni, nb in fronts
+        )
+        mem = sum(
+            nf * ((ni + nb) * self.d) ** 2 for nf, ni, nb in fronts
+        )
+        return dict(
+            levels=len(fronts),
+            fronts=fronts,
+            factor_flops=flops,
+            front_elems=mem,
+            max_front=max((ni + nb) * self.d for _, ni, nb in fronts),
+        )
+
+
+class _Node:
+    __slots__ = ("vars", "children", "depth", "bnd", "parent", "_subtree")
+
+    def __init__(self, vars_, children):
+        self.vars = vars_  # np.int64 array
+        self.children = children  # list of _Node
+        self.depth = 0
+        self.bnd = None
+        self.parent = None
+
+
+def _order_vertices(V, sa, sb, coords):
+    """Linear arrangement of the subgraph (V, edges sa-sb) for the
+    median cut: geometric (widest coordinate axis) when coordinates are
+    available, else reverse Cuthill-McKee of the subgraph — a
+    bandwidth-minimizing linearization whose median cut is a frontier."""
+    if coords is not None:
+        c = coords[V]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        return np.argsort(c[:, axis], kind="stable")
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    n = len(V)
+    local = np.full(int(V.max()) + 1 if n else 1, -1, np.int64)
+    local[V] = np.arange(n)
+    A = coo_matrix(
+        (np.ones(len(sa)), (local[sa], local[sb])), shape=(n, n)
+    ).tocsr()
+    return np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+
+
+def _bisect(V, sa, sb, coords, leaf_size, num_vertices, scratch):
+    """Recursive nested dissection. (sa, sb) are the edges with BOTH
+    endpoints in V; ``scratch`` is a reusable (P,) work array."""
+    if len(V) <= leaf_size:
+        return _Node(V, [])
+    order = _order_vertices(V, sa, sb, coords)
+    half = len(V) // 2
+    A, B = V[order[:half]], V[order[half:]]
+    # side[v]: 0 for A, 1 for B
+    scratch[A] = 0
+    scratch[B] = 1
+    side_a, side_b = scratch[sa], scratch[sb]
+    # separator: A-side endpoints of every A-B edge (then A\S and B are
+    # edge-disjoint, so S separates them)
+    cut = side_a != side_b
+    sep_vs = np.unique(
+        np.concatenate([sa[cut & (side_a == 0)], sb[cut & (side_b == 0)]])
+    )
+    scratch[A] = 0
+    scratch[sep_vs] = 2
+    S = sep_vs
+    A2 = A[scratch[A] != 2]
+    children = []
+    for part in (A2, B):
+        if not len(part):
+            continue
+        scratch[V] = 0
+        scratch[part] = 1
+        keep = (scratch[sa] == 1) & (scratch[sb] == 1)
+        children.append(
+            _bisect(part, sa[keep], sb[keep], coords, leaf_size,
+                    num_vertices, scratch)
+        )
+    if not children:  # cannot happen (len(V) > leaf_size >= 1) but be safe
+        return _Node(V, [])
+    return _Node(S, children)
+
+
+def symbolic(
+    num_vertices: int,
+    e_a: np.ndarray,
+    e_b: np.ndarray,
+    d: int,
+    coords: Optional[np.ndarray] = None,
+    leaf_size: int = 32,
+) -> Plan:
+    """Build the separator tree and every static scatter map.
+
+    Args:
+      num_vertices: P vertices, each a d-dimensional parameter block.
+      e_a, e_b: (E,) endpoint vertex ids of the coupling edges.
+      coords: optional (P, >=2) vertex coordinates for geometric cuts
+        (pose positions — the natural nested-dissection oracle for SLAM).
+      leaf_size: stop recursion at subgraphs this small; the leaf front
+        becomes one dense panel.
+    """
+    P, E = int(num_vertices), len(e_a)
+    e_a = np.asarray(e_a, np.int64)
+    e_b = np.asarray(e_b, np.int64)
+    # CSR adjacency (both directions)
+    src = np.concatenate([e_a, e_b])
+    dst = np.concatenate([e_b, e_a])
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    indptr = np.zeros(P + 1, np.int64)
+    np.add.at(indptr, src_s + 1, 1)
+    indptr = np.cumsum(indptr)
+    indices = dst_s
+
+    scratch = np.zeros(P, np.int8)
+    root = _bisect(
+        np.arange(P, dtype=np.int64), e_a, e_b,
+        None if coords is None else np.asarray(coords, np.float64),
+        leaf_size, P, scratch,
+    )
+
+    # depth assignment + bottom-up boundary sets
+    nodes: List[_Node] = []
+    stack = [(root, 0, None)]
+    while stack:
+        n, dep, par = stack.pop()
+        n.depth, n.parent = dep, par
+        nodes.append(n)
+        for c in n.children:
+            stack.append((c, dep + 1, n))
+    max_depth = max(n.depth for n in nodes)
+
+    node_of = np.full(P, -1, np.int64)
+    for idx, n in enumerate(nodes):
+        node_of[n.vars] = idx
+
+    # bottom-up: subtree sets + boundary sets (sorted np arrays)
+    for n in sorted(nodes, key=lambda n: -n.depth):
+        sub = n.vars
+        bnd = np.zeros(0, np.int64)
+        for c in n.children:
+            sub = np.union1d(sub, c._subtree)  # type: ignore[attr-defined]
+            bnd = np.union1d(bnd, c.bnd)
+        if len(n.vars):
+            nb_list = [
+                indices[indptr[v]:indptr[v + 1]] for v in n.vars
+            ]
+            if nb_list:
+                bnd = np.union1d(bnd, np.unique(np.concatenate(nb_list)))
+        n.bnd = np.setdiff1d(bnd, sub)
+        n._subtree = sub  # type: ignore[attr-defined]
+    if len(root.bnd):
+        raise AssertionError("root boundary must be empty")
+
+    # slot maps (vertex -> (node, slot)); bnd slots offset by PADDED ni
+    by_depth: List[List[_Node]] = [[] for _ in range(max_depth + 1)]
+    for n in nodes:
+        by_depth[n.depth].append(n)
+    ni_pad = [max(1, max(len(n.vars) for n in lvl)) for lvl in by_depth]
+    nb_pad = [max(len(n.bnd) for n in lvl) for lvl in by_depth]
+
+    slot_of = {}  # vertex/bnd-of-node lookup: (node_id) -> {vertex: slot}
+    front_idx = {}
+    for dep, lvl in enumerate(by_depth):
+        for f, n in enumerate(lvl):
+            front_idx[id(n)] = f
+            m = {int(v): i for i, v in enumerate(n.vars)}
+            for j, v in enumerate(n.bnd):
+                m[int(v)] = ni_pad[dep] + j
+            slot_of[id(n)] = m
+
+    node_list = nodes  # by id
+    node_depth = np.array([n.depth for n in nodes])
+
+    # edge orientation: u = endpoint at the DEEPER node (eliminated first)
+    na = node_of[e_a]
+    nb_ = node_of[e_b]
+    da, db = node_depth[na], node_depth[nb_]
+    bad = (da == db) & (na != nb_)
+    if bad.any():
+        raise AssertionError(
+            "edge between unrelated tree nodes — separator property violated"
+        )
+    swap = db > da  # b eliminated first
+    u = np.where(swap, e_b, e_a)
+    v = np.where(swap, e_a, e_b)
+    host_node = np.where(swap, nb_, na)
+
+    # flat buffer offsets (block grid per depth: nF * nblk * nblk blocks)
+    blk_offs, row_offs = [], []
+    tot_blk = tot_row = 0
+    for dep, lvl in enumerate(by_depth):
+        nblk = ni_pad[dep] + nb_pad[dep]
+        blk_offs.append(tot_blk)
+        row_offs.append(tot_row)
+        tot_blk += len(lvl) * nblk * nblk
+        tot_row += len(lvl) * nblk
+
+    # per-edge flat destination indices (4 blocks: uu, vv, uv, vu)
+    host_depth = node_depth[host_node]
+    idx_uu = np.empty(E, np.int64)
+    idx_vv = np.empty(E, np.int64)
+    idx_uv = np.empty(E, np.int64)
+    idx_vu = np.empty(E, np.int64)
+    for e in range(E):
+        n = node_list[host_node[e]]
+        dep = n.depth
+        nblk = ni_pad[dep] + nb_pad[dep]
+        sm = slot_of[id(n)]
+        f = front_idx[id(n)]
+        ru, rv = sm[int(u[e])], sm[int(v[e])]
+        if ru >= ni_pad[dep]:
+            raise AssertionError("u endpoint not interior at its own node")
+        base = blk_offs[dep] + f * nblk * nblk
+        idx_uu[e] = base + ru * nblk + ru
+        idx_vv[e] = base + rv * nblk + rv
+        idx_uv[e] = base + ru * nblk + rv
+        idx_vu[e] = base + rv * nblk + ru
+
+    depths: List[_DepthPlan] = []
+    diag_idx = np.empty(P, np.int64)
+    rhs_idx = np.empty(P, np.int64)
+    for dep, lvl in enumerate(by_depth):
+        ni, nbp = ni_pad[dep], nb_pad[dep]
+        nblk = ni + nbp
+        nF = len(lvl)
+        va_pid, va_f, va_slot = [], [], []
+        pad_diag = np.zeros((nF, nblk * d), np.float64)
+        bnd_pid = np.zeros((nF, nbp), np.int64)
+        for f, n in enumerate(lvl):
+            for i, vtx in enumerate(n.vars):
+                va_pid.append(int(vtx))
+                va_f.append(f)
+                va_slot.append(i)
+                diag_idx[vtx] = blk_offs[dep] + (f * nblk + i) * nblk + i
+                rhs_idx[vtx] = row_offs[dep] + f * nblk + i
+            pad_diag[f, len(n.vars) * d: ni * d] = 1.0
+            bnd_pid[f, : len(n.bnd)] = n.bnd
+        # gather-form extend-add: inverse maps child bnd slot <- parent
+        # slot, per parent front and child position (binary tree: <= 2)
+        if dep + 1 <= max_depth:
+            child_lvl = by_depth[dep + 1]
+            nbc = nb_pad[dep + 1]
+            nCc = len(child_lvl)
+            child_of = np.full((nF, 2), nCc, np.int32)  # dummy = zero front
+            inv_map = np.full((nF, 2, nblk), nbc, np.int32)  # dummy slot
+            child_count = np.zeros(nF, np.int64)
+            for c_idx, c in enumerate(child_lvl):
+                p = c.parent
+                if p.depth != dep:
+                    raise AssertionError("tree parent depth mismatch")
+                fp = front_idx[id(p)]
+                k = child_count[fp]
+                if k >= 2:
+                    raise AssertionError("non-binary separator tree")
+                child_count[fp] = k + 1
+                child_of[fp, k] = c_idx
+                psm = slot_of[id(p)]
+                for j, w in enumerate(c.bnd):
+                    inv_map[fp, k, psm[int(w)]] = j
+        else:
+            child_of = np.zeros((nF, 2), np.int32)
+            inv_map = np.zeros((nF, 2, nblk), np.int32)
+        depths.append(
+            _DepthPlan(
+                num_fronts=nF,
+                ni=ni,
+                nb=nbp,
+                blk_off=blk_offs[dep],
+                row_off=row_offs[dep],
+                va_pid=np.asarray(va_pid, np.int64),
+                va_f=np.asarray(va_f, np.int32),
+                va_slot=np.asarray(va_slot, np.int32),
+                pad_diag=pad_diag,
+                child_of=child_of,
+                inv_map=inv_map,
+                bnd_pid=bnd_pid,
+            )
+        )
+    # one sorted scatter for all assembly sources
+    all_idx = np.concatenate([idx_uu, idx_vv, idx_uv, idx_vu, diag_idx])
+    perm = np.argsort(all_idx, kind="stable")
+    return Plan(
+        P=P, d=d, E=E, swap=swap, depths=depths,
+        tot_blk=tot_blk, tot_row=tot_row,
+        asm_idx=all_idx[perm], asm_perm=perm, rhs_idx=rhs_idx,
+    )
+
+
+# ---------------------------------------------------------------------------
+# numeric phase (device, jit-traceable; plan arrays become constants)
+# ---------------------------------------------------------------------------
+
+
+def _hp():
+    return jax.default_matmul_precision("highest")
+
+
+def factor(plan: Plan, B_aa: Array, B_bb: Array, B_ab: Array, diag: Array):
+    """Assemble + factor the block-sparse SPD system.
+
+    A[a,a] += B_aa[e], A[b,b] += B_bb[e], A[a,b] += B_ab[e] (and its
+    transpose) for each edge e = (a, b), plus ``diag`` (P, d) on the
+    diagonal. Returns an opaque factor for :func:`solve_factored`.
+    """
+    d = plan.d
+    dtype = B_aa.dtype
+    swap = jnp.asarray(plan.swap)[:, None, None]
+    B_uu = jnp.where(swap, B_bb, B_aa)
+    B_vv = jnp.where(swap, B_aa, B_bb)
+    B_ab_T = jnp.swapaxes(B_ab, -1, -2)
+    B_uv = jnp.where(swap, B_ab_T, B_ab)
+    diag_blocks = diag[:, :, None] * jnp.eye(d, dtype=dtype)
+
+    # ONE sorted scatter assembles everything into the flat block buffer
+    blocks = jnp.concatenate(
+        [B_uu, B_vv, B_uv, jnp.swapaxes(B_uv, -1, -2), diag_blocks], axis=0
+    )[jnp.asarray(plan.asm_perm)]
+    flat = jnp.zeros((plan.tot_blk, d, d), dtype).at[
+        jnp.asarray(plan.asm_idx)
+    ].add(blocks, indices_are_sorted=True)
+
+    levels = []
+    S_pad = None  # child Schur in block-COO layout, zero-padded
+    for dep in range(plan.num_levels - 1, -1, -1):
+        dp = plan.depths[dep]
+        nblk = dp.ni + dp.nb
+        m = nblk * d
+        mi = dp.ni * d
+        # (nF, nblk, nblk, d, d) block-COO grid for this depth
+        F = flat[dp.blk_off: dp.blk_off + dp.num_fronts * nblk * nblk]
+        F = F.reshape(dp.num_fronts, nblk, nblk, d, d)
+        if S_pad is not None:
+            # gather-form extend-add (<= 2 children per front; dummies
+            # index the explicit zero padding)
+            c0 = jnp.asarray(dp.child_of[:, 0])[:, None, None]
+            c1 = jnp.asarray(dp.child_of[:, 1])[:, None, None]
+            im0 = jnp.asarray(dp.inv_map[:, 0, :])
+            im1 = jnp.asarray(dp.inv_map[:, 1, :])
+            F = F + S_pad[c0, im0[:, :, None], im0[:, None, :]]
+            F = F + S_pad[c1, im1[:, :, None], im1[:, None, :]]
+        F = jnp.transpose(F, (0, 1, 3, 2, 4)).reshape(dp.num_fronts, m, m)
+        F = F + jnp.eye(m, dtype=dtype) * jnp.asarray(dp.pad_diag, dtype)[:, None, :]
+
+        A11 = F[:, :mi, :mi]
+        L11 = jnp.linalg.cholesky(A11)
+        if dp.nb:
+            A12 = F[:, :mi, mi:]
+            W = solve_triangular(L11, A12, lower=True)  # (nF, mi, mb)
+            with _hp():
+                S = F[:, mi:, mi:] - jnp.swapaxes(W, -1, -2) @ W
+            S_coo = jnp.transpose(
+                S.reshape(dp.num_fronts, dp.nb, d, dp.nb, d), (0, 1, 3, 2, 4)
+            )
+            S_pad = jnp.zeros(
+                (dp.num_fronts + 1, dp.nb + 1, dp.nb + 1, d, d), dtype
+            ).at[: dp.num_fronts, : dp.nb, : dp.nb].set(S_coo)
+        else:
+            W = jnp.zeros((dp.num_fronts, mi, 0), dtype)
+            S_pad = None
+        levels.append((L11, W))
+    levels.reverse()  # levels[dep] aligns with plan.depths[dep]
+    return tuple(levels)
+
+
+def solve_factored(plan: Plan, fact, b: Array) -> Array:
+    """Solve A x = b against a :func:`factor` result. b, x: (P, d)."""
+    d = plan.d
+    dtype = b.dtype
+    # one unique scatter seeds every front's interior rows
+    rows = jnp.zeros((plan.tot_row, d), dtype).at[
+        jnp.asarray(plan.rhs_idx)
+    ].set(b, unique_indices=True)
+    # forward pass: eliminate interiors leaves-up
+    zs = [None] * plan.num_levels
+    u_pad = None
+    for dep in range(plan.num_levels - 1, -1, -1):
+        dp = plan.depths[dep]
+        L11, W = fact[dep]
+        nblk = dp.ni + dp.nb
+        rf = rows[dp.row_off: dp.row_off + dp.num_fronts * nblk]
+        rf = rf.reshape(dp.num_fronts, nblk, d)
+        if u_pad is not None:
+            c0 = jnp.asarray(dp.child_of[:, 0])[:, None]
+            c1 = jnp.asarray(dp.child_of[:, 1])[:, None]
+            im0 = jnp.asarray(dp.inv_map[:, 0, :])
+            im1 = jnp.asarray(dp.inv_map[:, 1, :])
+            rf = rf + u_pad[c0, im0] + u_pad[c1, im1]
+        mi = dp.ni * d
+        rflat = rf.reshape(dp.num_fronts, -1)
+        b1 = rflat[:, :mi]
+        z = solve_triangular(L11, b1[..., None], lower=True)[..., 0]
+        zs[dep] = z
+        if dp.nb:
+            with _hp():
+                u = rflat[:, mi:] - jnp.einsum("fib,fi->fb", W, z)
+            u_pad = jnp.zeros((dp.num_fronts + 1, dp.nb + 1, d), dtype).at[
+                : dp.num_fronts, : dp.nb
+            ].set(u.reshape(dp.num_fronts, dp.nb, d))
+        else:
+            u_pad = None
+    # backward pass: root-down back-substitution
+    x = jnp.zeros((plan.P, d), dtype)
+    for dep in range(plan.num_levels):
+        dp = plan.depths[dep]
+        L11, W = fact[dep]
+        z = zs[dep]
+        if dp.nb:
+            xb = x[jnp.asarray(dp.bnd_pid)].reshape(dp.num_fronts, -1)
+            with _hp():
+                t = z - jnp.einsum("fib,fb->fi", W, xb)
+        else:
+            t = z
+        x1 = solve_triangular(L11, t[..., None], lower=True, trans=1)[..., 0]
+        if len(dp.va_pid):
+            x1b = x1.reshape(dp.num_fronts, dp.ni, d)
+            x = x.at[jnp.asarray(dp.va_pid)].set(
+                x1b[jnp.asarray(dp.va_f), jnp.asarray(dp.va_slot)]
+            )
+    return x
+
+
+def edge_matvec(
+    e_a, e_b, B_aa: Array, B_bb: Array, B_ab: Array, diag: Array, x: Array
+) -> Array:
+    """y = A x with A given in edge-block form (for iterative
+    refinement — one cheap segment-sum product instead of a second
+    factorization)."""
+    xa, xb = x[e_a], x[e_b]
+    with _hp():
+        ya = jnp.einsum("eij,ej->ei", B_aa, xa) + jnp.einsum(
+            "eij,ej->ei", B_ab, xb
+        )
+        yb = jnp.einsum("eji,ej->ei", B_ab, xa) + jnp.einsum(
+            "eij,ej->ei", B_bb, xb
+        )
+    return (diag * x).at[e_a].add(ya).at[e_b].add(yb)
+
+
+def solve(
+    plan: Plan,
+    e_a,
+    e_b,
+    B_aa: Array,
+    B_bb: Array,
+    B_ab: Array,
+    diag: Array,
+    b: Array,
+) -> Array:
+    """Factor + solve, with the repo's mixed-precision recipe: f64
+    inputs are factored in f32 (the TPU's native precision — f64 panel
+    products are ~10x emulated) and recovered to f64 step accuracy by
+    two Wilkinson iterative-refinement sweeps whose residual matvec is
+    one cheap edge-block product."""
+    if b.dtype == jnp.float64:
+        f32 = jnp.float32
+        fact = factor(
+            plan, B_aa.astype(f32), B_bb.astype(f32), B_ab.astype(f32),
+            diag.astype(f32),
+        )
+        x = solve_factored(plan, fact, b.astype(f32)).astype(b.dtype)
+        for _ in range(2):
+            resid = b - edge_matvec(e_a, e_b, B_aa, B_bb, B_ab, diag, x)
+            x = x + solve_factored(plan, fact, resid.astype(f32)).astype(b.dtype)
+        return x
+    fact = factor(plan, B_aa, B_bb, B_ab, diag)
+    return solve_factored(plan, fact, b)

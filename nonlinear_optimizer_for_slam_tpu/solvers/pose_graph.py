@@ -463,7 +463,14 @@ class PoseGraphOptimizer:
         the reordered bandwidth stays moderate (sphere-class ring
         closures: yes; uniformly random long loops: use "cg", the
         constructor-time bandwidth check raises with the measured
-        memory need).
+        memory need);
+        "sparse" is the nested-dissection MULTIFRONTAL direct solver
+        (solvers/multifrontal.py) for loop-rich FAT-BANDWIDTH graphs
+        where even the best band ordering couples across the arena
+        (Olson M3500-class city graphs): geometric separator tree on
+        the host once per topology, then per LM iteration a handful of
+        level-BATCHED dense frontal Cholesky panels — O(P^{3/2}) exact
+        steps where banded superblocks degrade toward dense.
 
         ``edge_loss``: optional robust loss (e.g. core.losses.HuberLoss)
         applied per edge block over its squared residual norm, Ceres-style.
@@ -478,7 +485,7 @@ class PoseGraphOptimizer:
         """
         from ..ops.relative_pose import SWITCH_PENALTY_SCALE
 
-        if solver not in ("dense", "cg", "tridiag", "banded"):
+        if solver not in ("dense", "cg", "tridiag", "banded", "sparse"):
             raise ValueError(f"unknown solver {solver!r}")
         if cg_precond not in ("chain", "jacobi"):
             raise ValueError(f"unknown cg_precond {cg_precond!r}")
@@ -788,6 +795,26 @@ class PoseGraphOptimizer:
         )
         return flat["banded"]
 
+    def _flatten_sparse(self, flat: dict, positions: np.ndarray) -> dict:
+        """HOST symbolic phase for the nested-dissection multifrontal
+        solver, cached per topology: separator tree + scatter maps
+        (solvers/multifrontal.py). Pose positions seed the geometric
+        median cuts — the natural dissection oracle for SLAM graphs."""
+        if flat.get("sparse") is not None:
+            return flat["sparse"]
+        from . import multifrontal
+
+        plan = multifrontal.symbolic(
+            flat["P"],
+            flat["ref_idx"].astype(np.int64),
+            flat["query_idx"].astype(np.int64),
+            d=7,
+            coords=np.asarray(positions, np.float64),
+            leaf_size=16,
+        )
+        flat["sparse"] = dict(plan=plan)
+        return flat["sparse"]
+
     def _materialize(self) -> None:
         """Flush lazily-written-back solve results into the Pose registry
         (needed before the packed arrays are rebuilt or re-ordered)."""
@@ -938,7 +965,22 @@ class PoseGraphOptimizer:
         # switch variables initialized to 1.0 (inlier)
         switches0 = jnp.ones((L,), dtype)
 
-        if self.solver == "banded":
+        if self.solver == "sparse":
+            sp = self._flatten_sparse(flat, positions)
+            pos, quat, sw, summary = _pose_graph_solve_sparse(
+                jnp.asarray(positions, dtype),
+                jnp.asarray(quaternions, dtype),
+                switches0,
+                edges,
+                jnp.asarray(free, dtype),
+                jnp.asarray(self.switch_penalty, dtype),
+                self.edge_loss,
+                P,
+                L,
+                sp["plan"],
+                options,
+            )
+        elif self.solver == "banded":
             bd = self._flatten_banded(flat)
             perm = bd["perm"]
             pos_p, quat_p, sw, summary = _pose_graph_solve_banded(
@@ -1965,10 +2007,15 @@ class PoseGraphOptimizer2D:
         "banded" is the DIRECT solver for those same large graphs (RCM
         ordering + superblock cyclic reduction, the SE(2) analog of the
         3D optimizer's banded path — exact damped-GN steps where
-        truncated CG is not)."""
+        truncated CG is not);
+        "sparse" is the nested-dissection multifrontal direct solver
+        (solvers/multifrontal.py) for loop-rich fat-bandwidth city
+        graphs (Olson M3500-class) whose RCM bandwidth grows with the
+        arena diameter — sqrt(P) geometric separators keep the
+        factorization O(P^{3/2}) where banded superblocks go near-dense."""
         from ..ops.relative_pose import SWITCH_PENALTY_SCALE
 
-        if solver not in ("dense", "cg", "banded"):
+        if solver not in ("dense", "cg", "banded", "sparse"):
             raise ValueError(f"unknown solver {solver!r}")
         if cg_precond not in ("chain", "jacobi"):
             raise ValueError(f"unknown cg_precond {cg_precond!r}")
@@ -1983,6 +2030,8 @@ class PoseGraphOptimizer2D:
         self._poses: Dict[int, "np.ndarray"] = {}  # index -> (x, y, theta)
         self._constant: set = set()
         self._constraints: List[dict] = []
+        # nested-dissection plan cache: (P, E, edge-array hash) -> Plan
+        self._sparse_plan = None
 
     def set_pose(self, index: int, xyt) -> None:
         self._poses[index] = np.asarray(xyt, dtype=np.float64).copy()
@@ -2123,6 +2172,24 @@ class PoseGraphOptimizer2D:
             free[index_of[pi]] = 0.0
         return indices, index_of, P, E, L, xyt, edges, free
 
+    def _sparse_symbolic(self, P, edges, xyt):
+        """Cached nested-dissection plan (solvers/multifrontal.py); the
+        (x, y) pose positions seed the geometric median cuts. Cache key
+        is the topology (endpoint arrays), not the pose values."""
+        from . import multifrontal
+
+        ref_np = np.asarray(edges.reference_indices, np.int64)
+        qry_np = np.asarray(edges.query_indices, np.int64)
+        key = (P, len(ref_np), ref_np.tobytes(), qry_np.tobytes())
+        if self._sparse_plan is not None and self._sparse_plan[0] == key:
+            return self._sparse_plan[1]
+        plan = multifrontal.symbolic(
+            P, ref_np, qry_np, d=3, coords=np.asarray(xyt[:, :2], np.float64),
+            leaf_size=32,
+        )
+        self._sparse_plan = (key, plan)
+        return plan
+
     def solve(self, options: Optional[Options] = None):
         if options is None:
             options = Options().replace(max_iterations=500)
@@ -2134,7 +2201,21 @@ class PoseGraphOptimizer2D:
         indices, index_of, P, E, L, xyt, edges, free = self._flat_2d()
         dtype = self.dtype
 
-        if self.solver == "banded":
+        if self.solver == "sparse":
+            plan = self._sparse_symbolic(P, edges, xyt)
+            out_xyt, sw, summary = _pose_graph_2d_solve_sparse(
+                jnp.asarray(xyt, dtype),
+                jnp.ones((L,), dtype),
+                edges,
+                jnp.asarray(free, dtype),
+                jnp.asarray(self.switch_penalty, dtype),
+                self.edge_loss,
+                P,
+                L,
+                plan,
+                options,
+            )
+        elif self.solver == "banded":
             # HOST symbolic phase (same recipe as the 3D optimizer's
             # _flatten_banded): RCM pose ordering bounds the block
             # bandwidth; recomputed per solve — RCM on a 10k-pose graph
@@ -3455,3 +3536,316 @@ def _pose_graph_solve_banded(
         solve_linear=solve_linear,
     )
     return pose_params[:, :3], pose_params[:, 3:], switches, summary
+
+
+def _pose_graph_solve_sparse(
+    positions0,  # (P, 3) registry order (NO permutation — the plan owns it)
+    quaternions0,  # (P, 4)
+    switches0,  # (L,)
+    edges: PoseGraphEdges,
+    free_mask,  # (P,)
+    switch_penalty,
+    edge_loss,
+    num_poses: int,
+    num_loops: int,
+    plan,  # multifrontal.Plan from _flatten_sparse
+    options: Options,
+):
+    """Direct LM via nested-dissection multifrontal block-sparse
+    Cholesky (solvers/multifrontal.py — see its module docstring for the
+    TPU-first design narrative). This is the solver class for loop-rich
+    FAT-BANDWIDTH graphs (Olson Manhattan worlds) where every RCM
+    ordering still couples across the arena: the banded superblock
+    solver degrades to near-dense panels while nested dissection keeps
+    O(P^{3/2}) with sqrt(P)-sized separator fronts.
+
+    Same eval_quadratic/LM policy and exact per-edge switch elimination
+    as the banded path (the damped Schur complement of each loop
+    switch is a rank-1 update to its edge blocks, which by construction
+    stay inside the sparsity pattern); only the linear solver differs.
+    """
+    from . import multifrontal
+
+    P, L = num_poses, num_loops
+    dtype = positions0.dtype
+    E = edges.mask.shape[0]
+    ref_i = edges.reference_indices
+    qry_i = edges.query_indices
+
+    if L > 0:
+        loop_slot = jnp.clip(
+            jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1, 0, L - 1
+        )
+    else:
+        loop_slot = jnp.zeros((E,), jnp.int32)
+    is_loop = edges.is_loop > 0
+
+    free_ref = free_mask[ref_i]
+    free_qry = free_mask[qry_i]
+    fixed_p = (1.0 - free_mask)[:, None]
+
+    def accumulate_pose(contrib_ref, contrib_qry):
+        out = jnp.zeros((P,) + contrib_ref.shape[1:], dtype)
+        return out.at[ref_i].add(contrib_ref).at[qry_i].add(contrib_qry)
+
+    def eval_quadratic(params):
+        pose_params, switches = params
+        pos = pose_params[:, :3]
+        quat = pose_params[:, 3:]
+        sw_full = switches[loop_slot] if L > 0 else jnp.zeros((E,), dtype)
+        r, J_ref, J_query, J_s = edge_residuals_and_jacobians(
+            pos, quat, sw_full, edges, switch_penalty
+        )
+        J_ref = J_ref * free_ref[:, None, None]
+        J_query = J_query * free_qry[:, None, None]
+
+        if edge_loss is not None:
+            sq = jnp.sum(r * r, axis=1)
+            rho, w, _ = edge_loss.evaluate(sq)
+            cost = jnp.sum(rho)
+            sqrt_w = jnp.sqrt(w)
+            r = r * sqrt_w[:, None]
+            J_ref = J_ref * sqrt_w[:, None, None]
+            J_query = J_query * sqrt_w[:, None, None]
+            J_s = J_s * sqrt_w[:, None]
+        else:
+            cost = jnp.sum(r * r)
+
+        g_p = accumulate_pose(
+            jnp.sum(J_ref * r[:, :, None], axis=1),
+            jnp.sum(J_query * r[:, :, None], axis=1),
+        )
+        if L > 0:
+            gs_e = jnp.sum(J_s * r, axis=1) * is_loop
+            g_s = jnp.zeros((L,), dtype).at[loop_slot].add(gs_e)
+        else:
+            g_s = jnp.zeros((0,), dtype)
+
+        d_p = accumulate_pose(
+            jnp.sum(J_ref * J_ref, axis=1), jnp.sum(J_query * J_query, axis=1)
+        )
+        if L > 0:
+            d_s = jnp.zeros((L,), dtype).at[loop_slot].add(
+                jnp.sum(J_s * J_s, axis=1) * is_loop
+            )
+        else:
+            d_s = jnp.zeros((0,), dtype)
+
+        H_rep = (J_ref, J_query, J_s, d_p, d_s)
+        return H_rep, (g_p, g_s), cost
+
+    def solve_linear(H_rep, g, lam):
+        J_ref, J_query, J_s, d_p, d_s = H_rep
+        g_p, g_s = g
+
+        # per-edge blocks in (ref, query) = (a, b) convention
+        B_aa = jnp.sum(J_ref[:, :, :, None] * J_ref[:, :, None, :], axis=1)
+        B_bb = jnp.sum(
+            J_query[:, :, :, None] * J_query[:, :, None, :], axis=1
+        )
+        B_ab = jnp.sum(J_ref[:, :, :, None] * J_query[:, :, None, :], axis=1)
+
+        b_p = -g_p
+
+        if L > 0:
+            # exact damped-Schur elimination of each loop edge's switch
+            # (rank-1 per edge — the same algebra as the banded path)
+            c = J_s
+            cc = jnp.sum(c * c, axis=1)
+            gamma = cc + lam * d_s[loop_slot] + 1e-8
+            inv_gamma = jnp.where(is_loop, 1.0 / gamma, 0.0)
+            Jac = jnp.sum(J_ref * c[:, :, None], axis=1)  # (E, bd)
+            Jbc = jnp.sum(J_query * c[:, :, None], axis=1)
+            coef = inv_gamma * g_s[loop_slot]
+            b_p = b_p.at[ref_i].add(Jac * coef[:, None])
+            b_p = b_p.at[qry_i].add(Jbc * coef[:, None])
+            B_aa = B_aa - inv_gamma[:, None, None] * (
+                Jac[:, :, None] * Jac[:, None, :]
+            )
+            B_bb = B_bb - inv_gamma[:, None, None] * (
+                Jbc[:, :, None] * Jbc[:, None, :]
+            )
+            B_ab = B_ab - inv_gamma[:, None, None] * (
+                Jac[:, :, None] * Jbc[:, None, :]
+            )
+
+        dvec = lam * d_p + fixed_p + 1e-8  # damping + gauge + floor
+        dp = multifrontal.solve(
+            plan, ref_i, qry_i, B_aa, B_bb, B_ab, dvec, b_p
+        )
+
+        if L > 0:
+            v = jnp.einsum("erd,ed->er", J_ref, dp[ref_i]) + jnp.einsum(
+                "erd,ed->er", J_query, dp[qry_i]
+            )
+            ds_e = jnp.where(
+                is_loop,
+                (-g_s[loop_slot] - jnp.sum(c * v, axis=1)) * inv_gamma,
+                0.0,
+            )
+            ds = jnp.zeros((L,), dtype).at[loop_slot].add(ds_e)
+        else:
+            ds = jnp.zeros((0,), dtype)
+        return dp, ds
+
+    def retract(params, delta):
+        pose_params, switches = params
+        dp, ds = delta
+        return (pose_params + dp * free_mask[:, None], switches + ds)
+
+    pose0 = jnp.concatenate([positions0, quaternions0], axis=1)
+    (pose_params, switches), summary = lm.solve(
+        eval_quadratic, retract, (pose0, switches0), options,
+        solve_linear=solve_linear,
+    )
+    return pose_params[:, :3], pose_params[:, 3:], switches, summary
+
+
+def _pose_graph_2d_solve_sparse(
+    xyt0,  # (P, 3) registry order (NO permutation — the plan owns it)
+    switches0,  # (L,)
+    edges: "PoseGraph2DEdges",
+    free_mask,  # (P,)
+    switch_penalty,
+    edge_loss,
+    num_poses: int,
+    num_loops: int,
+    plan,  # multifrontal.Plan
+    options: Options,
+):
+    """SE(2) nested-dissection multifrontal direct solver: the 3-DoF
+    analog of :func:`_pose_graph_solve_sparse` (which see, and
+    solvers/multifrontal.py for the design narrative). This is the
+    M3500-class city-graph solver: Olson arenas have RCM bandwidth
+    growing with the arena diameter (341 on manhattan3500 — near-dense
+    superblocks), while geometric nested dissection keeps sqrt(P)-sized
+    separator fronts."""
+    from . import multifrontal
+
+    P, L = num_poses, num_loops
+    dtype = xyt0.dtype
+    E = edges.mask.shape[0]
+    ref_i = edges.reference_indices
+    qry_i = edges.query_indices
+
+    if L > 0:
+        loop_slot = jnp.clip(
+            jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1, 0, L - 1
+        )
+    else:
+        loop_slot = jnp.zeros((E,), jnp.int32)
+    is_loop = edges.is_loop > 0
+
+    free_ref = free_mask[ref_i]
+    free_qry = free_mask[qry_i]
+    fixed_p = (1.0 - free_mask)[:, None]
+
+    def accumulate_pose(contrib_ref, contrib_qry):
+        out = jnp.zeros((P,) + contrib_ref.shape[1:], dtype)
+        return out.at[ref_i].add(contrib_ref).at[qry_i].add(contrib_qry)
+
+    def eval_quadratic(params):
+        xyt, switches = params
+        sw_full = switches[loop_slot] if L > 0 else jnp.zeros((E,), dtype)
+        r, J_ref, J_query, J_s = se2_edge_residuals_and_jacobians(
+            xyt, sw_full, edges, switch_penalty
+        )
+        J_ref = J_ref * free_ref[:, None, None]
+        J_query = J_query * free_qry[:, None, None]
+
+        if edge_loss is not None:
+            sq = jnp.sum(r * r, axis=1)
+            rho, w, _ = edge_loss.evaluate(sq)
+            cost = jnp.sum(rho)
+            sqrt_w = jnp.sqrt(w)
+            r = r * sqrt_w[:, None]
+            J_ref = J_ref * sqrt_w[:, None, None]
+            J_query = J_query * sqrt_w[:, None, None]
+            J_s = J_s * sqrt_w[:, None]
+        else:
+            cost = jnp.sum(r * r)
+
+        g_p = accumulate_pose(
+            jnp.sum(J_ref * r[:, :, None], axis=1),
+            jnp.sum(J_query * r[:, :, None], axis=1),
+        )
+        if L > 0:
+            gs_e = jnp.sum(J_s * r, axis=1) * is_loop
+            g_s = jnp.zeros((L,), dtype).at[loop_slot].add(gs_e)
+        else:
+            g_s = jnp.zeros((0,), dtype)
+
+        d_p = accumulate_pose(
+            jnp.sum(J_ref * J_ref, axis=1), jnp.sum(J_query * J_query, axis=1)
+        )
+        if L > 0:
+            d_s = jnp.zeros((L,), dtype).at[loop_slot].add(
+                jnp.sum(J_s * J_s, axis=1) * is_loop
+            )
+        else:
+            d_s = jnp.zeros((0,), dtype)
+
+        H_rep = (J_ref, J_query, J_s, d_p, d_s)
+        return H_rep, (g_p, g_s), cost
+
+    def solve_linear(H_rep, g, lam):
+        J_ref, J_query, J_s, d_p, d_s = H_rep
+        g_p, g_s = g
+
+        B_aa = jnp.sum(J_ref[:, :, :, None] * J_ref[:, :, None, :], axis=1)
+        B_bb = jnp.sum(
+            J_query[:, :, :, None] * J_query[:, :, None, :], axis=1
+        )
+        B_ab = jnp.sum(J_ref[:, :, :, None] * J_query[:, :, None, :], axis=1)
+
+        b_p = -g_p
+
+        if L > 0:
+            c = J_s
+            cc = jnp.sum(c * c, axis=1)
+            gamma = cc + lam * d_s[loop_slot] + 1e-8
+            inv_gamma = jnp.where(is_loop, 1.0 / gamma, 0.0)
+            Jac = jnp.sum(J_ref * c[:, :, None], axis=1)
+            Jbc = jnp.sum(J_query * c[:, :, None], axis=1)
+            coef = inv_gamma * g_s[loop_slot]
+            b_p = b_p.at[ref_i].add(Jac * coef[:, None])
+            b_p = b_p.at[qry_i].add(Jbc * coef[:, None])
+            B_aa = B_aa - inv_gamma[:, None, None] * (
+                Jac[:, :, None] * Jac[:, None, :]
+            )
+            B_bb = B_bb - inv_gamma[:, None, None] * (
+                Jbc[:, :, None] * Jbc[:, None, :]
+            )
+            B_ab = B_ab - inv_gamma[:, None, None] * (
+                Jac[:, :, None] * Jbc[:, None, :]
+            )
+
+        dvec = lam * d_p + fixed_p + 1e-8
+        dp = multifrontal.solve(
+            plan, ref_i, qry_i, B_aa, B_bb, B_ab, dvec, b_p
+        )
+
+        if L > 0:
+            v = jnp.einsum("erd,ed->er", J_ref, dp[ref_i]) + jnp.einsum(
+                "erd,ed->er", J_query, dp[qry_i]
+            )
+            ds_e = jnp.where(
+                is_loop,
+                (-g_s[loop_slot] - jnp.sum(c * v, axis=1)) * inv_gamma,
+                0.0,
+            )
+            ds = jnp.zeros((L,), dtype).at[loop_slot].add(ds_e)
+        else:
+            ds = jnp.zeros((0,), dtype)
+        return dp, ds
+
+    def retract(params, delta):
+        xyt, switches = params
+        dp, ds = delta
+        return (xyt + dp * free_mask[:, None], switches + ds)
+
+    (xyt, switches), summary = lm.solve(
+        eval_quadratic, retract, (xyt0, switches0), options,
+        solve_linear=solve_linear,
+    )
+    return xyt, switches, summary

@@ -1,0 +1,323 @@
+"""Nested-dissection multifrontal pose-graph solver (solver="sparse").
+
+The reference's analytic pose-graph path is a stub whose comments name
+"Sparse Cholesky" (pose_graph_optimizer_analytic.cc:12-51); the sparse
+path is the TPU-native realization for loop-rich FAT-BANDWIDTH graphs
+(Olson M3500-class arenas) where even the best band ordering couples
+across the arena and the banded superblock solver degrades toward dense.
+solvers/multifrontal.py holds the design narrative; these tests pin
+exactness vs the dense path, robustness to shuffled ids / expander
+topology (which the banded solver explicitly refuses), and the raw
+module against an explicit dense factorization.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nonlinear_optimizer_for_slam_tpu.core import Options
+from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
+from nonlinear_optimizer_for_slam_tpu.solvers import multifrontal as mf
+from nonlinear_optimizer_for_slam_tpu.solvers.pose_graph import (
+    ConstraintType,
+    PoseGraphOptimizer,
+    PoseGraphOptimizer2D,
+)
+from nonlinear_optimizer_for_slam_tpu.utils import testing
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    return testing.generate_pose_graph_fixture()
+
+
+def _build(fixture, **kwargs):
+    true_poses, noisy_poses, constraints = fixture
+    opt = PoseGraphOptimizer(**kwargs)
+    for i, p in enumerate(noisy_poses):
+        opt.set_pose(i, p)
+    opt.set_pose_constant(0)
+    for c in constraints:
+        opt.set_constraint(
+            c["reference_index"],
+            c["query_index"],
+            c["relative_pose"],
+            ConstraintType.LOOP if c["is_loop"] else ConstraintType.ODOMETRY,
+        )
+    return opt
+
+
+# ---------------------------------------------------------------------------
+# raw module: multifrontal vs explicit dense assembly
+# ---------------------------------------------------------------------------
+
+
+def _random_block_system(P, extra_edges, d, seed, grid=None):
+    rng = np.random.default_rng(seed)
+    ea, eb = [], []
+    if grid is not None:
+        n = grid
+        for i in range(n):
+            for j in range(n):
+                if i + 1 < n:
+                    ea.append(i * n + j)
+                    eb.append((i + 1) * n + j)
+                if j + 1 < n:
+                    ea.append(i * n + j)
+                    eb.append(i * n + j + 1)
+    else:
+        for i in range(P - 1):
+            ea.append(i)
+            eb.append(i + 1)
+    for _ in range(extra_edges):
+        a, b = rng.integers(0, P, 2)
+        if a != b:
+            ea.append(int(a))
+            eb.append(int(b))
+    ea, eb = np.array(ea), np.array(eb)
+    E = len(ea)
+    J = rng.normal(size=(E, d + 1, 2 * d))
+    B_aa = np.einsum("eri,erj->eij", J[:, :, :d], J[:, :, :d])
+    B_bb = np.einsum("eri,erj->eij", J[:, :, d:], J[:, :, d:])
+    B_ab = np.einsum("eri,erj->eij", J[:, :, :d], J[:, :, d:])
+    diag = rng.uniform(0.5, 2.0, size=(P, d))
+    b = rng.normal(size=(P, d))
+    H = np.zeros((P * d, P * d))
+    for e in range(E):
+        a_, b_ = ea[e], eb[e]
+        H[a_ * d:(a_ + 1) * d, a_ * d:(a_ + 1) * d] += B_aa[e]
+        H[b_ * d:(b_ + 1) * d, b_ * d:(b_ + 1) * d] += B_bb[e]
+        H[a_ * d:(a_ + 1) * d, b_ * d:(b_ + 1) * d] += B_ab[e]
+        H[b_ * d:(b_ + 1) * d, a_ * d:(a_ + 1) * d] += B_ab[e].T
+    H += np.diag(diag.ravel())
+    return ea, eb, B_aa, B_bb, B_ab, diag, b, H
+
+
+@pytest.mark.parametrize("use_coords", [True, False])
+def test_multifrontal_matches_dense_solve(use_coords):
+    """Grid + random chords, d=3 blocks: the level-batched multifrontal
+    factorization reproduces the dense np.linalg.solve answer to f64
+    roundoff under both the geometric and the RCM cut oracles."""
+    n = 16
+    P = n * n
+    ea, eb, B_aa, B_bb, B_ab, diag, b, H = _random_block_system(
+        P, 40, 3, seed=0, grid=n
+    )
+    coords = (
+        np.stack(
+            np.meshgrid(np.arange(n), np.arange(n), indexing="ij"), -1
+        ).reshape(P, 2).astype(float)
+        if use_coords
+        else None
+    )
+    plan = mf.symbolic(P, ea, eb, 3, coords=coords, leaf_size=16)
+    x = mf.solve(
+        plan, jnp.asarray(ea), jnp.asarray(eb), jnp.asarray(B_aa),
+        jnp.asarray(B_bb), jnp.asarray(B_ab), jnp.asarray(diag),
+        jnp.asarray(b),
+    )
+    x_ref = np.linalg.solve(H, b.ravel()).reshape(P, 3)
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-9, atol=1e-11)
+
+
+def test_multifrontal_factor_solve_reuse():
+    """One factor serves many right-hand sides (the covariance /
+    refinement access pattern)."""
+    ea, eb, B_aa, B_bb, B_ab, diag, b, H = _random_block_system(
+        60, 25, 2, seed=4
+    )
+    P = 60
+    plan = mf.symbolic(P, ea, eb, 2, leaf_size=8)
+    f32 = jnp.float32
+    fact = mf.factor(
+        plan, jnp.asarray(B_aa, f32), jnp.asarray(B_bb, f32),
+        jnp.asarray(B_ab, f32), jnp.asarray(diag, f32),
+    )
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        rhs = rng.normal(size=(P, 2))
+        x = mf.solve_factored(plan, fact, jnp.asarray(rhs, f32))
+        x_ref = np.linalg.solve(H, rhs.ravel()).reshape(P, 2)
+        rel = np.abs(np.asarray(x) - x_ref).max() / np.abs(x_ref).max()
+        assert rel < 1e-4, rel  # single f32 solve, no refinement
+
+
+def test_multifrontal_edge_matvec():
+    ea, eb, B_aa, B_bb, B_ab, diag, _, H = _random_block_system(
+        40, 15, 3, seed=7
+    )
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(40, 3))
+    y = mf.edge_matvec(
+        jnp.asarray(ea), jnp.asarray(eb), jnp.asarray(B_aa),
+        jnp.asarray(B_bb), jnp.asarray(B_ab), jnp.asarray(diag),
+        jnp.asarray(x),
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), (H @ x.ravel()).reshape(40, 3), rtol=1e-12
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3D optimizer path
+# ---------------------------------------------------------------------------
+
+
+def test_sparse_matches_dense_exactly(fixture):
+    """Sparse computes the SAME damped-GN step as the dense path (exact
+    elimination): full-trajectory agreement including switch variables."""
+    opt_d = _build(fixture, switch_penalty=0.03)
+    opt_s = _build(fixture, switch_penalty=0.03, solver="sparse")
+    s_d, sw_d = opt_d.solve()
+    s_s, sw_s = opt_s.solve()
+    np.testing.assert_allclose(
+        float(s_s.final_cost), float(s_d.final_cost), rtol=1e-10
+    )
+    np.testing.assert_allclose(np.asarray(sw_s), np.asarray(sw_d), atol=1e-9)
+    for i in range(80):
+        np.testing.assert_allclose(
+            opt_s.get_pose(i).translation,
+            opt_d.get_pose(i).translation,
+            atol=1e-9,
+        )
+    assert np.abs(sw_s[3]) < 0.1 and np.all(np.abs(sw_s[:3]) > 0.5)
+
+
+def test_sparse_with_edge_loss_matches_dense(fixture):
+    from nonlinear_optimizer_for_slam_tpu.core import HuberLoss
+
+    opt_d = _build(fixture, switch_penalty=0.03, edge_loss=HuberLoss(1.0))
+    opt_s = _build(
+        fixture, switch_penalty=0.03, edge_loss=HuberLoss(1.0), solver="sparse"
+    )
+    s_d, _ = opt_d.solve()
+    s_s, _ = opt_s.solve()
+    np.testing.assert_allclose(
+        float(s_s.final_cost), float(s_d.final_cost), rtol=1e-8
+    )
+    for i in range(80):
+        np.testing.assert_allclose(
+            opt_s.get_pose(i).translation,
+            opt_d.get_pose(i).translation,
+            atol=1e-7,
+        )
+
+
+def test_sparse_expander_graph_solves():
+    """Uniformly random long loops give Theta(P) bandwidth under ANY
+    ordering — the banded solver REFUSES this topology (its guard test,
+    test_pose_graph_banded.py::test_banded_bandwidth_guard_raises); the
+    multifrontal solver is exactly the missing solver class and must
+    simply solve it."""
+    rng = np.random.default_rng(3)
+    P = 600
+    pos = np.cumsum(0.1 * rng.normal(size=(P, 3)), axis=0)
+    opt = PoseGraphOptimizer(switch_penalty=0.03, solver="sparse")
+    for i in range(P):
+        opt.set_pose(i, Pose(np.eye(3), pos[i]))
+    opt.set_pose_constant(0)
+    for i in range(P - 1):
+        opt.set_constraint(i, i + 1, Pose(np.eye(3), pos[i + 1] - pos[i]))
+    n_loops = 0
+    for i in range(0, P, 4):
+        b = int(rng.integers(0, P))
+        if abs(b - i) < 2:
+            b = (i + P // 2) % P
+        a, b = min(i, b), max(i, b)
+        opt.set_constraint(
+            a, b, Pose(np.eye(3), pos[b] - pos[a]), ConstraintType.LOOP
+        )
+        n_loops += 1
+    summary, sw = opt.solve(Options().replace(max_iterations=30))
+    err = max(
+        np.linalg.norm(opt.get_pose(i).translation - pos[i]) for i in range(P)
+    )
+    assert err < 1e-4, err
+    assert np.all(np.asarray(sw) > 0.5)  # all loops are inliers here
+
+
+def test_sparse_shuffled_ids():
+    """Pose ids registered in shuffled order still solve correctly: the
+    dissection is on the coupling graph, not the id order."""
+    rng = np.random.default_rng(9)
+    P = 60
+    true_pos = np.cumsum(0.3 * rng.normal(size=(P, 3)), axis=0)
+    ids = rng.permutation(P)
+    opt = PoseGraphOptimizer(switch_penalty=0.03, solver="sparse")
+    for k in range(P):
+        noisy = true_pos[k] + (0.03 * rng.normal(size=3) if k else 0.0)
+        opt.set_pose(int(ids[k]), Pose(np.eye(3), noisy))
+    opt.set_pose_constant(int(ids[0]))
+    for k in range(P - 1):
+        opt.set_constraint(
+            int(ids[k]), int(ids[k + 1]),
+            Pose(np.eye(3), true_pos[k + 1] - true_pos[k]),
+        )
+    summary, _ = opt.solve(Options().replace(max_iterations=50))
+    err = max(
+        np.linalg.norm(opt.get_pose(int(ids[k])).translation - true_pos[k])
+        for k in range(P)
+    )
+    assert err < 1e-3, err
+
+
+# ---------------------------------------------------------------------------
+# SE(2) optimizer path
+# ---------------------------------------------------------------------------
+
+
+def test_sparse_2d_matches_dense():
+    """SE(2) sparse path vs dense on a small Manhattan-style arena with
+    loop closures and an outlier edge under Huber loss."""
+    from nonlinear_optimizer_for_slam_tpu.core import HuberLoss
+
+    rng = np.random.default_rng(11)
+    n = 7
+    P = n * n
+    # snake path over a grid
+    true = np.zeros((P, 3))
+    k = 0
+    for i in range(n):
+        cols = range(n) if i % 2 == 0 else range(n - 1, -1, -1)
+        for j in cols:
+            true[k] = (float(j), float(i), 0.0)
+            k += 1
+
+    def build(**kw):
+        opt = PoseGraphOptimizer2D(switch_penalty=0.03, **kw)
+        for i in range(P):
+            noisy = true[i] + (
+                0.05 * rng.normal(size=3) if i else np.zeros(3)
+            )
+            opt.set_pose(i, noisy)
+        opt.set_pose_constant(0)
+        for i in range(P - 1):
+            rel = true[i + 1] - true[i]
+            opt.set_constraint(i, i + 1, rel)
+        # loop closures between spatially adjacent, temporally distant
+        # poses (vertical grid neighbours of the snake path)
+        for i in range(P):
+            for j in range(i + 2, P):
+                if np.linalg.norm(true[j, :2] - true[i, :2]) < 1.01:
+                    opt.set_constraint(
+                        i, j, true[j] - true[i], ConstraintType.LOOP
+                    )
+        return opt
+
+    rng_state = rng.bit_generator.state
+    opts = Options().replace(max_iterations=60)
+    d = build()
+    rng.bit_generator.state = rng_state
+    s = build(solver="sparse")
+    sum_d, sw_d = d.solve(opts)
+    sum_s, sw_s = s.solve(opts)
+    # both fully converge (~1e-10); reassociation noise dominates at
+    # that magnitude, so the cost check carries an absolute floor
+    np.testing.assert_allclose(
+        float(sum_s.final_cost), float(sum_d.final_cost), rtol=1e-4, atol=1e-9
+    )
+    for k in range(P):
+        np.testing.assert_allclose(
+            np.asarray(s.get_pose(k)), np.asarray(d.get_pose(k)), atol=1e-7
+        )
+    np.testing.assert_allclose(np.asarray(sw_s), np.asarray(sw_d), atol=1e-7)
