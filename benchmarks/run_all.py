@@ -1402,10 +1402,31 @@ def bench_slam_extras(runs):
     (3-D and the victoria-park-style 2-D), GPS-INS smoothing, fixed-lag
     smoothing update rate, Sim(3) essential graph. All second-or-less
     solves through the public APIs; reference has none of these."""
+    import dataclasses as _dc
+
+    from nonlinear_optimizer_for_slam_tpu.core.options import ConvergenceHandle
     from nonlinear_optimizer_for_slam_tpu.core.pose import Pose
     from nonlinear_optimizer_for_slam_tpu.solvers.fixed_lag import (
         FixedLagSmoother,
     )
+
+    def _plateau_opts(cap, rtol=1e-5):
+        """Round-3 verdict: every slam-extras row ran exactly to its
+        iteration cap — the reference's ABSOLUTE step/gradient tolerances
+        cannot fire on problems this size, so fixed budgets silently pay
+        post-plateau iterations. Stop on a relative cost plateau instead
+        and report converged-at (the published time is time-to-plateau)."""
+        return _dc.replace(
+            Options().replace(max_iterations=cap),
+            convergence_handle=ConvergenceHandle(
+                relative_function_tolerance=rtol
+            ),
+        )
+
+    def _conv(summary, cap):
+        it = int(summary.iterations)
+        tag = "plateau" if bool(summary.converged) else "CAP"
+        return f"iters={it}/{cap} ({tag})"
     from nonlinear_optimizer_for_slam_tpu.solvers.inertial import (
         InertialGraphOptimizer,
     )
@@ -1457,7 +1478,7 @@ def bench_slam_extras(runs):
             opt.set_constraint(i, i + 1, gt_poses[i].inverse() * gt_poses[i + 1])
         for (i, j, z) in obs3:
             opt.set_observation(i, j, z, sqrt_info=10.0)
-        summary, _ = opt.solve(Options().replace(max_iterations=60))
+        summary, _ = opt.solve(_plateau_opts(60))
         err = max(
             np.linalg.norm(opt.get_pose(i).translation - gt_poses[i].translation)
             for i in range(P3)
@@ -1474,7 +1495,7 @@ def bench_slam_extras(runs):
     rows.append(
         (f"landmark SLAM 3D ({P3} poses, {len(seen)} lms)", f"{ms:.1f} ms",
          f"{float(summary.final_cost):.2e}",
-         f"obs={len(obs3)} max t_err={err:.2e} iters={int(summary.iterations)}")
+         f"obs={len(obs3)} max t_err={err:.2e} {_conv(summary, 60)}")
     )
     log(f"  landmark SLAM 3D: {ms:.1f} ms (err {err:.2e})")
 
@@ -1519,7 +1540,7 @@ def bench_slam_extras(runs):
             )
         for (i, j, z) in obs2:
             opt.set_observation(i, j, z, sqrt_info=10.0)
-        summary, _ = opt.solve(Options().replace(max_iterations=60))
+        summary, _ = opt.solve(_plateau_opts(60))
         err = max(
             np.linalg.norm(np.asarray(opt.get_pose(i))[:2] - gt2[i, :2])
             for i in range(0, P2, 7)
@@ -1530,7 +1551,7 @@ def bench_slam_extras(runs):
     rows.append(
         (f"landmark SLAM 2D ({P2} poses, {len(seen2)} lms)", f"{ms:.1f} ms",
          f"{float(summary.final_cost):.2e}",
-         f"obs={len(obs2)} max t_err={err:.2e} iters={int(summary.iterations)}")
+         f"obs={len(obs2)} max t_err={err:.2e} {_conv(summary, 60)}")
     )
     log(f"  landmark SLAM 2D: {ms:.1f} ms (err {err:.2e})")
 
@@ -1603,7 +1624,7 @@ def bench_slam_extras(runs):
         for k in range(n_kf):
             opt.add_position_prior(k, gps[k], 20.0)
         opt.add_bias_prior(0, np.zeros(6), 10.0)
-        summary = opt.solve(Options().replace(max_iterations=100))
+        summary = opt.solve(_plateau_opts(100))
         err = max(
             np.linalg.norm(opt.get_pose(k).translation - traj.pos(k * kf_dt))
             for k in range(n_kf)
@@ -1614,7 +1635,7 @@ def bench_slam_extras(runs):
     rows.append(
         (f"GPS-INS smoother ({n_kf} kf, 200Hz IMU)", f"{ms:.1f} ms",
          f"{float(summary.final_cost):.2e}",
-         f"max t_err={err:.2e} iters={int(summary.iterations)}")
+         f"max t_err={err:.2e} {_conv(summary, 100)}")
     )
     log(f"  GPS-INS: {ms:.1f} ms (err {err:.2e})")
 
@@ -1719,7 +1740,7 @@ def bench_slam_extras(runs):
                            relative_scale=float(np.exp(m[7])),
                            sqrt_info=(50.0, 100.0, 50.0))
         opt.initialize()  # log-scale Laplacian + chordal (timed in)
-        summary = opt.solve(Options().replace(max_iterations=150))
+        summary = opt.solve(_plateau_opts(150))
         err = max(
             np.linalg.norm(opt.get_pose(k).translation - target[k][:3])
             for k in range(PS)
@@ -1727,11 +1748,18 @@ def bench_slam_extras(runs):
         return summary, err
 
     ms, (summary, err) = timed(_sim3, max(2, runs // 3))
+    # t_err here is the fixture's MEASUREMENT-NOISE floor, not a device
+    # precision floor (round-3 annotation corrected in round 4): the
+    # solution's cost is ~360x LOWER than the ground-truth
+    # configuration's (0.0158 vs 5.79 — the estimator out-fits the noisy
+    # edges, as it must), and a CPU f64 run of this exact construction
+    # lands within 1 mm of the device run (0.5396 vs 0.5404).
     rows.append(
         (f"Sim(3) essential graph ({PS} kf)", f"{ms:.1f} ms",
          f"{float(summary.final_cost):.2e}",
          f"drift {drift}/edge (52x), chordal init incl., "
-         f"t_err={err:.2e} iters={int(summary.iterations)}")
+         f"t_err={err:.2e} (noise floor; f64 parity <1mm) "
+         f"{_conv(summary, 150)}")
     )
     log(f"  Sim(3): {ms:.1f} ms (err {err:.2e})")
 

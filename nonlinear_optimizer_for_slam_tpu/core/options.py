@@ -54,6 +54,15 @@ class ConvergenceHandle:
     function_tolerance: float = 1e-6
     gradient_tolerance: float = 1e-6
     parameter_tolerance: float = 1e-6
+    # Opt-in RELATIVE cost-plateau stop (0.0 = off, the default — the
+    # reference has no such check and the parity-traced paths never set
+    # it). The reference's absolute step/gradient tolerances cannot fire
+    # on large problems (||delta|| is an absolute L2 norm over ALL
+    # parameters: at 50k poses even a fully-stalled LM step sits orders
+    # of magnitude above 1e-6), so fixed-budget runs silently pay
+    # post-plateau iterations; setting e.g. 1e-8 stops when a DECREASING
+    # step improves the cost by less than that relative amount.
+    relative_function_tolerance: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

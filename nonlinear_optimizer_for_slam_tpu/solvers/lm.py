@@ -22,6 +22,11 @@ update; ``previous_cost`` starts at dtype-max (so the first adaptation
 always shrinks lambda); a converging iteration leaves lambda and
 previous_cost untouched; ``function_tolerance`` exists in Options but is
 never read by the reference loop — same here.
+
+Beyond the reference: ``relative_function_tolerance`` (default 0.0 = off,
+so parity-traced paths are untouched) adds an opt-in relative cost-
+plateau stop for large problems where the reference's ABSOLUTE step /
+gradient tolerances can mathematically never fire (see ConvergenceHandle).
 """
 
 from __future__ import annotations
@@ -142,6 +147,21 @@ def solve(
         converged = (step_norm < ch.parameter_tolerance) | (
             grad_norm < ch.gradient_tolerance
         )
+        if ch.relative_function_tolerance > 0.0:
+            # opt-in relative plateau stop (see ConvergenceHandle): only
+            # a DECREASING step may converge — a rejected (cost-raising)
+            # step can sit near previous_cost without being a plateau.
+            # previous_cost starts at dtype-max, so the first iteration
+            # never fires.
+            drop = state.previous_cost - cost
+            converged = converged | (
+                (drop >= 0.0)
+                & (
+                    drop
+                    <= ch.relative_function_tolerance
+                    * jnp.maximum(cost, jnp.asarray(1e-30, dtype))
+                )
+            )
 
         increase = cost > state.previous_cost
         adapted = jnp.where(

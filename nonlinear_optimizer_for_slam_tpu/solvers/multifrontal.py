@@ -65,21 +65,29 @@ class _DepthPlan(NamedTuple):
     va_f: np.ndarray  # (nv,)
     va_slot: np.ndarray  # (nv,) interior slot
     pad_diag: np.ndarray  # (num_fronts, (ni+nb)*d) 1.0 at padded interior
-    # extend-add of the CHILD depth (depth+1) into this depth, as a
-    # GATHER (TPU scatters serialize; gathers stream — measured 300 ms
-    # -> sub-ms on manhattan3500): each front has <= 2 children
-    # (binary dissection); dummy child index = nF_child, dummy slot =
-    # nb_child, both pointing at explicit zero padding of the child
-    # Schur buffer.
-    child_of: np.ndarray  # (num_fronts, 2) index into child S array
-    inv_map: np.ndarray  # (num_fronts, 2, ni+nb) child bnd slot per slot
+    # extend-add of the CHILD depth (depth+1) into this depth, as
+    # BATCHED ONE-HOT MATMULS T_c = P_c^T S_c P_c + full-panel gathers
+    # by parent (binary dissection: <= 2 children per front). TPU
+    # scatters serialize (~0.85 us per scattered block, measured) and
+    # 36-byte block gathers are memory-latency bound (~150 ms per
+    # factor on manhattan3500); the selection products are MXU work
+    # (~1 ms for the same extend-add). Dummy child index = nF_child
+    # (gathers an explicit zero panel); pad slots map to a dummy
+    # column sliced off the one-hot.
+    child_of: np.ndarray  # (num_fronts, 2) index into child T array
+    ch_map: np.ndarray  # (nC, nb_child) parent BLOCK slot; pads -> ni+nb
     # boundary gather for back-substitution (pads -> 0; harmless, the
     # corresponding W columns are exactly zero)
     bnd_pid: np.ndarray  # (num_fronts, nb)
 
 
-class Plan(NamedTuple):
+import dataclasses
+
+
+@dataclasses.dataclass(eq=False)  # identity hash/eq: plans are cached
+class Plan:                       # per topology and passed to jit as a
     """Symbolic factorization: static shapes + scatter maps per depth.
+    (STATIC argument — numpy payloads cannot be value-hashed.)
 
     ``depths[0]`` is the ROOT; the numeric phase processes
     ``depths[-1] .. depths[0]`` (leaves up) then back down."""
@@ -353,8 +361,8 @@ def symbolic(
             child_lvl = by_depth[dep + 1]
             nbc = nb_pad[dep + 1]
             nCc = len(child_lvl)
-            child_of = np.full((nF, 2), nCc, np.int32)  # dummy = zero front
-            inv_map = np.full((nF, 2, nblk), nbc, np.int32)  # dummy slot
+            child_of = np.full((nF, 2), nCc, np.int32)  # dummy = zero panel
+            ch_map = np.full((nCc, nbc), nblk, np.int32)  # pad -> dummy col
             child_count = np.zeros(nF, np.int64)
             for c_idx, c in enumerate(child_lvl):
                 p = c.parent
@@ -368,10 +376,10 @@ def symbolic(
                 child_of[fp, k] = c_idx
                 psm = slot_of[id(p)]
                 for j, w in enumerate(c.bnd):
-                    inv_map[fp, k, psm[int(w)]] = j
+                    ch_map[c_idx, j] = psm[int(w)]
         else:
             child_of = np.zeros((nF, 2), np.int32)
-            inv_map = np.zeros((nF, 2, nblk), np.int32)
+            ch_map = np.zeros((0, 0), np.int32)
         depths.append(
             _DepthPlan(
                 num_fronts=nF,
@@ -384,7 +392,7 @@ def symbolic(
                 va_slot=np.asarray(va_slot, np.int32),
                 pad_diag=pad_diag,
                 child_of=child_of,
-                inv_map=inv_map,
+                ch_map=ch_map,
                 bnd_pid=bnd_pid,
             )
         )
@@ -432,7 +440,7 @@ def factor(plan: Plan, B_aa: Array, B_bb: Array, B_ab: Array, diag: Array):
     ].add(blocks, indices_are_sorted=True)
 
     levels = []
-    S_pad = None  # child Schur in block-COO layout, zero-padded
+    S_prev = None  # child Schur complements, dense (nC, mb_c, mb_c)
     for dep in range(plan.num_levels - 1, -1, -1):
         dp = plan.depths[dep]
         nblk = dp.ni + dp.nb
@@ -441,16 +449,18 @@ def factor(plan: Plan, B_aa: Array, B_bb: Array, B_ab: Array, diag: Array):
         # (nF, nblk, nblk, d, d) block-COO grid for this depth
         F = flat[dp.blk_off: dp.blk_off + dp.num_fronts * nblk * nblk]
         F = F.reshape(dp.num_fronts, nblk, nblk, d, d)
-        if S_pad is not None:
-            # gather-form extend-add (<= 2 children per front; dummies
-            # index the explicit zero padding)
-            c0 = jnp.asarray(dp.child_of[:, 0])[:, None, None]
-            c1 = jnp.asarray(dp.child_of[:, 1])[:, None, None]
-            im0 = jnp.asarray(dp.inv_map[:, 0, :])
-            im1 = jnp.asarray(dp.inv_map[:, 1, :])
-            F = F + S_pad[c0, im0[:, :, None], im0[:, None, :]]
-            F = F + S_pad[c1, im1[:, :, None], im1[:, None, :]]
         F = jnp.transpose(F, (0, 1, 3, 2, 4)).reshape(dp.num_fronts, m, m)
+        if S_prev is not None:
+            # extend-add as batched one-hot products T_c = P_c^T S_c P_c
+            # (MXU work) + full-panel gathers by parent; see _DepthPlan.
+            Psel = _selection(dp, d, m, dtype)  # (nC, mb_c, m)
+            with _hp():
+                T = jnp.swapaxes(Psel, -1, -2) @ (S_prev @ Psel)
+            T_pad = jnp.concatenate(
+                [T, jnp.zeros((1, m, m), dtype)], axis=0
+            )
+            F = F + T_pad[jnp.asarray(dp.child_of[:, 0])]
+            F = F + T_pad[jnp.asarray(dp.child_of[:, 1])]
         F = F + jnp.eye(m, dtype=dtype) * jnp.asarray(dp.pad_diag, dtype)[:, None, :]
 
         A11 = F[:, :mi, :mi]
@@ -459,19 +469,26 @@ def factor(plan: Plan, B_aa: Array, B_bb: Array, B_ab: Array, diag: Array):
             A12 = F[:, :mi, mi:]
             W = solve_triangular(L11, A12, lower=True)  # (nF, mi, mb)
             with _hp():
-                S = F[:, mi:, mi:] - jnp.swapaxes(W, -1, -2) @ W
-            S_coo = jnp.transpose(
-                S.reshape(dp.num_fronts, dp.nb, d, dp.nb, d), (0, 1, 3, 2, 4)
-            )
-            S_pad = jnp.zeros(
-                (dp.num_fronts + 1, dp.nb + 1, dp.nb + 1, d, d), dtype
-            ).at[: dp.num_fronts, : dp.nb, : dp.nb].set(S_coo)
+                S_prev = F[:, mi:, mi:] - jnp.swapaxes(W, -1, -2) @ W
         else:
             W = jnp.zeros((dp.num_fronts, mi, 0), dtype)
-            S_pad = None
+            S_prev = None
         levels.append((L11, W))
     levels.reverse()  # levels[dep] aligns with plan.depths[dep]
     return tuple(levels)
+
+
+def _selection(dp: _DepthPlan, d: int, m: int, dtype) -> Array:
+    """One-hot child-boundary -> parent-front selection matrices
+    (nC, nb_child * d, m), built on device from the tiny int32 ch_map
+    (a few KB of constants instead of tens of MB of dense one-hots
+    shipped through the ~30 MB/s relay). Pad slots map to a dummy
+    column that the slice drops, i.e. they select nothing."""
+    ch_map = jnp.asarray(dp.ch_map)  # (nC, nbc), pad -> nblk
+    cols = ch_map[:, :, None] * d + jnp.arange(d, dtype=ch_map.dtype)
+    nC, nbc = dp.ch_map.shape
+    cols = cols.reshape(nC, nbc * d)
+    return jax.nn.one_hot(cols, m + d, dtype=dtype)[..., :m]
 
 
 def solve_factored(plan: Plan, fact, b: Array) -> Array:
@@ -484,32 +501,32 @@ def solve_factored(plan: Plan, fact, b: Array) -> Array:
     ].set(b, unique_indices=True)
     # forward pass: eliminate interiors leaves-up
     zs = [None] * plan.num_levels
-    u_pad = None
+    u_prev = None  # child rhs updates, dense (nC, mb_c)
     for dep in range(plan.num_levels - 1, -1, -1):
         dp = plan.depths[dep]
         L11, W = fact[dep]
         nblk = dp.ni + dp.nb
+        m = nblk * d
         rf = rows[dp.row_off: dp.row_off + dp.num_fronts * nblk]
-        rf = rf.reshape(dp.num_fronts, nblk, d)
-        if u_pad is not None:
-            c0 = jnp.asarray(dp.child_of[:, 0])[:, None]
-            c1 = jnp.asarray(dp.child_of[:, 1])[:, None]
-            im0 = jnp.asarray(dp.inv_map[:, 0, :])
-            im1 = jnp.asarray(dp.inv_map[:, 1, :])
-            rf = rf + u_pad[c0, im0] + u_pad[c1, im1]
+        rflat = rf.reshape(dp.num_fronts, m)
+        if u_prev is not None:
+            Psel = _selection(dp, d, m, dtype)
+            with _hp():
+                uT = jnp.einsum("cjm,cj->cm", Psel, u_prev)
+            uT_pad = jnp.concatenate(
+                [uT, jnp.zeros((1, m), dtype)], axis=0
+            )
+            rflat = rflat + uT_pad[jnp.asarray(dp.child_of[:, 0])]
+            rflat = rflat + uT_pad[jnp.asarray(dp.child_of[:, 1])]
         mi = dp.ni * d
-        rflat = rf.reshape(dp.num_fronts, -1)
         b1 = rflat[:, :mi]
         z = solve_triangular(L11, b1[..., None], lower=True)[..., 0]
         zs[dep] = z
         if dp.nb:
             with _hp():
-                u = rflat[:, mi:] - jnp.einsum("fib,fi->fb", W, z)
-            u_pad = jnp.zeros((dp.num_fronts + 1, dp.nb + 1, d), dtype).at[
-                : dp.num_fronts, : dp.nb
-            ].set(u.reshape(dp.num_fronts, dp.nb, d))
+                u_prev = rflat[:, mi:] - jnp.einsum("fib,fi->fb", W, z)
         else:
-            u_pad = None
+            u_prev = None
     # backward pass: root-down back-substitution
     x = jnp.zeros((plan.P, d), dtype)
     for dep in range(plan.num_levels):

@@ -1750,6 +1750,7 @@ def _pose_graph_2d_solve_cg(
     return xyt, switches, summary
 
 
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def _pose_graph_2d_solve_banded(
     xyt0,  # (P, 3) in RCM-PERMUTED order
     switches0,  # (L,)
@@ -3538,6 +3539,7 @@ def _pose_graph_solve_banded(
     return pose_params[:, :3], pose_params[:, 3:], switches, summary
 
 
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
 def _pose_graph_solve_sparse(
     positions0,  # (P, 3) registry order (NO permutation — the plan owns it)
     quaternions0,  # (P, 4)
@@ -3701,6 +3703,7 @@ def _pose_graph_solve_sparse(
     return pose_params[:, :3], pose_params[:, 3:], switches, summary
 
 
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def _pose_graph_2d_solve_sparse(
     xyt0,  # (P, 3) registry order (NO permutation — the plan owns it)
     switches0,  # (L,)

@@ -128,3 +128,45 @@ def test_jit_compatible(rng):
 
     x, summary = run(jnp.zeros(4, F64))
     assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_relative_function_tolerance_plateau(rng):
+    """Opt-in relative cost-plateau stop (round-4): a LARGE-RESIDUAL
+    least-squares problem (noisy b) creeps linearly under GN — the
+    absolute step/gradient tolerances never fire at default scale, but
+    the relative plateau check does; default-off keeps the reference
+    policy byte-identical."""
+    import dataclasses
+
+    from nonlinear_optimizer_for_slam_tpu.core.options import (
+        ConvergenceHandle,
+    )
+
+    A = jnp.asarray(rng.normal(size=(60, 8)), F64)
+    x_true = jnp.asarray(rng.normal(size=8), F64)
+    b = A @ x_true + jnp.asarray(rng.normal(size=60), F64)  # large residual
+    quad, retract = _quadratic_problem(A, b)
+    # tight absolute tolerances so only the relative check can fire
+    ch = ConvergenceHandle(
+        gradient_tolerance=1e-300,
+        parameter_tolerance=1e-300,
+        relative_function_tolerance=1e-8,
+    )
+    opts = dataclasses.replace(
+        Options().replace(max_iterations=200), convergence_handle=ch
+    )
+    x, summary = lm.solve(quad, retract, jnp.zeros(8, F64), opts)
+    assert bool(summary.converged)
+    assert int(summary.iterations) < 200
+    # same solution as the cap-limited default policy
+    ch_off = ConvergenceHandle(
+        gradient_tolerance=1e-300, parameter_tolerance=1e-300
+    )
+    x_ref, s_ref = lm.solve(
+        quad, retract, jnp.zeros(8, F64),
+        dataclasses.replace(
+            Options().replace(max_iterations=200), convergence_handle=ch_off
+        ),
+    )
+    assert int(s_ref.iterations) == 200  # default policy runs to cap
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-6)
