@@ -1,9 +1,9 @@
 """Solve a g2o pose-graph file and write the optimized graph back.
 
     python examples/g2o_solve.py input.g2o [-o solved.g2o]
-        [--solver dense|cg|tridiag|banded] [--init chordal|spanning_tree]
+        [--solver auto|dense|cg|tridiag|banded|sparse] [--init chordal|spanning_tree]
         [--switchable-loops]
-        [--unit-information] [--max-iterations N]
+        [--unit-information] [--max-iterations N] [--rtol R]
 
 Works on the standard 2-D (VERTEX_SE2/EDGE_SE2) and 3-D
 (VERTEX_SE3:QUAT/EDGE_SE3:QUAT) benchmark corpora — sphere2500, torus,
@@ -78,11 +78,19 @@ def main() -> None:
     ap.add_argument("input", nargs="?", default=None)
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument(
-        "--solver", choices=["dense", "cg", "tridiag", "banded"], default="dense"
+        "--solver",
+        choices=["auto", "dense", "cg", "tridiag", "banded", "sparse"],
+        default="auto",
     )
     ap.add_argument("--switchable-loops", action="store_true")
     ap.add_argument("--unit-information", action="store_true")
     ap.add_argument("--max-iterations", type=int, default=200)
+    ap.add_argument(
+        "--rtol", type=float, default=1e-7,
+        help="relative cost-plateau stop (3 consecutive iterations "
+        "improving the best cost by less than this end the solve; "
+        "0 disables — the reference's absolute tolerances only)",
+    )
     ap.add_argument(
         "--init", choices=["none", "spanning_tree", "chordal"],
         default="none",
@@ -112,13 +120,14 @@ def main() -> None:
             )
     elif graph.dim == 3:
         kwargs["solver"] = args.solver
-    elif args.solver in ("dense", "cg", "banded"):
+    elif args.solver in ("auto", "dense", "cg", "banded", "sparse"):
         kwargs["solver"] = args.solver
     else:
         print(
-            f"note: --solver {args.solver} is 3-D only; using 'dense' "
-            f"for this 2-D graph (2-D supports dense|cg|banded)"
+            f"note: --solver {args.solver} is 3-D only; using 'auto' "
+            f"for this 2-D graph (2-D supports auto|dense|cg|banded|sparse)"
         )
+        kwargs["solver"] = "auto"
     opt = g2o_io.load_pose_graph(
         path,
         switchable_loops=args.switchable_loops,
@@ -134,14 +143,26 @@ def main() -> None:
             opt.initialize(method=args.init)
             print(f"{args.init} initialization: "
                   f"{(time.perf_counter() - t0) * 1e3:.1f} ms")
-    summary, switches = opt.solve(
-        Options().replace(max_iterations=args.max_iterations)
+    import dataclasses
+
+    from nonlinear_optimizer_for_slam_tpu.core.options import (
+        ConvergenceHandle,
     )
+
+    solve_opts = dataclasses.replace(
+        Options().replace(max_iterations=args.max_iterations),
+        convergence_handle=ConvergenceHandle(
+            relative_function_tolerance=args.rtol
+        ),
+    )
+    summary, switches = opt.solve(solve_opts)
     dt = (time.perf_counter() - t0) * 1e3
+    chosen = getattr(opt, "last_solver_choice", None)
+    picked = f" solver={chosen}" if chosen and args.solver == "auto" else ""
     print(
         f"solved in {dt:.1f} ms wall: iterations={int(summary.iterations)} "
         f"final_cost={float(summary.final_cost):.6g} "
-        f"converged={bool(summary.converged)}"
+        f"converged={bool(summary.converged)}{picked}"
     )
     if args.switchable_loops and len(switches):
         off = int(np.sum(np.asarray(switches) < 0.5))

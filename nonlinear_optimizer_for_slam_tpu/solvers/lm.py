@@ -76,6 +76,10 @@ class _State(NamedTuple):
     last_cost: Array
     iteration: Array
     done: Array
+    # plateau-stop state (only advanced when relative_function_tolerance
+    # is set; dead weight otherwise)
+    best_cost: Array
+    stall: Array
     records: IterationRecord
 
 
@@ -148,20 +152,26 @@ def solve(
             grad_norm < ch.gradient_tolerance
         )
         if ch.relative_function_tolerance > 0.0:
-            # opt-in relative plateau stop (see ConvergenceHandle): only
-            # a DECREASING step may converge — a rejected (cost-raising)
-            # step can sit near previous_cost without being a plateau.
-            # previous_cost starts at dtype-max, so the first iteration
-            # never fires.
-            drop = state.previous_cost - cost
-            converged = converged | (
-                (drop >= 0.0)
-                & (
-                    drop
-                    <= ch.relative_function_tolerance
-                    * jnp.maximum(cost, jnp.asarray(1e-30, dtype))
-                )
+            # opt-in relative plateau stop (see ConvergenceHandle): an
+            # iteration "improves" when it beats the BEST cost seen so
+            # far by the relative tolerance; three consecutive
+            # non-improving iterations end the solve. Comparing against
+            # the monotone best (not the previous cost) makes the check
+            # robust both to slow creep (every iteration improves a
+            # little but under tolerance -> each counts as a stall) and
+            # to roundoff oscillation around a converged cost (f32
+            # zero-residual solves fluctuate ~1% per iteration — a
+            # previous-cost delta never looks small, the best-cost delta
+            # does). best starts at dtype-max, so early iterations
+            # always count as improving.
+            improved = cost < state.best_cost * (
+                1.0 - ch.relative_function_tolerance
             )
+            new_stall = jnp.where(improved, 0, state.stall + 1)
+            converged = converged | (new_stall >= 3)
+        else:
+            new_stall = state.stall
+        new_best = jnp.minimum(state.best_cost, cost)
 
         increase = cost > state.previous_cost
         adapted = jnp.where(
@@ -182,7 +192,10 @@ def solve(
             state.records.gradient_norm.at[it].set(grad_norm),
             state.records.step_norm.at[it].set(step_norm),
         )
-        return _State(new_params, new_lam, new_prev, cost, it + 1, converged, rec)
+        return _State(
+            new_params, new_lam, new_prev, cost, it + 1, converged,
+            new_best, new_stall, rec,
+        )
 
     def cond(state: _State) -> Array:
         return (state.iteration < max_it) & (~state.done)
@@ -194,6 +207,8 @@ def solve(
         last_cost=jnp.asarray(jnp.finfo(dtype).max, dtype),
         iteration=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
+        best_cost=jnp.asarray(jnp.finfo(dtype).max, dtype),
+        stall=jnp.asarray(0, jnp.int32),
         records=records_init(),
     )
     final = jax.lax.while_loop(cond, body, init)

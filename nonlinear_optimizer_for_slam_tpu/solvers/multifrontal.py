@@ -141,15 +141,9 @@ class _Node:
         self.parent = None
 
 
-def _order_vertices(V, sa, sb, coords):
-    """Linear arrangement of the subgraph (V, edges sa-sb) for the
-    median cut: geometric (widest coordinate axis) when coordinates are
-    available, else reverse Cuthill-McKee of the subgraph — a
-    bandwidth-minimizing linearization whose median cut is a frontier."""
-    if coords is not None:
-        c = coords[V]
-        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
-        return np.argsort(c[:, axis], kind="stable")
+def _rcm_order(V, sa, sb):
+    """Reverse Cuthill-McKee linearization of the subgraph (V, sa-sb):
+    its median cut is a narrow frontier on chain-like topology."""
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
@@ -162,24 +156,43 @@ def _order_vertices(V, sa, sb, coords):
     return np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
 
 
+def _candidate_orders(V, sa, sb, coords):
+    """Cut oracles to try: geometric (widest coordinate axis — best for
+    arena-style graphs) and RCM (best for chains: a random-walk PATH
+    crosses any coordinate plane many times, so a geometric cut of a
+    chain yields a huge separator; measured 29M padded front blocks ->
+    OOM on a 50k-pose chain+rings graph before this dual-oracle pick)."""
+    orders = []
+    if coords is not None:
+        c = coords[V]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        orders.append(np.argsort(c[:, axis], kind="stable"))
+    orders.append(_rcm_order(V, sa, sb))
+    return orders
+
+
 def _bisect(V, sa, sb, coords, leaf_size, num_vertices, scratch):
     """Recursive nested dissection. (sa, sb) are the edges with BOTH
     endpoints in V; ``scratch`` is a reusable (P,) work array."""
     if len(V) <= leaf_size:
         return _Node(V, [])
-    order = _order_vertices(V, sa, sb, coords)
-    half = len(V) // 2
-    A, B = V[order[:half]], V[order[half:]]
-    # side[v]: 0 for A, 1 for B
-    scratch[A] = 0
-    scratch[B] = 1
-    side_a, side_b = scratch[sa], scratch[sb]
-    # separator: A-side endpoints of every A-B edge (then A\S and B are
-    # edge-disjoint, so S separates them)
-    cut = side_a != side_b
-    sep_vs = np.unique(
-        np.concatenate([sa[cut & (side_a == 0)], sb[cut & (side_b == 0)]])
-    )
+    best = None
+    for order in _candidate_orders(V, sa, sb, coords):
+        half = len(V) // 2
+        A, B = V[order[:half]], V[order[half:]]
+        # side[v]: 0 for A, 1 for B
+        scratch[A] = 0
+        scratch[B] = 1
+        side_a, side_b = scratch[sa], scratch[sb]
+        # separator: A-side endpoints of every A-B edge (then A\S and B
+        # are edge-disjoint, so S separates them)
+        cut = side_a != side_b
+        sep_vs = np.unique(
+            np.concatenate([sa[cut & (side_a == 0)], sb[cut & (side_b == 0)]])
+        )
+        if best is None or len(sep_vs) < len(best[0]):
+            best = (sep_vs, A, B)
+    sep_vs, A, B = best
     scratch[A] = 0
     scratch[sep_vs] = 2
     S = sep_vs
@@ -207,6 +220,7 @@ def symbolic(
     d: int,
     coords: Optional[np.ndarray] = None,
     leaf_size: int = 32,
+    max_front_bytes: int = 4 << 30,
 ) -> Plan:
     """Build the separator tree and every static scatter map.
 
@@ -314,6 +328,14 @@ def symbolic(
         row_offs.append(tot_row)
         tot_blk += len(lvl) * nblk * nblk
         tot_row += len(lvl) * nblk
+    if tot_blk * d * d * 4 > max_front_bytes:
+        raise ValueError(
+            f"multifrontal: padded fronts need "
+            f"~{tot_blk * d * d * 4 / 1e9:.1f} GB of f32 — the separator "
+            "sizes this dissection found are not sparse-friendly (an "
+            "expander-like graph, or pathological level-size variance); "
+            "use solver='cg' (matrix-free) instead"
+        )
 
     # per-edge flat destination indices (4 blocks: uu, vv, uv, vu)
     host_depth = node_depth[host_node]
@@ -579,7 +601,11 @@ def solve(
     inputs are factored in f32 (the TPU's native precision — f64 panel
     products are ~10x emulated) and recovered to f64 step accuracy by
     two Wilkinson iterative-refinement sweeps whose residual matvec is
-    one cheap edge-block product."""
+    one cheap edge-block product. At f32, steps are used unrefined: LM
+    is an inexact-Newton loop and self-corrects mild step error, and a
+    measured f32-refinement ablation on sphere2500 changed neither the
+    final cost (2.78902e2 both ways) nor the plateau — only the
+    per-iteration price."""
     if b.dtype == jnp.float64:
         f32 = jnp.float32
         fact = factor(

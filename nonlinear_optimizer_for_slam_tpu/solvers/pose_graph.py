@@ -408,6 +408,105 @@ def _pose_graph_solve_batch(
     )
 
 
+def _rcm_bandwidth(P: int, ref_idx, query_idx) -> int:
+    """Block bandwidth of the graph under a reverse Cuthill-McKee
+    ordering (host, ~ms at 50k poses)."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    if len(ref_idx) == 0:
+        return 1
+    A = coo_matrix(
+        (
+            np.ones(len(ref_idx)),
+            (np.asarray(ref_idx, np.int64), np.asarray(query_idx, np.int64)),
+        ),
+        shape=(P, P),
+    )
+    A = (A + A.T).tocsr()
+    perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+    inv = np.empty(P, np.int64)
+    inv[perm] = np.arange(P)
+    return max(1, int(np.abs(inv[ref_idx] - inv[query_idx]).max()))
+
+
+def select_solver(
+    P: int,
+    ref_idx,
+    query_idx,
+    is_loop,
+    d: int,
+    plan_fn=None,
+    allow_tridiag: bool = True,
+) -> Tuple[str, dict]:
+    """Pick a linear-solver family from the graph's topology (the
+    'auto' policy; round-3 verdict: users should not need to know their
+    graph's structure to avoid a 10x loss either way).
+
+    Decision tree, with measured anchors in parentheses:
+      1. small graphs -> 'dense' (the (dP+L)^2 materialization wins
+         below ~6k scalar vars);
+      2. chains with <= 100 non-chain edges -> 'tridiag' (its Woodbury
+         correction grows with them);
+      3. 'banded' unless its superblock flops explode: est. flops
+         ~ 2 K (s d)^3 <= 2e10 (sphere2500: 4.5e9 -> banded, 0.8 s;
+         50k+999 loops: 1.2e10 -> banded, 4.5 s);
+      4. else build the nested-dissection plan and compare cost models —
+         'sparse' when the separators beat the band (manhattan3500:
+         banded 2.4e10 vs multifrontal 1.2e9 -> sparse), 'banded' when
+         they don't; 'cg' when both direct forms are infeasible
+         (expander-density graphs — both symbolic guards trip).
+
+    ``plan_fn()`` lazily builds (and caches) the multifrontal plan;
+    it may raise ValueError (the memory guard) to veto 'sparse'.
+    Returns (name, info) where info carries the model numbers for
+    logging/inspection.
+    """
+    E = len(ref_idx)
+    info: dict = dict(P=P, E=E, d=d)
+    if d * P + E <= 6000:
+        info["reason"] = "small dense system"
+        return "dense", info
+    adj = np.abs(
+        np.asarray(ref_idx, np.int64) - np.asarray(query_idx, np.int64)
+    ) == 1
+    n_corr = int(E - np.sum(adj & (np.asarray(is_loop) == 0)))
+    info["n_corr"] = n_corr
+    if allow_tridiag and n_corr <= 100:
+        info["reason"] = "chain + few corrections"
+        return "tridiag", info
+    b = _rcm_bandwidth(P, ref_idx, query_idx)
+    s = max(b, 8)
+    K = -(-P // s)
+    panel_bytes = 2 * K * (s * d) ** 2 * 4
+    banded_flops = 2.0 * K * float(s * d) ** 3
+    banded_ok = panel_bytes <= 2 << 30
+    info.update(bandwidth=b, banded_flops=banded_flops,
+                banded_panel_bytes=panel_bytes)
+    if banded_ok and banded_flops <= 2e10:
+        info["reason"] = "moderate RCM bandwidth"
+        return "banded", info
+    plan = None
+    if plan_fn is not None:
+        try:
+            plan = plan_fn()
+        except ValueError as e:  # multifrontal memory guard
+            info["sparse_veto"] = str(e)
+    if plan is not None:
+        sparse_flops = plan.stats()["factor_flops"]
+        info["sparse_flops"] = sparse_flops
+        if banded_ok and banded_flops <= 4.0 * (sparse_flops + 1e9):
+            info["reason"] = "band comparable to separators"
+            return "banded", info
+        info["reason"] = "separators beat the band"
+        return "sparse", info
+    if banded_ok:
+        info["reason"] = "sparse infeasible, band feasible"
+        return "banded", info
+    info["reason"] = "both direct forms infeasible"
+    return "cg", info
+
+
 class PoseGraphOptimizer:
     """Mirror of the reference API (pose_graph_optimizer.h:21-108) with a
     real analytic solve."""
@@ -441,7 +540,13 @@ class PoseGraphOptimizer:
         Too small switches every loop off; gross outliers sit orders of
         magnitude above either choice.
 
-        ``solver``: "dense" materializes the (7P+L)^2 normal matrix (best
+        ``solver``: "auto" (RECOMMENDED) picks the family from the
+        graph's topology at solve() time — size, chain-correction count,
+        RCM bandwidth, and (when the band is fat) a nested-dissection
+        flops comparison; see :func:`select_solver`. The choice is
+        exposed as ``self.last_solver_choice`` / ``self.last_selection``.
+        Explicit names override:
+        "dense" materializes the (7P+L)^2 normal matrix (best
         up to a few thousand poses); "cg" is the matrix-free Krylov path
         with O(E) memory for large graphs (``cg_iterations`` per LM step;
         ``cg_precond`` "chain" = block-tridiagonal odometry-chain
@@ -485,7 +590,7 @@ class PoseGraphOptimizer:
         """
         from ..ops.relative_pose import SWITCH_PENALTY_SCALE
 
-        if solver not in ("dense", "cg", "tridiag", "banded", "sparse"):
+        if solver not in ("auto", "dense", "cg", "tridiag", "banded", "sparse"):
             raise ValueError(f"unknown solver {solver!r}")
         if cg_precond not in ("chain", "jacobi"):
             raise ValueError(f"unknown cg_precond {cg_precond!r}")
@@ -943,7 +1048,7 @@ class PoseGraphOptimizer:
                 "edges with set_constraint() before solving (a graph of "
                 "only poses has nothing to optimize)"
             )
-        if self._priors and self.solver != "dense":
+        if self._priors and self.solver not in ("dense", "auto"):
             raise ValueError(
                 "set_prior is implemented on the dense path; construct "
                 "with solver='dense' (or anchor via set_pose_constant)"
@@ -965,7 +1070,22 @@ class PoseGraphOptimizer:
         # switch variables initialized to 1.0 (inlier)
         switches0 = jnp.ones((L,), dtype)
 
-        if self.solver == "sparse":
+        solver = self.solver
+        if solver == "auto":
+            if self._priors:
+                solver = "dense"  # priors are a dense-path feature
+                self.last_selection = dict(reason="priors registered")
+            else:
+                solver, self.last_selection = select_solver(
+                    P, flat["ref_idx"], flat["query_idx"], flat["is_loop"],
+                    7,
+                    plan_fn=lambda: self._flatten_sparse(flat, positions)[
+                        "plan"
+                    ],
+                )
+        self.last_solver_choice = solver
+
+        if solver == "sparse":
             sp = self._flatten_sparse(flat, positions)
             pos, quat, sw, summary = _pose_graph_solve_sparse(
                 jnp.asarray(positions, dtype),
@@ -980,7 +1100,7 @@ class PoseGraphOptimizer:
                 sp["plan"],
                 options,
             )
-        elif self.solver == "banded":
+        elif solver == "banded":
             bd = self._flatten_banded(flat)
             perm = bd["perm"]
             pos_p, quat_p, sw, summary = _pose_graph_solve_banded(
@@ -1000,7 +1120,7 @@ class PoseGraphOptimizer:
             # gathers beat two extra host round-trips)
             inv = jnp.asarray(bd["inv"])
             pos, quat = pos_p[inv], quat_p[inv]
-        elif self.solver == "tridiag":
+        elif solver == "tridiag":
             td = self._flatten_tridiag(flat)
             pos, quat, sw, summary = _pose_graph_solve_tridiag(
                 jnp.asarray(positions, dtype),
@@ -1018,7 +1138,7 @@ class PoseGraphOptimizer:
                 options,
                 td["chain_seq"],
             )
-        elif self.solver == "cg":
+        elif solver == "cg":
             if self.mesh is not None:
                 pos, quat, sw, summary = _pose_graph_solve_cg_sharded(
                     self.mesh,
@@ -1145,7 +1265,7 @@ class PoseGraphOptimizer:
         (pose_graph_optimizer.h:67); this is the TPU serving shape —
         one 80-pose system cannot fill a chip, B of them can.
         """
-        if self.solver != "dense":
+        if self.solver not in ("dense", "auto"):
             raise ValueError(
                 "solve_batch runs on the dense direct path; construct the "
                 "optimizer with solver='dense' (CG/tridiag batching would "
@@ -2001,7 +2121,10 @@ class PoseGraphOptimizer2D:
         cg_iterations: int = 250,
         cg_precond: str = "chain",
     ):
-        """``solver``: "dense" materializes the (3P+L)^2 normal matrix;
+        """``solver``: "auto" picks dense/banded/sparse/cg from the
+        graph's topology at solve() time (see :func:`select_solver`;
+        the choice lands in ``self.last_solver_choice``);
+        "dense" materializes the (3P+L)^2 normal matrix;
         "cg" is the matrix-free path for city-scale 2D corpora
         (M3500/city10000 do not fit dense) — same ``cg_iterations`` /
         ``cg_precond`` semantics as the 3D optimizer (which see);
@@ -2016,7 +2139,7 @@ class PoseGraphOptimizer2D:
         factorization O(P^{3/2}) where banded superblocks go near-dense."""
         from ..ops.relative_pose import SWITCH_PENALTY_SCALE
 
-        if solver not in ("dense", "cg", "banded", "sparse"):
+        if solver not in ("auto", "dense", "cg", "banded", "sparse"):
             raise ValueError(f"unknown solver {solver!r}")
         if cg_precond not in ("chain", "jacobi"):
             raise ValueError(f"unknown cg_precond {cg_precond!r}")
@@ -2202,7 +2325,21 @@ class PoseGraphOptimizer2D:
         indices, index_of, P, E, L, xyt, edges, free = self._flat_2d()
         dtype = self.dtype
 
-        if self.solver == "sparse":
+        solver = self.solver
+        if solver == "auto":
+            # no SE(2) tridiag path exists; a tight band covers chains
+            solver, self.last_selection = select_solver(
+                P,
+                np.asarray(edges.reference_indices, np.int64),
+                np.asarray(edges.query_indices, np.int64),
+                np.asarray(edges.is_loop),
+                3,
+                plan_fn=lambda: self._sparse_symbolic(P, edges, xyt),
+                allow_tridiag=False,
+            )
+        self.last_solver_choice = solver
+
+        if solver == "sparse":
             plan = self._sparse_symbolic(P, edges, xyt)
             out_xyt, sw, summary = _pose_graph_2d_solve_sparse(
                 jnp.asarray(xyt, dtype),
@@ -2216,7 +2353,7 @@ class PoseGraphOptimizer2D:
                 plan,
                 options,
             )
-        elif self.solver == "banded":
+        elif solver == "banded":
             # HOST symbolic phase (same recipe as the 3D optimizer's
             # _flatten_banded): RCM pose ordering bounds the block
             # bandwidth; recomputed per solve — RCM on a 10k-pose graph
@@ -2263,7 +2400,7 @@ class PoseGraphOptimizer2D:
                 options,
             )
             out_xyt = xyt_p[jnp.asarray(inv)]
-        elif self.solver == "cg":
+        elif solver == "cg":
             out_xyt, sw, summary = _pose_graph_2d_solve_cg(
                 jnp.asarray(xyt, dtype),
                 jnp.ones((L,), dtype),
@@ -2313,7 +2450,7 @@ class PoseGraphOptimizer2D:
         shared topology/gauge/weights, per-instance initial states and
         edge measurements, registry NOT written back). Returns
         ``(xyt (B, P, 3) theta-wrapped, switches (B, L), summary)``."""
-        if self.solver != "dense":
+        if self.solver not in ("dense", "auto"):
             raise ValueError(
                 "solve_batch runs on the dense direct path; construct the "
                 "optimizer with solver='dense'"
