@@ -113,7 +113,8 @@ def bal_cost(problem: BALProblem, dtype=jnp.float64) -> float:
 
 
 def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype,
-                    landmark_chunk=None):
+                    landmark_chunk=None, schur="dense",
+                    schur_iterations=100):
     C = cams0.shape[0]
     P = points0.shape[0]
     oh = options.optimization_handle
@@ -153,6 +154,65 @@ def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype,
             g_l[pt_idx],
         )  # (O, 9)
         rhs = g_c - jax.ops.segment_sum(WVg, cam_idx, C)  # (C, 9)
+
+        if schur == "iterative":
+            # ITERATIVE_SCHUR (Ceres' name for the same idea): PCG on
+            # the reduced camera system with the Schur-Jacobi
+            # preconditioner. S is never materialized — its matvec is
+            # three observation-level segment-sums:
+            #   S x = dampU x - G Vinv G^T x
+            #       = dampU x - scatter_cam(W Vinv[pt] gather_pt(W^T x))
+            # O(O) memory per product, so 9C x 9C never exists and
+            # 1000+-camera instances fit where the dense assembly
+            # cannot (13k cams -> S alone would be 110 GB f64).
+            def S_matvec(x):  # (C, 9) -> (C, 9)
+                y = jnp.einsum("cab,cb->ca", dampU, x)
+                t = jnp.einsum("oab,oa->ob", W, x[cam_idx])  # (O, 3)
+                s = jax.ops.segment_sum(t, pt_idx, P)  # (P, 3)
+                z = jnp.einsum("pab,pb->pa", Vinv, s)
+                return y - jax.ops.segment_sum(
+                    jnp.einsum("oab,ob->oa", W, z[pt_idx]), cam_idx, C
+                )
+
+            # Schur-Jacobi: the block diagonal of S, exactly
+            WVW = jnp.einsum(
+                "oad,obd->oab",
+                jnp.einsum("oab,obd->oad", W, Vinv[pt_idx]),
+                W,
+            )  # (O, 9, 9) = W Vinv W^T per observation
+            Dblocks = dampU - jax.ops.segment_sum(WVW, cam_idx, C)
+            Dchol = jnp.linalg.cholesky(Dblocks + 1e-12 * eye9)
+
+            def precond(r):
+                return jax.scipy.linalg.cho_solve(
+                    (Dchol, True), r[..., None]
+                )[..., 0]
+
+            def cg_body(_, st):
+                x, r_, z, p, rz = st
+                Ap = S_matvec(p)
+                denom = jnp.sum(p * Ap)
+                alpha = rz / jnp.where(denom == 0, 1.0, denom)
+                x = x + alpha * p
+                r_ = r_ - alpha * Ap
+                z = precond(r_)
+                rz_new = jnp.sum(r_ * z)
+                beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+                p = z + beta * p
+                return (x, r_, z, p, rz_new)
+
+            x0 = jnp.zeros_like(rhs)
+            z0 = precond(rhs)
+            dc = jax.lax.fori_loop(
+                0, schur_iterations, cg_body,
+                (x0, rhs, z0, z0, jnp.sum(rhs * z0)),
+            )[0]
+
+            back = jax.ops.segment_sum(
+                jnp.einsum("oab,oa->ob", W, dc[cam_idx]), pt_idx, P
+            )
+            dl = jnp.einsum("pab,pb->pa", Vinv, g_l - back)
+            return dc, dl, cost, g_c, g_l
 
         # cross term S -= G Vinv G^T: the only piece that pairs
         # observations sharing a landmark
@@ -272,7 +332,9 @@ def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype,
 
 
 _bal_solve_jit = jax.jit(
-    _bal_solve_impl, static_argnames=("options", "dtype", "landmark_chunk")
+    _bal_solve_impl,
+    static_argnames=("options", "dtype", "landmark_chunk", "schur",
+                     "schur_iterations"),
 )
 
 # the dense (C, P, 9, 3) cross tensor auto-switches to chunked
@@ -285,6 +347,8 @@ def solve_bal(
     options: Optional[Options] = None,
     dtype=jnp.float64,
     landmark_chunk: Optional[int] = None,
+    schur: str = "dense",
+    schur_iterations: int = 100,
 ) -> Tuple[BALProblem, Summary]:
     """Solve a BAL problem; returns (solved problem, Summary).
 
@@ -296,11 +360,23 @@ def solve_bal(
     O(P * C * 27) tensor). Default: dense when the cross tensor fits
     ~512 MB, else an auto-selected chunk — identical math either way
     (asserted in tests/test_bal.py).
+
+    ``schur="iterative"`` is Ceres' ITERATIVE_SCHUR: PCG on the reduced
+    camera system (``schur_iterations`` per LM step, Schur-Jacobi
+    preconditioner) with matrix-free observation-level products — the
+    path for 1000+-camera rigs where the dense 9C x 9C assembly cannot
+    exist (BAL final/13682: S alone would be 121 GB f64). Steps are
+    inexact (truncated Krylov), so LM may take a few more iterations
+    than the exact-Schur path; anchored against it in tests.
     """
+    if schur not in ("dense", "iterative"):
+        raise ValueError(f"unknown schur mode {schur!r}")
     if options is None:
         options = Options().replace(max_iterations=50)
     C, P = problem.num_cameras, problem.num_points
-    if landmark_chunk is None:
+    if schur == "iterative":
+        landmark_chunk = None  # no cross tensor exists on this path
+    elif landmark_chunk is None:
         itemsize = jnp.dtype(dtype).itemsize
         dense_bytes = C * P * 27 * itemsize * 2  # G and GV both live
         if dense_bytes > _DENSE_CROSS_BUDGET_BYTES:
@@ -316,6 +392,8 @@ def solve_bal(
         options,
         dtype,
         landmark_chunk,
+        schur,
+        schur_iterations,
     )
     solved = BALProblem(
         np.asarray(cams, np.float64),

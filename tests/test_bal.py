@@ -158,3 +158,26 @@ def test_read_bal_rejects_negative_indices(tmp_path):
     path.write_text("\n".join(text))
     with pytest.raises(ValueError, match="out of range"):
         bal_io.read_bal(path)
+
+
+def test_solve_bal_iterative_schur_matches_dense(problem_pair):
+    """ITERATIVE_SCHUR (matrix-free PCG on the reduced camera system,
+    Schur-Jacobi preconditioner) reaches the dense-Schur final cost —
+    steps are truncated-Krylov inexact, so trajectories may differ, but
+    the optimum agrees to rel 1e-6 (the round-3 verdict's acceptance
+    bar for this path)."""
+    noisy, _ = problem_pair
+    opts = Options().replace(max_iterations=40)
+    dense, dsum = bal_solver.solve_bal(noisy, opts)
+    it, isum = bal_solver.solve_bal(
+        noisy, opts, schur="iterative", schur_iterations=80
+    )
+    c_dense = bal_solver.bal_cost(dense)
+    c_iter = bal_solver.bal_cost(it)
+    np.testing.assert_allclose(c_iter, c_dense, rtol=1e-6)
+
+
+def test_solve_bal_iterative_schur_rejects_unknown_mode(problem_pair):
+    noisy, _ = problem_pair
+    with pytest.raises(ValueError, match="schur"):
+        bal_solver.solve_bal(noisy, schur="sparse")
