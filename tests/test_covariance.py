@@ -370,3 +370,43 @@ def test_weighted_closed_form_matches_autodiff():
     oracle = edge_residuals_and_jacobians_ad(pos, quat, sw, edges, 0.03)
     for a, b in zip(out, oracle):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_banded_selected_inverse_matches_dense():
+    """The block-tridiagonal selected-inverse covariance path (round-4:
+    marginals at 50k-pose scale) returns the SAME pose-diagonal blocks
+    as the dense full-inverse path, including exact per-edge switch
+    elimination, loop closures, and a gauge pose — agreement to f64
+    roundoff on a loop-closed chain."""
+    rng = np.random.default_rng(5)
+    n = 40
+    poses, rel = _chain(n)
+    opt = PoseGraphOptimizer(switch_penalty=0.03)
+    for i, p in enumerate(poses):
+        opt.set_pose(i, p)
+    opt.set_pose_constant(0)
+    for k in range(1, n):
+        opt.set_constraint(k - 1, k, rel(k - 1, k), ConstraintType.ODOMETRY)
+    for (i, j) in [(0, n // 2), (5, n - 3), (n // 3, 2 * n // 3)]:
+        opt.set_constraint(i, j, rel(i, j), ConstraintType.LOOP)
+    opt.solve()  # linearize at the solution with learned switches
+    dense = opt.covariance(method="dense")
+    banded = opt.covariance(method="banded")
+    for k in range(n):
+        np.testing.assert_allclose(
+            banded[k], dense[k], rtol=1e-9, atol=1e-8,
+            err_msg=f"pose {k}",
+        )
+
+
+def test_banded_covariance_rejects_priors():
+    n = 7
+    poses, rel = _chain(n)
+    opt = PoseGraphOptimizer(switch_penalty=0.03)
+    for i, p in enumerate(poses):
+        opt.set_pose(i, p)
+    opt.set_prior(0, poses[0])
+    for k in range(1, n):
+        opt.set_constraint(k - 1, k, rel(k - 1, k), ConstraintType.ODOMETRY)
+    with pytest.raises(ValueError, match="banded"):
+        opt.covariance(method="banded")
