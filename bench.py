@@ -107,8 +107,11 @@ def main():
     # state (the single-while+pallas program runs at true device speed
     # only before any gather/top_k/cond program executes — CLAUDE.md).
     # Correspondences come from the native matcher so no device gathers
-    # run yet.
+    # run yet. BENCH_SKIP_PROBE=1 skips it (used to isolate its effect
+    # on the later throughput windows — see the methodology note there).
     try:
+        if os.environ.get("BENCH_SKIP_PROBE"):
+            raise RuntimeError("probe disabled via BENCH_SKIP_PROBE")
         from nonlinear_optimizer_for_slam_tpu import native as native_mod
         from nonlinear_optimizer_for_slam_tpu.ops import pallas_kernels as pk
         from nonlinear_optimizer_for_slam_tpu.pipelines.fused_registration import (
@@ -171,14 +174,50 @@ def main():
     def run(i: int = 0):
         return registrar.register(local, perturbed_pose(i))
 
-    # Warm-up: compile the single fused registration program.
-    t0 = time.perf_counter()
+    # throughput mode FIRST — BEFORE any blocking register() call.
+    # METHODOLOGY (round-3 verdict: this number and run_all.py's serving
+    # row disagreed 8x — 9.62 vs 1.22 ms/scan). Root cause, bisected on
+    # hardware (2026-08-20, /tmp/pipe_bisect.py): the FIRST blocking
+    # (synchronous) registration permanently flips this runtime into its
+    # degraded dispatch mode — async-warmed windows measure 14 ms before
+    # one register() call and 98 ms after it, in the same process. A
+    # production stream that never blocks serially sustains the clean
+    # number, so the pipelined figure is measured first, from an
+    # async-only warm-up, with run_all.py's policy (median of 3 warmed
+    # depth-10 windows); the serial latency loop follows and its
+    # post-degradation window is reported for the bridge.
+    import jax as _jax
+
+    depth = 10
+
+    def _window(base):
+        t0 = time.perf_counter()
+        outs = [
+            registrar.register_async(local, perturbed_pose(base + i))
+            for i in range(depth)
+        ]
+        _jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) * 1000.0
+
+    warm_t0 = time.perf_counter()
+    _window(100)  # async warm-up window (compiles the fused program)
+    warm_s = time.perf_counter() - warm_t0
+    walls = [_window(120 + 20 * w) for w in range(3)]
+    thr = float(np.median(walls)) / depth
+    log(f"pipelined throughput (stream-only state): {thr:.2f} "
+        f"ms/registration ({1000.0 / thr:.0f} scans/s; vs_baseline "
+        f"{BASELINE_MS / thr:.1f}x; median-of-3 warmed windows, walls "
+        f"{[round(w, 1) for w in walls]} ms; async warm-up "
+        f"{warm_s:.2f}s incl. compile)")
+
+    # serial latency mode: the FIRST run() below is also the correctness
+    # check (and flips the runtime into its degraded dispatch state —
+    # see the methodology note above)
     res = run()
-    warm_s = time.perf_counter() - t0
     t_err = np.linalg.norm(res.pose.translation - true_pose.translation)
     total_inner = int(res.inner_iterations.sum()) + res.outer_iterations
     log(
-        f"warm-up: {warm_s:.2f}s (incl. compile), outer={res.outer_iterations}, "
+        f"correctness: outer={res.outer_iterations}, "
         f"inner LM iters={total_inner}, t_err={t_err * 1000:.2f} mm, "
         f"final cost={res.final_cost:.1f}"
     )
@@ -195,19 +234,12 @@ def main():
         f"median={median:.2f} mean={times.mean():.2f}")
     log(f"inner LM iterations/s (median run): {total_inner / (median / 1000.0):.0f}")
 
-    # throughput mode: pipeline 10 registrations, block once (a SLAM
-    # stream with scans in flight; dispatch latency amortizes away)
-    import jax as _jax
-
-    t0 = time.perf_counter()
-    outs = [
-        registrar.register_async(local, perturbed_pose(100 + i))
-        for i in range(10)
-    ]
-    _jax.block_until_ready(outs)
-    thr = (time.perf_counter() - t0) / 10 * 1000.0
-    log(f"pipelined throughput: {thr:.2f} ms/registration "
-        f"({1000.0 / thr:.0f} scans/s; vs_baseline {BASELINE_MS / thr:.1f}x)")
+    walls_post = [_window(200 + 20 * w) for w in range(3)]
+    thr_post = float(np.median(walls_post)) / depth
+    log(f"pipelined throughput after the serial phase: {thr_post:.2f} "
+        f"ms/registration (degraded dispatch state after blocking "
+        f"register() calls; the gap vs {thr:.2f} is the runtime floor, "
+        f"not the program)")
 
     # serving mode: B scans in ONE lockstep-outer program (per-lane
     # trajectories identical to serial — tests/test_batched.py); the
