@@ -408,6 +408,72 @@ def _pose_graph_solve_batch(
     )
 
 
+def _block_tridiag_selected_inverse(
+    K: int, m: int, D: "np.ndarray", O: "np.ndarray"
+) -> "List[np.ndarray]":
+    """Diagonal superblocks of the inverse of a block-tridiagonal SPD
+    matrix (D (K, m, m) diagonal panels, O (K-1, m, m) upper couplings)
+    by the exact selected-inverse recurrence:
+
+        Lam_1 = D_1,  Lam_k = D_k - O_{k-1}^T Lam_{k-1}^{-1} O_{k-1}
+        Sig_K = Lam_K^{-1},  Sig_k = Lam_k^{-1} + G_k Sig_{k+1} G_k^T
+        with G_k = Lam_k^{-1} O_k.
+
+    O(K m^3) host f64 — the covariance engine shared by the 3D and
+    SE(2) banded marginal paths."""
+    Lam_inv = [None] * K
+    Lam = D[0]
+    Lam_inv[0] = np.linalg.inv(Lam)
+    for k in range(1, K):
+        Lam = D[k] - O[k - 1].T @ Lam_inv[k - 1] @ O[k - 1]
+        Lam_inv[k] = np.linalg.inv(Lam)
+    sig = [None] * K
+    sig[K - 1] = Lam_inv[K - 1]
+    for k in range(K - 2, -1, -1):
+        G = Lam_inv[k] @ O[k]
+        sig[k] = Lam_inv[k] + G @ sig[k + 1] @ G.T
+    return sig
+
+
+def _scatter_banded_blocks(
+    P: int, d: int, s: int, lo, hi, B_ll, B_hh, B_hl, diag_fix
+):
+    """Assemble permuted-order edge blocks into superblock tridiagonal
+    (D, O) panels (host numpy; the covariance-side twin of the device
+    solvers' panel scatter). ``diag_fix`` is a (P,) per-pose scalar
+    added to the diagonal (gauge identity); padding slots get 1.0."""
+    K = max(1, -(-P // s))
+    m = s * d
+    D = np.zeros((K, m, m))
+    O = np.zeros((max(K - 1, 1), m, m))
+    k_lo, r_lo = lo // s, lo % s
+    k_hi, r_hi = hi // s, hi % s
+    same = k_lo == k_hi
+    rng = np.arange(d)
+    rows_lo = (r_lo[:, None] * d + rng).astype(np.int64)
+    rows_hi = (r_hi[:, None] * d + rng).astype(np.int64)
+    kl = k_lo[:, None, None]
+    kh = k_hi[:, None, None]
+    np.add.at(D, (kl, rows_lo[:, :, None], rows_lo[:, None, :]), B_ll)
+    np.add.at(D, (kh, rows_hi[:, :, None], rows_hi[:, None, :]), B_hh)
+    B_hl_m = np.where(same[:, None, None], B_hl, 0.0)
+    np.add.at(D, (kl, rows_hi[:, :, None], rows_lo[:, None, :]), B_hl_m)
+    np.add.at(
+        D, (kl, rows_lo[:, :, None], rows_hi[:, None, :]),
+        np.swapaxes(B_hl_m, 1, 2),
+    )
+    if K > 1:
+        cross = np.where(same[:, None, None], 0.0, np.swapaxes(B_hl, 1, 2))
+        k_off = np.minimum(k_lo, K - 2)[:, None, None]
+        np.add.at(O, (k_off, rows_lo[:, :, None], rows_hi[:, None, :]), cross)
+    dvec = np.ones(K * s)
+    dvec[:P] = diag_fix
+    dvec = np.repeat(dvec, d)
+    for k in range(K):
+        np.fill_diagonal(D[k], D[k].diagonal() + dvec[k * m:(k + 1) * m])
+    return K, m, D, O
+
+
 def _rcm_bandwidth(P: int, ref_idx, query_idx) -> int:
     """Block bandwidth of the graph under a reverse Cuthill-McKee
     ordering (host, ~ms at 50k poses)."""
@@ -1450,8 +1516,6 @@ class PoseGraphOptimizer:
         bd = self._flatten_banded(flat)
         perm, pinv = bd["perm"], bd["inv"]
         s = bd["super_size"]
-        K = max(1, -(-P // s))
-        m = s * 6
         ref_p, qry_p = pinv[ref_i], pinv[qry_i]
         swap = qry_p < ref_p
         lo = np.where(swap, qry_p, ref_p)
@@ -1460,55 +1524,12 @@ class PoseGraphOptimizer:
         B_ll = np.where(swap[:, None, None], B_bb, B_aa)
         B_hh = np.where(swap[:, None, None], B_aa, B_bb)
         B_hl = np.where(swap[:, None, None], B_ab, np.swapaxes(B_ab, 1, 2))
-
-        D = np.zeros((K, m, m))
-        O = np.zeros((max(K - 1, 1), m, m))
-        k_lo, r_lo = lo // s, lo % s
-        k_hi, r_hi = hi // s, hi % s
-        same = k_lo == k_hi
-        r6 = np.arange(6)
-        rows_lo = (r_lo[:, None] * 6 + r6).astype(np.int64)  # (E, 6)
-        rows_hi = (r_hi[:, None] * 6 + r6).astype(np.int64)
-        kl = k_lo[:, None, None]
-        kh = k_hi[:, None, None]
-        np.add.at(D, (kl, rows_lo[:, :, None], rows_lo[:, None, :]), B_ll)
-        np.add.at(D, (kh, rows_hi[:, :, None], rows_hi[:, None, :]), B_hh)
-        B_hl_m = np.where(same[:, None, None], B_hl, 0.0)
-        np.add.at(D, (kl, rows_hi[:, :, None], rows_lo[:, None, :]), B_hl_m)
-        np.add.at(
-            D, (kl, rows_lo[:, :, None], rows_hi[:, None, :]),
-            np.swapaxes(B_hl_m, 1, 2),
-        )
-        if K > 1:
-            cross = np.where(same[:, None, None], 0.0, np.swapaxes(B_hl, 1, 2))
-            k_off = np.minimum(k_lo, K - 2)[:, None, None]
-            np.add.at(
-                O, (k_off, rows_lo[:, :, None], rows_hi[:, None, :]), cross
-            )
         # gauge-fixed poses and padding keep an identity diagonal (their
         # output blocks are zeroed below, like the dense path)
-        diag_fix = np.ones(K * s)
-        diag_fix[:P] = 1.0 - free[perm]
-        diag_fix = np.repeat(diag_fix, 6)
-        for k in range(K):
-            np.fill_diagonal(
-                D[k], D[k].diagonal() + diag_fix[k * m:(k + 1) * m]
-            )
-
-        # forward Schur cascade + backward selected inverse
-        Lam_inv = [None] * K
-        Lam = D[0]
-        Lam_inv[0] = np.linalg.inv(Lam)
-        for k in range(1, K):
-            Lam = D[k] - O[k - 1].T @ Lam_inv[k - 1] @ O[k - 1]
-            Lam_inv[k] = np.linalg.inv(Lam)
-        Sig = Lam_inv[K - 1]
-        sig_blocks = [None] * K
-        sig_blocks[K - 1] = Sig
-        for k in range(K - 2, -1, -1):
-            G = Lam_inv[k] @ O[k]
-            Sig = Lam_inv[k] + G @ sig_blocks[k + 1] @ G.T
-            sig_blocks[k] = Sig
+        K, m, D, O = _scatter_banded_blocks(
+            P, 6, s, lo, hi, B_ll, B_hh, B_hl, 1.0 - free[perm]
+        )
+        sig_blocks = _block_tridiag_selected_inverse(K, m, D, O)
 
         if indices is None:
             indices = all_indices
@@ -2677,12 +2698,22 @@ class PoseGraphOptimizer2D:
         out[:, :, 2] = np.arctan2(np.sin(out[:, :, 2]), np.cos(out[:, :, 2]))
         return out, np.asarray(sw, np.float64), summary
 
-    def covariance(self, indices: Optional[List[int]] = None) -> Dict[int, np.ndarray]:
+    def covariance(
+        self,
+        indices: Optional[List[int]] = None,
+        method: str = "auto",
+    ) -> Dict[int, np.ndarray]:
         """Marginal 3x3 (x, y, theta) covariance blocks per pose — the
         SE(2) analog of :meth:`PoseGraphOptimizer.covariance` (which see;
         SE(2) needs no tangent chart, the ambient coordinates are the
         chart). Host-side f64 numpy linearization at the current
-        estimates with the last solve's switch values."""
+        estimates with the last solve's switch values.
+
+        ``method``: "dense" (full (3P+L)^2 inverse), "banded" (RCM
+        superblock selected-inverse recurrence — M3500-class graphs in
+        seconds, same blocks to f64 roundoff), or "auto"."""
+        if method not in ("auto", "dense", "banded"):
+            raise ValueError(f"unknown covariance method {method!r}")
         if not self._constraints:
             raise ValueError("covariance: no constraints registered")
         if not self._constant:
@@ -2690,6 +2721,8 @@ class PoseGraphOptimizer2D:
                 "covariance: gauge-free graph has unbounded covariance; "
                 "fix at least one pose with set_pose_constant()"
             )
+        if method == "auto":
+            method = "dense" if len(self._poses) <= 500 else "banded"
         indices_all = sorted(self._poses)
         index_of = {pi: i for i, pi in enumerate(indices_all)}
         P = len(indices_all)
@@ -2759,6 +2792,58 @@ class PoseGraphOptimizer2D:
         free = np.array([0.0 if pi in self._constant else 1.0 for pi in indices_all])
         J_ref4 = J_ref4 * free[ref_i][:, None, None]
         J_qry4 = J_qry4 * free[qry_i][:, None, None]
+
+        if method == "banded":
+            # exact per-edge switch elimination (information form), then
+            # the shared RCM superblock selected-inverse engine
+            B_aa = np.einsum("edi,edj->eij", J_ref4, J_ref4)
+            B_bb = np.einsum("edi,edj->eij", J_qry4, J_qry4)
+            B_ab = np.einsum("edi,edj->eij", J_ref4, J_qry4)
+            if L:
+                gamma = np.sum(J_s4 * J_s4, axis=1)
+                inv_g = np.where(gamma > 0, 1.0 / np.where(gamma > 0, gamma, 1.0), 0.0)
+                Jac = np.einsum("edi,ed->ei", J_ref4, J_s4)
+                Jbc = np.einsum("edi,ed->ei", J_qry4, J_s4)
+                B_aa = B_aa - inv_g[:, None, None] * (Jac[:, :, None] * Jac[:, None, :])
+                B_bb = B_bb - inv_g[:, None, None] * (Jbc[:, :, None] * Jbc[:, None, :])
+                B_ab = B_ab - inv_g[:, None, None] * (Jac[:, :, None] * Jbc[:, None, :])
+            from scipy.sparse import coo_matrix
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            A = coo_matrix(
+                (np.ones(E), (ref_i.astype(np.int64), qry_i.astype(np.int64))),
+                shape=(P, P),
+            )
+            A = (A + A.T).tocsr()
+            perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+            pinv = np.empty(P, np.int64)
+            pinv[perm] = np.arange(P)
+            bw = max(1, int(np.abs(pinv[ref_i] - pinv[qry_i]).max())) if E else 1
+            s = max(bw, 8)
+            ref_p, qry_p = pinv[ref_i], pinv[qry_i]
+            swap = qry_p < ref_p
+            lo = np.where(swap, qry_p, ref_p)
+            hi = np.where(swap, ref_p, qry_p)
+            B_ll = np.where(swap[:, None, None], B_bb, B_aa)
+            B_hh = np.where(swap[:, None, None], B_aa, B_bb)
+            B_hl = np.where(swap[:, None, None], B_ab, np.swapaxes(B_ab, 1, 2))
+            K, m, Dp, Op = _scatter_banded_blocks(
+                P, 3, s, lo, hi, B_ll, B_hh, B_hl, 1.0 - free[perm]
+            )
+            sig_blocks = _block_tridiag_selected_inverse(K, m, Dp, Op)
+            if indices is None:
+                indices = indices_all
+            out = {}
+            for pi in indices:
+                if pi in self._constant:
+                    out[pi] = np.zeros((3, 3))
+                    continue
+                q = int(pinv[index_of[pi]])
+                k, r = q // s, q % s
+                out[pi] = sig_blocks[k][
+                    r * 3:(r + 1) * 3, r * 3:(r + 1) * 3
+                ].copy()
+            return out
 
         dim = 3 * P + L
         H = np.zeros((dim, dim))

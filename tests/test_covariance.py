@@ -410,3 +410,43 @@ def test_banded_covariance_rejects_priors():
         opt.set_constraint(k - 1, k, rel(k - 1, k), ConstraintType.ODOMETRY)
     with pytest.raises(ValueError, match="banded"):
         opt.covariance(method="banded")
+
+
+def test_banded_selected_inverse_matches_dense_2d():
+    """SE(2) analog: banded selected-inverse marginals equal the dense
+    full-inverse blocks on a loop-closed 2D chain with switches."""
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_graph import (
+        PoseGraphOptimizer2D,
+    )
+
+    rng = np.random.default_rng(8)
+    n = 50
+    th = np.cumsum(rng.normal(0.05, 0.05, n))
+    xy = np.cumsum(0.5 * np.stack([np.cos(th), np.sin(th)], 1), axis=0)
+    gt = np.concatenate([xy, th[:, None]], 1)
+
+    def wrap(a):
+        return (a + np.pi) % (2 * np.pi) - np.pi
+
+    def rel(i, j):
+        c, s = np.cos(gt[i, 2]), np.sin(gt[i, 2])
+        d = gt[j, :2] - gt[i, :2]
+        return np.array(
+            [c * d[0] + s * d[1], -s * d[0] + c * d[1], wrap(gt[j, 2] - gt[i, 2])]
+        )
+
+    opt = PoseGraphOptimizer2D(switch_penalty=0.03)
+    for i in range(n):
+        opt.set_pose(i, gt[i] + (0.02 * rng.normal(size=3) if i else 0))
+    opt.set_pose_constant(0)
+    for i in range(n - 1):
+        opt.set_constraint(i, i + 1, rel(i, i + 1))
+    for (i, j) in [(0, n // 2), (10, n - 5)]:
+        opt.set_constraint(i, j, rel(i, j), ConstraintType.LOOP)
+    opt.solve()
+    dense = opt.covariance(method="dense")
+    banded = opt.covariance(method="banded")
+    for k in range(n):
+        np.testing.assert_allclose(
+            banded[k], dense[k], rtol=1e-9, atol=1e-10, err_msg=f"pose {k}"
+        )
