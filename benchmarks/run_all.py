@@ -988,8 +988,9 @@ def bench_pose_graph(runs):
     )
     rows.append(
         ("sphere2500 chordal-init + banded", f"{ms:.0f} ms",
-         f"{float(summary.final_cost):.3e} {_conv(summary, 150)}",
-         f"err {init_err:.1f}m -> {err:.2f}m incl. init")
+         f"{float(summary.final_cost):.3e}",
+         f"err {init_err:.1f}m -> {err:.2f}m incl. init "
+         f"{_conv(summary, 150)}")
     )
     log(f"  sphere2500 banded: {ms:.0f} ms, err -> {err:.2f} m")
     os.unlink(sphere_path)
