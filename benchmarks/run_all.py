@@ -933,7 +933,10 @@ def bench_pose_graph(runs):
     rows.append(
         ("sphere2500 (g2o, chain-PCG)", f"{ms:.0f} ms",
          f"{float(summary.final_cost):.3e}",
-         f"err {init_err:.1f}m -> {err:.2f}m {_conv(summary, 150)}")
+         f"err {init_err:.1f}m -> {err:.2f}m {_conv(summary, 150)} "
+         f"(adversarial no-init row: truncated-CG stalls in the "
+         f"wound-up basin and the plateau stop reports it honestly — "
+         f"chordal rows below are the recommended path)")
     )
     log(f"  sphere2500 g2o: {ms:.0f} ms, err {init_err:.1f} -> {err:.2f} m")
 
@@ -1139,7 +1142,8 @@ def bench_pose_graph(runs):
         rows.append(
             (f"{label}, {P} poses", f"{ms:.2f} ms",
              f"{float(summary.final_cost):.2e}",
-             f"err {err0 * 1e3:.0f}mm -> {err * 1e3:.1f}mm")
+             f"err {err0 * 1e3:.0f}mm -> {err * 1e3:.1f}mm "
+             f"{_conv(summary, 30)}")
         )
         log(f"  {label} {P} poses: {ms:.2f} ms")
 
