@@ -619,3 +619,81 @@ def solve(
         return x
     fact = factor(plan, B_aa, B_bb, B_ab, diag)
     return solve_factored(plan, fact, b)
+
+
+def selected_inverse_diag(plan: Plan, fact) -> Array:
+    """Per-vertex diagonal (d, d) blocks of A^{-1} — the multifrontal
+    SELECTED INVERSE (Takahashi on the separator tree), top-down:
+
+        Sigma_root = (L L^T)^{-1}
+        per front:  G = L11^{-T} W
+                    Sigma_11 = L11^{-T} L11^{-1} + G Sigma_bnd G^T
+                    Sigma_12 = -G Sigma_bnd
+
+    where Sigma_bnd is gathered from the PARENT front's covariance via
+    the same one-hot selection matrices as the factorization's
+    extend-add (the child boundary is a subset of the parent's
+    vars + bnd). One batched level per tree depth — the covariance
+    analog of :func:`factor`, same panel shapes, same MXU mapping.
+    Cost and memory match one factorization; this is the marginal
+    engine for fat-bandwidth graphs where the RCM-band recurrence
+    (pose_graph covariance method='banded') would go near-dense.
+
+    Pass the same ``fact`` returned by :func:`factor`. Returns
+    (P, d, d); exactness vs a dense inverse is pinned in
+    tests/test_pose_graph_sparse.py.
+    """
+    d = plan.d
+    L0 = fact[0][0]
+    dtype = L0.dtype
+    out = jnp.zeros((plan.P, d, d), dtype)
+    Sig_prev = None  # parent-depth front covariances (nF, m, m)
+    for dep in range(plan.num_levels):
+        dp = plan.depths[dep]
+        L11, W = fact[dep]
+        nblk = dp.ni + dp.nb
+        m = nblk * d
+        mi = dp.ni * d
+        eye_i = jnp.broadcast_to(
+            jnp.eye(mi, dtype=dtype), (dp.num_fronts, mi, mi)
+        )
+        Linv = solve_triangular(L11, eye_i, lower=True)  # (nF, mi, mi)
+        with _hp():
+            Sig11 = jnp.swapaxes(Linv, -1, -2) @ Linv
+        if dp.nb:
+            # Sigma over this front's boundary, gathered from the parent
+            pdp = plan.depths[dep - 1]
+            m_par = (pdp.ni + pdp.nb) * d
+            Psel = _selection(pdp, d, m_par, dtype)  # (nF, mb, m_par)
+            # parent front index per child (invert pdp.child_of)
+            parent_of = np.zeros(dp.num_fronts, np.int64)
+            for fp in range(pdp.num_fronts):
+                for k in range(2):
+                    c = int(pdp.child_of[fp, k])
+                    if c < dp.num_fronts:
+                        parent_of[c] = fp
+            Sig_par = Sig_prev[jnp.asarray(parent_of)]  # (nF, m_par, m_par)
+            with _hp():
+                Sig_bnd = Psel @ Sig_par @ jnp.swapaxes(Psel, -1, -2)
+                G = solve_triangular(L11, W, lower=True, trans=1)
+                GS = G @ Sig_bnd  # (nF, mi, mb)
+                Sig11 = Sig11 + GS @ jnp.swapaxes(G, -1, -2)
+            Sig_front = jnp.concatenate(
+                [
+                    jnp.concatenate([Sig11, -GS], axis=2),
+                    jnp.concatenate(
+                        [-jnp.swapaxes(GS, -1, -2), Sig_bnd], axis=2
+                    ),
+                ],
+                axis=1,
+            )
+        else:
+            Sig_front = Sig11
+        if len(dp.va_pid):
+            blocks = Sig_front.reshape(dp.num_fronts, nblk, d, nblk, d)[
+                jnp.asarray(dp.va_f), jnp.asarray(dp.va_slot), :,
+                jnp.asarray(dp.va_slot), :
+            ]
+            out = out.at[jnp.asarray(dp.va_pid)].set(blocks)
+        Sig_prev = Sig_front
+    return out

@@ -1468,6 +1468,83 @@ class PoseGraphOptimizer:
         J_qry = np.concatenate([J_qry[:, :, :3], J_qry[:, :, 3:] @ Tq[qry_i]], axis=2)
         return J_ref, J_qry, J_s, sw_slot, quat, Tq
 
+    def _covariance_sparse_plan(self, flat):
+        """d=6 tangent-chart dissection plan for the selected-inverse
+        covariance (separate from the solver's d=7 ambient plan;
+        cached per topology)."""
+        if flat.get("sparse_cov") is not None:
+            return flat["sparse_cov"]
+        from . import multifrontal
+
+        pos, _ = self._packed(flat["indices"], flat["index_of"])
+        plan = multifrontal.symbolic(
+            flat["P"],
+            flat["ref_idx"].astype(np.int64),
+            flat["query_idx"].astype(np.int64),
+            d=6,
+            coords=np.asarray(pos, np.float64),
+            leaf_size=16,
+        )
+        flat["sparse_cov"] = plan
+        return plan
+
+    def _covariance_sparse(self, flat, indices) -> Dict[int, np.ndarray]:
+        """Pose-diagonal blocks of H^{-1} by the MULTIFRONTAL selected
+        inverse (multifrontal.selected_inverse_diag — Takahashi on the
+        separator tree, one batched level per depth): the marginal
+        engine for fat-bandwidth graphs where the RCM-band recurrence
+        would go near-dense. Requires x64 for f64 marginals (runs at
+        the backend's native precision otherwise)."""
+        from . import multifrontal
+
+        all_indices = flat["indices"]
+        index_of = flat["index_of"]
+        P, E, L = flat["P"], flat["E"], flat["L"]
+        J_ref, J_qry, J_s, sw_slot, quat, Tq = self._tangent_edge_blocks(flat)
+        ref_i = flat["ref_idx"].astype(np.int64)
+        qry_i = flat["query_idx"].astype(np.int64)
+        free = np.array(
+            [0.0 if pi in self._constant else 1.0 for pi in all_indices]
+        )
+        J_ref = J_ref * free[ref_i][:, None, None]
+        J_qry = J_qry * free[qry_i][:, None, None]
+        B_aa = np.einsum("edi,edj->eij", J_ref, J_ref)
+        B_bb = np.einsum("edi,edj->eij", J_qry, J_qry)
+        B_ab = np.einsum("edi,edj->eij", J_ref, J_qry)
+        if L:
+            c = J_s
+            gamma = np.sum(c * c, axis=1)
+            inv_gamma = np.where(
+                gamma > 0, 1.0 / np.where(gamma > 0, gamma, 1.0), 0.0
+            )
+            Jac = np.einsum("edi,ed->ei", J_ref, c)
+            Jbc = np.einsum("edi,ed->ei", J_qry, c)
+            B_aa = B_aa - inv_gamma[:, None, None] * (
+                Jac[:, :, None] * Jac[:, None, :]
+            )
+            B_bb = B_bb - inv_gamma[:, None, None] * (
+                Jbc[:, :, None] * Jbc[:, None, :]
+            )
+            B_ab = B_ab - inv_gamma[:, None, None] * (
+                Jac[:, :, None] * Jbc[:, None, :]
+            )
+        plan = self._covariance_sparse_plan(flat)
+        diag = np.tile((1.0 - free)[:, None], (1, 6))  # gauge identity
+        fact = multifrontal.factor(
+            plan, jnp.asarray(B_aa), jnp.asarray(B_bb), jnp.asarray(B_ab),
+            jnp.asarray(diag),
+        )
+        blocks = np.asarray(multifrontal.selected_inverse_diag(plan, fact))
+        if indices is None:
+            indices = all_indices
+        out = {}
+        for pi in indices:
+            if pi in self._constant:
+                out[pi] = np.zeros((6, 6))
+                continue
+            out[pi] = np.array(blocks[index_of[pi]], np.float64)
+        return out
+
     def _covariance_banded(self, flat, indices) -> Dict[int, np.ndarray]:
         """Pose-diagonal blocks of H^{-1} by the exact block-tridiagonal
         SELECTED-INVERSE recurrence over RCM superblocks:
@@ -1587,13 +1664,13 @@ class PoseGraphOptimizer:
                 "fix at least one pose with set_pose_constant() or anchor "
                 "one with set_prior()"
             )
-        if method not in ("auto", "dense", "banded"):
+        if method not in ("auto", "dense", "banded", "sparse"):
             raise ValueError(f"unknown covariance method {method!r}")
         if method == "auto":
             # banded is exact and orders faster already at mid scale
             # (sphere2500: 1.1 s vs 137 s dense, agreement 1e-13);
-            # dense only for small graphs, priors, or band-hostile
-            # topology (the banded symbolic guard raises -> fall back)
+            # sparse (multifrontal selected inverse) covers band-hostile
+            # big graphs; dense for small graphs or priors
             if P <= 500 or self._priors:
                 method = "dense"
             else:
@@ -1601,14 +1678,20 @@ class PoseGraphOptimizer:
                     self._flatten_banded(flat)
                     method = "banded"
                 except ValueError:
-                    method = "dense"
-        if method == "banded":
+                    try:
+                        self._covariance_sparse_plan(flat)
+                        method = "sparse"
+                    except ValueError:
+                        method = "dense"
+        if method in ("banded", "sparse"):
             if self._priors:
                 raise ValueError(
-                    "covariance(method='banded') does not support priors "
-                    "yet; use method='dense'"
+                    f"covariance(method={method!r}) does not support "
+                    "priors yet; use method='dense'"
                 )
-            return self._covariance_banded(flat, indices)
+            if method == "banded":
+                return self._covariance_banded(flat, indices)
+            return self._covariance_sparse(flat, indices)
         J_ref, J_qry, J_s, sw_slot, quat, Tq = self._tangent_edge_blocks(flat)
         ref_i, qry_i = flat["ref_idx"], flat["query_idx"]
 

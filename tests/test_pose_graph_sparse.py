@@ -321,3 +321,36 @@ def test_sparse_2d_matches_dense():
             np.asarray(s.get_pose(k)), np.asarray(d.get_pose(k)), atol=1e-7
         )
     np.testing.assert_allclose(np.asarray(sw_s), np.asarray(sw_d), atol=1e-7)
+
+
+def test_multifrontal_selected_inverse_matches_dense():
+    """selected_inverse_diag (Takahashi on the separator tree) returns
+    the exact per-vertex diagonal blocks of A^{-1}."""
+    n = 12
+    P = n * n
+    ea, eb, B_aa, B_bb, B_ab, diag, _, H = _random_block_system(
+        P, 25, 3, seed=2, grid=n
+    )
+    plan = mf.symbolic(P, ea, eb, 3, leaf_size=12)
+    fact = mf.factor(
+        plan, jnp.asarray(B_aa), jnp.asarray(B_bb), jnp.asarray(B_ab),
+        jnp.asarray(diag),
+    )
+    got = np.asarray(mf.selected_inverse_diag(plan, fact))
+    Sigma = np.linalg.inv(H)
+    want = np.stack([Sigma[i * 3:(i + 1) * 3, i * 3:(i + 1) * 3] for i in range(P)])
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_sparse_covariance_matches_dense(fixture):
+    """covariance(method='sparse') — the multifrontal selected inverse
+    through the public API — equals the dense full-inverse marginals on
+    the 80-pose fixture (loops + switches + gauge pose)."""
+    opt = _build(fixture, switch_penalty=0.03)
+    opt.solve()
+    dense = opt.covariance(method="dense")
+    sparse = opt.covariance(method="sparse")
+    for k in range(80):
+        np.testing.assert_allclose(
+            sparse[k], dense[k], rtol=1e-8, atol=1e-8, err_msg=f"pose {k}"
+        )
