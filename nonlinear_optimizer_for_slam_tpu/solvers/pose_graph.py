@@ -2793,9 +2793,12 @@ class PoseGraphOptimizer2D:
         estimates with the last solve's switch values.
 
         ``method``: "dense" (full (3P+L)^2 inverse), "banded" (RCM
-        superblock selected-inverse recurrence — M3500-class graphs in
-        seconds, same blocks to f64 roundoff), or "auto"."""
-        if method not in ("auto", "dense", "banded"):
+        superblock selected-inverse recurrence), "sparse" (multifrontal
+        selected inverse over the dissection tree — the engine for
+        fat-bandwidth city arenas where the band recurrence goes
+        near-dense), or "auto". All return the same blocks to f64
+        roundoff."""
+        if method not in ("auto", "dense", "banded", "sparse"):
             raise ValueError(f"unknown covariance method {method!r}")
         if not self._constraints:
             raise ValueError("covariance: no constraints registered")
@@ -2876,9 +2879,9 @@ class PoseGraphOptimizer2D:
         J_ref4 = J_ref4 * free[ref_i][:, None, None]
         J_qry4 = J_qry4 * free[qry_i][:, None, None]
 
-        if method == "banded":
+        if method in ("banded", "sparse"):
             # exact per-edge switch elimination (information form), then
-            # the shared RCM superblock selected-inverse engine
+            # the shared selected-inverse engines
             B_aa = np.einsum("edi,edj->eij", J_ref4, J_ref4)
             B_bb = np.einsum("edi,edj->eij", J_qry4, J_qry4)
             B_ab = np.einsum("edi,edj->eij", J_ref4, J_qry4)
@@ -2890,6 +2893,40 @@ class PoseGraphOptimizer2D:
                 B_aa = B_aa - inv_g[:, None, None] * (Jac[:, :, None] * Jac[:, None, :])
                 B_bb = B_bb - inv_g[:, None, None] * (Jbc[:, :, None] * Jbc[:, None, :])
                 B_ab = B_ab - inv_g[:, None, None] * (Jac[:, :, None] * Jbc[:, None, :])
+            if method == "sparse":
+                # multifrontal selected inverse (Takahashi on the
+                # dissection tree) — device-batched, see multifrontal.py
+                from . import multifrontal
+
+                plan = self._sparse_symbolic(
+                    P,
+                    PoseGraph2DEdges(
+                        reference_indices=jnp.asarray(ref_i, jnp.int32),
+                        query_indices=jnp.asarray(qry_i, jnp.int32),
+                        relative_xyt=jnp.zeros((E, 3)),
+                        is_loop=jnp.asarray(is_loop),
+                        mask=jnp.ones((E,)),
+                    ),
+                    xyt,
+                )
+                diagv = np.tile((1.0 - free)[:, None], (1, 3))
+                fact = multifrontal.factor(
+                    plan, jnp.asarray(B_aa), jnp.asarray(B_bb),
+                    jnp.asarray(B_ab), jnp.asarray(diagv),
+                )
+                blocks = np.asarray(
+                    multifrontal.selected_inverse_diag(plan, fact)
+                )
+                if indices is None:
+                    indices = indices_all
+                return {
+                    pi: (
+                        np.zeros((3, 3))
+                        if pi in self._constant
+                        else np.array(blocks[index_of[pi]], np.float64)
+                    )
+                    for pi in indices
+                }
             from scipy.sparse import coo_matrix
             from scipy.sparse.csgraph import reverse_cuthill_mckee
 

@@ -446,7 +446,12 @@ def test_banded_selected_inverse_matches_dense_2d():
     opt.solve()
     dense = opt.covariance(method="dense")
     banded = opt.covariance(method="banded")
+    sparse = opt.covariance(method="sparse")
     for k in range(n):
         np.testing.assert_allclose(
             banded[k], dense[k], rtol=1e-9, atol=1e-10, err_msg=f"pose {k}"
+        )
+        np.testing.assert_allclose(
+            sparse[k], dense[k], rtol=1e-8, atol=1e-9,
+            err_msg=f"pose {k} (sparse)",
         )
