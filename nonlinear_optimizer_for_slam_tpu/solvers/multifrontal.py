@@ -58,8 +58,17 @@ class _DepthPlan(NamedTuple):
     num_fronts: int
     ni: int  # padded interior block count
     nb: int  # padded boundary block count
-    blk_off: int  # offset of this depth in the flat BLOCK buffer
     row_off: int  # offset of this depth in the flat ROW buffer
+    # assembly at this depth, as BLOCK-coordinate scatters into the
+    # depth's SCALAR-layout (nF, m, m) front tensor. (A single flat
+    # (tot_blk, d, d) buffer was 57x larger on TPU than its element
+    # count: arrays are physically tiled on their LAST TWO dims, so a
+    # (d, d) minor block pads to (4, 128) per block — 39 GB for a
+    # 10k-pose city. Keeping the minor dims front-sized avoids it.)
+    asm_src: np.ndarray  # (na,) rows into concat[B_uu,B_vv,B_uv,B_vu,diag]
+    asm_f: np.ndarray  # (na,) front index
+    asm_r: np.ndarray  # (na,) row BLOCK slot
+    asm_c: np.ndarray  # (na,) col BLOCK slot
     # variable assembly (solution slots)
     va_pid: np.ndarray  # (nv,) vertex ids
     va_f: np.ndarray  # (nv,)
@@ -97,14 +106,7 @@ class Plan:                       # per topology and passed to jit as a
     E: int
     swap: np.ndarray  # (E,) True where endpoint b is eliminated first
     depths: List[_DepthPlan]
-    # ONE sorted scatter assembles every edge block + diagonal into the
-    # flat block buffer (concatenation of all depths' (nF, nblk, nblk)
-    # block grids); per-depth fronts are then cheap slices.
-    tot_blk: int  # total (d, d) blocks across all depths
     tot_row: int  # total d-rows across all depths
-    asm_idx: np.ndarray  # (4E + P,) SORTED flat block indices
-    asm_perm: np.ndarray  # (4E + P,) source order: concat[B_uu, B_vv,
-    #                       B_uv, B_uv^T, diag][asm_perm] aligns asm_idx
     rhs_idx: np.ndarray  # (P,) flat row index of each vertex (unique)
 
     @property
@@ -319,12 +321,12 @@ def symbolic(
     v = np.where(swap, e_a, e_b)
     host_node = np.where(swap, nb_, na)
 
-    # flat buffer offsets (block grid per depth: nF * nblk * nblk blocks)
-    blk_offs, row_offs = [], []
+    # row-buffer offsets + memory guard (fronts are SCALAR-layout
+    # (nF, m, m) per depth — see _DepthPlan)
+    row_offs = []
     tot_blk = tot_row = 0
     for dep, lvl in enumerate(by_depth):
         nblk = ni_pad[dep] + nb_pad[dep]
-        blk_offs.append(tot_blk)
         row_offs.append(tot_row)
         tot_blk += len(lvl) * nblk * nblk
         tot_row += len(lvl) * nblk
@@ -337,29 +339,25 @@ def symbolic(
             "use solver='cg' (matrix-free) instead"
         )
 
-    # per-edge flat destination indices (4 blocks: uu, vv, uv, vu)
+    # per-edge assembly entries (4 blocks: uu, vv, uv, vu), grouped by
+    # hosting depth; source row indexes concat[B_uu,B_vv,B_uv,B_vu,diag]
     host_depth = node_depth[host_node]
-    idx_uu = np.empty(E, np.int64)
-    idx_vv = np.empty(E, np.int64)
-    idx_uv = np.empty(E, np.int64)
-    idx_vu = np.empty(E, np.int64)
+    asm_by_depth = [[] for _ in by_depth]  # (src, f, r, c)
     for e in range(E):
         n = node_list[host_node[e]]
         dep = n.depth
-        nblk = ni_pad[dep] + nb_pad[dep]
         sm = slot_of[id(n)]
         f = front_idx[id(n)]
         ru, rv = sm[int(u[e])], sm[int(v[e])]
         if ru >= ni_pad[dep]:
             raise AssertionError("u endpoint not interior at its own node")
-        base = blk_offs[dep] + f * nblk * nblk
-        idx_uu[e] = base + ru * nblk + ru
-        idx_vv[e] = base + rv * nblk + rv
-        idx_uv[e] = base + ru * nblk + rv
-        idx_vu[e] = base + rv * nblk + ru
+        a = asm_by_depth[dep]
+        a.append((e, f, ru, ru))
+        a.append((E + e, f, rv, rv))
+        a.append((2 * E + e, f, ru, rv))
+        a.append((3 * E + e, f, rv, ru))
 
     depths: List[_DepthPlan] = []
-    diag_idx = np.empty(P, np.int64)
     rhs_idx = np.empty(P, np.int64)
     for dep, lvl in enumerate(by_depth):
         ni, nbp = ni_pad[dep], nb_pad[dep]
@@ -368,15 +366,17 @@ def symbolic(
         va_pid, va_f, va_slot = [], [], []
         pad_diag = np.zeros((nF, nblk * d), np.float64)
         bnd_pid = np.zeros((nF, nbp), np.int64)
+        asm = asm_by_depth[dep]
         for f, n in enumerate(lvl):
             for i, vtx in enumerate(n.vars):
                 va_pid.append(int(vtx))
                 va_f.append(f)
                 va_slot.append(i)
-                diag_idx[vtx] = blk_offs[dep] + (f * nblk + i) * nblk + i
+                asm.append((4 * E + int(vtx), f, i, i))
                 rhs_idx[vtx] = row_offs[dep] + f * nblk + i
             pad_diag[f, len(n.vars) * d: ni * d] = 1.0
             bnd_pid[f, : len(n.bnd)] = n.bnd
+        asm_arr = np.asarray(asm, np.int64).reshape(-1, 4)
         # gather-form extend-add: inverse maps child bnd slot <- parent
         # slot, per parent front and child position (binary tree: <= 2)
         if dep + 1 <= max_depth:
@@ -407,8 +407,11 @@ def symbolic(
                 num_fronts=nF,
                 ni=ni,
                 nb=nbp,
-                blk_off=blk_offs[dep],
                 row_off=row_offs[dep],
+                asm_src=asm_arr[:, 0].astype(np.int32),
+                asm_f=asm_arr[:, 1].astype(np.int32),
+                asm_r=asm_arr[:, 2].astype(np.int32),
+                asm_c=asm_arr[:, 3].astype(np.int32),
                 va_pid=np.asarray(va_pid, np.int64),
                 va_f=np.asarray(va_f, np.int32),
                 va_slot=np.asarray(va_slot, np.int32),
@@ -418,13 +421,9 @@ def symbolic(
                 bnd_pid=bnd_pid,
             )
         )
-    # one sorted scatter for all assembly sources
-    all_idx = np.concatenate([idx_uu, idx_vv, idx_uv, idx_vu, diag_idx])
-    perm = np.argsort(all_idx, kind="stable")
     return Plan(
         P=P, d=d, E=E, swap=swap, depths=depths,
-        tot_blk=tot_blk, tot_row=tot_row,
-        asm_idx=all_idx[perm], asm_perm=perm, rhs_idx=rhs_idx,
+        tot_row=tot_row, rhs_idx=rhs_idx,
     )
 
 
@@ -453,25 +452,27 @@ def factor(plan: Plan, B_aa: Array, B_bb: Array, B_ab: Array, diag: Array):
     B_uv = jnp.where(swap, B_ab_T, B_ab)
     diag_blocks = diag[:, :, None] * jnp.eye(d, dtype=dtype)
 
-    # ONE sorted scatter assembles everything into the flat block buffer
-    blocks = jnp.concatenate(
+    blocks_cat = jnp.concatenate(
         [B_uu, B_vv, B_uv, jnp.swapaxes(B_uv, -1, -2), diag_blocks], axis=0
-    )[jnp.asarray(plan.asm_perm)]
-    flat = jnp.zeros((plan.tot_blk, d, d), dtype).at[
-        jnp.asarray(plan.asm_idx)
-    ].add(blocks, indices_are_sorted=True)
+    )
 
     levels = []
     S_prev = None  # child Schur complements, dense (nC, mb_c, mb_c)
+    rng_d = jnp.arange(d, dtype=jnp.int32)
     for dep in range(plan.num_levels - 1, -1, -1):
         dp = plan.depths[dep]
         nblk = dp.ni + dp.nb
         m = nblk * d
         mi = dp.ni * d
-        # (nF, nblk, nblk, d, d) block-COO grid for this depth
-        F = flat[dp.blk_off: dp.blk_off + dp.num_fronts * nblk * nblk]
-        F = F.reshape(dp.num_fronts, nblk, nblk, d, d)
-        F = jnp.transpose(F, (0, 1, 3, 2, 4)).reshape(dp.num_fronts, m, m)
+        # SCALAR-layout front tensor; block-coordinate scatter assembly
+        F = jnp.zeros((dp.num_fronts, m, m), dtype)
+        if len(dp.asm_src):
+            rows = jnp.asarray(dp.asm_r)[:, None] * d + rng_d
+            cols = jnp.asarray(dp.asm_c)[:, None] * d + rng_d
+            F = F.at[
+                jnp.asarray(dp.asm_f)[:, None, None],
+                rows[:, :, None], cols[:, None, :],
+            ].add(blocks_cat[jnp.asarray(dp.asm_src)])
         if S_prev is not None:
             # extend-add as batched one-hot products T_c = P_c^T S_c P_c
             # (MXU work) + full-panel gathers by parent; see _DepthPlan.
