@@ -1101,6 +1101,47 @@ def bench_pose_graph(runs):
     log(f"  manhattan3500 auto({mopts.last_solver_choice}): {ms:.0f} ms")
     os.unlink(man_path)
 
+    # 10k-pose city (bigger Olson arena): the scale where the
+    # dissection solver's O(P^{3/2}) beats the band's O(P b^2)
+    # OUTRIGHT, not just matches it (measured: sparse 1.8 s vs banded
+    # 3.8 s vs PCG 2.9 s, same cost/err)
+    man10, mgt10 = testing.generate_manhattan_g2o(
+        n_poses=10000, arena=17, seed=11
+    )
+    with tempfile.NamedTemporaryFile(suffix=".g2o", delete=False) as tf:
+        man10_path = tf.name
+    g2o_io.write_g2o(man10_path, man10)
+    man10_init = {k: man10.vertices[k].copy() for k in man10.vertices}
+    for label, solver in (("auto", "auto"), ("banded", "banded")):
+        m10 = g2o_io.load_pose_graph(
+            man10_path, dtype=jnp.float64, solver=solver
+        )
+
+        def _man10_solve():
+            m_rep[0] += 1
+            eps = 1e-9 * m_rep[0]
+            for k, v in man10_init.items():
+                xyt = v.copy()
+                xyt[0] += eps
+                m10.set_pose(k, xyt)
+            m10.initialize(method="chordal")
+            return m10.solve(man_opts)
+
+        ms, (summary, _) = timed(_man10_solve, max(1, runs // 5))
+        err10 = max(
+            np.linalg.norm(np.asarray(m10.get_pose(k))[:2] - mgt10[k, :2])
+            for k in range(len(mgt10))
+        )
+        picked = getattr(m10, "last_solver_choice", solver)
+        rows.append(
+            (f"manhattan10000 chordal + {label}", f"{ms:.0f} ms",
+             f"{float(summary.final_cost):.3e}",
+             f"picked {picked}; err -> {err10:.2f}m incl. init "
+             f"{_conv(summary, 100)}")
+        )
+        log(f"  manhattan10000 {label}({picked}): {ms:.0f} ms")
+    os.unlink(man10_path)
+
     # PCG on ITS domain: a graph too large for the dense normal matrix
     # (5,000 poses -> 35,000^2 dense H). NOTE: at f32 on the small
     # adversarial fixture, truncated-CG steps can land in the known
