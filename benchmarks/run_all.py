@@ -1314,10 +1314,29 @@ def bench_pose_graph(runs):
 
 def bench_bundle_adjustment(runs):
     """8-camera/300-landmark Schur BA — BASELINE config 5."""
+    import dataclasses as _dc
+
+    from nonlinear_optimizer_for_slam_tpu.core.options import ConvergenceHandle
     from nonlinear_optimizer_for_slam_tpu.solvers.bundle_adjustment import (
         BAData,
         BundleAdjuster,
     )
+
+    def _plateau_opts(cap, rtol=1e-6):
+        """Round-4: BA rows used to run exactly to their caps (the
+        absolute tolerances cannot fire at pixel-cost scale); rows now
+        stop on the relative best-cost plateau and report converged-at."""
+        return _dc.replace(
+            Options().replace(max_iterations=cap),
+            convergence_handle=ConvergenceHandle(
+                relative_function_tolerance=rtol
+            ),
+        )
+
+    def _conv(summary, cap):
+        it = int(summary.iterations)
+        tag = "plateau" if bool(summary.converged) else "CAP"
+        return f"iters={it}/{cap} ({tag})"
 
     rng = np.random.default_rng(0)
     C, M = 8, 300
@@ -1351,7 +1370,7 @@ def bench_bundle_adjustment(runs):
     noisy_lms = lms + 0.05 * rng.normal(size=lms.shape)
 
     ba = BundleAdjuster(dtype=jnp.float32)
-    opts = Options().replace(max_iterations=60)
+    opts = _plateau_opts(60)
     ms, (poses, out_lms, summary) = timed(
         lambda: ba.solve(opts, data, intr, noisy, noisy_lms, fixed_cameras=(0, 1)),
         runs,
@@ -1363,7 +1382,7 @@ def bench_bundle_adjustment(runs):
     rows = [
         ("Schur complement (batched)", f"{ms:.2f} ms",
          f"{float(summary.final_cost):.2e}",
-         f"obs={len(ci)} cam_err={err:.2e} iters={int(summary.iterations)}")
+         f"obs={len(ci)} cam_err={err:.2e} {_conv(summary, 60)}")
     ]
     log(f"  schur BA: {ms:.2f} ms")
 
@@ -1411,7 +1430,7 @@ def bench_bundle_adjustment(runs):
             p * nls.Pose.from_axis_angle(0.01 * rng.normal(), rng.normal(size=3), 0.03 * rng.normal(size=3))
         )
     noisy_lms2 = lms2 + 0.03 * rng.normal(size=lms2.shape)
-    opts2 = Options().replace(max_iterations=40)
+    opts2 = _plateau_opts(40)
     # grouped (track-major, scatter-free) layout — the default
     ba2 = BundleAdjuster(dtype=jnp.float32)
     ms2, (poses2, out_lms2, summary2) = timed(
@@ -1425,7 +1444,7 @@ def bench_bundle_adjustment(runs):
     rows.append(
         ("Schur, grouped scatter-free", f"{ms2:.1f} ms",
          f"{float(summary2.final_cost):.2e}",
-         f"C={C2} M={M2} obs={len(ci2)} cam_err={err2:.2e} iters={int(summary2.iterations)}")
+         f"C={C2} M={M2} obs={len(ci2)} cam_err={err2:.2e} {_conv(summary2, 40)}")
     )
     log(f"  schur BA large rig (grouped): {ms2:.1f} ms (err {err2:.2e})")
     # flat scatter-add layout with chunked Schur cross, for comparison
@@ -1437,7 +1456,7 @@ def bench_bundle_adjustment(runs):
     rows.append(
         ("Schur, flat chunked (1024)", f"{ms3:.1f} ms",
          f"{float(summary3.final_cost):.2e}",
-         f"C={C2} M={M2} obs={len(ci2)} iters={int(summary3.iterations)}")
+         f"C={C2} M={M2} obs={len(ci2)} {_conv(summary3, 40)}")
     )
     log(f"  schur BA large rig (flat): {ms3:.1f} ms")
 
@@ -1452,7 +1471,7 @@ def bench_bundle_adjustment(runs):
     bal_noisy, _ = bal_io.synthetic_bal_problem(
         num_cameras=49, num_points=7776, observations_per_point=4, seed=49
     )
-    bal_opts = Options().replace(max_iterations=30)
+    bal_opts = _plateau_opts(30)
     bal_rep = [0]
 
     def _bal_solve():
@@ -1470,7 +1489,7 @@ def bench_bundle_adjustment(runs):
     rows.append(
         ("BAL Snavely 49x7776 (f32)", f"{ms4:.1f} ms", f"{c1:.1f}",
          f"obs={bal_noisy.num_observations} init={c0:.0f} "
-         f"iters={int(bal_sum.iterations)} (f64 anchor: 18970.0)")
+         f"{_conv(bal_sum, 30)} (f64 anchor: 18970.0)")
     )
     log(f"  BAL 49x7776 f32: {ms4:.1f} ms, cost {c0:.0f} -> {c1:.1f}")
 
@@ -1505,7 +1524,7 @@ def bench_bundle_adjustment(runs):
     rows.append(
         ("BAL Snavely 128x20000 chunked", f"{ms5:.1f} ms", f"{c1b:.1f}",
          f"obs={bal_big.num_observations} init={c0b:.0f} "
-         f"iters={int(big_sum.iterations)} (f64 anchor: 49520.6)")
+         f"{_conv(big_sum, 30)} (f64 anchor: 49520.6)")
     )
     log(f"  BAL 128x20000 f32 chunked: {ms5:.1f} ms, cost {c0b:.0f} -> {c1b:.1f}")
 
@@ -1540,7 +1559,7 @@ def bench_bundle_adjustment(runs):
     rows.append(
         ("BAL 1200x40000 iterative Schur", f"{ms6:.1f} ms", f"{c1h:.1f}",
          f"obs={bal_huge.num_observations} init={c0h:.0f} "
-         f"iters={int(huge_sum.iterations)} (PCG 60/LM, Schur-Jacobi; "
+         f"{_conv(huge_sum, 30)} (PCG 60/LM, Schur-Jacobi; "
          f"f64 anchor: 94484.7)")
     )
     log(f"  BAL 1200x40000 iterative: {ms6:.1f} ms, cost {c0h:.0f} -> {c1h:.1f}")

@@ -272,7 +272,8 @@ def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype,
         return IterationRecord(nan, nan, nan, nan)
 
     def body(state):
-        cams, points, lam, prev_cost, last_cost, it, done, rec = state
+        (cams, points, lam, prev_cost, last_cost, it, done, best, stall,
+         rec) = state
         dc, dl, cost, g_c, g_l = schur_step(cams, points, lam)
         finite = jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dl))
         dc = jnp.where(finite, dc, jnp.zeros_like(dc))
@@ -285,6 +286,15 @@ def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype,
         converged = (step_norm < ch.parameter_tolerance) | (
             grad_norm < ch.gradient_tolerance
         )
+        if ch.relative_function_tolerance > 0.0:
+            # opt-in relative best-cost plateau stop — same semantics
+            # as solvers/lm.py (which see)
+            improved = cost < best * (1.0 - ch.relative_function_tolerance)
+            new_stall = jnp.where(improved, 0, stall + 1)
+            converged = converged | (new_stall >= 3)
+        else:
+            new_stall = stall
+        new_best = jnp.minimum(best, cost)
         increase = cost > prev_cost
         adapted = jnp.where(
             increase,
@@ -301,7 +311,7 @@ def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype,
             rec.step_norm.at[it].set(step_norm),
         )
         return (new_cams, new_points, new_lam, new_prev, cost, it + 1,
-                converged, rec)
+                converged, new_best, new_stall, rec)
 
     def cond(state):
         return (state[5] < max_it) & (~state[6])
@@ -314,9 +324,11 @@ def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype,
         jnp.asarray(jnp.finfo(dtype).max, dtype),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
+        jnp.asarray(jnp.finfo(dtype).max, dtype),
+        jnp.asarray(0, jnp.int32),
         records_init(),
     )
-    cams, points, lam, prev_cost, last_cost, it, done, rec = (
+    cams, points, lam, prev_cost, last_cost, it, done, _, _, rec = (
         jax.lax.while_loop(cond, body, init)
     )
     iterations = jnp.where(done, it - 1, it)

@@ -387,7 +387,7 @@ def _ba_lm_loop(schur_step, params0: BAParams, options: Options, dtype,
         return IterationRecord(nan, nan, nan, nan)
 
     def body(state):
-        params, lam, prev_cost, last_cost, it, done, rec = state
+        params, lam, prev_cost, last_cost, it, done, best, stall, rec = state
         dc, dl, cost, g_c, g_l = schur_step(params, lam)
         finite = jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dl))
         dc = jnp.where(finite, dc, jnp.zeros_like(dc))
@@ -404,6 +404,15 @@ def _ba_lm_loop(schur_step, params0: BAParams, options: Options, dtype,
         converged = (step_norm < ch.parameter_tolerance) | (
             grad_norm < ch.gradient_tolerance
         )
+        if ch.relative_function_tolerance > 0.0:
+            # opt-in relative best-cost plateau stop — same semantics
+            # as solvers/lm.py (which see)
+            improved = cost < best * (1.0 - ch.relative_function_tolerance)
+            new_stall = jnp.where(improved, 0, stall + 1)
+            converged = converged | (new_stall >= 3)
+        else:
+            new_stall = stall
+        new_best = jnp.minimum(best, cost)
         increase = cost > prev_cost
         adapted = jnp.where(
             increase, lam * oh.lambda_increase_factor, lam * oh.lambda_decrease_factor
@@ -417,7 +426,8 @@ def _ba_lm_loop(schur_step, params0: BAParams, options: Options, dtype,
             rec.gradient_norm.at[it].set(grad_norm),
             rec.step_norm.at[it].set(step_norm),
         )
-        return (new_params, new_lam, new_prev, cost, it + 1, converged, rec)
+        return (new_params, new_lam, new_prev, cost, it + 1, converged,
+                new_best, new_stall, rec)
 
     def cond(state):
         return (state[4] < max_it) & (~state[5])
@@ -429,10 +439,12 @@ def _ba_lm_loop(schur_step, params0: BAParams, options: Options, dtype,
         jnp.asarray(jnp.finfo(dtype).max, dtype),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
+        jnp.asarray(jnp.finfo(dtype).max, dtype),
+        jnp.asarray(0, jnp.int32),
         records_init(),
     )
-    params, lam, prev_cost, last_cost, it, done, rec = jax.lax.while_loop(
-        cond, body, init
+    params, lam, prev_cost, last_cost, it, done, _, _, rec = (
+        jax.lax.while_loop(cond, body, init)
     )
     iterations = jnp.where(done, it - 1, it)
     summary = Summary(
