@@ -354,3 +354,63 @@ def test_sparse_covariance_matches_dense(fixture):
         np.testing.assert_allclose(
             sparse[k], dense[k], rtol=1e-8, atol=1e-8, err_msg=f"pose {k}"
         )
+
+
+def test_multifrontal_single_leaf_tree():
+    """P <= leaf_size degenerates to ONE dense front (no boundary, no
+    extend-add) — the recursion's base case must still factor/solve."""
+    ea, eb, B_aa, B_bb, B_ab, diag, b, H = _random_block_system(
+        6, 3, 2, seed=3
+    )
+    plan = mf.symbolic(6, ea, eb, 2, leaf_size=16)
+    assert plan.num_levels == 1
+    x = mf.solve(
+        plan, jnp.asarray(ea), jnp.asarray(eb), jnp.asarray(B_aa),
+        jnp.asarray(B_bb), jnp.asarray(B_ab), jnp.asarray(diag),
+        jnp.asarray(b),
+    )
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(H, b.ravel()).reshape(6, 2),
+        rtol=1e-9,
+    )
+    fact = mf.factor(
+        plan, jnp.asarray(B_aa), jnp.asarray(B_bb), jnp.asarray(B_ab),
+        jnp.asarray(diag),
+    )
+    got = np.asarray(mf.selected_inverse_diag(plan, fact))
+    Sigma = np.linalg.inv(H)
+    want = np.stack([Sigma[i * 2:(i + 1) * 2, i * 2:(i + 1) * 2] for i in range(6)])
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_multifrontal_duplicate_edges():
+    """Two constraints between the same pose pair accumulate (a real
+    SLAM case: odometry + a loop closure on adjacent keyframes)."""
+    ea = np.array([0, 1, 0, 0])
+    eb = np.array([1, 2, 1, 2])
+    rng = np.random.default_rng(4)
+    d = 2
+    J = rng.normal(size=(4, 3, 2 * d))
+    B_aa = np.einsum("eri,erj->eij", J[:, :, :d], J[:, :, :d])
+    B_bb = np.einsum("eri,erj->eij", J[:, :, d:], J[:, :, d:])
+    B_ab = np.einsum("eri,erj->eij", J[:, :, :d], J[:, :, d:])
+    diag = np.full((3, d), 1.5)
+    b = rng.normal(size=(3, d))
+    H = np.zeros((6, 6))
+    for e in range(4):
+        a_, b_ = ea[e], eb[e]
+        H[a_*d:(a_+1)*d, a_*d:(a_+1)*d] += B_aa[e]
+        H[b_*d:(b_+1)*d, b_*d:(b_+1)*d] += B_bb[e]
+        H[a_*d:(a_+1)*d, b_*d:(b_+1)*d] += B_ab[e]
+        H[b_*d:(b_+1)*d, a_*d:(a_+1)*d] += B_ab[e].T
+    H += np.diag(diag.ravel())
+    plan = mf.symbolic(3, ea, eb, d, leaf_size=2)
+    x = mf.solve(
+        plan, jnp.asarray(ea), jnp.asarray(eb), jnp.asarray(B_aa),
+        jnp.asarray(B_bb), jnp.asarray(B_ab), jnp.asarray(diag),
+        jnp.asarray(b),
+    )
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(H, b.ravel()).reshape(3, d),
+        rtol=1e-9,
+    )
