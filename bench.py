@@ -210,6 +210,31 @@ def main():
         f"{[round(w, 1) for w in walls]} ms; async warm-up "
         f"{warm_s:.2f}s incl. compile)")
 
+    # batched streaming, still in the clean state: windows of 2 async
+    # lockstep batches of 16 in flight, one block per window — the
+    # highest-throughput serving shape (batch amortizes per-dispatch
+    # cost, the async pipeline hides the fetch)
+    Bst = 16
+
+    def _batch_window(base):
+        t0 = time.perf_counter()
+        outs = [
+            registrar.register_batch_async(
+                [local] * Bst,
+                [perturbed_pose(base + w * Bst + i) for i in range(Bst)],
+            )
+            for w in range(2)
+        ]
+        _jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) * 1000.0
+
+    _batch_window(1000)  # warm-up (compile the lockstep program)
+    bwalls = [_batch_window(1100 + 100 * w) for w in range(3)]
+    stream = float(np.median(bwalls)) / (2 * Bst)
+    log(f"async batched streaming (2x B={Bst} in flight, stream-only "
+        f"state): {stream:.2f} ms/scan ({1000.0 / stream:.0f} scans/s; "
+        f"vs_baseline {BASELINE_MS / stream:.1f}x)")
+
     # serial latency mode: the FIRST run() below is also the correctness
     # check (and flips the runtime into its degraded dispatch state —
     # see the methodology note above)
@@ -273,6 +298,8 @@ def main():
                 "pipelined_vs_baseline": round(BASELINE_MS / thr, 3),
                 "lockstep_b16_ms_per_scan": round(lockstep, 3),
                 "lockstep_vs_baseline": round(BASELINE_MS / lockstep, 3),
+                "batched_stream_ms_per_scan": round(stream, 3),
+                "batched_stream_vs_baseline": round(BASELINE_MS / stream, 3),
             }
         )
     )

@@ -707,6 +707,39 @@ def _row_serving_pipelined(runs):
             f"policy as bench.py pipelined_ms)")
 
 
+def _row_serving_batch_stream(runs):
+    """Async lockstep batches (2 x B=16 in flight, one block per
+    window): the highest-throughput serving shape — batch amortizes
+    per-dispatch cost, the async pipeline hides the fetch (and keeps
+    the process out of the blocking-fetch degraded state, CLAUDE.md)."""
+    ndt_map, local, true_pose = build_world()
+    registrar = fused_registration.NdtRegistrar(
+        ndt_map, Options(), ExponentialLoss(c1=1.0, c2=1.0)
+    )
+    B = 16
+
+    def run_win(i):
+        outs = [
+            registrar.register_batch_async(
+                [local] * B,
+                [_perturbed_identity(64 * i + w * B + k) for k in range(B)],
+            )
+            for w in range(2)
+        ]
+        jax.block_until_ready(outs)
+        return outs
+
+    ms, outs = timed_vary(run_win, max(2, runs // 2))
+    per = ms / (2 * B)
+    res = fused_registration.NdtRegistrar.finalize_batch(outs[0])
+    err = max(
+        np.linalg.norm(r.pose.translation - true_pose.translation)
+        for r in res
+    )
+    return (f"async batch stream 2xB={B}", f"{per:.2f} ms/ea", "(async)",
+            f"window wall={ms:.1f} ms t_err={err:.2e}")
+
+
 def _row_serving_vmap(B, runs):
     # MEASURED FINDING (r2): the vmapped whole-ICP program does NOT
     # amortize (~40 ms/scan at any B: per-scan device time inflates ~4x
@@ -760,6 +793,7 @@ def _row_serving_lockstep(B, runs):
 SERVING_ROWS = {
     "serial": _row_serving_serial,
     "pipelined": _row_serving_pipelined,
+    "batch_stream": _row_serving_batch_stream,
     "vmap4": lambda runs: _row_serving_vmap(4, runs),
     "vmap16": lambda runs: _row_serving_vmap(16, runs),
     "lockstep4": lambda runs: _row_serving_lockstep(4, runs),

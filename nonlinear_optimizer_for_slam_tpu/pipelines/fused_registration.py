@@ -1018,6 +1018,25 @@ class NdtRegistrar:
         Not supported together with ``mesh`` (scan-axis batch and
         factor-axis sharding would need a 2-level mesh; serve batches on
         one chip per replica instead)."""
+        return self.finalize_batch(
+            self._register_batch_launch(local_points_batch, initial_poses, mode)
+        )
+
+    def register_batch_async(
+        self, local_points_batch, initial_poses, mode: str = "lockstep"
+    ):
+        """:meth:`register_batch` WITHOUT the host sync: returns device
+        values for :meth:`finalize_batch`. The streaming form for
+        batch-of-B pipelines — on this runtime the FIRST blocking fetch
+        flips the process into its degraded dispatch state permanently
+        (CLAUDE.md, bisected round 4), so a production stream should
+        keep batch windows in flight and finalize behind the pipeline
+        head; measured 5.7 -> ~1 ms/scan at B=16x2 in flight."""
+        return self._register_batch_launch(
+            local_points_batch, initial_poses, mode
+        )
+
+    def _register_batch_launch(self, local_points_batch, initial_poses, mode):
         if mode not in ("lockstep", "vmap"):
             raise ValueError(f"unknown mode {mode!r} (lockstep | vmap)")
         if self.mesh is not None:
@@ -1062,9 +1081,16 @@ class NdtRegistrar:
             voxel_weights=self.voxel_weights,
             trim_distance=self.trim_distance,
         )
-        ts, qs, its, inner_its, costs, final_costs = jax.device_get(out)
+        return out
+
+    @staticmethod
+    def finalize_batch(device_out) -> list:
+        """Fetch + unpack a :meth:`register_batch_async` result into
+        list[FusedRegistrationResult] (one blocking fetch for the whole
+        batch)."""
+        ts, qs, its, inner_its, costs, final_costs = jax.device_get(device_out)
         results = []
-        for b in range(B):
+        for b in range(np.asarray(ts).shape[0]):
             qn = np.asarray(qs[b], np.float64)
             qn /= np.linalg.norm(qn)
             results.append(

@@ -280,3 +280,39 @@ def test_batched_mahalanobis_pallas_backend(rng):
         np.testing.assert_allclose(
             poses_p[b].translation, true_poses[b].translation, atol=1e-3
         )
+
+
+def test_register_batch_async_matches_sync(registrar_fixture=None):
+    """register_batch_async + finalize_batch == register_batch (the
+    streaming form defers only the fetch)."""
+    import numpy as np
+
+    from nonlinear_optimizer_for_slam_tpu.core import ExponentialLoss, Options
+    from nonlinear_optimizer_for_slam_tpu.pipelines import (
+        fused_registration,
+        ndt,
+    )
+    from nonlinear_optimizer_for_slam_tpu.utils import testing
+    import nonlinear_optimizer_for_slam_tpu as nls
+
+    pts = testing.generate_room_points(point_step=0.05)
+    ndt_map = ndt.build_ndt_map(pts, 1.0)
+    scan = ndt.filter_points(pts, 0.3)
+    true_pose = testing.maha_true_pose()
+    local = true_pose.inverse().apply(scan)
+    reg = fused_registration.NdtRegistrar(
+        ndt_map, Options(), ExponentialLoss(c1=1.0, c2=1.0)
+    )
+    poses = []
+    for i in range(3):
+        p = nls.Pose.identity()
+        p.translation = p.translation + 1e-4 * (i + 1)
+        poses.append(p)
+    sync = reg.register_batch([local] * 3, poses)
+    out = reg.register_batch_async([local] * 3, poses)
+    asyn = fused_registration.NdtRegistrar.finalize_batch(out)
+    for a, s in zip(asyn, sync):
+        np.testing.assert_allclose(a.pose.translation, s.pose.translation,
+                                   atol=1e-12)
+        assert a.outer_iterations == s.outer_iterations
+        np.testing.assert_allclose(a.final_cost, s.final_cost, rtol=1e-12)
