@@ -436,13 +436,52 @@ def _hp():
     return jax.default_matmul_precision("highest")
 
 
-def factor(plan: Plan, B_aa: Array, B_bb: Array, B_ab: Array, diag: Array):
+def _front_sharding(mesh):
+    """Identity when mesh is None; else a with_sharding_constraint over
+    the leading (front) axis on the mesh's "factors" axis."""
+    if mesh is None:
+        return lambda x: x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n_dev = int(np.prod(list(mesh.shape.values())))
+
+    def constrain(x):
+        if x.shape[0] % n_dev == 0:
+            # enough fronts: partition the batch (front) axis
+            spec = PartitionSpec("factors", *([None] * (x.ndim - 1)))
+        elif x.ndim >= 2 and x.shape[-1] % n_dev == 0:
+            # top levels (few big panels): partition the panel columns
+            spec = PartitionSpec(
+                *([None] * (x.ndim - 1)), "factors"
+            )
+        else:
+            spec = PartitionSpec()
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, spec)
+        )
+
+    return constrain
+
+
+def factor(plan: Plan, B_aa: Array, B_bb: Array, B_ab: Array, diag: Array,
+           mesh=None):
     """Assemble + factor the block-sparse SPD system.
 
     A[a,a] += B_aa[e], A[b,b] += B_bb[e], A[a,b] += B_ab[e] (and its
     transpose) for each edge e = (a, b), plus ``diag`` (P, d) on the
     diagonal. Returns an opaque factor for :func:`solve_factored`.
+
+    ``mesh``: optional jax.sharding.Mesh with a "factors" axis. Fronts
+    at each tree depth are independent batched panels, so the
+    scaling-book recipe applies directly: annotate the per-level front
+    tensors with a NamedSharding over the FRONT axis and let XLA's SPMD
+    partitioner place the batched Cholesky/triangular-solve/Schur
+    panels per device and insert the extend-add collectives (the
+    child->parent panel gathers become all-to-alls). Top levels with
+    fewer fronts than devices partition the panel matmul dims instead.
+    Sharded == unsharded is asserted in tests on the 8-device CPU mesh.
     """
+    constrain = _front_sharding(mesh)
     d = plan.d
     dtype = B_aa.dtype
     swap = jnp.asarray(plan.swap)[:, None, None]
@@ -473,6 +512,7 @@ def factor(plan: Plan, B_aa: Array, B_bb: Array, B_ab: Array, diag: Array):
                 jnp.asarray(dp.asm_f)[:, None, None],
                 rows[:, :, None], cols[:, None, :],
             ].add(blocks_cat[jnp.asarray(dp.asm_src)])
+        F = constrain(F)
         if S_prev is not None:
             # extend-add as batched one-hot products T_c = P_c^T S_c P_c
             # (MXU work) + full-panel gathers by parent; see _DepthPlan.
@@ -487,12 +527,14 @@ def factor(plan: Plan, B_aa: Array, B_bb: Array, B_ab: Array, diag: Array):
         F = F + jnp.eye(m, dtype=dtype) * jnp.asarray(dp.pad_diag, dtype)[:, None, :]
 
         A11 = F[:, :mi, :mi]
-        L11 = jnp.linalg.cholesky(A11)
+        L11 = constrain(jnp.linalg.cholesky(A11))
         if dp.nb:
             A12 = F[:, :mi, mi:]
-            W = solve_triangular(L11, A12, lower=True)  # (nF, mi, mb)
+            W = constrain(solve_triangular(L11, A12, lower=True))
             with _hp():
-                S_prev = F[:, mi:, mi:] - jnp.swapaxes(W, -1, -2) @ W
+                S_prev = constrain(
+                    F[:, mi:, mi:] - jnp.swapaxes(W, -1, -2) @ W
+                )
         else:
             W = jnp.zeros((dp.num_fronts, mi, 0), dtype)
             S_prev = None
@@ -597,6 +639,7 @@ def solve(
     B_ab: Array,
     diag: Array,
     b: Array,
+    mesh=None,
 ) -> Array:
     """Factor + solve, with the repo's mixed-precision recipe: f64
     inputs are factored in f32 (the TPU's native precision — f64 panel
@@ -611,14 +654,14 @@ def solve(
         f32 = jnp.float32
         fact = factor(
             plan, B_aa.astype(f32), B_bb.astype(f32), B_ab.astype(f32),
-            diag.astype(f32),
+            diag.astype(f32), mesh=mesh,
         )
         x = solve_factored(plan, fact, b.astype(f32)).astype(b.dtype)
         for _ in range(2):
             resid = b - edge_matvec(e_a, e_b, B_aa, B_bb, B_ab, diag, x)
             x = x + solve_factored(plan, fact, resid.astype(f32)).astype(b.dtype)
         return x
-    fact = factor(plan, B_aa, B_bb, B_ab, diag)
+    fact = factor(plan, B_aa, B_bb, B_ab, diag, mesh=mesh)
     return solve_factored(plan, fact, b)
 
 

@@ -660,10 +660,13 @@ class PoseGraphOptimizer:
             raise ValueError(f"unknown solver {solver!r}")
         if cg_precond not in ("chain", "jacobi"):
             raise ValueError(f"unknown cg_precond {cg_precond!r}")
-        if mesh is not None and solver != "cg":
+        if mesh is not None and solver not in ("cg", "sparse"):
             raise ValueError(
-                "mesh sharding is implemented for the matrix-free path: "
-                "pass solver='cg' with mesh=..."
+                "mesh sharding is implemented for the matrix-free CG path "
+                "(edges sharded, whole-loop replication) and the sparse "
+                "multifrontal path (fronts partitioned by XLA SPMD over a "
+                "Mesh with a 'factors' axis); pass solver='cg' or "
+                "solver='sparse' with mesh=..."
             )
         self.dtype = dtype
         self.solver = solver
@@ -1165,6 +1168,7 @@ class PoseGraphOptimizer:
                 L,
                 sp["plan"],
                 options,
+                self.mesh,
             )
         elif solver == "banded":
             bd = self._flatten_banded(flat)
@@ -4048,7 +4052,7 @@ def _pose_graph_solve_banded(
     return pose_params[:, :3], pose_params[:, 3:], switches, summary
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def _pose_graph_solve_sparse(
     positions0,  # (P, 3) registry order (NO permutation — the plan owns it)
     quaternions0,  # (P, 4)
@@ -4061,6 +4065,7 @@ def _pose_graph_solve_sparse(
     num_loops: int,
     plan,  # multifrontal.Plan from _flatten_sparse
     options: Options,
+    mesh=None,  # optional Mesh("factors"): fronts partitioned by XLA SPMD
 ):
     """Direct LM via nested-dissection multifrontal block-sparse
     Cholesky (solvers/multifrontal.py — see its module docstring for the
@@ -4182,7 +4187,7 @@ def _pose_graph_solve_sparse(
 
         dvec = lam * d_p + fixed_p + 1e-8  # damping + gauge + floor
         dp = multifrontal.solve(
-            plan, ref_i, qry_i, B_aa, B_bb, B_ab, dvec, b_p
+            plan, ref_i, qry_i, B_aa, B_bb, B_ab, dvec, b_p, mesh=mesh
         )
 
         if L > 0:

@@ -414,3 +414,48 @@ def test_multifrontal_duplicate_edges():
         np.asarray(x), np.linalg.solve(H, b.ravel()).reshape(3, d),
         rtol=1e-9,
     )
+
+
+def test_sparse_solver_with_mesh_matches_unsharded():
+    """solver='sparse' with a 'factors' mesh (fronts partitioned by XLA
+    SPMD; scaling-book recipe — annotate shardings, let the partitioner
+    insert collectives) computes the identical solve on the 8-device
+    CPU mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(3)
+    P = 400
+    pos = np.cumsum(0.1 * rng.normal(size=(P, 3)), axis=0)
+
+    def build(**kw):
+        opt = PoseGraphOptimizer(switch_penalty=0.03, solver="sparse", **kw)
+        for i in range(P):
+            noisy = pos[i] + (0.03 * rng.normal(size=3) if i else 0.0)
+            opt.set_pose(i, Pose(np.eye(3), noisy))
+        opt.set_pose_constant(0)
+        for i in range(P - 1):
+            opt.set_constraint(i, i + 1, Pose(np.eye(3), pos[i + 1] - pos[i]))
+        for i in range(0, P - 40, 12):
+            opt.set_constraint(
+                i, i + 40, Pose(np.eye(3), pos[i + 40] - pos[i]),
+                ConstraintType.LOOP,
+            )
+        return opt
+
+    rng_state = rng.bit_generator.state
+    plain = build()
+    rng.bit_generator.state = rng_state
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("factors",))
+    sharded = build(mesh=mesh)
+    opts = Options().replace(max_iterations=25)
+    s_p, sw_p = plain.solve(opts)
+    s_s, sw_s = sharded.solve(opts)
+    np.testing.assert_allclose(
+        float(s_s.final_cost), float(s_p.final_cost), rtol=1e-9, atol=1e-12
+    )
+    for k in range(0, P, 17):
+        np.testing.assert_allclose(
+            sharded.get_pose(k).translation, plain.get_pose(k).translation,
+            atol=1e-8,
+        )
