@@ -173,7 +173,7 @@ def _candidate_orders(V, sa, sb, coords):
     return orders
 
 
-def _bisect(V, sa, sb, coords, leaf_size, num_vertices, scratch):
+def _bisect(V, sa, sb, coords, leaf_size, scratch):
     """Recursive nested dissection. (sa, sb) are the edges with BOTH
     endpoints in V; ``scratch`` is a reusable (P,) work array."""
     if len(V) <= leaf_size:
@@ -208,7 +208,7 @@ def _bisect(V, sa, sb, coords, leaf_size, num_vertices, scratch):
         keep = (scratch[sa] == 1) & (scratch[sb] == 1)
         children.append(
             _bisect(part, sa[keep], sb[keep], coords, leaf_size,
-                    num_vertices, scratch)
+                    scratch)
         )
     if not children:  # cannot happen (len(V) > leaf_size >= 1) but be safe
         return _Node(V, [])
@@ -251,7 +251,7 @@ def symbolic(
     root = _bisect(
         np.arange(P, dtype=np.int64), e_a, e_b,
         None if coords is None else np.asarray(coords, np.float64),
-        leaf_size, P, scratch,
+        leaf_size, scratch,
     )
 
     # depth assignment + bottom-up boundary sets
@@ -341,7 +341,6 @@ def symbolic(
 
     # per-edge assembly entries (4 blocks: uu, vv, uv, vu), grouped by
     # hosting depth; source row indexes concat[B_uu,B_vv,B_uv,B_vu,diag]
-    host_depth = node_depth[host_node]
     asm_by_depth = [[] for _ in by_depth]  # (src, f, r, c)
     for e in range(E):
         n = node_list[host_node[e]]
