@@ -1597,6 +1597,38 @@ def bench_bundle_adjustment(runs):
          f"f64 anchor: 94484.7)")
     )
     log(f"  BAL 1200x40000 iterative: {ms6:.1f} ms, cost {c0h:.0f} -> {c1h:.1f}")
+
+    # the BAL "final" scale (largest published instance is
+    # final/13682): dense 9Cx9C would be 60 GB f32 — the matrix-free
+    # path runs it on one chip
+    bal_final, _ = bal_io.synthetic_bal_problem(
+        num_cameras=13682, num_points=100000, observations_per_point=4,
+        seed=13682,
+    )
+    log(f"  BAL final-scale: 13682 cams, 100000 pts, "
+        f"{bal_final.num_observations} obs (iterative Schur)")
+
+    def _bal_solve_final():
+        bal_rep[0] += 1
+        prob = bal_final._replace(
+            camera_params=bal_final.camera_params
+            + 1e-9 * bal_rep[0] * np.eye(1, 9, 3)
+        )
+        return bal_solver.solve_bal(
+            prob, bal_opts, dtype=jnp.float32, schur="iterative",
+            schur_iterations=60,
+        )
+
+    ms7, (fin_solved, fin_sum) = timed(_bal_solve_final, max(1, runs // 5))
+    c0f = bal_solver.bal_cost(bal_final, dtype=jnp.float32)
+    c1f = bal_solver.bal_cost(fin_solved, dtype=jnp.float32)
+    rows.append(
+        ("BAL 13682x100000 iterative Schur", f"{ms7:.1f} ms", f"{c1f:.1f}",
+         f"obs={bal_final.num_observations} init={c0f:.0f} "
+         f"{_conv(fin_sum, 30)} (dense 9Cx9C would be 60 GB)")
+    )
+    log(f"  BAL 13682x100000 iterative: {ms7:.1f} ms, "
+        f"cost {c0f:.0f} -> {c1f:.1f}")
     return table(
         "bundle adjustment: Schur complement, toy (8 cam x 300 lm) and "
         "realistic (100 cam x 10k lm x ~100k obs) rigs, plus BAL Snavely "
