@@ -787,7 +787,9 @@ def _row_serving_lockstep(B, runs):
     )
     return (f"lockstep batched B={B}", f"{per:.2f} ms/ea",
             f"{batch[0].final_cost:.1f}",
-            f"batch wall={ms:.1f} ms t_err={err:.2e}")
+            f"batch wall={ms:.1f} ms t_err={err:.2e} (sync API: each "
+            f"batch BLOCKS, so these rows live in the degraded dispatch "
+            f"state — the async batch-stream row is the streaming shape)")
 
 
 SERVING_ROWS = {
