@@ -488,7 +488,13 @@ def factor(plan: Plan, B_aa: Array, B_bb: Array, B_ab: Array, diag: Array,
     B_vv = jnp.where(swap, B_aa, B_bb)
     B_ab_T = jnp.swapaxes(B_ab, -1, -2)
     B_uv = jnp.where(swap, B_ab_T, B_ab)
-    diag_blocks = diag[:, :, None] * jnp.eye(d, dtype=dtype)
+    # diag: (P, d) diagonal entries, or (P, d, d) full per-vertex blocks
+    # (the Schur-reduced landmark-SLAM pose system has dense same-pose
+    # blocks)
+    if diag.ndim == 3:
+        diag_blocks = diag
+    else:
+        diag_blocks = diag[:, :, None] * jnp.eye(d, dtype=dtype)
 
     blocks_cat = jnp.concatenate(
         [B_uu, B_vv, B_uv, jnp.swapaxes(B_uv, -1, -2), diag_blocks], axis=0
@@ -626,7 +632,11 @@ def edge_matvec(
         yb = jnp.einsum("eji,ej->ei", B_ab, xa) + jnp.einsum(
             "eij,ej->ei", B_bb, xb
         )
-    return (diag * x).at[e_a].add(ya).at[e_b].add(yb)
+        base = (
+            jnp.einsum("pij,pj->pi", diag, x) if diag.ndim == 3
+            else diag * x
+        )
+    return base.at[e_a].add(ya).at[e_b].add(yb)
 
 
 def solve(

@@ -50,6 +50,7 @@ from ..ops.relative_pose import (
     apply_sqrt_info,
 )
 from . import lm
+from .bundle_adjustment import _inv3x3
 from .pose_graph import ConstraintType, _expand_sqrt_info
 
 Array = jax.Array
@@ -306,9 +307,21 @@ class PoseLandmarkOptimizer:
         switch_penalty: float = None,
         edge_loss=None,
         obs_loss=None,
+        pose_solver: str = "dense",
     ):
+        """``pose_solver``: "dense" solves the landmark-Schur-reduced
+        pose system as one (7P+L)^2 Cholesky (right up to a few
+        thousand poses); "sparse" eliminates landmarks at OBSERVATION
+        level and solves the reduced system with the nested-dissection
+        multifrontal factorization over pose-edge + landmark
+        co-visibility sparsity (_pose_landmark_solve_sparse — city
+        scale: the dense coupling tensor never exists)."""
         from ..ops.relative_pose import SWITCH_PENALTY_SCALE
 
+        if pose_solver not in ("dense", "sparse"):
+            raise ValueError(f"unknown pose_solver {pose_solver!r}")
+        self.pose_solver = pose_solver
+        self._sparse_cache = None
         self.dtype = dtype
         self.edge_loss = edge_loss
         self.obs_loss = obs_loss
@@ -509,23 +522,29 @@ class PoseLandmarkOptimizer:
         for li in self._constant_landmarks:
             free_lm[lm_of[li]] = 0.0
 
-        pos, quat, sw, lms_out, summary = _pose_landmark_solve(
-            jnp.asarray(positions, dtype),
-            jnp.asarray(quats, dtype),
-            jnp.ones((L,), dtype),
-            jnp.asarray(lms, dtype),
-            edges,
-            obs,
-            jnp.asarray(free_pose, dtype),
-            jnp.asarray(free_lm, dtype),
-            jnp.asarray(self.switch_penalty, dtype),
-            self.edge_loss,
-            self.obs_loss,
-            P,
-            M,
-            L,
-            options,
-        )
+        if self.pose_solver == "sparse":
+            pos, quat, sw, lms_out, summary = self._solve_sparse(
+                positions, quats, lms, edges, obs, free_pose, free_lm,
+                P, M, L, options,
+            )
+        else:
+            pos, quat, sw, lms_out, summary = _pose_landmark_solve(
+                jnp.asarray(positions, dtype),
+                jnp.asarray(quats, dtype),
+                jnp.ones((L,), dtype),
+                jnp.asarray(lms, dtype),
+                edges,
+                obs,
+                jnp.asarray(free_pose, dtype),
+                jnp.asarray(free_lm, dtype),
+                jnp.asarray(self.switch_penalty, dtype),
+                self.edge_loss,
+                self.obs_loss,
+                P,
+                M,
+                L,
+                options,
+            )
         pos, quat, sw, lms_out = jax.device_get((pos, quat, sw, lms_out))
         quat = np.array(quat, np.float64)  # device_get buffers are read-only
         quat /= np.linalg.norm(quat, axis=1, keepdims=True)
@@ -538,6 +557,60 @@ class PoseLandmarkOptimizer:
         self._last_switches = np.asarray(sw, np.float64).copy()
         self._cov_cache = None
         return summary, np.asarray(sw, np.float64)
+
+    def _solve_sparse(self, positions, quats, lms, edges, obs, free_pose,
+                      free_lm, P, M, L, options):
+        """Co-visibility symbolic phase (cached per topology) + the
+        sparse reduced solve."""
+        from . import multifrontal
+
+        dtype = self.dtype
+        pose_np = np.asarray(obs.pose_indices)
+        lm_np = np.asarray(obs.landmark_indices)
+        ref_np = np.asarray(edges.reference_indices, np.int64)
+        qry_np = np.asarray(edges.query_indices, np.int64)
+        key = (P, M, pose_np.tobytes(), lm_np.tobytes(),
+               ref_np.tobytes(), qry_np.tobytes())
+        if self._sparse_cache is not None and self._sparse_cache[0] == key:
+            plan, pairs = self._sparse_cache[1]
+        else:
+            pairs = build_covis_pairs(pose_np, lm_np)
+            plan = multifrontal.symbolic(
+                P,
+                np.concatenate([ref_np, pairs[0]]),
+                np.concatenate([qry_np, pairs[1]]),
+                d=7,
+                coords=np.asarray(positions, np.float64),
+                leaf_size=16,
+            )
+            self._sparse_cache = (key, (plan, pairs))
+        pair_a, pair_b, pr_i, pr_j, pair_slot, dg_i, dg_j = pairs
+        return _pose_landmark_solve_sparse(
+            jnp.asarray(positions, dtype),
+            jnp.asarray(quats, dtype),
+            jnp.ones((L,), dtype),
+            jnp.asarray(lms, dtype),
+            edges,
+            obs,
+            jnp.asarray(free_pose, dtype),
+            jnp.asarray(free_lm, dtype),
+            jnp.asarray(self.switch_penalty, dtype),
+            jnp.asarray(pair_a, jnp.int32),
+            jnp.asarray(pair_b, jnp.int32),
+            jnp.asarray(pr_i),
+            jnp.asarray(pr_j),
+            jnp.asarray(pair_slot),
+            jnp.asarray(dg_i),
+            jnp.asarray(dg_j),
+            edge_loss=self.edge_loss,
+            obs_loss=self.obs_loss,
+            num_poses=P,
+            num_landmarks=M,
+            num_loops=L,
+            num_pairs=int(len(pair_a)),
+            plan=plan,
+            options=options,
+        )
 
     # -- uncertainty ---------------------------------------------------
     def covariance(self, indices=None) -> Dict[int, np.ndarray]:
@@ -1319,3 +1392,301 @@ class PoseLandmark2DOptimizer:
         Sigma[np.ix_(kk, kk)] = Sigma_red
         self._cov_cache = (Sigma, pose_of, lm_of)
         return self._cov_cache
+
+
+def build_covis_pairs(pose_idx: np.ndarray, lm_idx: np.ndarray):
+    """HOST symbolic helper for the sparse reduced pose system: all
+    landmark co-visibility contributions.
+
+    For each landmark, every unordered pair of its observations (i, j)
+    contributes the Schur cross block -W_i D^-1 W_j^T. Pairs whose two
+    observations come from DIFFERENT poses (a < b by pose index) map to
+    a unique (a, b) pose pair (the fill-in edges of the reduced
+    system); same-pose pairs fold into that pose's diagonal block.
+
+    Returns (pair_a, pair_b, pr_i, pr_j, pair_slot, dg_i, dg_j):
+      pair_a/pair_b (npairs,) unique pose pairs;
+      pr_i/pr_j (ncontrib,) observation ids with pose(pr_i) < pose(pr_j);
+      pair_slot (ncontrib,) contribution -> pair row;
+      dg_i/dg_j (nsame,) same-pose observation pairs (i != j).
+    """
+    order = np.argsort(lm_idx, kind="stable")
+    pr_i, pr_j, dg_i, dg_j = [], [], [], []
+    pair_key = {}
+    pair_a, pair_b, pair_slot = [], [], []
+    k = 0
+    n = len(order)
+    while k < n:
+        k2 = k
+        l = lm_idx[order[k]]
+        while k2 < n and lm_idx[order[k2]] == l:
+            k2 += 1
+        group = order[k:k2]
+        for x in range(len(group)):
+            for y in range(x + 1, len(group)):
+                i, j = int(group[x]), int(group[y])
+                pa, pb = int(pose_idx[i]), int(pose_idx[j])
+                if pa == pb:
+                    dg_i.append(i)
+                    dg_j.append(j)
+                    continue
+                if pa > pb:
+                    i, j, pa, pb = j, i, pb, pa
+                key = (pa, pb)
+                s = pair_key.get(key)
+                if s is None:
+                    s = len(pair_a)
+                    pair_key[key] = s
+                    pair_a.append(pa)
+                    pair_b.append(pb)
+                pr_i.append(i)
+                pr_j.append(j)
+                pair_slot.append(s)
+        k = k2
+    return (
+        np.asarray(pair_a, np.int64), np.asarray(pair_b, np.int64),
+        np.asarray(pr_i, np.int32), np.asarray(pr_j, np.int32),
+        np.asarray(pair_slot, np.int32),
+        np.asarray(dg_i, np.int32), np.asarray(dg_j, np.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_poses", "num_landmarks", "num_loops", "num_pairs", "plan",
+        "options", "edge_loss", "obs_loss",
+    ),
+)
+def _pose_landmark_solve_sparse(
+    positions0,  # (P, 3)
+    quaternions0,  # (P, 4)
+    switches0,  # (L,)
+    landmarks0,  # (M, 3)
+    edges: PoseGraphEdges,
+    obs: LandmarkObservations,
+    free_pose,  # (P,)
+    free_lm,  # (M,)
+    switch_penalty,
+    pair_a,  # (npairs,) unique co-visibility pose pairs
+    pair_b,
+    pr_i,  # (ncontrib,) observation pairs (different poses)
+    pr_j,
+    pair_slot,  # (ncontrib,) -> pair row
+    dg_i,  # (nsame,) same-pose observation pairs
+    dg_j,
+    *,
+    edge_loss,
+    obs_loss,
+    num_poses: int,
+    num_landmarks: int,
+    num_loops: int,
+    num_pairs: int,
+    plan,  # multifrontal.Plan over poses (edges = pose edges + covis pairs)
+    options: Options,
+):
+    """Landmark SLAM at city scale: the landmark block is eliminated at
+    OBSERVATION level (exactly like the BAL solver — segment-sums, no
+    dense (dimT, 3M) coupling tensor) and the Schur-REDUCED pose system
+    is solved by the nested-dissection multifrontal factorization
+    (solvers/multifrontal.py) instead of a dense (7P+L)^2 Cholesky:
+
+      pair blocks   -W_a D^-1 W_b^T  (co-visibility fill-in, assembled
+                                      per unique pose pair)
+      diag blocks   A_pp - sum_o W_o D^-1 W_o^T  (per-pose, dense 7x7)
+      edge blocks   the pose-graph machinery verbatim, switch variables
+                    eliminated exactly per edge (rank-1, in-pattern)
+
+    Memory is O(observations + pairs + fronts); the dense path's
+    (7P+L)(3M) coupling and (7P+L)^2 system never exist.
+    """
+    from . import multifrontal
+
+    P, M, L = num_poses, num_landmarks, num_loops
+    dtype = positions0.dtype
+    E = edges.mask.shape[0]
+    ref_i = edges.reference_indices
+    qry_i = edges.query_indices
+    if L > 0:
+        loop_slot = jnp.clip(
+            jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1, 0, L - 1
+        )
+    else:
+        loop_slot = jnp.zeros((E,), jnp.int32)
+    is_loop = edges.is_loop > 0
+    free_ref = free_pose[ref_i]
+    free_qry = free_pose[qry_i]
+    fixed_p = (1.0 - free_pose)[:, None]
+    free_obs_pose = free_pose[obs.pose_indices]
+    free_obs_lm = free_lm[obs.landmark_indices]
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye7 = jnp.eye(7, dtype=dtype)
+    # combined edge list fed to the plan: pose edges then covis pairs
+    all_a = jnp.concatenate([ref_i.astype(jnp.int32),
+                             jnp.asarray(pair_a, jnp.int32)])
+    all_b = jnp.concatenate([qry_i.astype(jnp.int32),
+                             jnp.asarray(pair_b, jnp.int32)])
+
+    def quad(params):
+        pose_params, sw, lms = params
+        pos = pose_params[:, :3]
+        quat = pose_params[:, 3:]
+
+        sw_full = sw[loop_slot] if L > 0 else jnp.zeros((E,), dtype)
+        r_e, J_ref, J_query, J_s = edge_residuals_and_jacobians(
+            pos, quat, sw_full, edges, switch_penalty
+        )
+        J_ref = J_ref * free_ref[:, None, None]
+        J_query = J_query * free_qry[:, None, None]
+        cost_e, r_e, J_ref, J_query, J_s = _robustify(
+            edge_loss, r_e, J_ref, J_query, J_s
+        )
+
+        r_o, J_po, J_lo = observation_residuals_and_jacobians(
+            pos, quat, lms, obs
+        )
+        J_po = J_po * free_obs_pose[:, None, None]
+        J_lo = J_lo * free_obs_lm[:, None, None]
+        cost_o, r_o, J_po, J_lo = _robustify(obs_loss, r_o, J_po, J_lo)
+
+        cost = cost_e + cost_o
+        H_rep = (J_ref, J_query, J_s, J_po, J_lo, r_o)
+
+        # gradient pieces (observation-level, no dense assembly)
+        g_p = jnp.zeros((P, 7), dtype)
+        g_p = g_p.at[ref_i].add(jnp.sum(J_ref * r_e[:, :, None], axis=1))
+        g_p = g_p.at[qry_i].add(jnp.sum(J_query * r_e[:, :, None], axis=1))
+        g_p = g_p.at[obs.pose_indices].add(
+            jnp.sum(J_po * r_o[:, :, None], axis=1)
+        )
+        if L > 0:
+            gs_e = jnp.sum(J_s * r_e, axis=1) * is_loop
+            g_s = jnp.zeros((L,), dtype).at[loop_slot].add(gs_e)
+        else:
+            g_s = jnp.zeros((0,), dtype)
+        g_l = jax.ops.segment_sum(
+            jnp.sum(J_lo * r_o[:, :, None], axis=1), obs.landmark_indices, M
+        )
+        return H_rep, (g_p, g_s, g_l), cost
+
+    def solve_linear(H_rep, g, lamb):
+        J_ref, J_query, J_s, J_po, J_lo, r_o = H_rep
+        g_p, g_s, g_l = g
+
+        with jax.default_matmul_precision("highest"):
+            # landmark diagonal + damping (reference policy on D)
+            D_ll = jnp.einsum("odi,odj->oij", J_lo, J_lo)
+            D = jax.ops.segment_sum(D_ll, obs.landmark_indices, M)
+            D = D + ((1.0 - free_lm)[:, None, None] + 1e-8) * eye3
+            Dd = D + lamb * (D * eye3)
+            Dinv = _inv3x3(Dd)
+
+            W = jnp.einsum("odi,odj->oij", J_po, J_lo)  # (O, 7, 3)
+            WD = jnp.einsum("oab,obc->oac", W, Dinv[obs.landmark_indices])
+
+            # per-pose diagonal blocks: A_pp - same-obs/same-pose WDW^T
+            A_pp = jnp.einsum("odi,odj->oij", J_po, J_po)
+            diag_blocks = jax.ops.segment_sum(
+                A_pp - jnp.einsum("oac,obc->oab", WD, W),
+                obs.pose_indices, P,
+            )
+            if dg_i.shape[0]:
+                Csame = -jnp.einsum("kac,kbc->kab", WD[dg_i], W[dg_j])
+                diag_blocks = diag_blocks.at[obs.pose_indices[dg_i]].add(
+                    Csame + jnp.swapaxes(Csame, -1, -2)
+                )
+
+            # co-visibility pair blocks (row a, col b)
+            if num_pairs:
+                C = -jnp.einsum("kac,kbc->kab", WD[pr_i], W[pr_j])
+                B_pair = jax.ops.segment_sum(C, pair_slot, num_pairs)
+            else:
+                B_pair = jnp.zeros((0, 7, 7), dtype)
+
+            # pose-edge blocks + exact switch elimination (the sparse
+            # pose-graph algebra verbatim)
+            B_aa = jnp.einsum("erd,erf->edf", J_ref, J_ref)
+            B_bb = jnp.einsum("erd,erf->edf", J_query, J_query)
+            B_ab = jnp.einsum("erd,erf->edf", J_ref, J_query)
+            b_p = -g_p
+            b_p = b_p.at[obs.pose_indices].add(
+                jnp.einsum("oac,oc->oa", WD, g_l[obs.landmark_indices])
+            )
+            if L > 0:
+                c = J_s
+                d_s = jnp.zeros((L,), dtype).at[loop_slot].add(
+                    jnp.sum(J_s * J_s, axis=1) * is_loop
+                )
+                cc = jnp.sum(c * c, axis=1)
+                gamma = cc + lamb * d_s[loop_slot] + 1e-8
+                inv_gamma = jnp.where(is_loop, 1.0 / gamma, 0.0)
+                Jac = jnp.sum(J_ref * c[:, :, None], axis=1)
+                Jbc = jnp.sum(J_query * c[:, :, None], axis=1)
+                coef = inv_gamma * g_s[loop_slot]
+                b_p = b_p.at[ref_i].add(Jac * coef[:, None])
+                b_p = b_p.at[qry_i].add(Jbc * coef[:, None])
+                B_aa = B_aa - inv_gamma[:, None, None] * (
+                    Jac[:, :, None] * Jac[:, None, :]
+                )
+                B_bb = B_bb - inv_gamma[:, None, None] * (
+                    Jbc[:, :, None] * Jbc[:, None, :]
+                )
+                B_ab = B_ab - inv_gamma[:, None, None] * (
+                    Jac[:, :, None] * Jbc[:, None, :]
+                )
+
+            # reference damping on the pose diagonal (diag of the
+            # UNREDUCED T = edge + obs diag entries), gauge, rank floor
+            d_p = jnp.zeros((P, 7), dtype)
+            d_p = d_p.at[ref_i].add(jnp.sum(J_ref * J_ref, axis=1))
+            d_p = d_p.at[qry_i].add(jnp.sum(J_query * J_query, axis=1))
+            d_p = d_p.at[obs.pose_indices].add(jnp.sum(J_po * J_po, axis=1))
+            dvec = lamb * d_p + fixed_p + 1e-8
+            diag_blocks = diag_blocks + dvec[:, :, None] * eye7
+
+        # assemble blocks along the plan's combined edge list
+        Z = jnp.zeros((num_pairs, 7, 7), dtype)
+        full_aa = jnp.concatenate([B_aa, Z], axis=0)
+        full_bb = jnp.concatenate([B_bb, Z], axis=0)
+        full_ab = jnp.concatenate([B_ab, B_pair], axis=0)
+        dp = multifrontal.solve(
+            plan, all_a, all_b, full_aa, full_bb, full_ab, diag_blocks, b_p
+        )
+
+        # switch + landmark back-substitution
+        if L > 0:
+            v = jnp.einsum("erd,ed->er", J_ref, dp[ref_i]) + jnp.einsum(
+                "erd,ed->er", J_query, dp[qry_i]
+            )
+            ds_e = jnp.where(
+                is_loop,
+                (-g_s[loop_slot] - jnp.sum(J_s * v, axis=1)) * inv_gamma,
+                0.0,
+            )
+            ds = jnp.zeros((L,), dtype).at[loop_slot].add(ds_e)
+        else:
+            ds = jnp.zeros((0,), dtype)
+        with jax.default_matmul_precision("highest"):
+            Wt_dp = jax.ops.segment_sum(
+                jnp.einsum("oab,oa->ob", W, dp[obs.pose_indices]),
+                obs.landmark_indices, M,
+            )
+            dl = jnp.einsum("mab,mb->ma", Dinv, -g_l - Wt_dp)
+        return (dp, ds, dl)
+
+    def retract(params, delta):
+        pose_params, sw, lms = params
+        dpose, dsw, dlm = delta
+        return (
+            pose_params + dpose * free_pose[:, None],
+            sw + dsw,
+            lms + dlm * free_lm[:, None],
+        )
+
+    pose0 = jnp.concatenate([positions0, quaternions0], axis=1)
+    (pose_params, sw, lms), summary = lm.solve(
+        quad, retract, (pose0, switches0, landmarks0), options,
+        solve_linear=solve_linear,
+    )
+    return pose_params[:, :3], pose_params[:, 3:], sw, lms, summary
+

@@ -511,3 +511,70 @@ def test_covariance_honors_rejected_loop_switch(rng):
     l1 = with_loop.landmark_covariance()
     l2 = with_loop.landmark_covariance()
     np.testing.assert_array_equal(l1[0], l2[0])
+
+
+def test_sparse_pose_solver_matches_dense():
+    """pose_solver='sparse' (landmarks eliminated at observation level,
+    reduced pose system solved by the multifrontal factorization over
+    pose-edge + co-visibility sparsity) is an EXACT drop-in for the
+    dense path: same trajectory, same landmarks, same iteration count
+    (round 4 — the dense (7P+L)(3M) coupling tensor never exists)."""
+    rng = np.random.default_rng(0)
+    P, M = 40, 90
+    gt_pos = np.cumsum(0.3 * rng.normal(size=(P, 3)), axis=0)
+    lms = gt_pos[rng.integers(0, P, M)] + rng.uniform(-2, 2, (M, 3))
+
+    def build(**kw):
+        opt = PoseLandmarkOptimizer(switch_penalty=0.03, **kw)
+        for i in range(P):
+            noisy = gt_pos[i] + (0.05 * rng.normal(size=3) if i else 0)
+            opt.set_pose(i, Pose(np.eye(3), noisy))
+        opt.set_pose_constant(0)
+        for j in range(M):
+            opt.set_landmark(j, lms[j] + 0.1 * rng.normal(size=3))
+        for i in range(P - 1):
+            opt.set_constraint(
+                i, i + 1, Pose(np.eye(3), gt_pos[i + 1] - gt_pos[i])
+            )
+        opt.set_constraint(
+            0, P - 1, Pose(np.eye(3), gt_pos[P - 1] - gt_pos[0]),
+            ConstraintType.LOOP,
+        )
+        for j in range(M):
+            for i in range(P):
+                if (
+                    np.linalg.norm(lms[j] - gt_pos[i]) < 3.0
+                    and rng.uniform() < 0.5
+                ):
+                    opt.set_observation(
+                        i, j, lms[j] - gt_pos[i] + 0.01 * rng.normal(size=3),
+                        sqrt_info=10.0,
+                    )
+        return opt
+
+    st = rng.bit_generator.state
+    dense = build()
+    rng.bit_generator.state = st
+    sparse = build(pose_solver="sparse")
+    opts = Options().replace(max_iterations=40)
+    sum_d, sw_d = dense.solve(opts)
+    sum_s, sw_s = sparse.solve(opts)
+    assert int(sum_s.iterations) == int(sum_d.iterations)
+    np.testing.assert_allclose(
+        float(sum_s.final_cost), float(sum_d.final_cost), rtol=1e-12
+    )
+    for i in range(P):
+        np.testing.assert_allclose(
+            sparse.get_pose(i).translation, dense.get_pose(i).translation,
+            atol=1e-10,
+        )
+    for j in range(0, M, 7):
+        np.testing.assert_allclose(
+            sparse.get_landmark(j), dense.get_landmark(j), atol=1e-10
+        )
+    np.testing.assert_allclose(np.asarray(sw_s), np.asarray(sw_d), atol=1e-10)
+
+
+def test_sparse_pose_solver_rejects_unknown():
+    with pytest.raises(ValueError, match="pose_solver"):
+        PoseLandmarkOptimizer(pose_solver="banded")
