@@ -1743,6 +1743,63 @@ def bench_slam_extras(runs):
     )
     log(f"  landmark SLAM 3D: {ms:.1f} ms (err {err:.2e})")
 
+    # --- landmark SLAM at city scale (round 4): the sparse reduced
+    # pose system (landmarks eliminated at observation level, pose
+    # block solved by the multifrontal factorization over co-visibility
+    # sparsity) — the dense path's (7P+L)(3M) coupling would be ~6 GB
+    # here and its (7P)^2 reduced system ~5 GB
+    P5, M5 = 5000, 15000
+    rng5 = np.random.default_rng(1)
+    gt5 = np.cumsum(0.3 * rng5.normal(size=(P5, 3)), axis=0)
+    own5 = rng5.integers(0, P5, M5)
+    lm5 = gt5[own5] + rng5.uniform(-2, 2, (M5, 3))
+    noisy5 = gt5 + np.where(
+        np.arange(P5)[:, None] > 0, 0.05 * rng5.normal(size=(P5, 3)), 0.0
+    )
+    lm5_init = lm5 + 0.1 * rng5.normal(size=(M5, 3))
+    big_lm = PoseLandmarkOptimizer(
+        switch_penalty=0.03, pose_solver="sparse", dtype=jnp.float32
+    )
+    for i in range(P5):
+        big_lm.set_pose(i, Pose(np.eye(3), noisy5[i]))
+    big_lm.set_pose_constant(0)
+    for j in range(M5):
+        big_lm.set_landmark(j, lm5_init[j])
+    for i in range(P5 - 1):
+        big_lm.set_constraint(i, i + 1, Pose(np.eye(3), gt5[i + 1] - gt5[i]))
+    n_obs5 = 0
+    for j in range(M5):
+        for i in range(max(0, own5[j] - 2), min(P5, own5[j] + 3)):
+            big_lm.set_observation(
+                i, j, lm5[j] - gt5[i] + 0.01 * rng5.normal(size=3),
+                sqrt_info=10.0,
+            )
+            n_obs5 += 1
+    reps5 = [0]
+
+    def _lm_city():
+        reps5[0] += 1
+        for i in range(P5):
+            big_lm.set_pose(
+                i, Pose(np.eye(3), noisy5[i] + 1e-7 * reps5[0])
+            )
+        for j in range(M5):
+            big_lm.set_landmark(j, lm5_init[j])
+        return big_lm.solve(_plateau_opts(30, rtol=1e-6))
+
+    ms, (summary, _) = timed(_lm_city, max(1, runs // 5))
+    err5 = max(
+        np.linalg.norm(big_lm.get_pose(i).translation - gt5[i])
+        for i in range(0, P5, 13)
+    )
+    rows.append(
+        (f"landmark SLAM sparse ({P5} poses, {M5} lms)", f"{ms:.0f} ms",
+         f"{float(summary.final_cost):.2e}",
+         f"obs={n_obs5} max t_err={err5:.2e} {_conv(summary, 30)} "
+         f"(dense coupling would be ~6 GB)")
+    )
+    log(f"  landmark SLAM sparse city: {ms:.0f} ms (err {err5:.2e})")
+
     # --- landmark SLAM, 2-D (victoria-park shape): 1,000 poses, 300
     # landmarks, ~8 observations per pose
     P2, M2, K2 = 1000, 300, 8
