@@ -407,7 +407,9 @@ def _ba_lm_loop(schur_step, params0: BAParams, options: Options, dtype,
         if ch.relative_function_tolerance > 0.0:
             # opt-in relative best-cost plateau stop — same semantics
             # as solvers/lm.py (which see)
-            improved = cost < best * (1.0 - ch.relative_function_tolerance)
+            # (best - cost) > rtol*best: the (1 - rtol) multiplier form
+            # rounds to 1.0 at f32 for small rtol (see solvers/lm.py)
+            improved = (best - cost) > ch.relative_function_tolerance * best
             new_stall = jnp.where(improved, 0, stall + 1)
             converged = converged | (new_stall >= 3)
         else:

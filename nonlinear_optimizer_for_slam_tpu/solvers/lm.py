@@ -164,8 +164,11 @@ def solve(
             # previous-cost delta never looks small, the best-cost delta
             # does). best starts at dtype-max, so early iterations
             # always count as improving.
-            improved = cost < state.best_cost * (
-                1.0 - ch.relative_function_tolerance
+            # (best - cost) > rtol*best, NOT cost < best*(1-rtol): at f32
+            # the multiplier (1 - 1e-8) rounds to exactly 1.0 and the
+            # check degrades to an exact-improvement test
+            improved = (state.best_cost - cost) > (
+                ch.relative_function_tolerance * state.best_cost
             )
             new_stall = jnp.where(improved, 0, state.stall + 1)
             converged = converged | (new_stall >= 3)

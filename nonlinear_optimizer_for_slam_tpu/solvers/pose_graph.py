@@ -474,14 +474,38 @@ def _scatter_banded_blocks(
     return K, m, D, O
 
 
-def _rcm_bandwidth(P: int, ref_idx, query_idx) -> int:
-    """Block bandwidth of the graph under a reverse Cuthill-McKee
-    ordering (host, ~ms at 50k poses)."""
+def _np_edge_information_blocks(J_ref, J_qry, J_s):
+    """Per-edge pose information blocks with EXACT per-edge switch
+    elimination (the rank-1 Schur downdate — shared by every host
+    covariance path; the device solvers carry the same algebra in their
+    jitted solve_linear bodies).
+
+    Returns (B_aa, B_bb, B_ab) in (ref, query) row/col convention."""
+    B_aa = np.einsum("edi,edj->eij", J_ref, J_ref)
+    B_bb = np.einsum("edi,edj->eij", J_qry, J_qry)
+    B_ab = np.einsum("edi,edj->eij", J_ref, J_qry)
+    gamma = np.sum(J_s * J_s, axis=1)
+    inv_gamma = np.where(gamma > 0, 1.0 / np.where(gamma > 0, gamma, 1.0), 0.0)
+    Jac = np.einsum("edi,ed->ei", J_ref, J_s)
+    Jbc = np.einsum("edi,ed->ei", J_qry, J_s)
+    B_aa = B_aa - inv_gamma[:, None, None] * (Jac[:, :, None] * Jac[:, None, :])
+    B_bb = B_bb - inv_gamma[:, None, None] * (Jbc[:, :, None] * Jbc[:, None, :])
+    B_ab = B_ab - inv_gamma[:, None, None] * (Jac[:, :, None] * Jbc[:, None, :])
+    return B_aa, B_bb, B_ab
+
+
+def _rcm_perm_bandwidth(P: int, ref_idx, query_idx):
+    """Reverse Cuthill-McKee ordering of the pose graph and the block
+    bandwidth it achieves (host, ~ms at 50k poses). The one shared
+    implementation behind solver selection, the banded solvers' symbolic
+    phases, and the banded covariance paths.
+
+    Returns (perm, inv, bandwidth)."""
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
     if len(ref_idx) == 0:
-        return 1
+        return np.arange(P), np.arange(P), 1
     A = coo_matrix(
         (
             np.ones(len(ref_idx)),
@@ -493,7 +517,12 @@ def _rcm_bandwidth(P: int, ref_idx, query_idx) -> int:
     perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
     inv = np.empty(P, np.int64)
     inv[perm] = np.arange(P)
-    return max(1, int(np.abs(inv[ref_idx] - inv[query_idx]).max()))
+    bw = max(1, int(np.abs(inv[ref_idx] - inv[query_idx]).max()))
+    return perm, inv, bw
+
+
+def _rcm_bandwidth(P: int, ref_idx, query_idx) -> int:
+    return _rcm_perm_bandwidth(P, ref_idx, query_idx)[2]
 
 
 def select_solver(
@@ -504,6 +533,7 @@ def select_solver(
     d: int,
     plan_fn=None,
     allow_tridiag: bool = True,
+    bandwidth: Optional[int] = None,
 ) -> Tuple[str, dict]:
     """Pick a linear-solver family from the graph's topology (the
     'auto' policy; round-3 verdict: users should not need to know their
@@ -541,7 +571,7 @@ def select_solver(
     if allow_tridiag and n_corr <= 100:
         info["reason"] = "chain + few corrections"
         return "tridiag", info
-    b = _rcm_bandwidth(P, ref_idx, query_idx)
+    b = _rcm_bandwidth(P, ref_idx, query_idx) if bandwidth is None else bandwidth
     s = max(b, 8)
     K = -(-P // s)
     panel_bytes = 2 * K * (s * d) ** 2 * 4
@@ -919,23 +949,11 @@ class PoseGraphOptimizer:
         Numeric work stays on device (_pose_graph_solve_banded)."""
         if flat.get("banded") is not None:
             return flat["banded"]
-        from scipy.sparse import coo_matrix
-        from scipy.sparse.csgraph import reverse_cuthill_mckee
-
         P = flat["P"]
         ref_idx, query_idx = flat["ref_idx"], flat["query_idx"]
-        ones = np.ones(len(ref_idx))
-        A = coo_matrix(
-            (ones, (ref_idx.astype(np.int64), query_idx.astype(np.int64))),
-            shape=(P, P),
-        )
-        A = (A + A.T).tocsr()
-        perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
-        inv = np.empty(P, np.int64)
-        inv[perm] = np.arange(P)
+        perm, inv, bandwidth = self._rcm_cached(flat)
         ref_p = inv[ref_idx]
         qry_p = inv[query_idx]
-        bandwidth = int(np.abs(ref_p - qry_p).max()) if len(ref_p) else 1
         s = max(bandwidth, 8)
         K = -(-P // s)
         itemsize = jnp.zeros((), self.dtype).dtype.itemsize
@@ -968,6 +986,16 @@ class PoseGraphOptimizer:
             super_size=s, bandwidth=bandwidth,
         )
         return flat["banded"]
+
+    def _rcm_cached(self, flat: dict):
+        """(perm, inv, bandwidth) of the RCM ordering, cached on the
+        topology cache (shared by solver selection, the banded symbolic
+        phase, and the banded covariance path)."""
+        if flat.get("rcm") is None:
+            flat["rcm"] = _rcm_perm_bandwidth(
+                flat["P"], flat["ref_idx"], flat["query_idx"]
+            )
+        return flat["rcm"]
 
     def _flatten_sparse(self, flat: dict, positions: np.ndarray) -> dict:
         """HOST symbolic phase for the nested-dissection multifrontal
@@ -1151,6 +1179,7 @@ class PoseGraphOptimizer:
                     plan_fn=lambda: self._flatten_sparse(flat, positions)[
                         "plan"
                     ],
+                    bandwidth=self._rcm_cached(flat)[2],
                 )
         self.last_solver_choice = solver
 
@@ -1342,6 +1371,14 @@ class PoseGraphOptimizer:
                 "multiply their iteration-count compromises, not amortize "
                 "them)"
             )
+        if self.solver == "auto" and 7 * len(self._poses) > 6000:
+            raise ValueError(
+                "solve_batch materializes B dense (7P+L)^2 systems — at "
+                f"{len(self._poses)} poses that is far past the dense "
+                "envelope 'auto' would pick for solve(); batch serving is "
+                "a small-graph shape (construct with solver='dense' "
+                "explicitly to override)"
+            )
         if options is None:
             options = Options().replace(max_iterations=500)
         if not self._constraints:
@@ -1512,26 +1549,7 @@ class PoseGraphOptimizer:
         )
         J_ref = J_ref * free[ref_i][:, None, None]
         J_qry = J_qry * free[qry_i][:, None, None]
-        B_aa = np.einsum("edi,edj->eij", J_ref, J_ref)
-        B_bb = np.einsum("edi,edj->eij", J_qry, J_qry)
-        B_ab = np.einsum("edi,edj->eij", J_ref, J_qry)
-        if L:
-            c = J_s
-            gamma = np.sum(c * c, axis=1)
-            inv_gamma = np.where(
-                gamma > 0, 1.0 / np.where(gamma > 0, gamma, 1.0), 0.0
-            )
-            Jac = np.einsum("edi,ed->ei", J_ref, c)
-            Jbc = np.einsum("edi,ed->ei", J_qry, c)
-            B_aa = B_aa - inv_gamma[:, None, None] * (
-                Jac[:, :, None] * Jac[:, None, :]
-            )
-            B_bb = B_bb - inv_gamma[:, None, None] * (
-                Jbc[:, :, None] * Jbc[:, None, :]
-            )
-            B_ab = B_ab - inv_gamma[:, None, None] * (
-                Jac[:, :, None] * Jbc[:, None, :]
-            )
+        B_aa, B_bb, B_ab = _np_edge_information_blocks(J_ref, J_qry, J_s)
         plan = self._covariance_sparse_plan(flat)
         diag = np.tile((1.0 - free)[:, None], (1, 6))  # gauge identity
         fact = multifrontal.factor(
@@ -1575,28 +1593,20 @@ class PoseGraphOptimizer:
         J_ref = J_ref * free[ref_i][:, None, None]
         J_qry = J_qry * free[qry_i][:, None, None]
 
-        B_aa = np.einsum("edi,edj->eij", J_ref, J_ref)
-        B_bb = np.einsum("edi,edj->eij", J_qry, J_qry)
-        B_ab = np.einsum("edi,edj->eij", J_ref, J_qry)
-        if L:
-            c = J_s  # (E, 7); zero rows on non-loop edges
-            gamma = np.sum(c * c, axis=1)
-            inv_gamma = np.where(gamma > 0, 1.0 / np.where(gamma > 0, gamma, 1.0), 0.0)
-            Jac = np.einsum("edi,ed->ei", J_ref, c)
-            Jbc = np.einsum("edi,ed->ei", J_qry, c)
-            B_aa = B_aa - inv_gamma[:, None, None] * (
-                Jac[:, :, None] * Jac[:, None, :]
-            )
-            B_bb = B_bb - inv_gamma[:, None, None] * (
-                Jbc[:, :, None] * Jbc[:, None, :]
-            )
-            B_ab = B_ab - inv_gamma[:, None, None] * (
-                Jac[:, :, None] * Jbc[:, None, :]
-            )
+        B_aa, B_bb, B_ab = _np_edge_information_blocks(J_ref, J_qry, J_s)
 
-        bd = self._flatten_banded(flat)
-        perm, pinv = bd["perm"], bd["inv"]
-        s = bd["super_size"]
+        # host-only symbolic info (perm/bandwidth): does NOT build the
+        # banded solver's permuted device edge uploads (round-4 review:
+        # a covariance-only query was paying ~MBs of relay upload)
+        perm, pinv, bw = self._rcm_cached(flat)
+        s = max(bw, 8)
+        K_est = max(1, -(-P // s))
+        if 2 * K_est * (s * 6) ** 2 * 8 > 4 << 30:
+            raise ValueError(
+                f"covariance(method='banded'): RCM bandwidth {bw} over "
+                f"{P} poses needs tens of GB of host panels; use "
+                "method='sparse' (multifrontal selected inverse)"
+            )
         ref_p, qry_p = pinv[ref_i], pinv[qry_i]
         swap = qry_p < ref_p
         lo = np.where(swap, qry_p, ref_p)
@@ -2730,6 +2740,13 @@ class PoseGraphOptimizer2D:
                 "solve_batch runs on the dense direct path; construct the "
                 "optimizer with solver='dense'"
             )
+        if self.solver == "auto" and 3 * len(self._poses) > 6000:
+            raise ValueError(
+                "solve_batch materializes B dense (3P+L)^2 systems — at "
+                f"{len(self._poses)} poses that is far past the dense "
+                "envelope; construct with solver='dense' explicitly to "
+                "override"
+            )
         if options is None:
             options = Options().replace(max_iterations=500)
         if not self._constraints:
@@ -2811,8 +2828,7 @@ class PoseGraphOptimizer2D:
                 "covariance: gauge-free graph has unbounded covariance; "
                 "fix at least one pose with set_pose_constant()"
             )
-        if method == "auto":
-            method = "dense" if len(self._poses) <= 500 else "banded"
+        # auto resolution happens after the bandwidth estimate below
         indices_all = sorted(self._poses)
         index_of = {pi: i for i, pi in enumerate(indices_all)}
         P = len(indices_all)
@@ -2883,20 +2899,29 @@ class PoseGraphOptimizer2D:
         J_ref4 = J_ref4 * free[ref_i][:, None, None]
         J_qry4 = J_qry4 * free[qry_i][:, None, None]
 
+        if method == "auto":
+            # mirror the 3D policy: dense for small graphs, banded when
+            # the band is host-feasible, else the multifrontal selected
+            # inverse (round-4 review: the previous auto always picked
+            # banded and could allocate tens of GB on band-hostile
+            # topologies)
+            if P <= 500:
+                method = "dense"
+            else:
+                _, _, bw_a = _rcm_perm_bandwidth(P, ref_i, qry_i)
+                s_a = max(bw_a, 8)
+                K_a = max(1, -(-P // s_a))
+                method = (
+                    "banded"
+                    if 2 * K_a * (s_a * 3) ** 2 * 8 <= 4 << 30
+                    else "sparse"
+                )
         if method in ("banded", "sparse"):
             # exact per-edge switch elimination (information form), then
             # the shared selected-inverse engines
-            B_aa = np.einsum("edi,edj->eij", J_ref4, J_ref4)
-            B_bb = np.einsum("edi,edj->eij", J_qry4, J_qry4)
-            B_ab = np.einsum("edi,edj->eij", J_ref4, J_qry4)
-            if L:
-                gamma = np.sum(J_s4 * J_s4, axis=1)
-                inv_g = np.where(gamma > 0, 1.0 / np.where(gamma > 0, gamma, 1.0), 0.0)
-                Jac = np.einsum("edi,ed->ei", J_ref4, J_s4)
-                Jbc = np.einsum("edi,ed->ei", J_qry4, J_s4)
-                B_aa = B_aa - inv_g[:, None, None] * (Jac[:, :, None] * Jac[:, None, :])
-                B_bb = B_bb - inv_g[:, None, None] * (Jbc[:, :, None] * Jbc[:, None, :])
-                B_ab = B_ab - inv_g[:, None, None] * (Jac[:, :, None] * Jbc[:, None, :])
+            B_aa, B_bb, B_ab = _np_edge_information_blocks(
+                J_ref4, J_qry4, J_s4
+            )
             if method == "sparse":
                 # multifrontal selected inverse (Takahashi on the
                 # dissection tree) — device-batched, see multifrontal.py
@@ -2931,18 +2956,7 @@ class PoseGraphOptimizer2D:
                     )
                     for pi in indices
                 }
-            from scipy.sparse import coo_matrix
-            from scipy.sparse.csgraph import reverse_cuthill_mckee
-
-            A = coo_matrix(
-                (np.ones(E), (ref_i.astype(np.int64), qry_i.astype(np.int64))),
-                shape=(P, P),
-            )
-            A = (A + A.T).tocsr()
-            perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
-            pinv = np.empty(P, np.int64)
-            pinv[perm] = np.arange(P)
-            bw = max(1, int(np.abs(pinv[ref_i] - pinv[qry_i]).max())) if E else 1
+            perm, pinv, bw = _rcm_perm_bandwidth(P, ref_i, qry_i)
             s = max(bw, 8)
             ref_p, qry_p = pinv[ref_i], pinv[qry_i]
             swap = qry_p < ref_p

@@ -170,3 +170,32 @@ def test_relative_function_tolerance_plateau(rng):
     )
     assert int(s_ref.iterations) == 200  # default policy runs to cap
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-6)
+
+
+def test_relative_tolerance_fires_at_f32(rng):
+    """Regression (round-4 review): the (1 - rtol) multiplier form
+    rounds to exactly 1.0f for rtol < ~6e-8, silently degrading the
+    plateau check at f32; the rearranged (best - cost) > rtol*best form
+    must still fire."""
+    import dataclasses
+
+    from nonlinear_optimizer_for_slam_tpu.core.options import (
+        ConvergenceHandle,
+    )
+
+    F32 = jnp.float32
+    A = jnp.asarray(rng.normal(size=(60, 8)), F32)
+    x_true = jnp.asarray(rng.normal(size=8), F32)
+    b = A @ x_true + jnp.asarray(rng.normal(size=60), F32)
+    quad, retract = _quadratic_problem(A, b)
+    ch = ConvergenceHandle(
+        gradient_tolerance=0.0,
+        parameter_tolerance=0.0,
+        relative_function_tolerance=1e-8,  # below the f32 (1-rtol) floor
+    )
+    opts = dataclasses.replace(
+        Options().replace(max_iterations=300), convergence_handle=ch
+    )
+    x, summary = lm.solve(quad, retract, jnp.zeros(8, F32), opts)
+    assert bool(summary.converged)
+    assert int(summary.iterations) < 300
