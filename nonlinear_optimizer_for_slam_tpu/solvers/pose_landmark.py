@@ -996,7 +996,8 @@ def _pose_landmark_2d_solve(
 
 class PoseLandmark2DOptimizer:
     """SE(2) pose-landmark SLAM (victoria-park family); same API shape
-    as :class:`PoseLandmarkOptimizer` with xyt poses and 2-D landmarks."""
+    as :class:`PoseLandmarkOptimizer` with xyt poses and 2-D landmarks
+    (including ``pose_solver="sparse"`` — which see)."""
 
     def __init__(
         self,
@@ -1004,9 +1005,14 @@ class PoseLandmark2DOptimizer:
         switch_penalty: float = None,
         edge_loss=None,
         obs_loss=None,
+        pose_solver: str = "dense",
     ):
         from ..ops.relative_pose import SWITCH_PENALTY_SCALE
 
+        if pose_solver not in ("dense", "sparse"):
+            raise ValueError(f"unknown pose_solver {pose_solver!r}")
+        self.pose_solver = pose_solver
+        self._sparse_cache = None
         self.dtype = dtype
         self.edge_loss = edge_loss
         self.obs_loss = obs_loss
@@ -1199,22 +1205,28 @@ class PoseLandmark2DOptimizer:
         for li in self._constant_landmarks:
             free_lm[lm_of[li]] = 0.0
 
-        out_xyt, sw, lms_out, summary = _pose_landmark_2d_solve(
-            jnp.asarray(xyt, dtype),
-            jnp.ones((L,), dtype),
-            jnp.asarray(lms, dtype),
-            edges,
-            obs,
-            jnp.asarray(free_pose, dtype),
-            jnp.asarray(free_lm, dtype),
-            jnp.asarray(self.switch_penalty, dtype),
-            self.edge_loss,
-            self.obs_loss,
-            P,
-            M,
-            L,
-            options,
-        )
+        if self.pose_solver == "sparse":
+            out_xyt, sw, lms_out, summary = self._solve_sparse_2d(
+                xyt, lms, edges, obs, free_pose, free_lm, P, M, L,
+                options,
+            )
+        else:
+            out_xyt, sw, lms_out, summary = _pose_landmark_2d_solve(
+                jnp.asarray(xyt, dtype),
+                jnp.ones((L,), dtype),
+                jnp.asarray(lms, dtype),
+                edges,
+                obs,
+                jnp.asarray(free_pose, dtype),
+                jnp.asarray(free_lm, dtype),
+                jnp.asarray(self.switch_penalty, dtype),
+                self.edge_loss,
+                self.obs_loss,
+                P,
+                M,
+                L,
+                options,
+            )
         out_xyt, sw, lms_out = jax.device_get((out_xyt, sw, lms_out))
         out_xyt = np.array(out_xyt, np.float64)
         for i, pi in enumerate(pose_ids):
@@ -1228,6 +1240,60 @@ class PoseLandmark2DOptimizer:
         return summary, np.asarray(sw, np.float64)
 
     # -- uncertainty ---------------------------------------------------
+    def _solve_sparse_2d(self, xyt, lms, edges, obs, free_pose, free_lm,
+                         P, M, L, options):
+        """Co-visibility symbolic phase (cached per topology) + the
+        sparse reduced solve — SE(2) analog of
+        PoseLandmarkOptimizer._solve_sparse."""
+        from . import multifrontal
+
+        dtype = self.dtype
+        pose_np = np.asarray(obs.pose_indices)
+        lm_np = np.asarray(obs.landmark_indices)
+        ref_np = np.asarray(edges.reference_indices, np.int64)
+        qry_np = np.asarray(edges.query_indices, np.int64)
+        key = (P, M, pose_np.tobytes(), lm_np.tobytes(),
+               ref_np.tobytes(), qry_np.tobytes())
+        if self._sparse_cache is not None and self._sparse_cache[0] == key:
+            plan, pairs = self._sparse_cache[1]
+        else:
+            pairs = build_covis_pairs(pose_np, lm_np)
+            plan = multifrontal.symbolic(
+                P,
+                np.concatenate([ref_np, pairs[0]]),
+                np.concatenate([qry_np, pairs[1]]),
+                d=3,
+                coords=np.asarray(xyt[:, :2], np.float64),
+                leaf_size=32,
+            )
+            self._sparse_cache = (key, (plan, pairs))
+        pair_a, pair_b, pr_i, pr_j, pair_slot, dg_i, dg_j = pairs
+        return _pose_landmark_2d_solve_sparse(
+            jnp.asarray(xyt, dtype),
+            jnp.ones((L,), dtype),
+            jnp.asarray(lms, dtype),
+            edges,
+            obs,
+            jnp.asarray(free_pose, dtype),
+            jnp.asarray(free_lm, dtype),
+            jnp.asarray(self.switch_penalty, dtype),
+            jnp.asarray(pair_a, jnp.int32),
+            jnp.asarray(pair_b, jnp.int32),
+            jnp.asarray(pr_i),
+            jnp.asarray(pr_j),
+            jnp.asarray(pair_slot),
+            jnp.asarray(dg_i),
+            jnp.asarray(dg_j),
+            edge_loss=self.edge_loss,
+            obs_loss=self.obs_loss,
+            num_poses=P,
+            num_landmarks=M,
+            num_loops=L,
+            num_pairs=int(len(pair_a)),
+            plan=plan,
+            options=options,
+        )
+
     def covariance(self, indices=None) -> Dict[int, np.ndarray]:
         """Marginal 3x3 (x, y, theta) pose covariance from the joint
         pose+landmark information; SE(2) analog of
@@ -1690,3 +1756,223 @@ def _pose_landmark_solve_sparse(
     )
     return pose_params[:, :3], pose_params[:, 3:], sw, lms, summary
 
+
+
+def _inv2x2(A):
+    """Closed-form batched 2x2 inverse."""
+    a, b = A[..., 0, 0], A[..., 0, 1]
+    c, d = A[..., 1, 0], A[..., 1, 1]
+    det = a * d - b * c
+    return jnp.stack(
+        [jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], -2
+    ) / det[..., None, None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_poses", "num_landmarks", "num_loops", "num_pairs", "plan",
+        "options", "edge_loss", "obs_loss",
+    ),
+)
+def _pose_landmark_2d_solve_sparse(
+    xyt0,  # (P, 3)
+    switches0,  # (L,)
+    landmarks0,  # (M, 2)
+    edges,  # PoseGraph2DEdges
+    obs: LandmarkObservations2D,
+    free_pose,  # (P,)
+    free_lm,  # (M,)
+    switch_penalty,
+    pair_a,
+    pair_b,
+    pr_i,
+    pr_j,
+    pair_slot,
+    dg_i,
+    dg_j,
+    *,
+    edge_loss,
+    obs_loss,
+    num_poses: int,
+    num_landmarks: int,
+    num_loops: int,
+    num_pairs: int,
+    plan,
+    options: Options,
+):
+    """SE(2) analog of :func:`_pose_landmark_solve_sparse` (which see):
+    observation-level landmark elimination + the multifrontal reduced
+    pose solve over pose-edge + co-visibility sparsity, d=3 pose
+    blocks, closed-form 2x2 landmark inverses."""
+    from . import multifrontal
+    from .pose_graph import se2_edge_residuals_and_jacobians
+
+    P, M, L = num_poses, num_landmarks, num_loops
+    dtype = xyt0.dtype
+    E = edges.mask.shape[0]
+    ref_i = edges.reference_indices
+    qry_i = edges.query_indices
+    if L > 0:
+        loop_slot = jnp.clip(
+            jnp.cumsum(edges.is_loop.astype(jnp.int32)) - 1, 0, L - 1
+        )
+    else:
+        loop_slot = jnp.zeros((E,), jnp.int32)
+    is_loop = edges.is_loop > 0
+    free_ref = free_pose[ref_i]
+    free_qry = free_pose[qry_i]
+    fixed_p = (1.0 - free_pose)[:, None]
+    free_obs_pose = free_pose[obs.pose_indices]
+    free_obs_lm = free_lm[obs.landmark_indices]
+    eye2 = jnp.eye(2, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    all_a = jnp.concatenate([ref_i.astype(jnp.int32),
+                             jnp.asarray(pair_a, jnp.int32)])
+    all_b = jnp.concatenate([qry_i.astype(jnp.int32),
+                             jnp.asarray(pair_b, jnp.int32)])
+
+    def quad(params):
+        xyt, sw, lms = params
+        sw_full = sw[loop_slot] if L > 0 else jnp.zeros((E,), dtype)
+        r_e, J_ref, J_query, J_s = se2_edge_residuals_and_jacobians(
+            xyt, sw_full, edges, switch_penalty
+        )
+        J_ref = J_ref * free_ref[:, None, None]
+        J_query = J_query * free_qry[:, None, None]
+        cost_e, r_e, J_ref, J_query, J_s = _robustify(
+            edge_loss, r_e, J_ref, J_query, J_s
+        )
+        r_o, J_po, J_lo = observation_residuals_and_jacobians_2d(
+            xyt, lms, obs
+        )
+        J_po = J_po * free_obs_pose[:, None, None]
+        J_lo = J_lo * free_obs_lm[:, None, None]
+        cost_o, r_o, J_po, J_lo = _robustify(obs_loss, r_o, J_po, J_lo)
+
+        g_p = jnp.zeros((P, 3), dtype)
+        g_p = g_p.at[ref_i].add(jnp.sum(J_ref * r_e[:, :, None], axis=1))
+        g_p = g_p.at[qry_i].add(jnp.sum(J_query * r_e[:, :, None], axis=1))
+        g_p = g_p.at[obs.pose_indices].add(
+            jnp.sum(J_po * r_o[:, :, None], axis=1)
+        )
+        if L > 0:
+            gs_e = jnp.sum(J_s * r_e, axis=1) * is_loop
+            g_s = jnp.zeros((L,), dtype).at[loop_slot].add(gs_e)
+        else:
+            g_s = jnp.zeros((0,), dtype)
+        g_l = jax.ops.segment_sum(
+            jnp.sum(J_lo * r_o[:, :, None], axis=1), obs.landmark_indices, M
+        )
+        return (J_ref, J_query, J_s, J_po, J_lo), (g_p, g_s, g_l), (
+            cost_e + cost_o
+        )
+
+    def solve_linear(H_rep, g, lamb):
+        J_ref, J_query, J_s, J_po, J_lo = H_rep
+        g_p, g_s, g_l = g
+        with jax.default_matmul_precision("highest"):
+            D_ll = jnp.einsum("odi,odj->oij", J_lo, J_lo)
+            D = jax.ops.segment_sum(D_ll, obs.landmark_indices, M)
+            D = D + ((1.0 - free_lm)[:, None, None] + 1e-10) * eye2
+            Dd = D + lamb * (D * eye2)
+            Dinv = _inv2x2(Dd)
+
+            W = jnp.einsum("odi,odj->oij", J_po, J_lo)  # (O, 3, 2)
+            WD = jnp.einsum("oab,obc->oac", W, Dinv[obs.landmark_indices])
+
+            A_pp = jnp.einsum("odi,odj->oij", J_po, J_po)
+            diag_blocks = jax.ops.segment_sum(
+                A_pp - jnp.einsum("oac,obc->oab", WD, W),
+                obs.pose_indices, P,
+            )
+            if dg_i.shape[0]:
+                Csame = -jnp.einsum("kac,kbc->kab", WD[dg_i], W[dg_j])
+                diag_blocks = diag_blocks.at[obs.pose_indices[dg_i]].add(
+                    Csame + jnp.swapaxes(Csame, -1, -2)
+                )
+            if num_pairs:
+                C = -jnp.einsum("kac,kbc->kab", WD[pr_i], W[pr_j])
+                B_pair = jax.ops.segment_sum(C, pair_slot, num_pairs)
+            else:
+                B_pair = jnp.zeros((0, 3, 3), dtype)
+
+            B_aa = jnp.einsum("erd,erf->edf", J_ref, J_ref)
+            B_bb = jnp.einsum("erd,erf->edf", J_query, J_query)
+            B_ab = jnp.einsum("erd,erf->edf", J_ref, J_query)
+            b_p = -g_p
+            b_p = b_p.at[obs.pose_indices].add(
+                jnp.einsum("oac,oc->oa", WD, g_l[obs.landmark_indices])
+            )
+            if L > 0:
+                c = J_s
+                d_s = jnp.zeros((L,), dtype).at[loop_slot].add(
+                    jnp.sum(J_s * J_s, axis=1) * is_loop
+                )
+                cc = jnp.sum(c * c, axis=1)
+                gamma = cc + lamb * d_s[loop_slot] + 1e-8
+                inv_gamma = jnp.where(is_loop, 1.0 / gamma, 0.0)
+                Jac = jnp.sum(J_ref * c[:, :, None], axis=1)
+                Jbc = jnp.sum(J_query * c[:, :, None], axis=1)
+                coef = inv_gamma * g_s[loop_slot]
+                b_p = b_p.at[ref_i].add(Jac * coef[:, None])
+                b_p = b_p.at[qry_i].add(Jbc * coef[:, None])
+                B_aa = B_aa - inv_gamma[:, None, None] * (
+                    Jac[:, :, None] * Jac[:, None, :]
+                )
+                B_bb = B_bb - inv_gamma[:, None, None] * (
+                    Jbc[:, :, None] * Jbc[:, None, :]
+                )
+                B_ab = B_ab - inv_gamma[:, None, None] * (
+                    Jac[:, :, None] * Jbc[:, None, :]
+                )
+
+            d_p = jnp.zeros((P, 3), dtype)
+            d_p = d_p.at[ref_i].add(jnp.sum(J_ref * J_ref, axis=1))
+            d_p = d_p.at[qry_i].add(jnp.sum(J_query * J_query, axis=1))
+            d_p = d_p.at[obs.pose_indices].add(jnp.sum(J_po * J_po, axis=1))
+            dvec = lamb * d_p + fixed_p + 1e-10
+            diag_blocks = diag_blocks + dvec[:, :, None] * eye3
+
+        Z = jnp.zeros((num_pairs, 3, 3), dtype)
+        full_aa = jnp.concatenate([B_aa, Z], axis=0)
+        full_bb = jnp.concatenate([B_bb, Z], axis=0)
+        full_ab = jnp.concatenate([B_ab, B_pair], axis=0)
+        dp = multifrontal.solve(
+            plan, all_a, all_b, full_aa, full_bb, full_ab, diag_blocks, b_p
+        )
+
+        if L > 0:
+            v = jnp.einsum("erd,ed->er", J_ref, dp[ref_i]) + jnp.einsum(
+                "erd,ed->er", J_query, dp[qry_i]
+            )
+            ds_e = jnp.where(
+                is_loop,
+                (-g_s[loop_slot] - jnp.sum(J_s * v, axis=1)) * inv_gamma,
+                0.0,
+            )
+            ds = jnp.zeros((L,), dtype).at[loop_slot].add(ds_e)
+        else:
+            ds = jnp.zeros((0,), dtype)
+        with jax.default_matmul_precision("highest"):
+            Wt_dp = jax.ops.segment_sum(
+                jnp.einsum("oab,oa->ob", W, dp[obs.pose_indices]),
+                obs.landmark_indices, M,
+            )
+            dl = jnp.einsum("mab,mb->ma", Dinv, -g_l - Wt_dp)
+        return (dp, ds, dl)
+
+    def retract(params, delta):
+        xyt, sw, lms = params
+        dxyt, dsw, dlm = delta
+        return (
+            xyt + dxyt * free_pose[:, None],
+            sw + dsw,
+            lms + dlm * free_lm[:, None],
+        )
+
+    (xyt, sw, lms), summary = lm.solve(
+        quad, retract, (xyt0, switches0, landmarks0), options,
+        solve_linear=solve_linear,
+    )
+    return xyt, sw, lms, summary

@@ -578,3 +578,76 @@ def test_sparse_pose_solver_matches_dense():
 def test_sparse_pose_solver_rejects_unknown():
     with pytest.raises(ValueError, match="pose_solver"):
         PoseLandmarkOptimizer(pose_solver="banded")
+
+
+def test_sparse_pose_solver_2d_matches_dense():
+    """SE(2) sparse reduced pose solve == dense (exact drop-in, same
+    trajectory/landmarks/iterations)."""
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_landmark import (
+        PoseLandmark2DOptimizer,
+    )
+
+    rng = np.random.default_rng(2)
+    P, M = 50, 120
+    th = np.cumsum(rng.normal(0.05, 0.05, P))
+    xy = np.cumsum(0.5 * np.stack([np.cos(th), np.sin(th)], 1), axis=0)
+    gt = np.concatenate([xy, th[:, None]], 1)
+    lms = xy[rng.integers(0, P, M)] + rng.uniform(-2, 2, (M, 2))
+
+    def wrap(a):
+        return (a + np.pi) % (2 * np.pi) - np.pi
+
+    def rel(i, j):
+        c, s = np.cos(gt[i, 2]), np.sin(gt[i, 2])
+        d = gt[j, :2] - gt[i, :2]
+        return np.array(
+            [c * d[0] + s * d[1], -s * d[0] + c * d[1], wrap(gt[j, 2] - gt[i, 2])]
+        )
+
+    def body_obs(i, j):
+        c, s = np.cos(gt[i, 2]), np.sin(gt[i, 2])
+        d = lms[j] - gt[i, :2]
+        return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1]])
+
+    def build(**kw):
+        opt = PoseLandmark2DOptimizer(switch_penalty=0.03, **kw)
+        for i in range(P):
+            opt.set_pose(i, gt[i] + (0.03 * rng.normal(size=3) if i else 0))
+        opt.set_pose_constant(0)
+        for j in range(M):
+            opt.set_landmark(j, lms[j] + 0.1 * rng.normal(size=2))
+        for i in range(P - 1):
+            opt.set_constraint(i, i + 1, rel(i, i + 1))
+        opt.set_constraint(0, P - 1, rel(0, P - 1), ConstraintType.LOOP)
+        for j in range(M):
+            for i in range(P):
+                if (
+                    np.linalg.norm(lms[j] - gt[i, :2]) < 3.0
+                    and rng.uniform() < 0.5
+                ):
+                    opt.set_observation(
+                        i, j, body_obs(i, j) + 0.01 * rng.normal(size=2),
+                        sqrt_info=10.0,
+                    )
+        return opt
+
+    st = rng.bit_generator.state
+    dense = build()
+    rng.bit_generator.state = st
+    sparse = build(pose_solver="sparse")
+    opts = Options().replace(max_iterations=40)
+    sum_d, _ = dense.solve(opts)
+    sum_s, _ = sparse.solve(opts)
+    assert int(sum_s.iterations) == int(sum_d.iterations)
+    np.testing.assert_allclose(
+        float(sum_s.final_cost), float(sum_d.final_cost), rtol=1e-12
+    )
+    for i in range(P):
+        np.testing.assert_allclose(
+            np.asarray(sparse.get_pose(i)), np.asarray(dense.get_pose(i)),
+            atol=1e-10,
+        )
+    for j in range(0, M, 7):
+        np.testing.assert_allclose(
+            sparse.get_landmark(j), dense.get_landmark(j), atol=1e-10
+        )
