@@ -271,9 +271,11 @@ def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype,
         nan = jnp.full((max_it,), jnp.nan, dtype)
         return IterationRecord(nan, nan, nan, nan)
 
+    track_best = ch.relative_function_tolerance > 0.0
+
     def body(state):
         (cams, points, lam, prev_cost, last_cost, it, done, best, stall,
-         rec) = state
+         rec, best_cams, best_points, plateau) = state
         dc, dl, cost, g_c, g_l = schur_step(cams, points, lam)
         finite = jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dl))
         dc = jnp.where(finite, dc, jnp.zeros_like(dc))
@@ -283,9 +285,10 @@ def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype,
 
         step_norm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dl * dl))
         grad_norm = jnp.sqrt(jnp.sum(g_c * g_c) + jnp.sum(g_l * g_l))
-        converged = (step_norm < ch.parameter_tolerance) | (
+        ref_converged = (step_norm < ch.parameter_tolerance) | (
             grad_norm < ch.gradient_tolerance
         )
+        converged = ref_converged
         if ch.relative_function_tolerance > 0.0:
             # opt-in relative best-cost plateau stop — same semantics
             # as solvers/lm.py (which see)
@@ -297,6 +300,16 @@ def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype,
         else:
             new_stall = stall
         new_best = jnp.minimum(best, cost)
+        if track_best:
+            # monotone safeguard (solvers/lm.py, which see): cost was
+            # evaluated at the PRE-step (cams, points); a plateau exit
+            # returns the best-seen state instead of the last step
+            better = cost < best
+            new_bc = jnp.where(better, cams, best_cams)
+            new_bp = jnp.where(better, points, best_points)
+            new_plateau = converged & (~ref_converged)
+        else:
+            new_bc, new_bp, new_plateau = best_cams, best_points, plateau
         increase = cost > prev_cost
         adapted = jnp.where(
             increase,
@@ -313,7 +326,8 @@ def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype,
             rec.step_norm.at[it].set(step_norm),
         )
         return (new_cams, new_points, new_lam, new_prev, cost, it + 1,
-                converged, new_best, new_stall, rec)
+                converged, new_best, new_stall, rec, new_bc, new_bp,
+                new_plateau)
 
     def cond(state):
         return (state[5] < max_it) & (~state[6])
@@ -329,18 +343,28 @@ def _bal_solve_impl(cams0, points0, cam_idx, pt_idx, obs, options, dtype,
         jnp.asarray(jnp.finfo(dtype).max, dtype),
         jnp.asarray(0, jnp.int32),
         records_init(),
+        cams0 if track_best else jnp.zeros((0,), dtype),
+        points0 if track_best else jnp.zeros((0,), dtype),
+        jnp.asarray(False),
     )
-    cams, points, lam, prev_cost, last_cost, it, done, _, _, rec = (
-        jax.lax.while_loop(cond, body, init)
-    )
+    (cams, points, lam, prev_cost, last_cost, it, done, bcost, _, rec,
+     bcams, bpoints, plateau) = jax.lax.while_loop(cond, body, init)
     iterations = jnp.where(done, it - 1, it)
+    final_cost = last_cost
+    if track_best:
+        # monotone safeguard: plateau exits return the best-seen state
+        cams = jnp.where(plateau, bcams, cams)
+        points = jnp.where(plateau, bpoints, points)
+        final_cost = jnp.where(plateau, bcost, last_cost)
     summary = Summary(
-        final_cost=last_cost,
+        final_cost=final_cost,
         reported_cost=prev_cost,
         iterations=iterations,
         final_lambda=lam,
         converged=done,
         records=rec,
+        plateau_stop=plateau if track_best else None,
+        best_cost=bcost if track_best else None,
     )
     return cams, points, summary
 

@@ -386,8 +386,11 @@ def _ba_lm_loop(schur_step, params0: BAParams, options: Options, dtype,
         nan = jnp.full((max_it,), jnp.nan, dtype)
         return IterationRecord(nan, nan, nan, nan)
 
+    track_best = ch.relative_function_tolerance > 0.0
+
     def body(state):
-        params, lam, prev_cost, last_cost, it, done, best, stall, rec = state
+        (params, lam, prev_cost, last_cost, it, done, best, stall, rec,
+         best_params, plateau) = state
         dc, dl, cost, g_c, g_l = schur_step(params, lam)
         finite = jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dl))
         dc = jnp.where(finite, dc, jnp.zeros_like(dc))
@@ -401,9 +404,10 @@ def _ba_lm_loop(schur_step, params0: BAParams, options: Options, dtype,
         # g_c is already the global gradient after the in-step psum
         step_norm = jnp.sqrt(jnp.sum(dc * dc) + dl_sq)
         grad_norm = jnp.sqrt(jnp.sum(g_c * g_c) + gl_sq)
-        converged = (step_norm < ch.parameter_tolerance) | (
+        ref_converged = (step_norm < ch.parameter_tolerance) | (
             grad_norm < ch.gradient_tolerance
         )
+        converged = ref_converged
         if ch.relative_function_tolerance > 0.0:
             # opt-in relative best-cost plateau stop — same semantics
             # as solvers/lm.py (which see)
@@ -415,6 +419,17 @@ def _ba_lm_loop(schur_step, params0: BAParams, options: Options, dtype,
         else:
             new_stall = stall
         new_best = jnp.minimum(best, cost)
+        if track_best:
+            # monotone safeguard (solvers/lm.py, which see): cost was
+            # evaluated at the PRE-step params; plateau exits return the
+            # best-seen state
+            better = cost < best
+            new_best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(better, p, b), best_params, params
+            )
+            new_plateau = converged & (~ref_converged)
+        else:
+            new_best_params, new_plateau = best_params, plateau
         increase = cost > prev_cost
         adapted = jnp.where(
             increase, lam * oh.lambda_increase_factor, lam * oh.lambda_decrease_factor
@@ -429,7 +444,7 @@ def _ba_lm_loop(schur_step, params0: BAParams, options: Options, dtype,
             rec.step_norm.at[it].set(step_norm),
         )
         return (new_params, new_lam, new_prev, cost, it + 1, converged,
-                new_best, new_stall, rec)
+                new_best, new_stall, rec, new_best_params, new_plateau)
 
     def cond(state):
         return (state[4] < max_it) & (~state[5])
@@ -444,18 +459,28 @@ def _ba_lm_loop(schur_step, params0: BAParams, options: Options, dtype,
         jnp.asarray(jnp.finfo(dtype).max, dtype),
         jnp.asarray(0, jnp.int32),
         records_init(),
+        params0 if track_best else None,
+        jnp.asarray(False),
     )
-    params, lam, prev_cost, last_cost, it, done, _, _, rec = (
-        jax.lax.while_loop(cond, body, init)
-    )
+    (params, lam, prev_cost, last_cost, it, done, bcost, _, rec,
+     best_params, plateau) = jax.lax.while_loop(cond, body, init)
     iterations = jnp.where(done, it - 1, it)
+    final_cost = last_cost
+    if track_best:
+        # monotone safeguard: plateau exits return the best-seen state
+        params = jax.tree_util.tree_map(
+            lambda b, p: jnp.where(plateau, b, p), best_params, params
+        )
+        final_cost = jnp.where(plateau, bcost, last_cost)
     summary = Summary(
-        final_cost=last_cost,
+        final_cost=final_cost,
         reported_cost=prev_cost,
         iterations=iterations,
         final_lambda=lam,
         converged=done,
         records=rec,
+        plateau_stop=plateau if track_best else None,
+        best_cost=bcost if track_best else None,
     )
     return params, summary
 
@@ -649,8 +674,10 @@ def _ba_solve_sharded(
     intr_specs = jax.tree_util.tree_map(lambda _: P(), intr)
     loss_specs = jax.tree_util.tree_map(lambda _: P(), loss)
     out_params_specs = BAParams(P(), P(), P(FACTOR_AXIS))
+    tb = options.convergence_handle.relative_function_tolerance > 0.0
     summary_specs = Summary(
-        P(), P(), P(), P(), P(), IterationRecord(P(), P(), P(), P())
+        P(), P(), P(), P(), P(), IterationRecord(P(), P(), P(), P()),
+        plateau_stop=P() if tb else None, best_cost=P() if tb else None,
     )
     kwargs = dict(
         mesh=mesh,

@@ -27,6 +27,12 @@ Beyond the reference: ``relative_function_tolerance`` (default 0.0 = off,
 so parity-traced paths are untouched) adds an opt-in relative cost-
 plateau stop for large problems where the reference's ABSOLUTE step /
 gradient tolerances can mathematically never fire (see ConvergenceHandle).
+When the plateau stop is enabled the loop also carries the monotone-best
+(cost, params) pair and a plateau exit returns THAT state, not the last
+step: LM is not a descent method under the reference's lambda<=1e-2 clamp
+(a warm restart was observed to blow up 30x and then plateau at the
+blown-up point), so certifying the exit state requires returning the best
+evaluated one. ``Summary.plateau_stop`` tells the two exit kinds apart.
 """
 
 from __future__ import annotations
@@ -58,7 +64,9 @@ class Summary(NamedTuple):
     """Solve summary (the reference declares an empty Summary struct,
     pose_optimizer/pose_optimizer.h:63 — this is the real one)."""
 
-    final_cost: Array  # cost evaluated in the last executed iteration
+    final_cost: Array  # cost evaluated in the last executed iteration;
+    # when the plateau stop fires (plateau_stop=True) this is instead the
+    # monotone best evaluated cost, matching the returned (best) params
     reported_cost: Array  # the reference's "COST:" print = previous_cost,
     # which lags final_cost by one iteration (and is the dtype-max sentinel
     # if the solve converges in its very first iteration — the reference
@@ -67,6 +75,12 @@ class Summary(NamedTuple):
     final_lambda: Array
     converged: Array  # True if a tolerance fired before max_iterations
     records: IterationRecord
+    # --- beyond-reference observability (defaults keep old call sites
+    # working; only meaningful when relative_function_tolerance > 0) ---
+    plateau_stop: Optional[Array] = None  # True iff the opt-in relative
+    # plateau stall (NOT the reference step/gradient tolerances) ended the
+    # solve; in that case the returned params are the best-seen state
+    best_cost: Optional[Array] = None  # monotone best evaluated cost
 
 
 class _State(NamedTuple):
@@ -81,6 +95,12 @@ class _State(NamedTuple):
     best_cost: Array
     stall: Array
     records: IterationRecord
+    # monotone-safeguard state, carried only when the plateau stop is
+    # enabled (None — an empty pytree node — otherwise, so parity paths
+    # pay nothing): the params at which best_cost was evaluated, and
+    # whether the stall (not a reference tolerance) fired the exit.
+    best_params: Params
+    plateau: Array
 
 
 def _tree_norm(x) -> Array:
@@ -119,6 +139,10 @@ def solve(
         return IterationRecord(nan, nan, nan, nan)
 
     gd_step = jnp.asarray(oh.gradient_descent_step, dtype)
+    # Python-level (trace-time) gate: with the plateau stop off the loop
+    # state carries no best-params copy and the program is bit-identical
+    # to the parity-traced reference loop.
+    track_best = ch.relative_function_tolerance > 0.0
 
     def body(state: _State) -> _State:
         hessian, gradient, cost = eval_quadratic(state.params)
@@ -148,10 +172,11 @@ def solve(
 
         step_norm = _tree_norm(delta)
         grad_norm = _tree_norm(gradient)
-        converged = (step_norm < ch.parameter_tolerance) | (
+        ref_converged = (step_norm < ch.parameter_tolerance) | (
             grad_norm < ch.gradient_tolerance
         )
-        if ch.relative_function_tolerance > 0.0:
+        converged = ref_converged
+        if track_best:
             # opt-in relative plateau stop (see ConvergenceHandle): an
             # iteration "improves" when it beats the BEST cost seen so
             # far by the relative tolerance; three consecutive
@@ -175,6 +200,24 @@ def solve(
         else:
             new_stall = state.stall
         new_best = jnp.minimum(state.best_cost, cost)
+        if track_best:
+            # ``cost`` was evaluated at state.params (the PRE-step point),
+            # so that is the state the monotone best certifies. The
+            # plateau flag records that the stall — not a reference
+            # tolerance — ended the solve; on such an exit ``solve``
+            # returns best_params instead of the (possibly post-blow-up)
+            # final step. Reference-tolerance exits keep the post-step
+            # params for trace parity.
+            better = cost < state.best_cost
+            new_best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(better, p, b),
+                state.best_params,
+                state.params,
+            )
+            new_plateau = converged & (~ref_converged)
+        else:
+            new_best_params = None
+            new_plateau = state.plateau
 
         increase = cost > state.previous_cost
         adapted = jnp.where(
@@ -197,7 +240,7 @@ def solve(
         )
         return _State(
             new_params, new_lam, new_prev, cost, it + 1, converged,
-            new_best, new_stall, rec,
+            new_best, new_stall, rec, new_best_params, new_plateau,
         )
 
     def cond(state: _State) -> Array:
@@ -213,6 +256,8 @@ def solve(
         best_cost=jnp.asarray(jnp.finfo(dtype).max, dtype),
         stall=jnp.asarray(0, jnp.int32),
         records=records_init(),
+        best_params=params0 if track_best else None,
+        plateau=jnp.asarray(False),
     )
     final = jax.lax.while_loop(cond, body, init)
 
@@ -221,12 +266,34 @@ def solve(
     # 0-based index of the breaking iteration — i.e. iteration - 1 here,
     # because our counter increments before exiting the body.
     iterations = jnp.where(final.done, final.iteration - 1, final.iteration)
+
+    params_out = final.params
+    final_cost = final.last_cost
+    if track_best:
+        # Monotone safeguard: a plateau stop fires after >=3 non-improving
+        # iterations, so the final (post-step) params are never certified
+        # better than the monotone best — return the best-seen state
+        # (observed failure without this: a warm restart at 5,000x15,000
+        # blew up 30x under the reference lambda<=1e-2 clamp and the
+        # plateau stop certified the blown-up state; see
+        # tests/test_monotone_safeguard.py). Reference-tolerance exits and
+        # max-iteration exits keep the last params: the former for trace
+        # parity, the latter because a still-improving run's final step is
+        # better than the one-behind best.
+        params_out = jax.tree_util.tree_map(
+            lambda b, p: jnp.where(final.plateau, b, p),
+            final.best_params,
+            final.params,
+        )
+        final_cost = jnp.where(final.plateau, final.best_cost, final.last_cost)
     summary = Summary(
-        final_cost=final.last_cost,
+        final_cost=final_cost,
         reported_cost=final.previous_cost,
         iterations=iterations,
         final_lambda=final.lam,
         converged=final.done,
         records=final.records,
+        plateau_stop=final.plateau if track_best else None,
+        best_cost=final.best_cost if track_best else None,
     )
-    return final.params, summary
+    return params_out, summary

@@ -1688,10 +1688,18 @@ class PoseGraphOptimizer:
             if P <= 500 or self._priors:
                 method = "dense"
             else:
-                try:
-                    self._flatten_banded(flat)
+                # Gate on the SAME host-only d=6 f64 panel-memory bound
+                # _covariance_banded itself enforces (round-5 fix: the
+                # old probe ran _flatten_banded, paying the banded
+                # solver's permuted device-edge uploads for a host-only
+                # query, and its d=7 solver-dtype guard could accept a
+                # graph the d=6 covariance guard then rejects).
+                perm, pinv, bw = self._rcm_cached(flat)
+                s = max(bw, 8)
+                K_est = max(1, -(-P // s))
+                if 2 * K_est * (s * 6) ** 2 * 8 <= 4 << 30:
                     method = "banded"
-                except ValueError:
+                else:
                     try:
                         self._covariance_sparse_plan(flat)
                         method = "sparse"

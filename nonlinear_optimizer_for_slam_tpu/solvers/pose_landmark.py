@@ -1476,44 +1476,73 @@ def build_covis_pairs(pose_idx: np.ndarray, lm_idx: np.ndarray):
       pair_slot (ncontrib,) contribution -> pair row;
       dg_i/dg_j (nsame,) same-pose observation pairs (i != j).
     """
+    pose_idx = np.asarray(pose_idx)
+    lm_idx = np.asarray(lm_idx)
+    n = len(lm_idx)
+    empty32 = np.zeros(0, np.int32)
+    if n == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                empty32, empty32, empty32, empty32, empty32)
     order = np.argsort(lm_idx, kind="stable")
-    pr_i, pr_j, dg_i, dg_j = [], [], [], []
-    pair_key = {}
-    pair_a, pair_b, pair_slot = [], [], []
-    k = 0
-    n = len(order)
-    while k < n:
-        k2 = k
-        l = lm_idx[order[k]]
-        while k2 < n and lm_idx[order[k2]] == l:
-            k2 += 1
-        group = order[k:k2]
-        for x in range(len(group)):
-            for y in range(x + 1, len(group)):
-                i, j = int(group[x]), int(group[y])
-                pa, pb = int(pose_idx[i]), int(pose_idx[j])
-                if pa == pb:
-                    dg_i.append(i)
-                    dg_j.append(j)
-                    continue
-                if pa > pb:
-                    i, j, pa, pb = j, i, pb, pa
-                key = (pa, pb)
-                s = pair_key.get(key)
-                if s is None:
-                    s = len(pair_a)
-                    pair_key[key] = s
-                    pair_a.append(pa)
-                    pair_b.append(pb)
-                pr_i.append(i)
-                pr_j.append(j)
-                pair_slot.append(s)
-        k = k2
+    sl = lm_idx[order]
+    starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+    ends = np.r_[starts[1:], n]
+    sizes = ends - starts
+    total_pairs = int(np.sum(sizes.astype(np.int64) * (sizes - 1) // 2))
+    kmax = int(sizes.max())
+    # Contribution count is quadratic in the largest observation group: a
+    # single long-lived map landmark seen from k poses alone yields
+    # k(k-1)/2 Schur cross contributions (round-5 guard — the symbolic
+    # phase used to explode silently here).
+    if total_pairs > 20_000_000:
+        import warnings
+
+        warnings.warn(
+            f"build_covis_pairs: {total_pairs:,} co-visibility "
+            f"contributions (largest landmark group {kmax:,} "
+            f"observations — k(k-1)/2 pairs per landmark). The sparse "
+            "reduced system will be built but the symbolic arrays are "
+            "O(pairs); consider pose_solver='dense' or capping "
+            "observations per landmark.",
+            stacklevel=2,
+        )
+    # vectorized pair enumeration: one triu_indices template per distinct
+    # group size, gathered through each group's observation ids (same
+    # x < y order as the former nested loop)
+    tri_cache = {}
+    ii, jj = [], []
+    for s, e, k in zip(starts, ends, sizes):
+        if k < 2:
+            continue
+        t = tri_cache.get(k)
+        if t is None:
+            t = np.triu_indices(int(k), 1)
+            tri_cache[k] = t
+        g = order[s:e]
+        ii.append(g[t[0]])
+        jj.append(g[t[1]])
+    if not ii:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                empty32, empty32, empty32, empty32, empty32)
+    i = np.concatenate(ii)
+    j = np.concatenate(jj)
+    pa = pose_idx[i].astype(np.int64)
+    pb = pose_idx[j].astype(np.int64)
+    same = pa == pb
+    dg_i, dg_j = i[same], j[same]
+    i, j, pa, pb = i[~same], j[~same], pa[~same], pb[~same]
+    swap = pa > pb
+    pr_i = np.where(swap, j, i)
+    pr_j = np.where(swap, i, j)
+    a = np.minimum(pa, pb)
+    b = np.maximum(pa, pb)
+    span = int(pose_idx.max()) + 1
+    uk, pair_slot = np.unique(a * span + b, return_inverse=True)
     return (
-        np.asarray(pair_a, np.int64), np.asarray(pair_b, np.int64),
-        np.asarray(pr_i, np.int32), np.asarray(pr_j, np.int32),
-        np.asarray(pair_slot, np.int32),
-        np.asarray(dg_i, np.int32), np.asarray(dg_j, np.int32),
+        uk // span, uk % span,
+        pr_i.astype(np.int32), pr_j.astype(np.int32),
+        pair_slot.astype(np.int32),
+        dg_i.astype(np.int32), dg_j.astype(np.int32),
     )
 
 
