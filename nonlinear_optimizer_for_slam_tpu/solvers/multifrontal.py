@@ -674,6 +674,140 @@ def solve(
     return solve_factored(plan, fact, b)
 
 
+def selected_inverse_pairs(plan: Plan, fact, pair_a, pair_b):
+    """Diagonal blocks (P, d, d) of A^{-1} PLUS the off-diagonal blocks
+    Sigma[a, b] (npairs, d, d) for requested vertex pairs.
+
+    The pairs MUST be edges of the graph given to :func:`symbolic` (the
+    filled pattern of the factorization then provably contains them:
+    when the first-eliminated endpoint is interior in its front, the
+    other endpoint is either interior in the same front or among its
+    boundary vars, and the Takahashi recurrence materializes the full
+    front covariance). This is the engine for landmark-SLAM marginal
+    back-propagation: landmark covariances need Sigma_p over every
+    co-visibility pose pair, which are exactly the fill edges of the
+    reduced pose system (solvers/pose_landmark.py).
+
+    One top-down sweep shared with the diagonal extraction — same cost
+    as :func:`selected_inverse_diag` plus O(npairs d^2) gathers.
+    """
+    d = plan.d
+    pair_a = np.asarray(pair_a, np.int64)
+    pair_b = np.asarray(pair_b, np.int64)
+    npairs = len(pair_a)
+
+    # host symbolic: locate each vertex's (depth, front, interior slot)
+    vdep = np.full(plan.P, -1, np.int64)
+    vfront = np.full(plan.P, -1, np.int64)
+    vslot = np.full(plan.P, -1, np.int64)
+    for dep in range(plan.num_levels):
+        dp = plan.depths[dep]
+        vdep[dp.va_pid] = dep
+        vfront[dp.va_pid] = dp.va_f
+        vslot[dp.va_pid] = dp.va_slot
+
+    # per-depth request lists: (front, slot_row, slot_col, out_idx, T?)
+    req = [[] for _ in range(plan.num_levels)]
+    for k in range(npairs):
+        a, b = int(pair_a[k]), int(pair_b[k])
+        trans = vdep[b] > vdep[a]  # deeper vertex eliminated first
+        if trans:
+            a, b = b, a
+        dep = int(vdep[a])
+        dp = plan.depths[dep]
+        f, sa = int(vfront[a]), int(vslot[a])
+        if vdep[b] == dep and vfront[b] == f:
+            sb = int(vslot[b])
+        else:
+            hits = np.flatnonzero(dp.bnd_pid[f] == b)
+            if len(hits) == 0:
+                raise ValueError(
+                    f"selected_inverse_pairs: pair ({pair_a[k]}, "
+                    f"{pair_b[k]}) is not in the factorization's filled "
+                    "pattern — pass only edges of the symbolic graph"
+                )
+            sb = dp.ni + int(hits[0])
+        req[dep].append((f, sa, sb, k, trans))
+
+    L0 = fact[0][0]
+    dtype = L0.dtype
+    out = jnp.zeros((plan.P, d, d), dtype)
+    out_pairs = jnp.zeros((max(npairs, 1), d, d), dtype)
+    Sig_prev = None
+    for dep in range(plan.num_levels):
+        dp = plan.depths[dep]
+        Sig_front, nblk = _takahashi_front_cov(plan, fact, dep, Sig_prev,
+                                               dtype)
+        if len(dp.va_pid):
+            blocks = Sig_front.reshape(dp.num_fronts, nblk, d, nblk, d)[
+                jnp.asarray(dp.va_f), jnp.asarray(dp.va_slot), :,
+                jnp.asarray(dp.va_slot), :
+            ]
+            out = out.at[jnp.asarray(dp.va_pid)].set(blocks)
+        if req[dep]:
+            rf = np.asarray([r[0] for r in req[dep]], np.int64)
+            ra = np.asarray([r[1] for r in req[dep]], np.int64)
+            rb = np.asarray([r[2] for r in req[dep]], np.int64)
+            ridx = np.asarray([r[3] for r in req[dep]], np.int64)
+            rtr = np.asarray([r[4] for r in req[dep]], bool)
+            blk = Sig_front.reshape(dp.num_fronts, nblk, d, nblk, d)[
+                jnp.asarray(rf), jnp.asarray(ra), :, jnp.asarray(rb), :
+            ]
+            blk = jnp.where(
+                jnp.asarray(rtr)[:, None, None],
+                jnp.swapaxes(blk, -1, -2), blk,
+            )
+            out_pairs = out_pairs.at[jnp.asarray(ridx)].set(blk)
+        Sig_prev = Sig_front
+    return out, out_pairs[:npairs]
+
+
+def _takahashi_front_cov(plan: Plan, fact, dep: int, Sig_prev, dtype):
+    """One depth of the Takahashi recurrence: the (nF, m, m) full front
+    covariances at ``dep`` given the parent depth's (shared by the
+    diagonal and pairwise selected-inverse drivers). Returns
+    (Sig_front, nblk)."""
+    dp = plan.depths[dep]
+    L11, W = fact[dep]
+    nblk = dp.ni + dp.nb
+    mi = dp.ni * plan.d
+    d = plan.d
+    eye_i = jnp.broadcast_to(
+        jnp.eye(mi, dtype=dtype), (dp.num_fronts, mi, mi)
+    )
+    Linv = solve_triangular(L11, eye_i, lower=True)
+    with _hp():
+        Sig11 = jnp.swapaxes(Linv, -1, -2) @ Linv
+    if dp.nb:
+        pdp = plan.depths[dep - 1]
+        m_par = (pdp.ni + pdp.nb) * d
+        Psel = _selection(pdp, d, m_par, dtype)
+        parent_of = np.zeros(dp.num_fronts, np.int64)
+        for fp in range(pdp.num_fronts):
+            for k in range(2):
+                c = int(pdp.child_of[fp, k])
+                if c < dp.num_fronts:
+                    parent_of[c] = fp
+        Sig_par = Sig_prev[jnp.asarray(parent_of)]
+        with _hp():
+            Sig_bnd = Psel @ Sig_par @ jnp.swapaxes(Psel, -1, -2)
+            G = solve_triangular(L11, W, lower=True, trans=1)
+            GS = G @ Sig_bnd
+            Sig11 = Sig11 + GS @ jnp.swapaxes(G, -1, -2)
+        Sig_front = jnp.concatenate(
+            [
+                jnp.concatenate([Sig11, -GS], axis=2),
+                jnp.concatenate(
+                    [-jnp.swapaxes(GS, -1, -2), Sig_bnd], axis=2
+                ),
+            ],
+            axis=1,
+        )
+    else:
+        Sig_front = Sig11
+    return Sig_front, nblk
+
+
 def selected_inverse_diag(plan: Plan, fact) -> Array:
     """Per-vertex diagonal (d, d) blocks of A^{-1} — the multifrontal
     SELECTED INVERSE (Takahashi on the separator tree), top-down:
@@ -703,45 +837,8 @@ def selected_inverse_diag(plan: Plan, fact) -> Array:
     Sig_prev = None  # parent-depth front covariances (nF, m, m)
     for dep in range(plan.num_levels):
         dp = plan.depths[dep]
-        L11, W = fact[dep]
-        nblk = dp.ni + dp.nb
-        m = nblk * d
-        mi = dp.ni * d
-        eye_i = jnp.broadcast_to(
-            jnp.eye(mi, dtype=dtype), (dp.num_fronts, mi, mi)
-        )
-        Linv = solve_triangular(L11, eye_i, lower=True)  # (nF, mi, mi)
-        with _hp():
-            Sig11 = jnp.swapaxes(Linv, -1, -2) @ Linv
-        if dp.nb:
-            # Sigma over this front's boundary, gathered from the parent
-            pdp = plan.depths[dep - 1]
-            m_par = (pdp.ni + pdp.nb) * d
-            Psel = _selection(pdp, d, m_par, dtype)  # (nF, mb, m_par)
-            # parent front index per child (invert pdp.child_of)
-            parent_of = np.zeros(dp.num_fronts, np.int64)
-            for fp in range(pdp.num_fronts):
-                for k in range(2):
-                    c = int(pdp.child_of[fp, k])
-                    if c < dp.num_fronts:
-                        parent_of[c] = fp
-            Sig_par = Sig_prev[jnp.asarray(parent_of)]  # (nF, m_par, m_par)
-            with _hp():
-                Sig_bnd = Psel @ Sig_par @ jnp.swapaxes(Psel, -1, -2)
-                G = solve_triangular(L11, W, lower=True, trans=1)
-                GS = G @ Sig_bnd  # (nF, mi, mb)
-                Sig11 = Sig11 + GS @ jnp.swapaxes(G, -1, -2)
-            Sig_front = jnp.concatenate(
-                [
-                    jnp.concatenate([Sig11, -GS], axis=2),
-                    jnp.concatenate(
-                        [-jnp.swapaxes(GS, -1, -2), Sig_bnd], axis=2
-                    ),
-                ],
-                axis=1,
-            )
-        else:
-            Sig_front = Sig11
+        Sig_front, nblk = _takahashi_front_cov(plan, fact, dep, Sig_prev,
+                                               dtype)
         if len(dp.va_pid):
             blocks = Sig_front.reshape(dp.num_fronts, nblk, d, nblk, d)[
                 jnp.asarray(dp.va_f), jnp.asarray(dp.va_slot), :,

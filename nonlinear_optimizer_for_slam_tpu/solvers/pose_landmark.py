@@ -339,10 +339,12 @@ class PoseLandmarkOptimizer:
     def set_pose(self, index: int, pose: Pose) -> None:
         self._poses[index] = pose.copy()
         self._cov_cache = None
+        self._sparse_cov_cache = None
 
     def set_landmark(self, index: int, position) -> None:
         self._landmarks[index] = np.asarray(position, np.float64).copy()
         self._cov_cache = None
+        self._sparse_cov_cache = None
 
     def set_pose_constant(self, index: int) -> None:
         if index not in self._poses:
@@ -556,6 +558,7 @@ class PoseLandmarkOptimizer:
             self._landmarks[li] = np.asarray(lms_out[j], np.float64)
         self._last_switches = np.asarray(sw, np.float64).copy()
         self._cov_cache = None
+        self._sparse_cov_cache = None
         return summary, np.asarray(sw, np.float64)
 
     def _solve_sparse(self, positions, quats, lms, edges, obs, free_pose,
@@ -613,11 +616,25 @@ class PoseLandmarkOptimizer:
         )
 
     # -- uncertainty ---------------------------------------------------
-    def covariance(self, indices=None) -> Dict[int, np.ndarray]:
+    def covariance(self, indices=None, method="auto") -> Dict[int, np.ndarray]:
         """Marginal 6x6 TANGENT-space pose covariance blocks from the
-        JOINT pose+landmark information (landmarks marginalized by the
-        dense inverse) — see PoseGraphOptimizer.covariance for the
-        conventions. Host-side f64, O((6P+3M)^3)."""
+        JOINT pose+landmark information — see PoseGraphOptimizer.
+        covariance for the conventions.
+
+        ``method``: "dense" inverts the full joint (6P+3M)^2 information
+        host-side (O((6P+3M)^3) — fine to a few hundred poses);
+        "sparse" (round 5) eliminates the landmark blocks exactly per
+        landmark and runs the multifrontal Takahashi selected inverse on
+        the reduced pose system over pose-edge + co-visibility sparsity
+        — the 5,000x15,000 headline fixture answers in seconds where
+        the joint dim (75k) makes the dense inverse unusable; "auto"
+        picks sparse once the joint dim exceeds ~2,400. Both agree to
+        f64 roundoff (tests/test_pose_landmark.py)."""
+        method = self._pick_cov_method(method)
+        if method == "sparse":
+            pose_blocks, _, pose_of, _ = self._sparse_marginals()
+            ids = self.pose_indices() if indices is None else indices
+            return {pi: pose_blocks[pose_of[pi]].copy() for pi in ids}
         Sigma, pose_of, lm_of = self._joint_covariance()
         ids = self.pose_indices() if indices is None else indices
         return {
@@ -626,9 +643,18 @@ class PoseLandmarkOptimizer:
             for pi in ids
         }
 
-    def landmark_covariance(self, indices=None) -> Dict[int, np.ndarray]:
-        """Marginal 3x3 landmark covariance blocks (same joint inverse,
-        pose uncertainty fully propagated). Constant landmarks get zero."""
+    def landmark_covariance(self, indices=None, method="auto") -> Dict[int, np.ndarray]:
+        """Marginal 3x3 landmark covariance blocks (pose uncertainty
+        fully propagated). Constant landmarks get zero. ``method`` as in
+        :meth:`covariance`; the sparse path back-propagates the reduced
+        pose covariance through each landmark's Schur complement,
+        Sigma_l = D^-1 + D^-1 W^T Sigma_p W D^-1 (batched 3x3s over the
+        co-visibility pairs — no joint inverse ever exists)."""
+        method = self._pick_cov_method(method)
+        if method == "sparse":
+            _, lm_blocks, _, lm_of = self._sparse_marginals()
+            ids = self.landmark_indices() if indices is None else indices
+            return {li: lm_blocks[lm_of[li]].copy() for li in ids}
         Sigma, pose_of, lm_of = self._joint_covariance()
         P = len(pose_of)
         base = 6 * P
@@ -639,16 +665,164 @@ class PoseLandmarkOptimizer:
             for li in ids
         }
 
-    def _joint_covariance(self):
+    def _pick_cov_method(self, method: str) -> str:
+        if method not in ("auto", "dense", "sparse"):
+            raise ValueError(f"unknown covariance method {method!r}")
+        if method == "auto":
+            dim = 6 * len(self._poses) + 3 * len(self._landmarks)
+            method = "sparse" if dim > 2400 else "dense"
+        return method
+
+    def _sparse_marginals(self):
+        """(pose_blocks (P,6,6), lm_blocks (M,3,3), pose_of, lm_of) by
+        landmark elimination + multifrontal selected inverse.
+
+        The joint information is [[A, W], [W^T, D]] with D 3x3
+        block-diagonal per landmark. Pose marginals are the diagonal
+        blocks of S^-1, S = A - W D^-1 W^T, extracted by the Takahashi
+        selected inverse over the reduced system's pose-edge +
+        co-visibility sparsity (solvers/multifrontal.py — the round-4
+        machinery the pose-graph family already uses, threaded through
+        the landmark Schur complement). Landmark marginals back-
+        propagate: Sigma_l = D_l^-1 + D_l^-1 (sum_{a,b in obs(l)}
+        W_al^T Sigma_p[a,b] W_bl) D_l^-1 — every needed off-diagonal
+        Sigma_p[a,b] is a co-visibility pair, i.e. an EDGE of the
+        reduced system, so the selected inverse provably contains it
+        (multifrontal.selected_inverse_pairs)."""
+        if getattr(self, "_sparse_cov_cache", None) is not None:
+            return self._sparse_cov_cache
+        from . import multifrontal
+
+        lin = self._tangent_linearization()
+        P, M = lin["P"], lin["M"]
+        free_p, free_l = lin["free_p"], lin["free_l"]
+        J_pose, J_lm, o_pi, o_li = lin["obs"]
+
+        # aggregate observations per (pose, landmark): W_pl cross blocks
+        # and per-landmark D blocks
+        key = o_pi.astype(np.int64) * M + o_li
+        ukey, inv = np.unique(key, return_inverse=True)
+        e_pose = (ukey // M).astype(np.int64)
+        e_lm = (ukey % M).astype(np.int64)
+        nE = len(ukey)
+        W_pl = np.zeros((nE, 6, 3))
+        np.add.at(W_pl, inv, np.einsum("odi,odj->oij", J_pose, J_lm))
+        D = np.zeros((M, 3, 3))
+        np.add.at(D, o_li, np.einsum("odi,odj->oij", J_lm, J_lm))
+        U = np.zeros((P, 6, 6))
+        np.add.at(U, o_pi, np.einsum("odi,odj->oij", J_pose, J_pose))
+
+        # D^-1 per free landmark (constant landmarks have zeroed J_lm;
+        # pad their D with identity, then zero the result)
+        D_pad = D + (1.0 - free_l)[:, None, None] * np.eye(3)
+        try:
+            Dinv = np.linalg.inv(D_pad)
+        except np.linalg.LinAlgError as exc:
+            raise ValueError(
+                "covariance: landmark information is singular — "
+                "unobserved free landmarks"
+            ) from exc
+        Dinv *= free_l[:, None, None]
+
+        # Schur downdates over co-visibility structure of the DEDUPED
+        # (pose, landmark) entries (same-pose pairs impossible after
+        # dedup, so dg_* are empty)
+        pair_a, pair_b, pr_i, pr_j, pair_slot, _, _ = build_covis_pairs(
+            e_pose, e_lm
+        )
+        X = np.einsum("eij,ejk->eik", W_pl, Dinv[e_lm])  # (nE, 6, 3)
+        # diagonal downdate per entry: -X_e W_e^T at pose(e)
+        np.add.at(U, e_pose, -np.einsum("eij,ekj->eik", X, W_pl))
+        npairs = len(pair_a)
+        cross = np.zeros((npairs, 6, 6))
+        np.add.at(
+            cross, pair_slot,
+            -np.einsum("kij,klj->kil", X[pr_i], W_pl[pr_j]),
+        )
+
+        # reduced-system edges: pose-pose constraints + covis fill pairs
+        if lin["edge"] is not None:
+            J_ref, J_qry, ref_i, qry_i = lin["edge"]
+            Ea = np.einsum("edi,edj->eij", J_ref, J_ref)
+            Eb = np.einsum("edi,edj->eij", J_qry, J_qry)
+            Eab = np.einsum("edi,edj->eij", J_ref, J_qry)
+            e_a = np.concatenate([ref_i.astype(np.int64), pair_a])
+            e_b = np.concatenate([qry_i.astype(np.int64), pair_b])
+            B_aa = np.concatenate([Ea, np.zeros((npairs, 6, 6))])
+            B_bb = np.concatenate([Eb, np.zeros((npairs, 6, 6))])
+            B_ab = np.concatenate([Eab, cross])
+        else:
+            e_a, e_b = pair_a, pair_b
+            B_aa = np.zeros((npairs, 6, 6))
+            B_bb = np.zeros((npairs, 6, 6))
+            B_ab = cross
+        diag = U + (1.0 - free_p)[:, None, None] * np.eye(6)
+
+        plan = multifrontal.symbolic(
+            P, e_a, e_b, d=6, coords=lin["pos"], leaf_size=16
+        )
+
+        # one jitted program for the whole numeric phase: run eagerly,
+        # factor + Takahashi dispatch ~1,100 primitive programs and the
+        # XLA compiles dominate (measured 34 s of a 56 s query at
+        # 5,000x15,000); fused it is one compile and ~seconds
+        def _numeric(Baa, Bbb, Bab, dg):
+            fact = multifrontal.factor(plan, Baa, Bbb, Bab, dg)
+            return multifrontal.selected_inverse_pairs(
+                plan, fact, pair_a, pair_b
+            )
+
+        sig_diag, sig_pairs = jax.jit(_numeric)(
+            jnp.asarray(B_aa), jnp.asarray(B_bb), jnp.asarray(B_ab),
+            jnp.asarray(diag),
+        )
+        sig_diag = np.asarray(sig_diag, np.float64)
+        sig_pairs = np.asarray(sig_pairs, np.float64)
+        if not np.all(np.isfinite(sig_diag)):
+            raise ValueError(
+                "covariance: information matrix is singular — "
+                "under-constrained graph (unobserved landmarks or "
+                "disconnected poses)"
+            )
+        pose_blocks = sig_diag * free_p[:, None, None]
+
+        # landmark back-propagation: M_l = sum W^T Sigma_p W over the
+        # (a, a) diagonal and both orientations of each (a, b) pair
+        Mk = np.zeros((M, 3, 3))
+        np.add.at(
+            Mk, e_lm,
+            np.einsum("eji,ejk,ekl->eil", W_pl, sig_diag[e_pose], W_pl),
+        )
+        if npairs:
+            Sab = np.einsum(
+                "kji,kjl,klm->kim", W_pl[pr_i], sig_pairs[pair_slot],
+                W_pl[pr_j],
+            )  # (ncontrib, 3, 3), lm(pr_i) == lm(pr_j)
+            np.add.at(Mk, e_lm[pr_i], Sab + np.swapaxes(Sab, 1, 2))
+        lm_blocks = Dinv + np.einsum(
+            "lij,ljk,lkm->lim", Dinv, Mk, Dinv
+        )
+        lm_blocks *= free_l[:, None, None]
+        self._sparse_cov_cache = (
+            pose_blocks, lm_blocks, lin["pose_of"], lin["lm_of"]
+        )
+        return self._sparse_cov_cache
+
+    def _tangent_linearization(self):
+        """Host f64 tangent-chart (6-DoF pose / 3-DoF landmark)
+        linearization at the current estimates — shared by the dense
+        joint inverse and the sparse selected-inverse marginals. Gauge
+        (constant) poses/landmarks have their Jacobian columns zeroed.
+
+        Returns a dict with pose/landmark id maps, free masks, the
+        freed tangent edge blocks (J_ref, J_qry, ref_i, qry_i — None
+        when no constraints), and the freed observation blocks
+        (J_pose, J_lm, o_pi, o_li)."""
         from ..ops.relative_pose import (
             np_edge_residuals_and_jacobians,
             np_quat_left_matrix,
         )
 
-        if getattr(self, "_cov_cache", None) is not None:
-            # one O((6P+3M)^3) inverse serves both covariance() and
-            # landmark_covariance(); invalidated by solve()/registry edits
-            return self._cov_cache
         if not self._observations:
             raise ValueError("covariance: no observations registered")
         if not self._constant_poses and not self._constant_landmarks:
@@ -661,7 +835,6 @@ class PoseLandmarkOptimizer:
         pose_of = {pi: i for i, pi in enumerate(pose_ids)}
         lm_of = {li: i for i, li in enumerate(lm_ids)}
         P, M = len(pose_ids), len(lm_ids)
-        dim = 6 * P + 3 * M
 
         pos = np.stack([self._poses[pi].translation for pi in pose_ids]).astype(np.float64)
         quat = np.stack([self._poses[pi].quaternion() for pi in pose_ids]).astype(np.float64)
@@ -672,13 +845,11 @@ class PoseLandmarkOptimizer:
         free_p = np.array([0.0 if pi in self._constant_poses else 1.0 for pi in pose_ids])
         free_l = np.array([0.0 if li in self._constant_landmarks else 1.0 for li in lm_ids])
 
-        H = np.zeros((dim, dim))
-        r6 = np.arange(6)
-
         # pose-pose edges, LOOP edges linearized at the switch values
         # the last solve() learned (treated as FIXED at their MAP value
         # — a rejected loop, s ~ 0, contributes ~no information; the
         # switch's own uncertainty is not propagated)
+        edge = None
         if self._constraints:
             ref_i = np.array([pose_of[c["reference_index"]] for c in self._constraints])
             qry_i = np.array([pose_of[c["query_index"]] for c in self._constraints])
@@ -714,9 +885,7 @@ class PoseLandmarkOptimizer:
             J_qry = np.concatenate(
                 [J_qry[:, :, :3], J_qry[:, :, 3:] @ Tq[qry_i]], axis=2
             ) * free_p[qry_i][:, None, None]
-            rows_ref = 6 * ref_i[:, None] + r6[None, :]
-            rows_qry = 6 * qry_i[:, None] + r6[None, :]
-            _np_scatter_pair(H, rows_ref, rows_qry, J_ref, J_qry)
+            edge = (J_ref, J_qry, ref_i, qry_i)
 
         # observations
         o_pi = np.array([pose_of[o["pose_index"]] for o in self._observations])
@@ -736,6 +905,30 @@ class PoseLandmarkOptimizer:
             [J_pose_amb[:, :, :3], J_pose_amb[:, :, 3:] @ Tq[o_pi]], axis=2
         ) * free_p[o_pi][:, None, None]
         J_lm = J_lm * free_l[o_li][:, None, None]
+        return dict(
+            pose_ids=pose_ids, lm_ids=lm_ids, pose_of=pose_of, lm_of=lm_of,
+            P=P, M=M, pos=pos, free_p=free_p, free_l=free_l, edge=edge,
+            obs=(J_pose, J_lm, o_pi, o_li),
+        )
+
+    def _joint_covariance(self):
+        if getattr(self, "_cov_cache", None) is not None:
+            # one O((6P+3M)^3) inverse serves both covariance() and
+            # landmark_covariance(); invalidated by solve()/registry edits
+            return self._cov_cache
+        lin = self._tangent_linearization()
+        P, M = lin["P"], lin["M"]
+        pose_of, lm_of = lin["pose_of"], lin["lm_of"]
+        free_p, free_l = lin["free_p"], lin["free_l"]
+        dim = 6 * P + 3 * M
+        H = np.zeros((dim, dim))
+        r6 = np.arange(6)
+        if lin["edge"] is not None:
+            J_ref, J_qry, ref_i, qry_i = lin["edge"]
+            rows_ref = 6 * ref_i[:, None] + r6[None, :]
+            rows_qry = 6 * qry_i[:, None] + r6[None, :]
+            _np_scatter_pair(H, rows_ref, rows_qry, J_ref, J_qry)
+        J_pose, J_lm, o_pi, o_li = lin["obs"]
         rows_p = 6 * o_pi[:, None] + r6[None, :]
         rows_l = 6 * P + 3 * o_li[:, None] + np.arange(3)[None, :]
         _np_scatter_pair(H, rows_p, rows_l, J_pose, J_lm)
@@ -1029,10 +1222,12 @@ class PoseLandmark2DOptimizer:
     def set_pose(self, index: int, xyt) -> None:
         self._poses[index] = np.asarray(xyt, np.float64).copy()
         self._cov_cache = None
+        self._sparse_cov_cache = None
 
     def set_landmark(self, index: int, position) -> None:
         self._landmarks[index] = np.asarray(position, np.float64).copy()
         self._cov_cache = None
+        self._sparse_cov_cache = None
 
     def set_pose_constant(self, index: int) -> None:
         if index not in self._poses:
@@ -1237,6 +1432,7 @@ class PoseLandmark2DOptimizer:
             self._landmarks[li] = np.asarray(lms_out[j], np.float64)
         self._last_switches = np.asarray(sw, np.float64).copy()
         self._cov_cache = None
+        self._sparse_cov_cache = None
         return summary, np.asarray(sw, np.float64)
 
     # -- uncertainty ---------------------------------------------------

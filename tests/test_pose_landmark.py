@@ -651,3 +651,56 @@ def test_sparse_pose_solver_2d_matches_dense():
         np.testing.assert_allclose(
             sparse.get_landmark(j), dense.get_landmark(j), atol=1e-10
         )
+
+
+def test_sparse_marginals_match_dense_joint_inverse():
+    """Round-5: covariance()/landmark_covariance(method='sparse') —
+    landmark Schur elimination + multifrontal Takahashi selected
+    inverse over pose-edge + co-visibility sparsity, with per-landmark
+    back-propagation Sigma_l = D^-1 + D^-1 W^T Sigma_p W D^-1 — must
+    reproduce the dense joint inverse to f64 roundoff, including a
+    constant (gauge) landmark and a landmark observed from one pose."""
+    rng = np.random.default_rng(4)
+    P, M = 30, 70
+    gt_pos = np.cumsum(0.3 * rng.normal(size=(P, 3)), axis=0)
+    lms = gt_pos[rng.integers(0, P, M)] + rng.uniform(-2, 2, (M, 3))
+    opt = PoseLandmarkOptimizer(switch_penalty=0.03)
+    for i in range(P):
+        opt.set_pose(
+            i, Pose(_rotz(0.02 * i), gt_pos[i] + (0.05 * rng.normal(size=3) if i else 0))
+        )
+    opt.set_pose_constant(0)
+    for j in range(M):
+        opt.set_landmark(j, lms[j] + 0.1 * rng.normal(size=3))
+    opt.set_landmark_constant(3)
+    for i in range(P - 1):
+        opt.set_constraint(i, i + 1, Pose(np.eye(3), gt_pos[i + 1] - gt_pos[i]))
+    opt.set_constraint(
+        0, P - 1, Pose(np.eye(3), gt_pos[P - 1] - gt_pos[0]), ConstraintType.LOOP
+    )
+    seen = np.zeros(M, bool)
+    for j in range(M):
+        for i in range(P):
+            close = np.linalg.norm(lms[j] - gt_pos[i]) < 3.0
+            if (close and rng.uniform() < 0.5) or (not seen[j] and i == P - 1):
+                opt.set_observation(
+                    i, j, lms[j] - gt_pos[i] + 0.01 * rng.normal(size=3),
+                    sqrt_info=10.0,
+                )
+                seen[j] = True
+    opt.solve(Options().replace(max_iterations=30))
+
+    cov_d = opt.covariance(method="dense")
+    cov_s = opt.covariance(method="sparse")
+    for pi in cov_d:
+        np.testing.assert_allclose(cov_s[pi], cov_d[pi], atol=1e-12)
+    lm_d = opt.landmark_covariance(method="dense")
+    lm_s = opt.landmark_covariance(method="sparse")
+    for li in lm_d:
+        np.testing.assert_allclose(lm_s[li], lm_d[li], atol=1e-12)
+    # gauge landmark: zero block on both paths
+    assert np.all(lm_d[3] == 0) and np.all(lm_s[3] == 0)
+    # auto at this size picks dense; both spellings accepted
+    assert opt._pick_cov_method("auto") == "dense"
+    with pytest.raises(ValueError, match="covariance method"):
+        opt.covariance(method="banded")
