@@ -2041,7 +2041,23 @@ def bench_slam_extras(runs):
                            relative_scale=float(np.exp(m[7])),
                            sqrt_info=(50.0, 100.0, 50.0))
         opt.initialize()  # log-scale Laplacian + chordal (timed in)
-        summary = opt.solve(_plateau_opts(150))
+        # round-5: Sim(3)'s own damping bounds (the reference clamp's
+        # 1e-6 floor stalls the soft loop-distribution mode — 127 iters
+        # of creep to 1.5838e-2) + the auto host-f64 polish stage that
+        # descends past the f32 device solve's precision floor to the
+        # scipy-TRF-oracle optimum 1.58005e-2 (see Sim3GraphOptimizer.
+        # solve docstring for the full diagnosis)
+        from nonlinear_optimizer_for_slam_tpu.core.options import (
+            OptimizationHandle,
+        )
+
+        summary = opt.solve(_dc.replace(
+            _plateau_opts(150),
+            optimization_handle=OptimizationHandle(
+                min_lambda=1e-10, initial_lambda=1e-3,
+                lambda_decrease_factor=0.25,
+            ),
+        ))
         err = max(
             np.linalg.norm(opt.get_pose(k).translation - target[k][:3])
             for k in range(PS)

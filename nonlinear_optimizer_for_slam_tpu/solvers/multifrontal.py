@@ -88,6 +88,30 @@ class _DepthPlan(NamedTuple):
     # boundary gather for back-substitution (pads -> 0; harmless, the
     # corresponding W columns are exactly zero)
     bnd_pid: np.ndarray  # (num_fronts, nb)
+    # GATHER-form assembly (round 5): the dual of the asm_* scatter.
+    # TPU scatter-adds serialize (~0.85 us per scattered block), and the
+    # per-iteration front assembly was the last scatter left in the
+    # numeric phase (~20-30 ms/iter at manhattan scale). Structure used:
+    # every contribution lands in the INTERIOR row strip (rows < ni;
+    # includes the full symmetric interior square since both (u,v) and
+    # (v,u) entries exist) or on the BOUNDARY DIAGONAL (the B_vv block
+    # of an upward edge); the (bnd, int) mirror is never read by the
+    # factorization (it consumes A11/A12/A22 only) and the off-diagonal
+    # (bnd, bnd) region receives extend-add panels only. Duplicate
+    # contributions per destination pre-sum over KMAX rounds of padded
+    # gathers (kmax ~ 1 + max vertex degree at the depth), then one
+    # PLANE-layout gather per region materializes it — a naive
+    # (nF, nblk, nblk, d, d) whole-front gather would tile each (d, d)
+    # minor to (8, 128): measured 26 GB for manhattan10000's 13M
+    # padded slots, vs ~40 MB for the strip.
+    gat_src: Optional[np.ndarray] = None  # (kmax, ndest) rows into
+    # concat[B_uu,B_vv,B_uv,B_vu,diag,zero-pad]; pad row = 4E+P
+    dest_map: Optional[np.ndarray] = None  # (nF, ni, nblk) -> dest id,
+    # ndest for never-written (zero) slots
+    gat22_src: Optional[np.ndarray] = None  # (k22, ndest22) boundary-
+    # diagonal contributions
+    dest22_map: Optional[np.ndarray] = None  # (nF, nb) -> dest22 id or
+    # ndest22
 
 
 import dataclasses
@@ -376,6 +400,51 @@ def symbolic(
             pad_diag[f, len(n.vars) * d: ni * d] = 1.0
             bnd_pid[f, : len(n.bnd)] = n.bnd
         asm_arr = np.asarray(asm, np.int64).reshape(-1, 4)
+        # gather-form assembly maps (see _DepthPlan.gat_src)
+        nblk_dep = ni + nbp
+        pad_src = 4 * E + P  # zero pad row appended to blocks_cat
+
+        def _gather_rounds(entries, keys, nslots):
+            """(kmax, ndest) pre-sum rounds + (nslots,) flat dest map
+            from (src, key) contribution lists."""
+            if len(entries) == 0:
+                dmap = np.full(nslots, 0, np.int32)
+                return np.zeros((0, 0), np.int32), dmap
+            aorder = np.argsort(keys, kind="stable")
+            sk = keys[aorder]
+            src_sorted = entries[aorder]
+            dstarts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+            uniq = sk[dstarts]
+            counts = np.diff(np.r_[dstarts, len(sk)])
+            ndest = len(uniq)
+            kmax = int(counts.max())
+            gsrc = np.full((kmax, ndest), pad_src, np.int32)
+            for t in range(kmax):
+                sel = counts > t
+                gsrc[t, sel] = src_sorted[dstarts[sel] + t]
+            dmap = np.full(nslots, ndest, np.int32)
+            dmap[uniq] = np.arange(ndest, dtype=np.int32)
+            return gsrc, dmap
+
+        in_strip = asm_arr[:, 2] < ni
+        on_bdiag = ~in_strip & (asm_arr[:, 2] == asm_arr[:, 3])
+        dropped = ~in_strip & ~on_bdiag & (asm_arr[:, 3] >= ni)
+        if dropped.any():
+            raise AssertionError(
+                "assembly entry in the off-diagonal boundary region"
+            )
+        st = asm_arr[in_strip]
+        strip_keys = (st[:, 1] * ni + st[:, 2]) * nblk_dep + st[:, 3]
+        gat_src, dest_map = _gather_rounds(
+            st[:, 0], strip_keys, nF * ni * nblk_dep
+        )
+        dest_map = dest_map.reshape(nF, ni, nblk_dep)
+        bd = asm_arr[on_bdiag]
+        bd_keys = bd[:, 1] * nbp + (bd[:, 2] - ni) if nbp else bd[:, 1]
+        gat22_src, dest22_map = _gather_rounds(
+            bd[:, 0], bd_keys, nF * nbp
+        )
+        dest22_map = dest22_map.reshape(nF, nbp)
         # gather-form extend-add: inverse maps child bnd slot <- parent
         # slot, per parent front and child position (binary tree: <= 2)
         if dep + 1 <= max_depth:
@@ -418,6 +487,10 @@ def symbolic(
                 child_of=child_of,
                 ch_map=ch_map,
                 bnd_pid=bnd_pid,
+                gat_src=gat_src,
+                dest_map=dest_map,
+                gat22_src=gat22_src,
+                dest22_map=dest22_map,
             )
         )
     return Plan(
@@ -433,6 +506,19 @@ def symbolic(
 
 def _hp():
     return jax.default_matmul_precision("highest")
+
+
+# Front-assembly lowering: "scatter" (block-coordinate scatter-add,
+# the DEFAULT) or "gather" (kmax pre-sum rounds + plane-layout strip
+# gather + boundary-diag broadcast, no scatter anywhere). Round-5
+# verdict on real hardware, manhattan3500 f32 end-to-end: scatter
+# ~28 ms/LM-iteration total vs gather ~49 — the gather's strip
+# (d, d, nF, ni, nblk) -> (nF, mi, m) transpose relayout costs more
+# than the scatter it removes (and the naive whole-front gather
+# variant tiles (d, d) minors to (8, 128): 26 GB at manhattan10000).
+# The scatter is NOT this solver's bottleneck; both modes are kept,
+# measured, and exactness-tested (tests/test_pose_graph_sparse.py).
+_ASSEMBLY_MODE = "scatter"
 
 
 def _front_sharding(mesh):
@@ -496,28 +582,79 @@ def factor(plan: Plan, B_aa: Array, B_bb: Array, B_ab: Array, diag: Array,
     else:
         diag_blocks = diag[:, :, None] * jnp.eye(d, dtype=dtype)
 
-    blocks_cat = jnp.concatenate(
-        [B_uu, B_vv, B_uv, jnp.swapaxes(B_uv, -1, -2), diag_blocks], axis=0
+    blocks_pad = jnp.concatenate(
+        [B_uu, B_vv, B_uv, jnp.swapaxes(B_uv, -1, -2), diag_blocks,
+         jnp.zeros((1, d, d), dtype)], axis=0
     )
 
     levels = []
     S_prev = None  # child Schur complements, dense (nC, mb_c, mb_c)
-    rng_d = jnp.arange(d, dtype=jnp.int32)
     for dep in range(plan.num_levels - 1, -1, -1):
         dp = plan.depths[dep]
         nblk = dp.ni + dp.nb
         m = nblk * d
         mi = dp.ni * d
-        # SCALAR-layout front tensor; block-coordinate scatter assembly
-        F = jnp.zeros((dp.num_fronts, m, m), dtype)
-        if len(dp.asm_src):
-            rows = jnp.asarray(dp.asm_r)[:, None] * d + rng_d
-            cols = jnp.asarray(dp.asm_c)[:, None] * d + rng_d
-            F = F.at[
-                jnp.asarray(dp.asm_f)[:, None, None],
-                rows[:, :, None], cols[:, None, :],
-            ].add(blocks_cat[jnp.asarray(dp.asm_src)])
-        F = constrain(F)
+        # Assembly (round 5): GATHER form by default — the former whole-
+        # front block-coordinate scatter-add serialized on TPU at
+        # ~0.85 us/block, ~20-30 ms per factor at manhattan scale.
+        # Contributions only ever land in the interior row STRIP
+        # (rows < mi, symmetric interior square included) and on the
+        # boundary DIAGONAL; the factorization reads A11/A12/A22 only,
+        # so those two regions are assembled separately (strip as a
+        # plane-layout gather — a naive 5-D block gather materialized
+        # (d, d)-minor buffers that TPU tiling pads 57x, 26 GB at
+        # manhattan10000 — boundary diag as a fused broadcast-mask) and
+        # the never-read (bnd, int) mirror is never built.
+        use_gather = (
+            _ASSEMBLY_MODE == "gather" and dp.gat_src is not None
+        )
+        mb = dp.nb * d
+        if use_gather:
+            if dp.gat_src.size:
+                acc = blocks_pad[jnp.asarray(dp.gat_src[0])]
+                for t in range(1, dp.gat_src.shape[0]):
+                    acc = acc + blocks_pad[jnp.asarray(dp.gat_src[t])]
+                acc = jnp.concatenate(
+                    [acc, jnp.zeros((1, d, d), dtype)], axis=0
+                )
+                acc_planes = jnp.transpose(acc, (1, 2, 0))
+                tmp = acc_planes[:, :, jnp.asarray(dp.dest_map)]
+                # tmp: (d, d, nF, ni, nblk) -> (f, bi, di, bj, dj)
+                strip = jnp.transpose(tmp, (2, 3, 0, 4, 1)).reshape(
+                    dp.num_fronts, mi, m
+                )
+            else:
+                strip = jnp.zeros((dp.num_fronts, mi, m), dtype)
+            A11 = strip[:, :, :mi]
+            A12 = strip[:, :, mi:]
+            if dp.nb and dp.gat22_src is not None and dp.gat22_src.size:
+                a22 = blocks_pad[jnp.asarray(dp.gat22_src[0])]
+                for t in range(1, dp.gat22_src.shape[0]):
+                    a22 = a22 + blocks_pad[jnp.asarray(dp.gat22_src[t])]
+                a22 = jnp.concatenate(
+                    [a22, jnp.zeros((1, d, d), dtype)], axis=0
+                )
+                D22 = a22[jnp.asarray(dp.dest22_map)]  # (nF, nb, d, d)
+                eye_nb = jnp.eye(dp.nb, dtype=dtype)
+                A22 = (
+                    D22[:, :, :, None, :]
+                    * eye_nb[None, :, None, :, None]
+                ).reshape(dp.num_fronts, mb, mb)
+            else:
+                A22 = jnp.zeros((dp.num_fronts, mb, mb), dtype)
+        else:
+            F = jnp.zeros((dp.num_fronts, m, m), dtype)
+            if len(dp.asm_src):
+                rng_d = jnp.arange(d, dtype=jnp.int32)
+                rows = jnp.asarray(dp.asm_r)[:, None] * d + rng_d
+                cols = jnp.asarray(dp.asm_c)[:, None] * d + rng_d
+                F = F.at[
+                    jnp.asarray(dp.asm_f)[:, None, None],
+                    rows[:, :, None], cols[:, None, :],
+                ].add(blocks_pad[jnp.asarray(dp.asm_src)])
+            A11 = F[:, :mi, :mi]
+            A12 = F[:, :mi, mi:]
+            A22 = F[:, mi:, mi:]
         if S_prev is not None:
             # extend-add as batched one-hot products T_c = P_c^T S_c P_c
             # (MXU work) + full-panel gathers by parent; see _DepthPlan.
@@ -527,18 +664,24 @@ def factor(plan: Plan, B_aa: Array, B_bb: Array, B_ab: Array, diag: Array,
             T_pad = jnp.concatenate(
                 [T, jnp.zeros((1, m, m), dtype)], axis=0
             )
-            F = F + T_pad[jnp.asarray(dp.child_of[:, 0])]
-            F = F + T_pad[jnp.asarray(dp.child_of[:, 1])]
-        F = F + jnp.eye(m, dtype=dtype) * jnp.asarray(dp.pad_diag, dtype)[:, None, :]
-
-        A11 = F[:, :mi, :mi]
-        L11 = constrain(jnp.linalg.cholesky(A11))
+            T2 = (
+                T_pad[jnp.asarray(dp.child_of[:, 0])]
+                + T_pad[jnp.asarray(dp.child_of[:, 1])]
+            )
+            A11 = A11 + T2[:, :mi, :mi]
+            A12 = A12 + T2[:, :mi, mi:]
+            A22 = A22 + T2[:, mi:, mi:]
+        pad_dg = jnp.asarray(dp.pad_diag, dtype)
+        A11 = A11 + jnp.eye(mi, dtype=dtype) * pad_dg[:, None, :mi]
         if dp.nb:
-            A12 = F[:, :mi, mi:]
+            A22 = A22 + jnp.eye(mb, dtype=dtype) * pad_dg[:, None, mi:]
+
+        L11 = constrain(jnp.linalg.cholesky(constrain(A11)))
+        if dp.nb:
             W = constrain(solve_triangular(L11, A12, lower=True))
             with _hp():
                 S_prev = constrain(
-                    F[:, mi:, mi:] - jnp.swapaxes(W, -1, -2) @ W
+                    A22 - jnp.swapaxes(W, -1, -2) @ W
                 )
         else:
             W = jnp.zeros((dp.num_fronts, mi, 0), dtype)

@@ -459,3 +459,30 @@ def test_sparse_solver_with_mesh_matches_unsharded():
             sharded.get_pose(k).translation, plain.get_pose(k).translation,
             atol=1e-8,
         )
+
+
+def test_gather_assembly_mode_matches_scatter():
+    """Round-5: the scatter-free GATHER assembly (strip plane-gather +
+    boundary-diag broadcast, multifrontal._ASSEMBLY_MODE='gather') is an
+    exact drop-in for the default scatter assembly. Kept as a measured
+    ablation (scatter won end-to-end on hardware — see the module-level
+    note) so the alternate lowering must stay correct."""
+    n = 12
+    P = n * n
+    ea, eb, B_aa, B_bb, B_ab, diag, b, H = _random_block_system(
+        P, 30, 3, seed=3, grid=n
+    )
+    plan = mf.symbolic(P, ea, eb, 3, leaf_size=16)
+    args = (jnp.asarray(ea), jnp.asarray(eb), jnp.asarray(B_aa),
+            jnp.asarray(B_bb), jnp.asarray(B_ab), jnp.asarray(diag),
+            jnp.asarray(b))
+    old = mf._ASSEMBLY_MODE
+    try:
+        mf._ASSEMBLY_MODE = "gather"
+        x_g = np.asarray(mf.solve(plan, *args))
+    finally:
+        mf._ASSEMBLY_MODE = old
+    x_s = np.asarray(mf.solve(plan, *args))
+    x_ref = np.linalg.solve(H, b.ravel()).reshape(P, 3)
+    np.testing.assert_allclose(x_g, x_ref, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(x_s, x_ref, rtol=1e-9, atol=1e-11)
