@@ -1975,6 +1975,46 @@ def bench_slam_extras(runs):
     )
     log(f"  fixed-lag update: {med_update:.1f} ms")
 
+    # round-5: amortized async streaming (update_async +
+    # marginalize_every=4) — window solves dispatch every frame, the
+    # blocking fetch + marginalization run every 4th, so the per-frame
+    # dispatch-quantum round-trip (the entire cost of the blocking row
+    # above: ~3 quanta of fetches vs ~2 ms of window-solve compute)
+    # amortizes away. Semantics: deferred marginalization, estimates
+    # published at flush (reads force one) — see FixedLagSmoother.
+    def _fixed_lag_stream_async():
+        sm = FixedLagSmoother(lag=15, switch_penalty=0.03,
+                              marginalize_every=4)
+        sm.add_pose(0, sq_noisy[0])
+        per_update = []
+        by_query = {}
+        for c in sq_constraints:
+            by_query.setdefault(c["query_index"], []).append(c)
+        for k in range(1, 60):
+            t0 = time.perf_counter()
+            sm.add_pose(k, sq_noisy[k])
+            for c in by_query.get(k, []):
+                if c["is_loop"]:
+                    if c["reference_index"] in sm._est:
+                        sm.add_loop(c["reference_index"], k,
+                                    c["relative_pose"])
+                else:
+                    sm.add_odometry(c["reference_index"], k,
+                                    c["relative_pose"])
+            sm.update_async()
+            per_update.append((time.perf_counter() - t0) * 1e3)
+        sm.flush()
+        return float(np.median(per_update[20:]))
+
+    _fixed_lag_stream_async()  # warm
+    med_async = _fixed_lag_stream_async()
+    rows.append(
+        ("fixed-lag async stream (lag 15, flush/4)", f"{med_async:.1f} ms",
+         "(online)",
+         "median per-frame latency, update_async + marginalize_every=4")
+    )
+    log(f"  fixed-lag async stream: {med_async:.1f} ms")
+
     # --- Sim(3) essential graph: 200 keyframes, 2% monocular scale
     # drift per edge (52x accumulated — far outside the scale=1 LM
     # basin; the chordal initializer's log-scale Laplacian is what makes

@@ -116,10 +116,32 @@ class FixedLagSmoother:
         dtype=None,
         switch_penalty: Optional[float] = None,
         max_iterations: int = 50,
+        marginalize_every: int = 1,
     ):
+        """``marginalize_every`` (round 5): flush cadence of the
+        update_async streaming mode. 1 (default) = the blocking
+        semantics exactly — every async update is fetched and
+        marginalized before the next frame's registry calls, results
+        bit-identical to update(). N > 1 = AMORTIZED streaming: async
+        window solves dispatch every frame (each solves the FULL
+        current window MAP, superseding the previous dispatch), but
+        the fetch + write-back + marginalization run every N frames, so
+        the per-frame blocking round-trip — one ~30 ms dispatch
+        quantum on this relay runtime, 3-4x the actual window solve —
+        is paid once per N. The window grows to lag+N-1 between
+        flushes and the absorbed factors are linearized at the flush
+        state (a deferred-marginalization smoother — slightly
+        different, documented semantics; estimates read between
+        flushes force one). Reads (get_pose/window/loop_switches/
+        covariance) always flush first, so published state is always a
+        window MAP."""
         if lag < 2:
             raise ValueError("lag must be >= 2")
+        if marginalize_every < 1:
+            raise ValueError("marginalize_every must be >= 1")
         self.lag = lag
+        self.marginalize_every = marginalize_every
+        self._pending_age = 0
         if dtype is None:
             # f64 when available (CPU / x64 runs); silently-truncated f64
             # on TPU would just spam warnings — f32 converges fine there
@@ -141,9 +163,17 @@ class FixedLagSmoother:
             Tuple[List[int], np.ndarray, np.ndarray, np.ndarray]
         ] = None
         self._gauge: Optional[int] = None  # fixed pose until a prior exists
+        # async streaming state (update_async): the dispatched-but-not-
+        # fetched window solve. Flushed (one batched device_get +
+        # write-back + marginalization) by the next update/update_async,
+        # any state read, or flush().
+        self._pending: Optional[dict] = None
+        self._last_summary: Optional[lm.Summary] = None
 
     # -- registry -----------------------------------------------------------
     def add_pose(self, index: int, pose: Pose) -> None:
+        if self.marginalize_every == 1:
+            self.flush()  # keep blocking-path marginalization timing
         if self._window and index != self._window[-1] + 1:
             raise ValueError(
                 f"poses must be added consecutively (expected "
@@ -155,6 +185,8 @@ class FixedLagSmoother:
             self._gauge = index
 
     def _check_edge(self, ref: int, qry: int) -> None:
+        if self.marginalize_every == 1:
+            self.flush()  # edges to pending-marginalized poses raise
         if ref not in self._est or qry not in self._est:
             raise KeyError("edge endpoints must be in the active window")
         if ref == qry:
@@ -200,6 +232,7 @@ class FixedLagSmoother:
         )
 
     def get_pose(self, index: int) -> Pose:
+        self.flush()
         x = self._est.get(index)
         if x is None:
             x = self._history[index]
@@ -208,10 +241,12 @@ class FixedLagSmoother:
 
     def loop_switches(self) -> np.ndarray:
         """Current switch values of the ACTIVE (un-marginalized) loops."""
+        self.flush()
         return np.array([l["switch"] for l in self._loops])
 
     @property
     def window(self) -> List[int]:
+        self.flush()
         return list(self._window)
 
     def covariance(self, indices: Optional[List[int]] = None) -> Dict[int, np.ndarray]:
@@ -228,6 +263,7 @@ class FixedLagSmoother:
         Returns {pose_index: (6, 6) ndarray}; the gauge pose (fixed while
         no prior exists yet) gets a zero block.
         """
+        self.flush()
         W = len(self._window)
         if W == 0:
             raise ValueError("covariance: no poses in the window")
@@ -333,9 +369,77 @@ class FixedLagSmoother:
     # -- update ---------------------------------------------------------------
     def update(self, options: Optional[Options] = None) -> lm.Summary:
         """Optimize the window, then marginalize poses older than the lag."""
-        summary = self._optimize(options)
-        cutoff = self._window[-1] - self.lag + 1
-        if cutoff > self._window[0]:
+        self.flush()
+        self._pending = self._dispatch(options)
+        return self.flush()
+
+    def update_async(self, options: Optional[Options] = None) -> None:
+        """Streaming update: DISPATCH the window solve and return without
+        fetching. The fetch + write-back + marginalization run lazily —
+        at the next ``update``/``update_async``/``add_*``/read, or an
+        explicit :meth:`flush` — as ONE batched ``jax.device_get`` of a
+        by-then-finished computation.
+
+        Why (round 5, the registrar's round-4 async treatment applied
+        here): the blocking ``update`` paid one dispatch quantum per
+        separate fetch on this runtime (~3 of them = the measured
+        95.8 ms median steady-state update, ~30x the actual solve
+        compute), and its synchronous dispatch-and-fetch pattern is
+        exactly what flips the process into the degraded ~30 ms-floor
+        state (CLAUDE.md round-4 bisect). Dispatch-only keeps the
+        stream in the clean state; by the time the next frame arrives
+        the solve has long finished and the fetch is cheap.
+
+        With the default ``marginalize_every=1`` results are
+        BIT-IDENTICAL to the blocking path: the same jitted program
+        runs on the same inputs — only the fetch timing moves. With
+        ``marginalize_every=N`` the per-frame round-trip disappears
+        entirely (amortized semantics; see __init__). The solve summary
+        becomes available at the flush: ``last_summary`` holds it."""
+        if self._pending is not None:
+            self._pending_age += 1
+            if self._pending_age >= self.marginalize_every:
+                self.flush()
+        self._pending = self._dispatch(options)
+
+    @property
+    def last_summary(self) -> Optional[lm.Summary]:
+        """Summary of the most recently FLUSHED update (None before the
+        first flush)."""
+        return self._last_summary
+
+    def flush(self) -> Optional[lm.Summary]:
+        """Complete a pending :meth:`update_async`: one batched fetch,
+        write-back, marginalization. No-op without a pending update.
+        Returns the flushed update's summary (or the last one)."""
+        pending = self._pending
+        if pending is None:
+            return self._last_summary
+        self._pending = None
+        self._pending_age = 0
+        if pending["kind"] == "empty":
+            summary = pending["summary"]
+        else:
+            pos, quat, sw = jax.device_get(
+                (pending["pos"], pending["quat"], pending["sw"])
+            )
+            summary = pending["summary"]
+            pos = np.array(pos, np.float64)
+            quat = np.array(quat, np.float64)
+            sw = np.array(sw, np.float64)
+            # renormalize at write-back (the batch optimizer does the
+            # same, pose_graph_optimizer.h:89-101): the objective —
+            # edges AND the tangent-space prior — is quaternion-scale
+            # invariant, so this is free, and it keeps every
+            # linearization chart on the unit sphere
+            quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+            for i, pi in enumerate(pending["window"]):
+                self._est[pi] = np.concatenate([pos[i], quat[i]])
+            for l, s in zip(pending["loops"], sw[: pending["L"]]):
+                l["switch"] = float(s)
+        self._last_summary = summary
+        cutoff = pending["window"][-1] - self.lag + 1
+        if cutoff > pending["window"][0]:
             self._marginalize(cutoff)
         return summary
 
@@ -345,8 +449,9 @@ class FixedLagSmoother:
         """Round ``n`` up to a multiple of ``m`` (0 stays 0)."""
         return ((n + m - 1) // m) * m
 
-    def _optimize(self, options: Optional[Options]) -> lm.Summary:
-        """One window solve, traced at CONSTANT shapes.
+    def _dispatch(self, options: Optional[Options]) -> dict:
+        """One window solve, traced at CONSTANT shapes — DISPATCH ONLY
+        (no fetch; see flush/update_async).
 
         Every varying extent is padded to a bucket so long runs reuse a
         handful of compiled programs instead of one per update (this
@@ -369,9 +474,14 @@ class FixedLagSmoother:
         if not self._odom and not self._loops:
             zero = jnp.zeros((), dtype)
             nan = jnp.full((options.max_iterations,), jnp.nan, dtype)
-            return lm.Summary(
-                zero, zero, jnp.zeros((), jnp.int32), zero,
-                jnp.asarray(True), lm.IterationRecord(nan, nan, nan, nan),
+            return dict(
+                kind="empty",
+                window=list(self._window),
+                summary=lm.Summary(
+                    zero, zero, jnp.zeros((), jnp.int32), zero,
+                    jnp.asarray(True),
+                    lm.IterationRecord(nan, nan, nan, nan),
+                ),
             )
 
         # padded pose count: the window holds lag+1 poses at optimize
@@ -457,17 +567,16 @@ class FixedLagSmoother:
             prior_sel,
             prior_offset,
         )
-        pos, quat, sw = np.array(pos, np.float64), np.array(quat, np.float64), np.array(sw, np.float64)
-        # renormalize at write-back (the batch optimizer does the same,
-        # pose_graph_optimizer.h:89-101): the objective — edges AND the
-        # tangent-space prior — is quaternion-scale invariant, so this is
-        # free, and it keeps every linearization chart on the unit sphere
-        quat /= np.linalg.norm(quat, axis=1, keepdims=True)
-        for i, pi in enumerate(self._window):
-            self._est[pi] = np.concatenate([pos[i], quat[i]])
-        for l, s in zip(self._loops, sw[:L]):
-            l["switch"] = float(s)
-        return summary
+        return dict(
+            kind="solve",
+            window=list(self._window),
+            loops=list(self._loops),
+            L=L,
+            pos=pos,
+            quat=quat,
+            sw=sw,
+            summary=summary,
+        )
 
     # -- marginalization --------------------------------------------------------
     def _marginalize(self, cutoff: int) -> None:

@@ -579,10 +579,22 @@ class FixedLagInertialSmoother:
             sm.update()
     """
 
-    def __init__(self, lag: int = 10, dtype=jnp.float64, gravity=None):
+    def __init__(self, lag: int = 10, dtype=jnp.float64, gravity=None,
+                 marginalize_every: int = 1):
+        """``marginalize_every``: flush cadence of the update_async
+        streaming mode — 1 (default) keeps blocking semantics; N > 1
+        amortizes the per-frame blocking fetch over N frames (the pose
+        FixedLagSmoother's round-5 treatment; see its __init__ for the
+        full rationale and semantics)."""
         if lag < 2:
             raise ValueError("lag must be >= 2")
+        if marginalize_every < 1:
+            raise ValueError("marginalize_every must be >= 1")
         self.lag = lag
+        self.marginalize_every = marginalize_every
+        self._pending: Optional[dict] = None
+        self._pending_age = 0
+        self._last_summary = None
         self.dtype = dtype
         self.gravity = (
             GRAVITY.copy() if gravity is None else np.asarray(gravity, np.float64)
@@ -670,6 +682,7 @@ class FixedLagInertialSmoother:
         )
 
     def get_state(self, index):
+        self.flush()
         x = self._est.get(index)
         if x is None:
             x = self._history[index]
@@ -685,7 +698,38 @@ class FixedLagInertialSmoother:
 
     @property
     def window(self) -> List[int]:
+        self.flush()
         return list(self._window)
+
+    # -- async streaming (round 5; mirrors FixedLagSmoother) -------------
+    def update_async(self, options: Optional[Options] = None) -> None:
+        """Dispatch the window solve without fetching; the fetch +
+        write-back run at the next flush (every ``marginalize_every``
+        update_async calls, any state read, or an explicit flush())."""
+        if self._pending is not None:
+            self._pending_age += 1
+            if self._pending_age >= self.marginalize_every:
+                self.flush()
+        self._pending = self._dispatch(options)
+
+    @property
+    def last_summary(self):
+        return self._last_summary
+
+    def flush(self):
+        """Complete a pending update_async: one batched fetch +
+        write-back. No-op without a pending update."""
+        pending = self._pending
+        if pending is None:
+            return self._last_summary
+        self._pending = None
+        self._pending_age = 0
+        x = np.array(jax.device_get(pending["x"]), np.float64)
+        x[:, 3:7] /= np.linalg.norm(x[:, 3:7], axis=1, keepdims=True)
+        for k, si in enumerate(pending["ids"]):
+            self._est[si] = x[k]
+        self._last_summary = pending["summary"]
+        return self._last_summary
 
     # -- marginalization -------------------------------------------------
     @staticmethod
@@ -834,7 +878,15 @@ class FixedLagInertialSmoother:
 
     # -- update ----------------------------------------------------------
     def update(self, options: Optional[Options] = None):
-        """Marginalize down to the lag, then solve the window."""
+        """Marginalize down to the lag, then solve the window
+        (blocking: dispatch + immediate flush)."""
+        self.flush()
+        self._pending = self._dispatch(options)
+        return self.flush()
+
+    def _dispatch(self, options: Optional[Options] = None) -> dict:
+        """Marginalize down to the lag, then DISPATCH the window solve
+        (no fetch — see flush/update_async)."""
         if options is None:
             options = Options().replace(max_iterations=50)
         while len(self._window) > self.lag:
@@ -865,8 +917,4 @@ class FixedLagInertialSmoother:
             priors, jnp.asarray(free, dtype),
             jnp.asarray(self.gravity, dtype), mprior, N, options,
         )
-        x = np.array(jax.device_get(x), np.float64)
-        x[:, 3:7] /= np.linalg.norm(x[:, 3:7], axis=1, keepdims=True)
-        for k, si in enumerate(ids):
-            self._est[si] = x[k]
-        return summary
+        return dict(x=x, ids=ids, summary=summary)

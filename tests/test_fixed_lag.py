@@ -420,3 +420,111 @@ def test_matrix_sqrt_info_through_marginalization():
         np.testing.assert_allclose(
             sm_mat.get_pose(i).rotation, sm_vec.get_pose(i).rotation, atol=1e-8
         )
+
+
+def test_update_async_bit_identical_to_blocking():
+    """Round-5 streaming mode: update_async defers the fetch/write-back/
+    marginalization to the next frame (or any read) — the SAME jitted
+    program runs on the same inputs, so every estimate, switch value,
+    and frozen history entry must be BIT-identical to the blocking
+    update() stream. get_pose/loop_switches/window transparently flush."""
+    gt, odo, loops = _circle_fixture(n=26)
+
+    def run(async_mode):
+        n = len(gt)
+        sm = FixedLagSmoother(lag=8, switch_penalty=0.03)
+        est = gt[0]
+        sm.add_pose(0, est)
+        for k in range(1, n):
+            est = Pose(
+                est.rotation @ odo[k - 1].rotation,
+                est.translation + est.rotation @ odo[k - 1].translation,
+            )
+            sm.add_pose(k, est)
+            sm.add_odometry(k - 1, k, odo[k - 1])
+            if k in loops:
+                sm.add_loop(k - 8, k, loops[k])
+            if async_mode:
+                sm.update_async()
+            else:
+                sm.update()
+            # no feed-forward: keep the input streams identical without
+            # forcing a flush in the async stream
+        sm.flush()
+        return sm
+
+    blocking = run(False)
+    streaming = run(True)
+    assert streaming.window == blocking.window
+    for k in range(len(gt)):
+        ps, pb = streaming.get_pose(k), blocking.get_pose(k)
+        np.testing.assert_array_equal(ps.translation, pb.translation)
+        np.testing.assert_array_equal(ps.rotation, pb.rotation)
+    np.testing.assert_array_equal(
+        streaming.loop_switches(), blocking.loop_switches()
+    )
+    s_b, s_s = blocking.last_summary, streaming.last_summary
+    assert int(s_b.iterations) == int(s_s.iterations)
+    assert float(s_b.final_cost) == float(s_s.final_cost)
+
+
+def test_update_async_flushes_on_reads_and_edges():
+    """A pending async update is applied before any dependent operation:
+    get_pose reflects the solve, and an edge to a pose that the pending
+    marginalization removes raises exactly like the blocking path."""
+    gt, odo, loops = _circle_fixture(n=14)
+    sm = FixedLagSmoother(lag=4, switch_penalty=0.03)
+    est = gt[0]
+    sm.add_pose(0, est)
+    for k in range(1, 9):
+        est = Pose(
+            est.rotation @ odo[k - 1].rotation,
+            est.translation + est.rotation @ odo[k - 1].translation,
+        )
+        sm.add_pose(k, est)
+        sm.add_odometry(k - 1, k, odo[k - 1])
+        sm.update_async()
+    # pose 3 left the window during the pending marginalizations
+    assert 3 not in sm.window  # property flushed
+    with pytest.raises(KeyError):
+        sm.add_odometry(3, 8, odo[3])
+
+
+def test_amortized_streaming_tracks_blocking():
+    """marginalize_every=N streaming (round 5): async window solves
+    every frame, fetch+marginalization every N. Semantics differ from
+    the blocking path only in marginalization timing/linearization, so
+    the published estimates must TRACK the blocking stream tightly
+    (both are window MAPs of the same factors) and frozen history must
+    exist for every marginalized pose."""
+    gt, odo, loops = _circle_fixture(n=30)
+
+    def run(me):
+        n = len(gt)
+        sm = FixedLagSmoother(lag=8, switch_penalty=0.03,
+                              marginalize_every=me)
+        est = gt[0]
+        sm.add_pose(0, est)
+        for k in range(1, n):
+            est = Pose(
+                est.rotation @ odo[k - 1].rotation,
+                est.translation + est.rotation @ odo[k - 1].translation,
+            )
+            sm.add_pose(k, est)
+            sm.add_odometry(k - 1, k, odo[k - 1])
+            if k in loops and loops and (k - 8) in sm._est:
+                sm.add_loop(k - 8, k, loops[k])
+            sm.update_async()
+        sm.flush()
+        return sm
+
+    blocking = run(1)
+    amortized = run(4)
+    assert amortized.window == blocking.window
+    for k in range(len(gt)):
+        pb, pa = blocking.get_pose(k), amortized.get_pose(k)
+        np.testing.assert_allclose(pa.translation, pb.translation, atol=0.05)
+    # every non-window pose is frozen history
+    for k in range(len(gt)):
+        if k not in amortized.window:
+            assert k in amortized._history

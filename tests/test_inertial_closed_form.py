@@ -199,3 +199,54 @@ def test_fixed_lag_smoother_matches_ad_oracle(monkeypatch):
         np.testing.assert_allclose(p_cf.translation, p_ad.translation, atol=1e-5)
         np.testing.assert_allclose(v_cf, v_ad, atol=1e-5)
         np.testing.assert_allclose(b_cf, b_ad, atol=1e-5)
+
+
+def test_inertial_update_async_matches_blocking():
+    """Round-5 async streaming on the inertial smoother: with the
+    default marginalize_every=1 the same jitted program runs on the
+    same inputs, so the streamed states must equal the blocking
+    stream's bit-for-bit; amortized mode (N=3) must track closely."""
+
+    def run(me, use_async):
+        rng = np.random.default_rng(11)
+        params = ImuParams(gyro_noise=1e-4, accel_noise=1e-3)
+        sm = FixedLagInertialSmoother(lag=4, marginalize_every=me)
+        vel = np.array([1.0, 0.0, 0.1])
+        sm.add_state(0, Pose(np.eye(3), np.zeros(3)), velocity=vel)
+        sm.add_position_prior(0, np.zeros(3), 20.0)
+        for k in range(1, 9):
+            pre = ImuPreintegrator(params)
+            for _ in range(100):
+                pre.integrate(
+                    1e-4 * rng.normal(size=3),
+                    -GRAVITY + 1e-3 * rng.normal(size=3),
+                    0.005,
+                )
+            sm.add_state(
+                k, Pose(np.eye(3), vel * 0.5 * k + 0.01 * rng.normal(size=3)),
+                velocity=vel,
+            )
+            sm.add_imu_factor(k - 1, k, pre)
+            sm.add_bias_walk(k - 1, k, (1e4, 1e3))
+            sm.add_position_prior(k, vel * 0.5 * k, 20.0)
+            if use_async:
+                sm.update_async()
+            else:
+                sm.update()
+        sm.flush()
+        return sm
+
+    blocking = run(1, False)
+    streamed = run(1, True)
+    assert streamed.window == blocking.window
+    for k in streamed.window:
+        p_b, v_b, b_b = blocking.get_state(k)
+        p_s, v_s, b_s = streamed.get_state(k)
+        np.testing.assert_array_equal(p_s.translation, p_b.translation)
+        np.testing.assert_array_equal(v_s, v_b)
+        np.testing.assert_array_equal(b_s, b_b)
+    amortized = run(3, True)
+    for k in amortized.window:
+        p_b, _, _ = blocking.get_state(k)
+        p_a, _, _ = amortized.get_state(k)
+        np.testing.assert_allclose(p_a.translation, p_b.translation, atol=1e-3)
