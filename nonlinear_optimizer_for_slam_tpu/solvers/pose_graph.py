@@ -539,19 +539,39 @@ def select_solver(
     'auto' policy; round-3 verdict: users should not need to know their
     graph's structure to avoid a 10x loss either way).
 
-    Decision tree, with measured anchors in parentheses:
+    Decision tree:
       1. small graphs -> 'dense' (the (dP+L)^2 materialization wins
          below ~6k scalar vars);
       2. chains with <= 100 non-chain edges -> 'tridiag' (its Woodbury
          correction grows with them);
-      3. 'banded' unless its superblock flops explode: est. flops
-         ~ 2 K (s d)^3 <= 2e10 (sphere2500: 4.5e9 -> banded, 0.8 s;
-         50k+999 loops: 1.2e10 -> banded, 4.5 s);
-      4. else build the nested-dissection plan and compare cost models —
-         'sparse' when the separators beat the band (manhattan3500:
-         banded 2.4e10 vs multifrontal 1.2e9 -> sparse), 'banded' when
-         they don't; 'cg' when both direct forms are infeasible
-         (expander-density graphs — both symbolic guards trip).
+      3. 'banded' when its superblock flops are small outright
+         (<= 5e9: the sparse path's lower fixed cost can then never
+         recoup its levels/assembly overhead, so the plan is never
+         built — selection stays host-cheap on easy graphs);
+      4. else build the nested-dissection plan and compare CALIBRATED
+         per-iteration time models (round 5 — the round-4 flops-only
+         4x comparison had no fixed-cost terms and could pick a
+         measured loser at mid-scale crossovers):
+
+             t_banded ~ 14 + 1.6e-3 E + banded_flops / 1e9    [ms]
+             t_sparse ~ 10 + 1.6e-3 E + sparse_flops / 1.5e8
+
+         Constants fitted on same-day single-chip measurements
+         (2026-08-20, f32, warm programs; per-LM-iteration solve time
+         incl. the shared quad evaluation — the E term):
+         sphere2500 (E=4899, banded 4.55e9 / sparse 1.41e9 flops):
+         measured 26.2 / 29.7 ms/iter vs model 26.4 / 27.2;
+         manhattan3500 (E=10109, 2.36e10 / 3.35e8): measured
+         60.5 / 27.9 vs model 53.8 / 28.4; manhattan10000 (E=28920,
+         2.15e11 / 4.31e9): measured 275.2 / 83.3 vs model 275 / 85.
+         The banded flop rate (~1e12/s) reflects its few big
+         sequential panels; the sparse rate (~1.5e11/s) its many small
+         batched fronts. Day-to-day relay variance moves absolute
+         times ~2x but moves both families together — the COMPARISON
+         is stable; predicted times are logged in ``info``
+         (predicted_banded_ms / predicted_sparse_ms).
+      'cg' when both direct forms are infeasible (expander-density
+      graphs — both symbolic guards trip).
 
     ``plan_fn()`` lazily builds (and caches) the multifrontal plan;
     it may raise ValueError (the memory guard) to veto 'sparse'.
@@ -577,10 +597,14 @@ def select_solver(
     panel_bytes = 2 * K * (s * d) ** 2 * 4
     banded_flops = 2.0 * K * float(s * d) ** 3
     banded_ok = panel_bytes <= 2 << 30
+    # calibrated per-iteration time model (see docstring; ms)
+    t_edges = 1.6e-3 * E
+    t_banded = 14.0 + t_edges + banded_flops / 1e9
     info.update(bandwidth=b, banded_flops=banded_flops,
-                banded_panel_bytes=panel_bytes)
-    if banded_ok and banded_flops <= 2e10:
-        info["reason"] = "moderate RCM bandwidth"
+                banded_panel_bytes=panel_bytes,
+                predicted_banded_ms=t_banded)
+    if banded_ok and banded_flops <= 5e9:
+        info["reason"] = "small superblock flops"
         return "banded", info
     plan = None
     if plan_fn is not None:
@@ -589,12 +613,15 @@ def select_solver(
         except ValueError as e:  # multifrontal memory guard
             info["sparse_veto"] = str(e)
     if plan is not None:
-        sparse_flops = plan.stats()["factor_flops"]
+        st = plan.stats()
+        sparse_flops = st["factor_flops"]
+        t_sparse = 10.0 + t_edges + sparse_flops / 1.5e8
         info["sparse_flops"] = sparse_flops
-        if banded_ok and banded_flops <= 4.0 * (sparse_flops + 1e9):
-            info["reason"] = "band comparable to separators"
+        info["predicted_sparse_ms"] = t_sparse
+        if banded_ok and t_banded <= t_sparse:
+            info["reason"] = "band predicted faster"
             return "banded", info
-        info["reason"] = "separators beat the band"
+        info["reason"] = "separators predicted faster"
         return "sparse", info
     if banded_ok:
         info["reason"] = "sparse infeasible, band feasible"

@@ -150,3 +150,26 @@ def test_auto_end_to_end_small_fixture():
         float(s_a.final_cost), float(s_d.final_cost), rtol=1e-12
     )
     np.testing.assert_allclose(np.asarray(sw_a), np.asarray(sw_d), atol=1e-12)
+
+
+def test_selects_sparse_on_manhattan10000_with_predicted_times():
+    """Round-5 calibrated model: the selection compares PREDICTED
+    per-iteration times (fixed costs + flops/rate, constants fitted on
+    same-day hardware rows — see select_solver docstring), logs them in
+    info, and picks sparse on the 10k-pose city where the same-day
+    measurement was sparse 83 vs banded 275 ms/iter."""
+    man10, _ = testing.generate_manhattan_g2o(n_poses=10000, arena=17, seed=11)
+    ref, qry, is_loop = _edges_of(man10)
+    P = len(man10.vertices)
+    coords = np.stack([man10.vertices[k][:2] for k in range(P)])
+    plan_fn = lambda: mf.symbolic(P, ref, qry, 3, coords=coords, leaf_size=16)
+    name, info = select_solver(
+        P, ref, qry, is_loop, 3, plan_fn=plan_fn, allow_tridiag=False
+    )
+    assert name == "sparse", info
+    # model numbers logged and ordered like the measurement
+    assert info["predicted_sparse_ms"] < info["predicted_banded_ms"]
+    # same-day measured ratio was ~3.3x; the model must stay in that
+    # ballpark (regression guard on the fixed-cost terms)
+    ratio = info["predicted_banded_ms"] / info["predicted_sparse_ms"]
+    assert 1.5 < ratio < 10.0, info
