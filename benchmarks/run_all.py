@@ -644,12 +644,65 @@ def _row_reproj_batch(B, runs):
             f"batch wall={ms:.2f} ms iters<={int(iters.max())} t_err={err:.2e}")
 
 
+def _row_reproj_stream(B, runs):
+    # round-5 async batch streaming: launches stay 2 windows ahead of the
+    # finalizes so the process never leaves the clean dispatch state (the
+    # registrar's round-4 treatment applied to the one-shot batch
+    # solvers); the ~40 ms window wall is a fixed per-dispatch streaming
+    # cost, so per-solve keeps dropping with B
+    from nonlinear_optimizer_for_slam_tpu.solvers import (
+        finalize_solve_batch,
+        solve_reprojection_batch_async,
+    )
+
+    points, pixels, intrinsics, true_pose = testing.generate_reprojection_fixture()
+    options = Options()
+    loss = ExponentialLoss()
+    n = points.shape[0]
+    expected = true_pose.inverse()
+    bdata = reprojection.ReprojectionData(
+        jnp.asarray(np.broadcast_to(points, (B, n, 3)), jnp.float32),
+        jnp.asarray(np.broadcast_to(pixels, (B, n, 2)), jnp.float32),
+        jnp.ones((B, n), jnp.float32),
+    )
+
+    def launch(i):
+        return solve_reprojection_batch_async(
+            options, bdata, intrinsics, [_perturbed_identity(i)] * B,
+            loss=loss,
+        )
+
+    pend = [launch(0), launch(1)]
+    out = None
+    for i in range(2, 12):  # warm the program + the stream
+        pend.append(launch(i))
+        out = finalize_solve_batch(pend.pop(0))
+    M = max(10, runs)
+    t0 = time.perf_counter()
+    for i in range(12, 12 + M):
+        pend.append(launch(i))
+        out = finalize_solve_batch(pend.pop(0))
+    wall = (time.perf_counter() - t0) / M * 1e3
+    while pend:
+        out = finalize_solve_batch(pend.pop(0))
+    poses, iters, costs = out
+    err = max(
+        np.linalg.norm(p.translation - expected.translation) for p in poses
+    )
+    return (f"async stream serving B={B}", f"{wall / B:.3f} ms/ea",
+            f"{float(np.max(costs)):.2e}",
+            f"window wall={wall:.2f} ms, 2 in flight, stream-only state; "
+            f"iters<={int(iters.max())} t_err={err:.2e}")
+
+
 REPROJ_ROWS = {
     "jnp": lambda runs: _row_reproj_serial("jnp f32", "jnp", runs),
     "pallas": lambda runs: _row_reproj_serial("pallas f32", "pallas", runs),
     "batch16": lambda runs: _row_reproj_batch(16, runs),
     "batch64": lambda runs: _row_reproj_batch(64, runs),
     "batch256": lambda runs: _row_reproj_batch(256, runs),
+    "stream256": lambda runs: _row_reproj_stream(256, runs),
+    "stream512": lambda runs: _row_reproj_stream(512, runs),
 }
 
 

@@ -2,9 +2,13 @@ from . import autodiff, batched, bundle_adjustment, fixed_lag, graph_init, inert
 from .fixed_lag import FixedLagSmoother
 from .lm import Summary
 from .batched import (
+    finalize_solve_batch,
     solve_mahalanobis_batch,
+    solve_mahalanobis_batch_async,
     solve_point_to_plane_batch,
+    solve_point_to_plane_batch_async,
     solve_reprojection_batch,
+    solve_reprojection_batch_async,
 )
 from .minimizers import (
     MahalanobisDistanceMinimizer,
@@ -28,8 +32,12 @@ from .problem import GenericOptions, PoseOptimizer, Problem
 __all__ = [
     "autodiff",
     "batched",
+    "finalize_solve_batch",
     "solve_mahalanobis_batch",
+    "solve_mahalanobis_batch_async",
     "solve_point_to_plane_batch",
+    "solve_point_to_plane_batch_async",
+    "solve_reprojection_batch_async",
     "bundle_adjustment",
     "BAData",
     "BundleAdjuster",

@@ -135,6 +135,76 @@ def _p2p_solve_batched(t0s, q0s, data, loss, options):
     )
 
 
+def solve_mahalanobis_batch_async(
+    options: Options,
+    data: mahalanobis.MahalanobisData,
+    initial_poses: Sequence[Pose],
+    loss: Optional[LossFunction] = None,
+    dtype=jnp.float32,
+    backend: str = "jnp",
+):
+    """:func:`solve_mahalanobis_batch` WITHOUT the host sync: dispatches
+    the batch program and returns device values for
+    :func:`finalize_solve_batch`. The streaming form for serving
+    pipelines (round 5 — the registrar's async treatment applied to the
+    batched one-shot solvers): on this runtime the first blocking fetch
+    flips the process into its degraded ~30 ms-per-dispatch state
+    permanently (CLAUDE.md round-4 bisect), so a server should keep 2+
+    batch windows in flight and finalize behind the pipeline head."""
+    B = data.points.shape[0]
+    t0s, q0s = _stack_initial(initial_poses, B, dtype)
+    data = data.astype(dtype)
+    return _maha6_solve_batched(t0s, q0s, data, loss, options, backend)
+
+
+def solve_reprojection_batch_async(
+    options: Options,
+    data: reprojection.ReprojectionData,
+    intrinsics: CameraIntrinsics,
+    initial_poses: Sequence[Pose],
+    loss: Optional[LossFunction] = None,
+    dtype=jnp.float32,
+):
+    """:func:`solve_reprojection_batch` WITHOUT the host sync — see
+    :func:`solve_mahalanobis_batch_async` for the streaming rationale.
+    Measured (630-pt instances, two windows in flight, stream-only
+    state, 2026-08-20): 0.147 ms/solve at B=256 and 0.089 at B=512 vs
+    0.264 blocking at B=256; the ~40 ms window wall is a fixed
+    per-dispatch streaming cost, so larger windows keep amortizing."""
+    B = data.local_points.shape[0]
+    t0s, q0s = _stack_initial(initial_poses, B, dtype)
+    data = data.astype(dtype)
+    intr = CameraIntrinsics(
+        *(jnp.asarray(v, dtype) for v in intrinsics[:6]),
+        intrinsics.width,
+        intrinsics.height,
+    )
+    return _reproj_solve_batched(t0s, q0s, data, intr, loss, options)
+
+
+def solve_point_to_plane_batch_async(
+    options: Options,
+    data: point_to_plane.PointToPlaneData,
+    initial_poses: Sequence[Pose],
+    loss: Optional[LossFunction] = None,
+    dtype=jnp.float32,
+):
+    """:func:`solve_point_to_plane_batch` WITHOUT the host sync — see
+    :func:`solve_mahalanobis_batch_async`."""
+    B = data.points.shape[0]
+    t0s, q0s = _stack_initial(initial_poses, B, dtype)
+    data = data.astype(dtype)
+    return _p2p_solve_batched(t0s, q0s, data, loss, options)
+
+
+def finalize_solve_batch(device_out) -> Tuple[List[Pose], np.ndarray, np.ndarray]:
+    """Fetch + unpack any ``solve_*_batch_async`` result — ONE blocking
+    device_get for the whole batch. Returns (poses, iterations (B,),
+    final_costs (B,))."""
+    ts, qs, iters, costs = jax.device_get(device_out)
+    return _poses_from_device(ts, qs), np.asarray(iters), np.asarray(costs)
+
+
 def solve_mahalanobis_batch(
     options: Options,
     data: mahalanobis.MahalanobisData,  # leading batch dim: (B, N, ...)
@@ -150,13 +220,11 @@ def solve_mahalanobis_batch(
     kernel (f32; prefer it for large N). Returns (poses, iterations (B,),
     final_costs (B,)).
     """
-    B = data.points.shape[0]
-    t0s, q0s = _stack_initial(initial_poses, B, dtype)
-    data = data.astype(dtype)
-    ts, qs, iters, costs = jax.device_get(
-        _maha6_solve_batched(t0s, q0s, data, loss, options, backend)
+    return finalize_solve_batch(
+        solve_mahalanobis_batch_async(
+            options, data, initial_poses, loss, dtype, backend
+        )
     )
-    return _poses_from_device(ts, qs), np.asarray(iters), np.asarray(costs)
 
 
 def solve_reprojection_batch(
@@ -172,18 +240,11 @@ def solve_reprojection_batch(
     Shared intrinsics; per-problem masks support ragged correspondence
     counts via padding. Returns (poses, iterations (B,), final_costs (B,)).
     """
-    B = data.local_points.shape[0]
-    t0s, q0s = _stack_initial(initial_poses, B, dtype)
-    data = data.astype(dtype)
-    intr = CameraIntrinsics(
-        *(jnp.asarray(v, dtype) for v in intrinsics[:6]),
-        intrinsics.width,
-        intrinsics.height,
+    return finalize_solve_batch(
+        solve_reprojection_batch_async(
+            options, data, intrinsics, initial_poses, loss, dtype
+        )
     )
-    ts, qs, iters, costs = jax.device_get(
-        _reproj_solve_batched(t0s, q0s, data, intr, loss, options)
-    )
-    return _poses_from_device(ts, qs), np.asarray(iters), np.asarray(costs)
 
 
 def solve_point_to_plane_batch(
@@ -194,10 +255,8 @@ def solve_point_to_plane_batch(
     dtype=jnp.float32,
 ) -> Tuple[List[Pose], np.ndarray, np.ndarray]:
     """Solve B independent point-to-plane ICP problems in ONE program."""
-    B = data.points.shape[0]
-    t0s, q0s = _stack_initial(initial_poses, B, dtype)
-    data = data.astype(dtype)
-    ts, qs, iters, costs = jax.device_get(
-        _p2p_solve_batched(t0s, q0s, data, loss, options)
+    return finalize_solve_batch(
+        solve_point_to_plane_batch_async(
+            options, data, initial_poses, loss, dtype
+        )
     )
-    return _poses_from_device(ts, qs), np.asarray(iters), np.asarray(costs)

@@ -316,3 +316,38 @@ def test_register_batch_async_matches_sync(registrar_fixture=None):
                                    atol=1e-12)
         assert a.outer_iterations == s.outer_iterations
         np.testing.assert_allclose(a.final_cost, s.final_cost, rtol=1e-12)
+
+
+def test_solve_batch_async_matches_blocking(rng):
+    """Round-5 async one-shot batch serving: solve_*_batch_async +
+    finalize_solve_batch is the same jitted program as the blocking
+    wrapper (which now delegates to it), so results must match
+    bit-for-bit."""
+    from nonlinear_optimizer_for_slam_tpu.solvers import (
+        finalize_solve_batch,
+        solve_reprojection_batch,
+        solve_reprojection_batch_async,
+    )
+    from nonlinear_optimizer_for_slam_tpu.utils import testing as t_
+
+    points, pixels, intrinsics, true_pose = t_.generate_reprojection_fixture()
+    B, n = 4, points.shape[0]
+    bdata = reprojection.ReprojectionData(
+        jnp.asarray(np.broadcast_to(points, (B, n, 3)), jnp.float32),
+        jnp.asarray(np.broadcast_to(pixels, (B, n, 2)), jnp.float32),
+        jnp.ones((B, n), jnp.float32),
+    )
+    inits = [nls.Pose(np.eye(3), 0.05 * rng.normal(size=3)) for _ in range(B)]
+    opts = Options()
+    loss = ExponentialLoss()
+    poses_b, iters_b, costs_b = solve_reprojection_batch(
+        opts, bdata, intrinsics, inits, loss=loss
+    )
+    out = solve_reprojection_batch_async(
+        opts, bdata, intrinsics, inits, loss=loss
+    )
+    poses_a, iters_a, costs_a = finalize_solve_batch(out)
+    np.testing.assert_array_equal(iters_a, iters_b)
+    np.testing.assert_array_equal(costs_a, costs_b)
+    for pa, pb in zip(poses_a, poses_b):
+        np.testing.assert_array_equal(pa.translation, pb.translation)
