@@ -75,6 +75,19 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+LAST_TIMES: list = []  # per-rep walls of the most recent timed()/
+# timed_vary() call — rows read it via time_range() to publish
+# median [min..max] variance bars (round-5: serial rows moved 80->141 ms
+# between round captures on relay weather; single numbers mislead)
+
+
+def time_range() -> str:
+    """"[min..max]" of the most recent timed()/timed_vary() reps."""
+    if not LAST_TIMES:
+        return ""
+    return f"[{min(LAST_TIMES):.1f}..{max(LAST_TIMES):.1f}]"
+
+
 def timed(fn, runs):
     fn()  # warm-up / compile
     times = []
@@ -82,6 +95,7 @@ def timed(fn, runs):
         t0 = time.perf_counter()
         out = fn()
         times.append((time.perf_counter() - t0) * 1e3)
+    LAST_TIMES[:] = times
     return float(np.median(times)), out
 
 
@@ -195,6 +209,7 @@ def timed_vary(fn, runs):
         t0 = time.perf_counter()
         out = fn(i + 1)
         times.append((time.perf_counter() - t0) * 1e3)
+    LAST_TIMES[:] = times
     return float(np.median(times)), out
 
 
@@ -209,7 +224,7 @@ def _row_maha_host(name, minimizer, runs):
     )
     err = np.linalg.norm(res.pose.translation - true_pose.translation)
     return (name, f"{ms:.2f} ms", f"{float(res.summaries[-1].final_cost):.1f}",
-            f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
+            f"{time_range()} t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
 
 
 def _row_maha_simple_autodiff(runs):
@@ -329,7 +344,7 @@ def _row_maha_dof(name, planar, runs):
     )
     err = np.linalg.norm(res.pose.translation[:2] - true_pose.translation[:2])
     return (name, f"{ms:.2f} ms", f"{res.final_cost:.1f}",
-            f"xy_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
+            f"{time_range()} xy_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
 
 
 MAHA_DOF_ROWS = {
@@ -607,7 +622,7 @@ def _row_reproj_serial(name, backend, runs):
     expected = true_pose.inverse()
     err = np.linalg.norm(pose.translation - expected.translation)
     return (name, f"{ms:.2f} ms", f"{float(summary.final_cost):.2e}",
-            f"iters={int(summary.iterations)} t_err={err:.2e}")
+            f"{time_range()} iters={int(summary.iterations)} t_err={err:.2e}")
 
 
 def _row_reproj_batch(B, runs):
@@ -925,9 +940,10 @@ def bench_pose_graph(runs):
     rows.append(
         ("dense, 80-pose ref fixture", f"{ms:.2f} ms",
          f"{float(summary.final_cost):.2e}",
-         f"maxerr={err * 1e3:.1f}mm outlier_sw={sw[-1]:.3f}")
+         f"{time_range()} maxerr={err * 1e3:.1f}mm "
+         f"outlier_sw={sw[-1]:.3f}")
     )
-    log(f"  dense: {ms:.2f} ms")
+    log(f"  dense: {ms:.2f} ms {time_range()}")
 
     # batched serving: B measurement realizations of the 80-pose graph as
     # ONE vmapped device program (PoseGraphOptimizer.solve_batch), every
@@ -1852,6 +1868,36 @@ def bench_slam_extras(runs):
          f"(dense coupling would be ~6 GB)")
     )
     log(f"  landmark SLAM sparse city: {ms:.0f} ms (err {err5:.2e})")
+
+    # round-5: selected-inverse marginals at the same city scale — the
+    # landmark Schur complement threaded through the multifrontal
+    # Takahashi machinery (covariance(method='sparse')); the dense
+    # joint inverse (dim 6P+3M = 75k) cannot run at all
+    try:
+        t0 = time.perf_counter()
+        cov5 = big_lm.covariance(method="sparse")
+        cov_ms = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        lcov5 = big_lm.landmark_covariance(method="sparse")
+        lcov_ms = (time.perf_counter() - t0) * 1e3
+        sig_mid = float(np.sqrt(np.trace(cov5[P5 // 2][:3, :3]) / 3))
+        rows.append(
+            (f"sparse marginals ({P5}x{M5}, all blocks)",
+             f"{cov_ms:.0f} ms",
+             "(uncertainty)",
+             f"pose+landmark covariance via Takahashi selected inverse; "
+             f"landmark pass (cached factor) {lcov_ms:.0f} ms; "
+             f"mid-trajectory sigma_t={sig_mid:.2f} m; dense joint "
+             f"inverse would be 75k^2")
+        )
+        log(f"  sparse marginals: {cov_ms:.0f} ms + {lcov_ms:.0f} ms")
+        del cov5, lcov5
+    except Exception as e:  # keep the table robust (f32 device query)
+        rows.append(
+            (f"sparse marginals ({P5}x{M5})", "FAILED", "-",
+             f"{type(e).__name__}: {e}")
+        )
+        log(f"  sparse marginals FAILED: {e}")
 
     # --- landmark SLAM, 2-D (victoria-park shape): 1,000 poses, 300
     # landmarks, ~8 observations per pose
