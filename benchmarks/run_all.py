@@ -262,7 +262,7 @@ def _row_maha_simple_fused(runs):
     )
     err = np.linalg.norm(res.pose.translation - true_pose.translation)
     return ("fused device-resident ICP", f"{ms:.2f} ms", f"{res.final_cost:.1f}",
-            f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
+            f"{time_range()} t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
 
 
 def _row_maha_simple_p2p(runs):
@@ -278,7 +278,7 @@ def _row_maha_simple_p2p(runs):
     err = np.linalg.norm(res.pose.translation - true_pose.translation)
     return ("point-to-plane fused ICP (ref: TBD)", f"{ms:.2f} ms",
             f"{res.final_cost:.4f}",
-            f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
+            f"{time_range()} t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
 
 
 def _row_maha_simple_d2d(runs):
@@ -295,7 +295,7 @@ def _row_maha_simple_d2d(runs):
     err = np.linalg.norm(res.pose.translation - true_pose.translation)
     return ("D2D-NDT/GICP coarse (no ref impl)", f"{ms:.2f} ms",
             f"{float(res.summaries[-1].final_cost):.4f}",
-            f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
+            f"{time_range()} t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
 
 
 def _row_maha_simple_d2d_fused(runs):
@@ -310,7 +310,7 @@ def _row_maha_simple_d2d_fused(runs):
     err = np.linalg.norm(res.pose.translation - true_pose.translation)
     return ("D2D fused single-dispatch", f"{ms:.2f} ms",
             f"{res.final_cost:.4f}",
-            f"t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
+            f"{time_range()} t_err={err * 1e3:.2f}mm outer={res.outer_iterations}")
 
 
 MAHA_SIMPLE_ROWS = {

@@ -1041,7 +1041,10 @@ class PoseGraphOptimizer:
             coords=np.asarray(positions, np.float64),
             leaf_size=16,
         )
-        flat["sparse"] = dict(plan=plan)
+        acc = multifrontal.accumulate_rounds(
+            flat["P"], flat["ref_idx"], flat["query_idx"]
+        )
+        flat["sparse"] = dict(plan=plan, acc=acc)
         return flat["sparse"]
 
     def _materialize(self) -> None:
@@ -1225,6 +1228,7 @@ class PoseGraphOptimizer:
                 sp["plan"],
                 options,
                 self.mesh,
+                jnp.asarray(sp["acc"]),
             )
         elif solver == "banded":
             bd = self._flatten_banded(flat)
@@ -2631,8 +2635,9 @@ class PoseGraphOptimizer2D:
             P, ref_np, qry_np, d=3, coords=np.asarray(xyt[:, :2], np.float64),
             leaf_size=32,
         )
-        self._sparse_plan = (key, plan)
-        return plan
+        acc = multifrontal.accumulate_rounds(P, ref_np, qry_np)
+        self._sparse_plan = (key, (plan, acc))
+        return plan, acc
 
     def solve(self, options: Optional[Options] = None):
         if options is None:
@@ -2654,13 +2659,13 @@ class PoseGraphOptimizer2D:
                 np.asarray(edges.query_indices, np.int64),
                 np.asarray(edges.is_loop),
                 3,
-                plan_fn=lambda: self._sparse_symbolic(P, edges, xyt),
+                plan_fn=lambda: self._sparse_symbolic(P, edges, xyt)[0],
                 allow_tridiag=False,
             )
         self.last_solver_choice = solver
 
         if solver == "sparse":
-            plan = self._sparse_symbolic(P, edges, xyt)
+            plan, acc = self._sparse_symbolic(P, edges, xyt)
             out_xyt, sw, summary = _pose_graph_2d_solve_sparse(
                 jnp.asarray(xyt, dtype),
                 jnp.ones((L,), dtype),
@@ -2672,6 +2677,7 @@ class PoseGraphOptimizer2D:
                 L,
                 plan,
                 options,
+                jnp.asarray(acc),
             )
         elif solver == "banded":
             # HOST symbolic phase (same recipe as the 3D optimizer's
@@ -2962,7 +2968,7 @@ class PoseGraphOptimizer2D:
                 # dissection tree) — device-batched, see multifrontal.py
                 from . import multifrontal
 
-                plan = self._sparse_symbolic(
+                plan, _ = self._sparse_symbolic(
                     P,
                     PoseGraph2DEdges(
                         reference_indices=jnp.asarray(ref_i, jnp.int32),
@@ -4115,6 +4121,7 @@ def _pose_graph_solve_sparse(
     plan,  # multifrontal.Plan from _flatten_sparse
     options: Options,
     mesh=None,  # optional Mesh("factors"): fronts partitioned by XLA SPMD
+    acc_rounds=None,  # (kmax, P) multifrontal.accumulate_rounds maps
 ):
     """Direct LM via nested-dissection multifrontal block-sparse
     Cholesky (solvers/multifrontal.py — see its module docstring for the
@@ -4150,8 +4157,23 @@ def _pose_graph_solve_sparse(
     fixed_p = (1.0 - free_mask)[:, None]
 
     def accumulate_pose(contrib_ref, contrib_qry):
-        out = jnp.zeros((P,) + contrib_ref.shape[1:], dtype)
-        return out.at[ref_i].add(contrib_ref).at[qry_i].add(contrib_qry)
+        if acc_rounds is None:
+            out = jnp.zeros((P,) + contrib_ref.shape[1:], dtype)
+            return out.at[ref_i].add(contrib_ref).at[qry_i].add(contrib_qry)
+        # scatter-free gather rounds (multifrontal.accumulate_rounds).
+        # Honest measurement note: replacing these per-edge scatter-adds
+        # changed manhattan10000 end-to-end within noise (~1.2 s both
+        # ways) — the sparse path's per-iteration cost is NOT scatter-
+        # bound at city scale; kept because the gather form is never
+        # the serializing op and composes with higher-degree graphs.
+        src = jnp.concatenate(
+            [contrib_ref, contrib_qry,
+             jnp.zeros((1,) + contrib_ref.shape[1:], dtype)]
+        )
+        out = src[acc_rounds[0]]
+        for t in range(1, acc_rounds.shape[0]):
+            out = out + src[acc_rounds[t]]
+        return out
 
     def eval_quadratic(params):
         pose_params, switches = params
@@ -4222,8 +4244,9 @@ def _pose_graph_solve_sparse(
             Jac = jnp.sum(J_ref * c[:, :, None], axis=1)  # (E, bd)
             Jbc = jnp.sum(J_query * c[:, :, None], axis=1)
             coef = inv_gamma * g_s[loop_slot]
-            b_p = b_p.at[ref_i].add(Jac * coef[:, None])
-            b_p = b_p.at[qry_i].add(Jbc * coef[:, None])
+            b_p = b_p + accumulate_pose(
+                Jac * coef[:, None], Jbc * coef[:, None]
+            )
             B_aa = B_aa - inv_gamma[:, None, None] * (
                 Jac[:, :, None] * Jac[:, None, :]
             )
@@ -4278,6 +4301,7 @@ def _pose_graph_2d_solve_sparse(
     num_loops: int,
     plan,  # multifrontal.Plan
     options: Options,
+    acc_rounds=None,  # (kmax, P) multifrontal.accumulate_rounds maps
 ):
     """SE(2) nested-dissection multifrontal direct solver: the 3-DoF
     analog of :func:`_pose_graph_solve_sparse` (which see, and
@@ -4307,8 +4331,23 @@ def _pose_graph_2d_solve_sparse(
     fixed_p = (1.0 - free_mask)[:, None]
 
     def accumulate_pose(contrib_ref, contrib_qry):
-        out = jnp.zeros((P,) + contrib_ref.shape[1:], dtype)
-        return out.at[ref_i].add(contrib_ref).at[qry_i].add(contrib_qry)
+        if acc_rounds is None:
+            out = jnp.zeros((P,) + contrib_ref.shape[1:], dtype)
+            return out.at[ref_i].add(contrib_ref).at[qry_i].add(contrib_qry)
+        # scatter-free gather rounds (multifrontal.accumulate_rounds).
+        # Honest measurement note: replacing these per-edge scatter-adds
+        # changed manhattan10000 end-to-end within noise (~1.2 s both
+        # ways) — the sparse path's per-iteration cost is NOT scatter-
+        # bound at city scale; kept because the gather form is never
+        # the serializing op and composes with higher-degree graphs.
+        src = jnp.concatenate(
+            [contrib_ref, contrib_qry,
+             jnp.zeros((1,) + contrib_ref.shape[1:], dtype)]
+        )
+        out = src[acc_rounds[0]]
+        for t in range(1, acc_rounds.shape[0]):
+            out = out + src[acc_rounds[t]]
+        return out
 
     def eval_quadratic(params):
         xyt, switches = params
@@ -4374,8 +4413,9 @@ def _pose_graph_2d_solve_sparse(
             Jac = jnp.sum(J_ref * c[:, :, None], axis=1)
             Jbc = jnp.sum(J_query * c[:, :, None], axis=1)
             coef = inv_gamma * g_s[loop_slot]
-            b_p = b_p.at[ref_i].add(Jac * coef[:, None])
-            b_p = b_p.at[qry_i].add(Jbc * coef[:, None])
+            b_p = b_p + accumulate_pose(
+                Jac * coef[:, None], Jbc * coef[:, None]
+            )
             B_aa = B_aa - inv_gamma[:, None, None] * (
                 Jac[:, :, None] * Jac[:, None, :]
             )
