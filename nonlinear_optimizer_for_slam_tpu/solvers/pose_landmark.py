@@ -762,20 +762,37 @@ class PoseLandmarkOptimizer:
             P, e_a, e_b, d=6, coords=lin["pos"], leaf_size=16
         )
 
-        # one jitted program for the whole numeric phase: run eagerly,
+        # One jitted program for the whole numeric phase — run eagerly,
         # factor + Takahashi dispatch ~1,100 primitive programs and the
         # XLA compiles dominate (measured 34 s of a 56 s query at
-        # 5,000x15,000); fused it is one compile and ~seconds
+        # 5,000x15,000); fused it is one compile and ~seconds.
+        # ON THE HOST CPU BACKEND under a scoped x64 context: covariance
+        # is a host-facing offline query, the dense reference path is
+        # host f64, and the Takahashi front covariances of a city-scale
+        # co-visibility graph are GB-scale transients — the fused
+        # program run on the accelerator crashed the TPU worker
+        # (HBM exhaustion) at 5,000x15,000 and would be f32 anyway
+        # when x64 is off. Host f64: exact, 13.6 s at that scale.
         def _numeric(Baa, Bbb, Bab, dg):
             fact = multifrontal.factor(plan, Baa, Bbb, Bab, dg)
             return multifrontal.selected_inverse_pairs(
                 plan, fact, pair_a, pair_b
             )
 
-        sig_diag, sig_pairs = jax.jit(_numeric)(
-            jnp.asarray(B_aa), jnp.asarray(B_bb), jnp.asarray(B_ab),
-            jnp.asarray(diag),
-        )
+        try:
+            _enable_x64 = jax.enable_x64  # JAX >= 0.9
+        except AttributeError:  # pragma: no cover
+            _enable_x64 = jax.experimental.enable_x64
+        cpu = jax.devices("cpu")[0]
+        with _enable_x64(True), jax.default_device(cpu):
+            sig_diag, sig_pairs = jax.jit(_numeric)(
+                jnp.asarray(B_aa, jnp.float64),
+                jnp.asarray(B_bb, jnp.float64),
+                jnp.asarray(B_ab, jnp.float64),
+                jnp.asarray(diag, jnp.float64),
+            )
+            sig_diag = np.asarray(sig_diag)
+            sig_pairs = np.asarray(sig_pairs)
         sig_diag = np.asarray(sig_diag, np.float64)
         sig_pairs = np.asarray(sig_pairs, np.float64)
         if not np.all(np.isfinite(sig_diag)):
