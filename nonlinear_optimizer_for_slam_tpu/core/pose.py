@@ -29,6 +29,59 @@ def np_quat_to_rotmat(q: np.ndarray) -> np.ndarray:
     )
 
 
+def np_quat_to_rotmat_batch(q: np.ndarray) -> np.ndarray:
+    """(N, 4) (w, x, y, z) quaternions -> (N, 3, 3) rotations, fully
+    vectorized (round 5: the per-edge python-loop conversion cost
+    ~200 ms alone on a 29k-edge chordal init)."""
+    q = np.asarray(q, np.float64)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty((len(q), 3, 3))
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - w * z)
+    R[:, 0, 2] = 2 * (x * z + w * y)
+    R[:, 1, 0] = 2 * (x * y + w * z)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - w * x)
+    R[:, 2, 0] = 2 * (x * z - w * y)
+    R[:, 2, 1] = 2 * (y * z + w * x)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def np_rotmat_to_quat_batch(R: np.ndarray) -> np.ndarray:
+    """(N, 3, 3) rotations -> (N, 4) unit quaternions (w, x, y, z);
+    vectorized Shepperd best-candidate selection matching
+    :func:`np_rotmat_to_quat` row for row."""
+    R = np.asarray(R, np.float64)
+    m00, m01, m02 = R[:, 0, 0], R[:, 0, 1], R[:, 0, 2]
+    m10, m11, m12 = R[:, 1, 0], R[:, 1, 1], R[:, 1, 2]
+    m20, m21, m22 = R[:, 2, 0], R[:, 2, 1], R[:, 2, 2]
+    tr = m00 + m11 + m22
+    scores = np.stack(
+        [1.0 + tr, 1.0 + m00 - m11 - m22, 1.0 - m00 + m11 - m22,
+         1.0 - m00 - m11 + m22], axis=1
+    )
+    best = np.argmax(scores, axis=1)
+    s = 2.0 * np.sqrt(
+        np.maximum(scores[np.arange(len(R)), best], 0.0) + 1e-30
+    )
+    cands = np.stack(
+        [
+            np.stack([0.25 * s, (m21 - m12) / s, (m02 - m20) / s,
+                      (m10 - m01) / s], axis=1),
+            np.stack([(m21 - m12) / s, 0.25 * s, (m01 + m10) / s,
+                      (m02 + m20) / s], axis=1),
+            np.stack([(m02 - m20) / s, (m01 + m10) / s, 0.25 * s,
+                      (m12 + m21) / s], axis=1),
+            np.stack([(m10 - m01) / s, (m02 + m20) / s, (m12 + m21) / s,
+                      0.25 * s], axis=1),
+        ],
+        axis=1,
+    )  # (N, 4 candidates, 4)
+    q = cands[np.arange(len(R)), best]
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
 def np_rotmat_to_quat(R: np.ndarray) -> np.ndarray:
     """3x3 rotation matrix -> unit quaternion (w, x, y, z) (numpy,
     Shepperd-style best-candidate selection)."""

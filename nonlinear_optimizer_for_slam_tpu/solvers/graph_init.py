@@ -24,13 +24,19 @@ from hand-noised ground truth); this module provides both, TPU-shaped:
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.pose import np_quat_to_rotmat, np_rotmat_to_quat
+from ..core.pose import (
+    np_quat_to_rotmat,
+    np_quat_to_rotmat_batch,
+    np_rotmat_to_quat,
+    np_rotmat_to_quat_batch,
+)
 
 Array = jax.Array
 
@@ -130,9 +136,7 @@ def chordal_init(
     ri = jnp.asarray(ref_idx, jnp.int32)
     qi = jnp.asarray(query_idx, jnp.int32)
     Re = jnp.asarray(
-        np.stack([np_quat_to_rotmat(q) for q in rel_q])
-        if E
-        else np.zeros((0, 3, 3)),
+        np_quat_to_rotmat_batch(rel_q) if E else np.zeros((0, 3, 3)),
         dtype,
     )
     te = jnp.asarray(rel_t, dtype)
@@ -153,6 +157,27 @@ def chordal_init(
     np.add.at(deg, ref_idx, 1.0)
     np.add.at(deg, query_idx, 1.0)
     deg = jnp.asarray(deg, dtype)
+
+    # ONE jitted program for both CG stages (round 5: run eagerly this
+    # was ~700 ms of per-primitive dispatch/fetch on a 10k-pose graph;
+    # fused it is one dispatch + one fetch)
+    R, t = _chordal_core_3d(
+        ri, qi, Re, te, m, Xa, ta, deg, cg_tol,
+        num_poses=P, cg_iterations=cg_iterations,
+    )
+    t_np = np.asarray(jax.device_get(t), np.float64)
+    R_np = np.asarray(jax.device_get(R), np.float64)
+    quats = np_rotmat_to_quat_batch(R_np)
+    return t_np, quats
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_poses", "cg_iterations")
+)
+def _chordal_core_3d(
+    ri, qi, Re, te, m, Xa, ta, deg, cg_tol, *, num_poses, cg_iterations
+):
+    P = num_poses
 
     def rot_normal_op(V):
         V = V * m
@@ -198,11 +223,7 @@ def chordal_init(
     ) * mt
     tf = _cg_graph_solve(tr_normal_op, bt, deg[:, None], cg_iterations, cg_tol)
     t = tf * mt + ta
-
-    t_np = np.asarray(jax.device_get(t), np.float64)
-    R_np = np.asarray(jax.device_get(R), np.float64)
-    quats = np.stack([np_rotmat_to_quat(r) for r in R_np])
-    return t_np, quats
+    return R, t
 
 
 # ---------------------------------------------------------------------------
@@ -277,9 +298,17 @@ def chordal_init_2d(
     P, E = num_poses, len(ref_idx)
     ri = jnp.asarray(ref_idx, jnp.int32)
     qi = jnp.asarray(query_idx, jnp.int32)
-    Re = jnp.asarray(
-        np.stack([_rot2(x[2]) for x in rel_xyt]) if E else np.zeros((0, 2, 2))
-    )
+    if E:
+        th = rel_xyt[:, 2]
+        c_, s_ = np.cos(th), np.sin(th)
+        Re_np = np.empty((E, 2, 2))
+        Re_np[:, 0, 0] = c_
+        Re_np[:, 0, 1] = -s_
+        Re_np[:, 1, 0] = s_
+        Re_np[:, 1, 1] = c_
+    else:
+        Re_np = np.zeros((0, 2, 2))
+    Re = jnp.asarray(Re_np)
     te = jnp.asarray(rel_xyt[:, :2] if E else np.zeros((0, 2)))
 
     free = np.ones(P)
@@ -297,6 +326,25 @@ def chordal_init_2d(
     np.add.at(deg, ref_idx, 1.0)
     np.add.at(deg, query_idx, 1.0)
     deg = jnp.asarray(deg)[:, None]
+
+    # one jitted program (see _chordal_core_3d)
+    v_out, t_out = _chordal_core_2d(
+        ri, qi, Re, te, m, va, ta, deg, cg_tol,
+        num_poses=P, cg_iterations=cg_iterations,
+    )
+    v_np = np.asarray(jax.device_get(v_out), np.float64)
+    t_np = np.asarray(jax.device_get(t_out), np.float64)
+    theta = np.arctan2(v_np[:, 1], v_np[:, 0])
+    return np.concatenate([t_np, theta[:, None]], axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_poses", "cg_iterations")
+)
+def _chordal_core_2d(
+    ri, qi, Re, te, m, va, ta, deg, cg_tol, *, num_poses, cg_iterations
+):
+    P = num_poses
 
     def rot_op(v):
         v = v * m
@@ -343,8 +391,4 @@ def chordal_init_2d(
     ) * m
     tf = _cg_graph_solve(tr_op, bt, deg, cg_iterations, cg_tol)
     t = tf * m + ta
-
-    v_np = np.asarray(jax.device_get(v), np.float64)
-    t_np = np.asarray(jax.device_get(t), np.float64)
-    theta = np.arctan2(v_np[:, 1], v_np[:, 0])
-    return np.concatenate([t_np, theta[:, None]], axis=1)
+    return v, t
