@@ -1321,8 +1321,9 @@ class PoseGraphOptimizer:
                 prior_offset,
             )
         # one batched device->host fetch (separate fetches each pay the
-        # runtime's ~30 ms completion-poll quantum)
-        pos, quat, sw = jax.device_get((pos, quat, sw))
+        # runtime's ~30 ms completion-poll quantum; the summary scalars
+        # ride along so later int(summary.iterations) reads are free)
+        pos, quat, sw, summary = jax.device_get((pos, quat, sw, summary))
         # np.array copies: device_get buffers are read-only and the packed
         # cache is updated in place by later set_pose calls
         pos = np.array(pos, np.float64)
@@ -2752,6 +2753,11 @@ class PoseGraphOptimizer2D:
                 L,
                 options,
             )
+        # ONE batched fetch for every output incl. the summary scalars
+        # (round 5: each separate np.asarray(device_array) fetch cost
+        # ~600 ms through the relay on a 10k-pose solve — 4 of them were
+        # 2.4 s of a 2.6 s wall whose device program runs in ~2 ms)
+        out_xyt, sw, summary = jax.device_get((out_xyt, sw, summary))
         out = np.asarray(out_xyt, np.float64)
         for i, pi in enumerate(indices):
             # wrap theta on write-back (the SE(2) analog of quaternion
