@@ -691,135 +691,8 @@ class PoseLandmarkOptimizer:
         (multifrontal.selected_inverse_pairs)."""
         if getattr(self, "_sparse_cov_cache", None) is not None:
             return self._sparse_cov_cache
-        from . import multifrontal
-
         lin = self._tangent_linearization()
-        P, M = lin["P"], lin["M"]
-        free_p, free_l = lin["free_p"], lin["free_l"]
-        J_pose, J_lm, o_pi, o_li = lin["obs"]
-
-        # aggregate observations per (pose, landmark): W_pl cross blocks
-        # and per-landmark D blocks
-        key = o_pi.astype(np.int64) * M + o_li
-        ukey, inv = np.unique(key, return_inverse=True)
-        e_pose = (ukey // M).astype(np.int64)
-        e_lm = (ukey % M).astype(np.int64)
-        nE = len(ukey)
-        W_pl = np.zeros((nE, 6, 3))
-        np.add.at(W_pl, inv, np.einsum("odi,odj->oij", J_pose, J_lm))
-        D = np.zeros((M, 3, 3))
-        np.add.at(D, o_li, np.einsum("odi,odj->oij", J_lm, J_lm))
-        U = np.zeros((P, 6, 6))
-        np.add.at(U, o_pi, np.einsum("odi,odj->oij", J_pose, J_pose))
-
-        # D^-1 per free landmark (constant landmarks have zeroed J_lm;
-        # pad their D with identity, then zero the result)
-        D_pad = D + (1.0 - free_l)[:, None, None] * np.eye(3)
-        try:
-            Dinv = np.linalg.inv(D_pad)
-        except np.linalg.LinAlgError as exc:
-            raise ValueError(
-                "covariance: landmark information is singular — "
-                "unobserved free landmarks"
-            ) from exc
-        Dinv *= free_l[:, None, None]
-
-        # Schur downdates over co-visibility structure of the DEDUPED
-        # (pose, landmark) entries (same-pose pairs impossible after
-        # dedup, so dg_* are empty)
-        pair_a, pair_b, pr_i, pr_j, pair_slot, _, _ = build_covis_pairs(
-            e_pose, e_lm
-        )
-        X = np.einsum("eij,ejk->eik", W_pl, Dinv[e_lm])  # (nE, 6, 3)
-        # diagonal downdate per entry: -X_e W_e^T at pose(e)
-        np.add.at(U, e_pose, -np.einsum("eij,ekj->eik", X, W_pl))
-        npairs = len(pair_a)
-        cross = np.zeros((npairs, 6, 6))
-        np.add.at(
-            cross, pair_slot,
-            -np.einsum("kij,klj->kil", X[pr_i], W_pl[pr_j]),
-        )
-
-        # reduced-system edges: pose-pose constraints + covis fill pairs
-        if lin["edge"] is not None:
-            J_ref, J_qry, ref_i, qry_i = lin["edge"]
-            Ea = np.einsum("edi,edj->eij", J_ref, J_ref)
-            Eb = np.einsum("edi,edj->eij", J_qry, J_qry)
-            Eab = np.einsum("edi,edj->eij", J_ref, J_qry)
-            e_a = np.concatenate([ref_i.astype(np.int64), pair_a])
-            e_b = np.concatenate([qry_i.astype(np.int64), pair_b])
-            B_aa = np.concatenate([Ea, np.zeros((npairs, 6, 6))])
-            B_bb = np.concatenate([Eb, np.zeros((npairs, 6, 6))])
-            B_ab = np.concatenate([Eab, cross])
-        else:
-            e_a, e_b = pair_a, pair_b
-            B_aa = np.zeros((npairs, 6, 6))
-            B_bb = np.zeros((npairs, 6, 6))
-            B_ab = cross
-        diag = U + (1.0 - free_p)[:, None, None] * np.eye(6)
-
-        plan = multifrontal.symbolic(
-            P, e_a, e_b, d=6, coords=lin["pos"], leaf_size=16
-        )
-
-        # One jitted program for the whole numeric phase — run eagerly,
-        # factor + Takahashi dispatch ~1,100 primitive programs and the
-        # XLA compiles dominate (measured 34 s of a 56 s query at
-        # 5,000x15,000); fused it is one compile and ~seconds.
-        # ON THE HOST CPU BACKEND under a scoped x64 context: covariance
-        # is a host-facing offline query, the dense reference path is
-        # host f64, and the Takahashi front covariances of a city-scale
-        # co-visibility graph are GB-scale transients — the fused
-        # program run on the accelerator crashed the TPU worker
-        # (HBM exhaustion) at 5,000x15,000 and would be f32 anyway
-        # when x64 is off. Host f64: exact, 13.6 s at that scale.
-        def _numeric(Baa, Bbb, Bab, dg):
-            fact = multifrontal.factor(plan, Baa, Bbb, Bab, dg)
-            return multifrontal.selected_inverse_pairs(
-                plan, fact, pair_a, pair_b
-            )
-
-        try:
-            _enable_x64 = jax.enable_x64  # JAX >= 0.9
-        except AttributeError:  # pragma: no cover
-            _enable_x64 = jax.experimental.enable_x64
-        cpu = jax.devices("cpu")[0]
-        with _enable_x64(True), jax.default_device(cpu):
-            sig_diag, sig_pairs = jax.jit(_numeric)(
-                jnp.asarray(B_aa, jnp.float64),
-                jnp.asarray(B_bb, jnp.float64),
-                jnp.asarray(B_ab, jnp.float64),
-                jnp.asarray(diag, jnp.float64),
-            )
-            sig_diag = np.asarray(sig_diag)
-            sig_pairs = np.asarray(sig_pairs)
-        sig_diag = np.asarray(sig_diag, np.float64)
-        sig_pairs = np.asarray(sig_pairs, np.float64)
-        if not np.all(np.isfinite(sig_diag)):
-            raise ValueError(
-                "covariance: information matrix is singular — "
-                "under-constrained graph (unobserved landmarks or "
-                "disconnected poses)"
-            )
-        pose_blocks = sig_diag * free_p[:, None, None]
-
-        # landmark back-propagation: M_l = sum W^T Sigma_p W over the
-        # (a, a) diagonal and both orientations of each (a, b) pair
-        Mk = np.zeros((M, 3, 3))
-        np.add.at(
-            Mk, e_lm,
-            np.einsum("eji,ejk,ekl->eil", W_pl, sig_diag[e_pose], W_pl),
-        )
-        if npairs:
-            Sab = np.einsum(
-                "kji,kjl,klm->kim", W_pl[pr_i], sig_pairs[pair_slot],
-                W_pl[pr_j],
-            )  # (ncontrib, 3, 3), lm(pr_i) == lm(pr_j)
-            np.add.at(Mk, e_lm[pr_i], Sab + np.swapaxes(Sab, 1, 2))
-        lm_blocks = Dinv + np.einsum(
-            "lij,ljk,lkm->lim", Dinv, Mk, Dinv
-        )
-        lm_blocks *= free_l[:, None, None]
+        pose_blocks, lm_blocks = _sparse_marginals_from_lin(lin, dp=6, dl=3)
         self._sparse_cov_cache = (
             pose_blocks, lm_blocks, lin["pose_of"], lin["lm_of"]
         )
@@ -967,6 +840,142 @@ class PoseLandmarkOptimizer:
         Sigma[np.ix_(kk, kk)] = Sigma_red
         self._cov_cache = (Sigma, pose_of, lm_of)
         return self._cov_cache
+
+
+def _sparse_marginals_from_lin(lin, dp: int, dl: int):
+    """Generic sparse selected-inverse marginals engine shared by the
+    SE(3) (dp=6, dl=3) and SE(2) (dp=3, dl=2) landmark optimizers —
+    see PoseLandmarkOptimizer._sparse_marginals for the derivation.
+    ``lin`` is a _tangent_linearization()-shaped dict."""
+    from . import multifrontal
+
+    P, M = lin["P"], lin["M"]
+    free_p, free_l = lin["free_p"], lin["free_l"]
+    J_pose, J_lm, o_pi, o_li = lin["obs"]
+
+    # aggregate observations per (pose, landmark): W_pl cross blocks
+    # and per-landmark D blocks
+    key = o_pi.astype(np.int64) * M + o_li
+    ukey, inv = np.unique(key, return_inverse=True)
+    e_pose = (ukey // M).astype(np.int64)
+    e_lm = (ukey % M).astype(np.int64)
+    nE = len(ukey)
+    W_pl = np.zeros((nE, dp, dl))
+    np.add.at(W_pl, inv, np.einsum("odi,odj->oij", J_pose, J_lm))
+    D = np.zeros((M, dl, dl))
+    np.add.at(D, o_li, np.einsum("odi,odj->oij", J_lm, J_lm))
+    U = np.zeros((P, dp, dp))
+    np.add.at(U, o_pi, np.einsum("odi,odj->oij", J_pose, J_pose))
+
+    # D^-1 per free landmark (constant landmarks have zeroed J_lm;
+    # pad their D with identity, then zero the result)
+    D_pad = D + (1.0 - free_l)[:, None, None] * np.eye(dl)
+    try:
+        Dinv = np.linalg.inv(D_pad)
+    except np.linalg.LinAlgError as exc:
+        raise ValueError(
+            "covariance: landmark information is singular — "
+            "unobserved free landmarks"
+        ) from exc
+    Dinv *= free_l[:, None, None]
+
+    # Schur downdates over co-visibility structure of the DEDUPED
+    # (pose, landmark) entries (same-pose pairs impossible after
+    # dedup, so dg_* are empty)
+    pair_a, pair_b, pr_i, pr_j, pair_slot, _, _ = build_covis_pairs(
+        e_pose, e_lm
+    )
+    X = np.einsum("eij,ejk->eik", W_pl, Dinv[e_lm])  # (nE, dp, dl)
+    # diagonal downdate per entry: -X_e W_e^T at pose(e)
+    np.add.at(U, e_pose, -np.einsum("eij,ekj->eik", X, W_pl))
+    npairs = len(pair_a)
+    cross = np.zeros((npairs, dp, dp))
+    np.add.at(
+        cross, pair_slot,
+        -np.einsum("kij,klj->kil", X[pr_i], W_pl[pr_j]),
+    )
+
+    # reduced-system edges: pose-pose constraints + covis fill pairs
+    if lin["edge"] is not None:
+        J_ref, J_qry, ref_i, qry_i = lin["edge"]
+        Ea = np.einsum("edi,edj->eij", J_ref, J_ref)
+        Eb = np.einsum("edi,edj->eij", J_qry, J_qry)
+        Eab = np.einsum("edi,edj->eij", J_ref, J_qry)
+        e_a = np.concatenate([ref_i.astype(np.int64), pair_a])
+        e_b = np.concatenate([qry_i.astype(np.int64), pair_b])
+        B_aa = np.concatenate([Ea, np.zeros((npairs, dp, dp))])
+        B_bb = np.concatenate([Eb, np.zeros((npairs, dp, dp))])
+        B_ab = np.concatenate([Eab, cross])
+    else:
+        e_a, e_b = pair_a, pair_b
+        B_aa = np.zeros((npairs, dp, dp))
+        B_bb = np.zeros((npairs, dp, dp))
+        B_ab = cross
+    diag = U + (1.0 - free_p)[:, None, None] * np.eye(dp)
+
+    plan = multifrontal.symbolic(
+        P, e_a, e_b, d=dp, coords=lin["pos"], leaf_size=16
+    )
+
+    # One jitted program for the whole numeric phase — run eagerly,
+    # factor + Takahashi dispatch ~1,100 primitive programs and the
+    # XLA compiles dominate (measured 34 s of a 56 s query at
+    # 5,000x15,000); fused it is one compile and ~seconds.
+    # ON THE HOST CPU BACKEND under a scoped x64 context: covariance
+    # is a host-facing offline query, the dense reference path is
+    # host f64, and the Takahashi front covariances of a city-scale
+    # co-visibility graph are GB-scale transients — the fused
+    # program run on the accelerator crashed the TPU worker
+    # (HBM exhaustion) at 5,000x15,000 and would be f32 anyway
+    # when x64 is off. Host f64: exact, 13.6 s at that scale.
+    def _numeric(Baa, Bbb, Bab, dg):
+        fact = multifrontal.factor(plan, Baa, Bbb, Bab, dg)
+        return multifrontal.selected_inverse_pairs(
+            plan, fact, pair_a, pair_b
+        )
+
+    try:
+        _enable_x64 = jax.enable_x64  # JAX >= 0.9
+    except AttributeError:  # pragma: no cover
+        _enable_x64 = jax.experimental.enable_x64
+    cpu = jax.devices("cpu")[0]
+    with _enable_x64(True), jax.default_device(cpu):
+        sig_diag, sig_pairs = jax.jit(_numeric)(
+            jnp.asarray(B_aa, jnp.float64),
+            jnp.asarray(B_bb, jnp.float64),
+            jnp.asarray(B_ab, jnp.float64),
+            jnp.asarray(diag, jnp.float64),
+        )
+        sig_diag = np.asarray(sig_diag)
+        sig_pairs = np.asarray(sig_pairs)
+    sig_diag = np.asarray(sig_diag, np.float64)
+    sig_pairs = np.asarray(sig_pairs, np.float64)
+    if not np.all(np.isfinite(sig_diag)):
+        raise ValueError(
+            "covariance: information matrix is singular — "
+            "under-constrained graph (unobserved landmarks or "
+            "disconnected poses)"
+        )
+    pose_blocks = sig_diag * free_p[:, None, None]
+
+    # landmark back-propagation: M_l = sum W^T Sigma_p W over the
+    # (a, a) diagonal and both orientations of each (a, b) pair
+    Mk = np.zeros((M, dl, dl))
+    np.add.at(
+        Mk, e_lm,
+        np.einsum("eji,ejk,ekl->eil", W_pl, sig_diag[e_pose], W_pl),
+    )
+    if npairs:
+        Sab = np.einsum(
+            "kji,kjl,klm->kim", W_pl[pr_i], sig_pairs[pair_slot],
+            W_pl[pr_j],
+        )  # (ncontrib, dl, dl), lm(pr_i) == lm(pr_j)
+        np.add.at(Mk, e_lm[pr_i], Sab + np.swapaxes(Sab, 1, 2))
+    lm_blocks = Dinv + np.einsum(
+        "lij,ljk,lkm->lim", Dinv, Mk, Dinv
+    )
+    lm_blocks *= free_l[:, None, None]
+    return pose_blocks, lm_blocks
 
 
 def _np_scatter_pair(H, rows_a, rows_b, J_a, J_b):
@@ -1507,10 +1516,16 @@ class PoseLandmark2DOptimizer:
             options=options,
         )
 
-    def covariance(self, indices=None) -> Dict[int, np.ndarray]:
-        """Marginal 3x3 (x, y, theta) pose covariance from the joint
-        pose+landmark information; SE(2) analog of
-        :meth:`PoseLandmarkOptimizer.covariance`."""
+    def covariance(self, indices=None, method="auto") -> Dict[int, np.ndarray]:
+        """Marginal 3x3 (x, y, theta) pose covariance; SE(2) analog of
+        :meth:`PoseLandmarkOptimizer.covariance` incl. the round-5
+        ``method="sparse"`` selected-inverse path (dp=3/dl=2 blocks
+        through the same generic Takahashi engine)."""
+        method = self._pick_cov_method(method)
+        if method == "sparse":
+            pose_blocks, _, pose_of, _ = self._sparse_marginals()
+            ids = self.pose_indices() if indices is None else indices
+            return {pi: pose_blocks[pose_of[pi]].copy() for pi in ids}
         Sigma, pose_of, lm_of = self._joint_covariance()
         ids = self.pose_indices() if indices is None else indices
         return {
@@ -1519,8 +1534,14 @@ class PoseLandmark2DOptimizer:
             for pi in ids
         }
 
-    def landmark_covariance(self, indices=None) -> Dict[int, np.ndarray]:
-        """Marginal 2x2 landmark covariance blocks (joint inverse)."""
+    def landmark_covariance(self, indices=None, method="auto") -> Dict[int, np.ndarray]:
+        """Marginal 2x2 landmark covariance blocks; ``method`` as in
+        :meth:`covariance`."""
+        method = self._pick_cov_method(method)
+        if method == "sparse":
+            _, lm_blocks, _, lm_of = self._sparse_marginals()
+            ids = self.landmark_indices() if indices is None else indices
+            return {li: lm_blocks[lm_of[li]].copy() for li in ids}
         Sigma, pose_of, lm_of = self._joint_covariance()
         base = 3 * len(pose_of)
         ids = self.landmark_indices() if indices is None else indices
@@ -1530,9 +1551,32 @@ class PoseLandmark2DOptimizer:
             for li in ids
         }
 
-    def _joint_covariance(self):
-        if getattr(self, "_cov_cache", None) is not None:
-            return self._cov_cache
+    def _pick_cov_method(self, method: str) -> str:
+        if method not in ("auto", "dense", "sparse"):
+            raise ValueError(f"unknown covariance method {method!r}")
+        if method == "auto":
+            dim = 3 * len(self._poses) + 2 * len(self._landmarks)
+            method = "sparse" if dim > 2400 else "dense"
+        return method
+
+    def _sparse_marginals(self):
+        """SE(2) sparse selected-inverse marginals (round 5): the
+        generic engine with dp=3 pose / dl=2 landmark blocks."""
+        if getattr(self, "_sparse_cov_cache", None) is not None:
+            return self._sparse_cov_cache
+        lin = self._tangent_linearization_2d()
+        pose_blocks, lm_blocks = _sparse_marginals_from_lin(lin, dp=3, dl=2)
+        self._sparse_cov_cache = (
+            pose_blocks, lm_blocks, lin["pose_of"], lin["lm_of"]
+        )
+        return self._sparse_cov_cache
+
+    def _tangent_linearization_2d(self):
+        """Host f64 SE(2) linearization at the current estimates —
+        shared by the dense joint inverse and the sparse selected-
+        inverse marginals (same contract as the SE(3) class's
+        _tangent_linearization; ``pos`` carries the (x, y) coords for
+        the dissection oracle)."""
         if not self._observations:
             raise ValueError("covariance: no observations registered")
         if not self._constant_poses and not self._constant_landmarks:
@@ -1545,14 +1589,12 @@ class PoseLandmark2DOptimizer:
         pose_of = {pi: i for i, pi in enumerate(pose_ids)}
         lm_of = {li: i for i, li in enumerate(lm_ids)}
         P, M = len(pose_ids), len(lm_ids)
-        dim = 3 * P + 2 * M
         xyt = np.stack([self._poses[pi] for pi in pose_ids]).astype(np.float64)
         lms = np.stack([self._landmarks[li] for li in lm_ids]).astype(np.float64)
         free_p = np.array([0.0 if pi in self._constant_poses else 1.0 for pi in pose_ids])
         free_l = np.array([0.0 if li in self._constant_landmarks else 1.0 for li in lm_ids])
-        H = np.zeros((dim, dim))
-        r3 = np.arange(3)
 
+        edge = None
         if self._constraints:
             ref_i = np.array([pose_of[c["reference_index"]] for c in self._constraints])
             qry_i = np.array([pose_of[c["query_index"]] for c in self._constraints])
@@ -1616,9 +1658,7 @@ class PoseLandmark2DOptimizer:
             sw_full = np.where(is_loop > 0, sw[slot] if L else 1.0, 1.0)
             J_ref = J_ref * (sw_full * free_p[ref_i])[:, None, None]
             J_qry = J_qry * (sw_full * free_p[qry_i])[:, None, None]
-            rows_ref = 3 * ref_i[:, None] + r3[None, :]
-            rows_qry = 3 * qry_i[:, None] + r3[None, :]
-            _np_scatter_pair(H, rows_ref, rows_qry, J_ref, J_qry)
+            edge = (J_ref, J_qry, ref_i, qry_i)
 
         # observations
         o_pi = np.array([pose_of[o["pose_index"]] for o in self._observations])
@@ -1651,6 +1691,28 @@ class PoseLandmark2DOptimizer:
             J_lm = J_lm * sw_
         J_pose = J_pose * free_p[o_pi][:, None, None]
         J_lm = J_lm * free_l[o_li][:, None, None]
+        return dict(
+            pose_ids=pose_ids, lm_ids=lm_ids, pose_of=pose_of, lm_of=lm_of,
+            P=P, M=M, pos=xyt[:, :2].copy(), free_p=free_p, free_l=free_l,
+            edge=edge, obs=(J_pose, J_lm, o_pi, o_li),
+        )
+
+    def _joint_covariance(self):
+        if getattr(self, "_cov_cache", None) is not None:
+            return self._cov_cache
+        lin = self._tangent_linearization_2d()
+        P, M = lin["P"], lin["M"]
+        pose_of, lm_of = lin["pose_of"], lin["lm_of"]
+        free_p, free_l = lin["free_p"], lin["free_l"]
+        dim = 3 * P + 2 * M
+        H = np.zeros((dim, dim))
+        r3 = np.arange(3)
+        if lin["edge"] is not None:
+            J_ref, J_qry, ref_i, qry_i = lin["edge"]
+            rows_ref = 3 * ref_i[:, None] + r3[None, :]
+            rows_qry = 3 * qry_i[:, None] + r3[None, :]
+            _np_scatter_pair(H, rows_ref, rows_qry, J_ref, J_qry)
+        J_pose, J_lm, o_pi, o_li = lin["obs"]
         rows_p = 3 * o_pi[:, None] + r3[None, :]
         rows_l = 3 * P + 2 * o_li[:, None] + np.arange(2)[None, :]
         _np_scatter_pair(H, rows_p, rows_l, J_pose, J_lm)

@@ -704,3 +704,63 @@ def test_sparse_marginals_match_dense_joint_inverse():
     assert opt._pick_cov_method("auto") == "dense"
     with pytest.raises(ValueError, match="covariance method"):
         opt.covariance(method="banded")
+
+
+def test_2d_sparse_marginals_match_dense_joint_inverse():
+    """Round-5: the generic selected-inverse marginals engine at SE(2)
+    block dims (dp=3 poses, dl=2 landmarks) must reproduce the 2D
+    dense joint inverse to f64 roundoff, constant landmark included."""
+    from nonlinear_optimizer_for_slam_tpu.solvers.pose_landmark import (
+        PoseLandmark2DOptimizer,
+    )
+
+    rng = np.random.default_rng(9)
+    P, M = 40, 60
+    gt = np.cumsum(0.3 * rng.normal(size=(P, 3)), axis=0)
+    gt[:, 2] = 0.05 * np.arange(P)
+    lms = gt[rng.integers(0, P, M), :2] + rng.uniform(-2, 2, (M, 2))
+
+    def wrap(a):
+        return np.arctan2(np.sin(a), np.cos(a))
+
+    opt = PoseLandmark2DOptimizer(switch_penalty=0.03)
+    for i in range(P):
+        xyt = gt[i].copy()
+        if i:
+            xyt[:2] += 0.05 * rng.normal(size=2)
+            xyt[2] = wrap(xyt[2] + 0.01 * rng.normal())
+        opt.set_pose(i, xyt)
+    opt.set_pose_constant(0)
+    for j in range(M):
+        opt.set_landmark(j, lms[j] + 0.1 * rng.normal(size=2))
+    opt.set_landmark_constant(2)
+    for i in range(P - 1):
+        c, s = np.cos(gt[i, 2]), np.sin(gt[i, 2])
+        d = gt[i + 1, :2] - gt[i, :2]
+        opt.set_constraint(
+            i, i + 1,
+            np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1],
+                      wrap(gt[i + 1, 2] - gt[i, 2])]),
+        )
+    seen = np.zeros(M, bool)
+    for j in range(M):
+        for i in range(P):
+            close = np.linalg.norm(lms[j] - gt[i, :2]) < 3.0
+            if (close and rng.uniform() < 0.5) or (not seen[j] and i == P - 1):
+                c, s = np.cos(gt[i, 2]), np.sin(gt[i, 2])
+                d = lms[j] - gt[i, :2]
+                z = np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1]])
+                opt.set_observation(i, j, z + 0.01 * rng.normal(size=2),
+                                    sqrt_info=10.0)
+                seen[j] = True
+    opt.solve(Options().replace(max_iterations=30))
+
+    cov_d = opt.covariance(method="dense")
+    cov_s = opt.covariance(method="sparse")
+    for pi in cov_d:
+        np.testing.assert_allclose(cov_s[pi], cov_d[pi], atol=1e-12)
+    lm_d = opt.landmark_covariance(method="dense")
+    lm_s = opt.landmark_covariance(method="sparse")
+    for li in lm_d:
+        np.testing.assert_allclose(lm_s[li], lm_d[li], atol=1e-12)
+    assert np.all(lm_s[2] == 0) and np.all(lm_d[2] == 0)
