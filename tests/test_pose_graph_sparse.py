@@ -486,3 +486,60 @@ def test_gather_assembly_mode_matches_scatter():
     x_ref = np.linalg.solve(H, b.ravel()).reshape(P, 3)
     np.testing.assert_allclose(x_g, x_ref, rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(x_s, x_ref, rtol=1e-9, atol=1e-11)
+
+
+def test_selected_inverse_pairs_matches_dense():
+    """Round-5 pairwise Takahashi: diagonal AND requested off-diagonal
+    Sigma[a, b] blocks (for pairs that are edges of the symbolic graph)
+    match the dense inverse; non-pattern pairs are rejected."""
+    rng = np.random.default_rng(1)
+    P, d = 40, 3
+    ea = list(range(P - 1))
+    eb = list(range(1, P))
+    for _ in range(30):
+        a, b = rng.integers(0, P, 2)
+        if a != b:
+            ea.append(int(min(a, b)))
+            eb.append(int(max(a, b)))
+    ea, eb = np.asarray(ea), np.asarray(eb)
+    E = len(ea)
+    J = rng.normal(size=(E, d + 1, 2 * d))
+    B_aa = np.einsum("eri,erj->eij", J[:, :, :d], J[:, :, :d]) + 3 * np.eye(d)
+    B_bb = np.einsum("eri,erj->eij", J[:, :, d:], J[:, :, d:]) + 3 * np.eye(d)
+    B_ab = np.einsum("eri,erj->eij", J[:, :, :d], J[:, :, d:])
+    diag = rng.uniform(0.5, 2.0, size=(P, d))
+    H = np.zeros((P * d, P * d))
+    for e in range(E):
+        a_, b_ = ea[e], eb[e]
+        H[a_ * d:(a_ + 1) * d, a_ * d:(a_ + 1) * d] += B_aa[e]
+        H[b_ * d:(b_ + 1) * d, b_ * d:(b_ + 1) * d] += B_bb[e]
+        H[a_ * d:(a_ + 1) * d, b_ * d:(b_ + 1) * d] += B_ab[e]
+        H[b_ * d:(b_ + 1) * d, a_ * d:(a_ + 1) * d] += B_ab[e].T
+    H += np.diag(diag.ravel())
+    Sig = np.linalg.inv(H)
+
+    plan = mf.symbolic(P, ea, eb, d, leaf_size=4)
+    fact = mf.factor(plan, jnp.asarray(B_aa), jnp.asarray(B_bb),
+                     jnp.asarray(B_ab), jnp.asarray(diag))
+    diag_blk, pair_blk = mf.selected_inverse_pairs(plan, fact, ea, eb)
+    diag_blk, pair_blk = np.asarray(diag_blk), np.asarray(pair_blk)
+    for p in range(P):
+        np.testing.assert_allclose(
+            diag_blk[p], Sig[p * d:(p + 1) * d, p * d:(p + 1) * d],
+            atol=1e-9,
+        )
+    for e in range(E):
+        np.testing.assert_allclose(
+            pair_blk[e],
+            Sig[ea[e] * d:(ea[e] + 1) * d, eb[e] * d:(eb[e] + 1) * d],
+            atol=1e-9,
+        )
+    # a vertex pair with no edge (and no fill) must be rejected
+    import pytest as _pytest
+
+    iso_a, iso_b = 0, P - 1
+    if not ((ea == iso_a) & (eb == iso_b)).any():
+        with _pytest.raises(ValueError, match="filled pattern"):
+            mf.selected_inverse_pairs(
+                plan, fact, np.array([iso_a]), np.array([iso_b])
+            )
