@@ -181,3 +181,44 @@ def test_solve_bal_iterative_schur_rejects_unknown_mode(problem_pair):
     noisy, _ = problem_pair
     with pytest.raises(ValueError, match="schur"):
         bal_solver.solve_bal(noisy, schur="sparse")
+
+
+def test_bal_plateau_summary_and_best_state(problem_pair):
+    """Round-5 monotone safeguard plumbing on the BAL loop: with the
+    plateau stop enabled, Summary reports plateau_stop/best_cost, the
+    returned state's cost equals final_cost, and final_cost is never
+    above the monotone best of the recorded trace. Default options keep
+    the fields None (parity-path API unchanged)."""
+    import dataclasses
+
+    from nonlinear_optimizer_for_slam_tpu.core.options import (
+        ConvergenceHandle,
+    )
+
+    noisy, _ = problem_pair
+    _, s_plain = bal_solver.solve_bal(
+        noisy, Options().replace(max_iterations=5)
+    )
+    assert s_plain.plateau_stop is None and s_plain.best_cost is None
+
+    opts = dataclasses.replace(
+        Options().replace(max_iterations=60),
+        convergence_handle=ConvergenceHandle(
+            gradient_tolerance=0.0, parameter_tolerance=0.0,
+            relative_function_tolerance=1e-7,
+        ),
+    )
+    solved, s = bal_solver.solve_bal(noisy, opts)
+    assert bool(s.converged)
+    assert s.plateau_stop is not None and bool(s.plateau_stop)
+    rec = np.asarray(s.records.cost)
+    rec = rec[np.isfinite(rec)]
+    assert float(s.best_cost) <= rec.min() * (1 + 1e-12)
+    # plateau exits return the best-seen state: the returned params'
+    # actual cost matches the reported final_cost (= best_cost)
+    np.testing.assert_allclose(
+        bal_solver.bal_cost(solved), float(s.final_cost), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(s.final_cost), float(s.best_cost), rtol=0
+    )

@@ -389,3 +389,39 @@ def test_ba_medium_rig_chunked(rng):
     )
     assert err < 1e-4, err
     assert float(summary.final_cost) < 1e-6
+
+
+def test_ba_plateau_summary_fields(rng):
+    """Round-5 monotone safeguard plumbing on the BA loop: plateau
+    solves report plateau_stop/best_cost with final_cost == best_cost
+    on a plateau exit; default options keep the fields None."""
+    import dataclasses
+
+    from nonlinear_optimizer_for_slam_tpu.core.options import (
+        ConvergenceHandle,
+    )
+
+    intr, data, true_poses, noisy_poses, true_lms, noisy_lms = _make_rig(rng)
+    ba = BundleAdjuster()
+    _, _, s_plain = ba.solve(
+        Options().replace(max_iterations=5), data, intr, noisy_poses,
+        noisy_lms, fixed_cameras=(0, 1),
+    )
+    assert s_plain.plateau_stop is None and s_plain.best_cost is None
+
+    opts = dataclasses.replace(
+        Options().replace(max_iterations=80),
+        convergence_handle=ConvergenceHandle(
+            gradient_tolerance=0.0, parameter_tolerance=0.0,
+            relative_function_tolerance=1e-9,
+        ),
+    )
+    _, _, s = ba.solve(
+        opts, data, intr, noisy_poses, noisy_lms, fixed_cameras=(0, 1)
+    )
+    assert bool(s.converged)
+    assert s.plateau_stop is not None
+    if bool(s.plateau_stop):
+        np.testing.assert_allclose(
+            float(s.final_cost), float(s.best_cost), rtol=0
+        )
