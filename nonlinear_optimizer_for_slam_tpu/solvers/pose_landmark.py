@@ -913,8 +913,12 @@ def _sparse_marginals_from_lin(lin, dp: int, dl: int):
         B_ab = cross
     diag = U + (1.0 - free_p)[:, None, None] * np.eye(dp)
 
+    # leaf_size tuned for the HOST CPU backend this query runs on
+    # (round-5 sweep at 5,000x15,000: 16 -> 15.0 s, 64 -> 8.5, 192 ->
+    # 5.4-7.0 — fewer tree levels trade fill for the dense LAPACK
+    # efficiency a CPU prefers; marginals bit-identical across sizes)
     plan = multifrontal.symbolic(
-        P, e_a, e_b, d=dp, coords=lin["pos"], leaf_size=16
+        P, e_a, e_b, d=dp, coords=lin["pos"], leaf_size=192
     )
 
     # One jitted program for the whole numeric phase — run eagerly,
