@@ -76,6 +76,15 @@ def sim3_edge_residual(x_ref: Array, x_query: Array, meas: Array) -> Array:
     )
 
 
+_res_and_jac = jax.vmap(
+    lambda xr, xq, m: (
+        sim3_edge_residual(xr, xq, m),
+        jax.jacfwd(sim3_edge_residual, argnums=0)(xr, xq, m),
+        jax.jacfwd(sim3_edge_residual, argnums=1)(xr, xq, m),
+    )
+)
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _sim3_solve(
     x0,  # (P, 8)
@@ -108,13 +117,7 @@ def _sim3_solve(
     rows_ref = 8 * ref_i[:, None] + eights[None, :]
     rows_qry = 8 * qry_i[:, None] + eights[None, :]
 
-    res_and_jac = jax.vmap(
-        lambda xr, xq, m: (
-            sim3_edge_residual(xr, xq, m),
-            jax.jacfwd(sim3_edge_residual, argnums=0)(xr, xq, m),
-            jax.jacfwd(sim3_edge_residual, argnums=1)(xr, xq, m),
-        )
-    )
+    res_and_jac = _res_and_jac
 
     def quad(x):
         xs = x.reshape(P, 8)
@@ -190,17 +193,130 @@ def _sim3_solve(
     return x.reshape(P, 8), summary
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _sim3_solve_sparse(
+    x0,  # (P, 8)
+    edges: Sim3Edges,
+    free_mask,  # (P,)
+    scale_free,  # (P,)
+    edge_loss,
+    num_poses: int,
+    plan,  # multifrontal.Plan (d=8)
+    options: Options,
+    acc_rounds,  # (kmax, P) multifrontal.accumulate_rounds maps
+):
+    """Sim(3) LM with the NESTED-DISSECTION MULTIFRONTAL linear solver
+    (round 5): the dense path materializes the (8P)^2 normal matrix —
+    fine to a few hundred keyframes, infeasible at ORB-SLAM-scale
+    essential graphs (10k keyframes would be 80k^2 = 25 GB) — while an
+    essential graph's covisibility edges are exactly the loop-rich
+    sparse topology solvers/multifrontal.py was built for. Per-edge
+    8x8 blocks feed the level-batched frontal Cholesky directly; the
+    same canonical lm.solve policy drives both paths."""
+    from . import multifrontal
+
+    P = num_poses
+    dtype = x0.dtype
+    E = edges.mask.shape[0]
+    ref_i = edges.reference_indices
+    qry_i = edges.query_indices
+    meas = jnp.concatenate(
+        [edges.rel_t, edges.rel_q, edges.rel_log_s[:, None]], axis=1
+    )
+    colm = jnp.concatenate(
+        [
+            jnp.repeat(free_mask, 7).reshape(P, 7),
+            (free_mask * scale_free)[:, None],
+        ],
+        axis=1,
+    )  # (P, 8)
+
+    def accumulate(contrib_ref, contrib_qry):
+        src = jnp.concatenate(
+            [contrib_ref, contrib_qry,
+             jnp.zeros((1,) + contrib_ref.shape[1:], dtype)]
+        )
+        out = src[acc_rounds[0]]
+        for t in range(1, acc_rounds.shape[0]):
+            out = out + src[acc_rounds[t]]
+        return out
+
+    def quad(xs):
+        r, J_ref, J_qry = _res_and_jac(xs[ref_i], xs[qry_i], meas)
+        if edges.sqrt_info is not None:
+            w = edges.sqrt_info
+            r = r * w
+            J_ref = J_ref * w[:, :, None]
+            J_qry = J_qry * w[:, :, None]
+        m = edges.mask
+        r = r * m[:, None]
+        J_ref = J_ref * m[:, None, None] * colm[ref_i][:, None, :]
+        J_qry = J_qry * m[:, None, None] * colm[qry_i][:, None, :]
+        if edge_loss is not None:
+            sq = jnp.sum(r * r, axis=1)
+            rho, wts, _ = edge_loss.evaluate(sq)
+            cost = jnp.sum(rho)
+            sw = jnp.sqrt(wts)
+            r = r * sw[:, None]
+            J_ref = J_ref * sw[:, None, None]
+            J_qry = J_qry * sw[:, None, None]
+        else:
+            cost = jnp.sum(r * r)
+        with jax.default_matmul_precision("highest"):
+            g = accumulate(
+                jnp.einsum("eri,er->ei", J_ref, r),
+                jnp.einsum("eri,er->ei", J_qry, r),
+            )  # (P, 8)
+            d_p = accumulate(
+                jnp.sum(J_ref * J_ref, axis=1),
+                jnp.sum(J_qry * J_qry, axis=1),
+            )  # (P, 8)
+        return (J_ref, J_qry, d_p), g, cost
+
+    def solve_linear(H_rep, g, lam):
+        J_ref, J_qry, d_p = H_rep
+        with jax.default_matmul_precision("highest"):
+            B_aa = jnp.einsum("eri,erj->eij", J_ref, J_ref)
+            B_bb = jnp.einsum("eri,erj->eij", J_qry, J_qry)
+            B_ab = jnp.einsum("eri,erj->eij", J_ref, J_qry)
+        # total diagonal matches the dense path's damped diagonal:
+        # (d_p + (1-col) + 1e-8) * (1 + lam), with d_p already present
+        # from the edge blocks
+        dvec = lam * d_p + (1.0 + lam) * ((1.0 - colm) + 1e-8)
+        return multifrontal.solve(
+            plan, ref_i, qry_i, B_aa, B_bb, B_ab, dvec, -g
+        )
+
+    def retract(xs, delta):
+        return xs + delta * colm
+
+    x, summary = lm.solve(quad, retract, x0, options,
+                          solve_linear=solve_linear)
+    return x, summary
+
+
 class Sim3GraphOptimizer:
     """Registry + solve() for the Sim(3) essential graph (same API shape
     as PoseGraphOptimizer, with a scale per pose)."""
 
-    def __init__(self, dtype=jnp.float64, edge_loss=None):
+    def __init__(self, dtype=jnp.float64, edge_loss=None,
+                 solver: str = "auto"):
+        """``solver``: "dense" materializes the (8P)^2 normal matrix
+        (best below a few hundred keyframes); "sparse" (round 5) is the
+        nested-dissection multifrontal path over the essential graph's
+        edge sparsity — the scale class where dense is infeasible
+        (10k keyframes = a 25 GB dense H); "auto" (default) picks
+        sparse above 600 keyframes."""
+        if solver not in ("auto", "dense", "sparse"):
+            raise ValueError(f"unknown solver {solver!r}")
+        self.solver = solver
         self.dtype = dtype
         self.edge_loss = edge_loss
         self._poses: Dict[int, np.ndarray] = {}  # (8,) [p, q, log_s]
         self._constant: set = set()
         self._fix_scale: set = set()
         self._constraints: List[dict] = []
+        self._sparse_plan = None  # (key, (plan, acc_rounds)) topology cache
 
     # -- registry ------------------------------------------------------
     def set_pose(self, index: int, pose: Pose, scale: float = 1.0) -> None:
@@ -457,26 +573,65 @@ class Sim3GraphOptimizer:
         for pi in self._fix_scale:
             scale_free[of[pi]] = 0.0
 
-        x, summary = _sim3_solve(
-            jnp.asarray(x0, dtype), edges, jnp.asarray(free, dtype),
-            jnp.asarray(scale_free, dtype), self.edge_loss, P, options,
-        )
-        x = np.array(jax.device_get(x), np.float64)
+        solver = self.solver
+        if solver == "auto":
+            solver = "sparse" if P > 600 else "dense"
+        self.last_solver_choice = solver
+        if solver == "sparse":
+            plan, acc = self._sparse_symbolic(x0)
+            x, summary = _sim3_solve_sparse(
+                jnp.asarray(x0, dtype), edges, jnp.asarray(free, dtype),
+                jnp.asarray(scale_free, dtype), self.edge_loss, P, plan,
+                options, jnp.asarray(acc),
+            )
+        else:
+            x, summary = _sim3_solve(
+                jnp.asarray(x0, dtype), edges, jnp.asarray(free, dtype),
+                jnp.asarray(scale_free, dtype), self.edge_loss, P, options,
+            )
+        x, summary = jax.device_get((x, summary))
+        x = np.array(x, np.float64)
 
         ran_f64 = jax.device_get(jnp.zeros((), dtype)).dtype == np.float64
         if polish == "always" or (polish == "auto" and not ran_f64):
-            x, summary = self._polish_f64(x, summary, of, P)
+            x, summary = self._polish_f64(x, summary, of, P, solver)
 
         x[:, 3:7] /= np.linalg.norm(x[:, 3:7], axis=1, keepdims=True)
         for i, pi in enumerate(ids):
             self._poses[pi] = x[i]
         return summary
 
-    def _polish_f64(self, x_np, summary, of, P):
+    def _sparse_symbolic(self, x0):
+        """Cached (plan, accumulate_rounds) for the d=8 dissection over
+        the essential graph's edges, keyed on topology."""
+        from . import multifrontal
+
+        ids = sorted(self._poses)
+        of = {pi: i for i, pi in enumerate(ids)}
+        P = len(ids)
+        ref = np.array([of[c["reference_index"]] for c in self._constraints],
+                       np.int64)
+        qry = np.array([of[c["query_index"]] for c in self._constraints],
+                       np.int64)
+        key = (P, len(ref), ref.tobytes(), qry.tobytes())
+        if self._sparse_plan is not None and self._sparse_plan[0] == key:
+            return self._sparse_plan[1]
+        plan = multifrontal.symbolic(
+            P, ref, qry, d=8, coords=np.asarray(x0[:, :3], np.float64),
+            leaf_size=16,
+        )
+        acc = multifrontal.accumulate_rounds(P, ref, qry)
+        self._sparse_plan = (key, (plan, acc))
+        return plan, acc
+
+    def _polish_f64(self, x_np, summary, of, P, solver="dense"):
         """Host-CPU f64 polish stage (see solve): the canonical LM loop
         on the same residual stack, f64 under a scoped x64 context, on
         the cpu backend, from the device stage's state, with the
-        low-floor schedule the f32 device stage cannot exploit."""
+        low-floor schedule the f32 device stage cannot exploit. Uses
+        the same linear-solver family as the device stage (sparse
+        graphs keep their multifrontal solve — a dense (8P)^2 polish
+        would defeat the point at scale)."""
         import dataclasses as _dc
 
         from ..core.options import ConvergenceHandle, OptimizationHandle
@@ -522,10 +677,18 @@ class Sim3GraphOptimizer:
             scale_free = np.ones(P)
             for pi in self._fix_scale:
                 scale_free[of[pi]] = 0.0
-            xp, psummary = _sim3_solve(
-                jnp.asarray(x_np, f64), edges, jnp.asarray(free, f64),
-                jnp.asarray(scale_free, f64), self.edge_loss, P, popts,
-            )
+            if solver == "sparse":
+                plan, acc = self._sparse_symbolic(x_np)
+                xp, psummary = _sim3_solve_sparse(
+                    jnp.asarray(x_np, f64), edges, jnp.asarray(free, f64),
+                    jnp.asarray(scale_free, f64), self.edge_loss, P, plan,
+                    popts, jnp.asarray(acc),
+                )
+            else:
+                xp, psummary = _sim3_solve(
+                    jnp.asarray(x_np, f64), edges, jnp.asarray(free, f64),
+                    jnp.asarray(scale_free, f64), self.edge_loss, P, popts,
+                )
             xp = np.array(jax.device_get(xp), np.float64)
             # combined reporting: polish cost/state, total iteration
             # count across both stages (records stay the polish stage's)

@@ -357,3 +357,114 @@ def test_noisy_graph_converges_fast_with_default_schedule():
     opt3.initialize()
     s3 = opt3.solve(polish="always")
     assert float(s3.final_cost) <= fast_cost * (1 + 1e-6)
+
+
+def _build_noisy_graph(P=60, drift=1.03, seed=5, extra_loops=3, **kw):
+    rng = np.random.default_rng(seed)
+    target = []
+    for k in range(P):
+        q = np.array([np.cos(np.pi * k / P), 0, 0, np.sin(np.pi * k / P)])
+        target.append(np.concatenate(
+            [[4 * np.cos(2 * np.pi * k / P), 4 * np.sin(2 * np.pi * k / P),
+              0.0], q, [-k * np.log(drift)]]
+        ))
+    from nonlinear_optimizer_for_slam_tpu.ops.relative_pose import (
+        np_quat_multiply,
+    )
+
+    def noisy(m):
+        dq = np.concatenate([[1.0], rng.normal(0, 2e-3, 3)])
+        q = np_quat_multiply(m[3:7], dq / np.linalg.norm(dq))
+        return np.concatenate(
+            [m[:3] + rng.normal(0, 5e-3, 3), q, [m[7] + rng.normal(0, 2e-3)]]
+        )
+
+    opt = Sim3GraphOptimizer(**kw)
+    init = [target[0].copy()]
+    meas = [noisy(_between(target[k], target[k + 1])) for k in range(P - 1)]
+    for k in range(P - 1):
+        m = meas[k]
+        prev = init[-1]
+        init.append(np.concatenate(
+            [prev[:3] + np_rot(prev) @ m[:3],
+             np_quat_multiply(prev[3:7], m[3:7]), [0.0]]
+        ))
+    for k in range(P):
+        opt.set_pose(k, Pose(np_rot(init[k]), init[k][:3]), scale=1.0)
+    opt.set_pose_constant(0)
+    for k in range(P - 1):
+        m = meas[k]
+        opt.set_constraint(k, k + 1, Pose(np_rot(m), m[:3]),
+                           relative_scale=float(np.exp(m[7])),
+                           sqrt_info=(10.0, 20.0, 1.0))
+    loop_ids = [(P - 1, 0)] + [
+        (int(a), int(a + P // 3)) for a in np.linspace(3, P - P // 3 - 3,
+                                                       extra_loops).astype(int)
+    ]
+    for (a, b) in loop_ids:
+        m = noisy(_between(target[a], target[b]))
+        opt.set_constraint(a, b, Pose(np_rot(m), m[:3]),
+                           relative_scale=float(np.exp(m[7])),
+                           sqrt_info=(50.0, 100.0, 50.0))
+    opt.initialize()
+    return opt, target
+
+
+def test_sparse_solver_matches_dense():
+    """Round-5 multifrontal Sim(3) path (solver='sparse', d=8 blocks):
+    same optimum as the dense (8P)^2 path on a noisy multi-loop
+    essential graph — the scale class where dense becomes infeasible
+    (10k keyframes would be a 25 GB normal matrix)."""
+    import dataclasses
+
+    from nonlinear_optimizer_for_slam_tpu.core.options import (
+        ConvergenceHandle, OptimizationHandle,
+    )
+
+    tight = dataclasses.replace(
+        Options().replace(max_iterations=200),
+        convergence_handle=ConvergenceHandle(
+            relative_function_tolerance=1e-10
+        ),
+        optimization_handle=OptimizationHandle(
+            min_lambda=1e-12, initial_lambda=1e-6,
+            lambda_decrease_factor=0.25,
+        ),
+    )
+    dense, target = _build_noisy_graph(solver="dense")
+    sparse, _ = _build_noisy_graph(solver="sparse")
+    s_d = dense.solve(tight)
+    s_s = sparse.solve(tight)
+    assert dense.last_solver_choice == "dense"
+    assert sparse.last_solver_choice == "sparse"
+    # SHARP check: one damped-GN step from the same init must agree to
+    # linear-solve accuracy (the damped diagonals are algebraically
+    # identical; only multifrontal-vs-Cholesky roundoff differs)
+    one = Options().replace(max_iterations=1)
+    d1, _ = _build_noisy_graph(solver="dense")
+    s1, _ = _build_noisy_graph(solver="sparse")
+    d1.solve(one, polish="never")
+    s1.solve(one, polish="never")
+    for k in range(0, 60, 7):
+        np.testing.assert_allclose(
+            s1.get_pose(k).translation, d1.get_pose(k).translation,
+            atol=1e-7,
+        )
+    # BASIN check: full solves land at equivalent optima (the problem
+    # is nonconvex with a soft valley — mm-scale trajectory roundoff
+    # compounds into nearby, equally-good minima)
+    np.testing.assert_allclose(
+        float(s_s.final_cost), float(s_d.final_cost), rtol=1e-2
+    )
+    for k in range(0, 60, 7):
+        np.testing.assert_allclose(
+            sparse.get_pose(k).translation, dense.get_pose(k).translation,
+            atol=5e-2,
+        )
+        assert sparse.get_scale(k) == pytest.approx(dense.get_scale(k),
+                                                    rel=1e-2)
+    # auto picks sparse above the threshold
+    big = Sim3GraphOptimizer()
+    assert big.solver == "auto"
+    with pytest.raises(ValueError, match="solver"):
+        Sim3GraphOptimizer(solver="banded")
