@@ -122,6 +122,12 @@ def main():
         t0 = time.perf_counter()
         if stream:
             sm.update_async()  # dispatch-only; flushes every 4th frame
+            if k % 4 == 0:
+                # re-anchor the prediction to the MAP on flush frames
+                # (the read forces the flush) — without this the inits
+                # dead-reckon unboundedly, exactly the failure mode the
+                # smoother exists to fix
+                est = sm.get_pose(k)
         else:
             sm.update()
         frame_ms.append((time.perf_counter() - t0) * 1e3)

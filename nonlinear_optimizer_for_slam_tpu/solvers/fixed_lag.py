@@ -420,10 +420,13 @@ class FixedLagSmoother:
         if pending["kind"] == "empty":
             summary = pending["summary"]
         else:
-            pos, quat, sw = jax.device_get(
-                (pending["pos"], pending["quat"], pending["sw"])
+            # the summary rides along in the ONE batched fetch so later
+            # int(summary.iterations)/float(final_cost) reads are free
+            # (separate fetches each pay a dispatch quantum, CLAUDE.md)
+            pos, quat, sw, summary = jax.device_get(
+                (pending["pos"], pending["quat"], pending["sw"],
+                 pending["summary"])
             )
-            summary = pending["summary"]
             pos = np.array(pos, np.float64)
             quat = np.array(quat, np.float64)
             sw = np.array(sw, np.float64)

@@ -724,11 +724,14 @@ class FixedLagInertialSmoother:
             return self._last_summary
         self._pending = None
         self._pending_age = 0
-        x = np.array(jax.device_get(pending["x"]), np.float64)
+        # one batched fetch incl. the summary (separate fetches each pay
+        # a dispatch quantum, CLAUDE.md)
+        x, summary = jax.device_get((pending["x"], pending["summary"]))
+        x = np.array(x, np.float64)
         x[:, 3:7] /= np.linalg.norm(x[:, 3:7], axis=1, keepdims=True)
         for k, si in enumerate(pending["ids"]):
             self._est[si] = x[k]
-        self._last_summary = pending["summary"]
+        self._last_summary = summary
         return self._last_summary
 
     # -- marginalization -------------------------------------------------

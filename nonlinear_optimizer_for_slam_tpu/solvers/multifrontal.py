@@ -400,7 +400,11 @@ def symbolic(
             pad_diag[f, len(n.vars) * d: ni * d] = 1.0
             bnd_pid[f, : len(n.bnd)] = n.bnd
         asm_arr = np.asarray(asm, np.int64).reshape(-1, 4)
-        # gather-form assembly maps (see _DepthPlan.gat_src)
+        # gather-form assembly maps (see _DepthPlan.gat_src) — built
+        # ONLY when the ablation mode is active at symbolic time: the
+        # default scatter lowering never reads them, and dest_map alone
+        # is the size of the whole interior strip (~tens of MB per
+        # cached city-scale plan) plus a per-depth argsort of host time
         nblk_dep = ni + nbp
         pad_src = 4 * E + P  # zero pad row appended to blocks_cat
 
@@ -426,25 +430,28 @@ def symbolic(
             dmap[uniq] = np.arange(ndest, dtype=np.int32)
             return gsrc, dmap
 
-        in_strip = asm_arr[:, 2] < ni
-        on_bdiag = ~in_strip & (asm_arr[:, 2] == asm_arr[:, 3])
-        dropped = ~in_strip & ~on_bdiag & (asm_arr[:, 3] >= ni)
-        if dropped.any():
-            raise AssertionError(
-                "assembly entry in the off-diagonal boundary region"
+        if _ASSEMBLY_MODE == "gather":
+            in_strip = asm_arr[:, 2] < ni
+            on_bdiag = ~in_strip & (asm_arr[:, 2] == asm_arr[:, 3])
+            dropped = ~in_strip & ~on_bdiag & (asm_arr[:, 3] >= ni)
+            if dropped.any():
+                raise AssertionError(
+                    "assembly entry in the off-diagonal boundary region"
+                )
+            st = asm_arr[in_strip]
+            strip_keys = (st[:, 1] * ni + st[:, 2]) * nblk_dep + st[:, 3]
+            gat_src, dest_map = _gather_rounds(
+                st[:, 0], strip_keys, nF * ni * nblk_dep
             )
-        st = asm_arr[in_strip]
-        strip_keys = (st[:, 1] * ni + st[:, 2]) * nblk_dep + st[:, 3]
-        gat_src, dest_map = _gather_rounds(
-            st[:, 0], strip_keys, nF * ni * nblk_dep
-        )
-        dest_map = dest_map.reshape(nF, ni, nblk_dep)
-        bd = asm_arr[on_bdiag]
-        bd_keys = bd[:, 1] * nbp + (bd[:, 2] - ni) if nbp else bd[:, 1]
-        gat22_src, dest22_map = _gather_rounds(
-            bd[:, 0], bd_keys, nF * nbp
-        )
-        dest22_map = dest22_map.reshape(nF, nbp)
+            dest_map = dest_map.reshape(nF, ni, nblk_dep)
+            bd = asm_arr[on_bdiag]
+            bd_keys = bd[:, 1] * nbp + (bd[:, 2] - ni) if nbp else bd[:, 1]
+            gat22_src, dest22_map = _gather_rounds(
+                bd[:, 0], bd_keys, nF * nbp
+            )
+            dest22_map = dest22_map.reshape(nF, nbp)
+        else:
+            gat_src = dest_map = gat22_src = dest22_map = None
         # gather-form extend-add: inverse maps child bnd slot <- parent
         # slot, per parent front and child position (binary tree: <= 2)
         if dep + 1 <= max_depth:
@@ -594,10 +601,11 @@ def factor(plan: Plan, B_aa: Array, B_bb: Array, B_ab: Array, diag: Array,
         nblk = dp.ni + dp.nb
         m = nblk * d
         mi = dp.ni * d
-        # Assembly (round 5): GATHER form by default — the former whole-
-        # front block-coordinate scatter-add serialized on TPU at
-        # ~0.85 us/block, ~20-30 ms per factor at manhattan scale.
-        # Contributions only ever land in the interior row STRIP
+        # Assembly (round 5): block-coordinate SCATTER by default —
+        # measured faster end-to-end on hardware than the scatter-free
+        # gather lowering (see the _ASSEMBLY_MODE note). The gather
+        # ablation keeps these facts: contributions only ever land in
+        # the interior row STRIP
         # (rows < mi, symmetric interior square included) and on the
         # boundary DIAGONAL; the factorization reads A11/A12/A22 only,
         # so those two regions are assembled separately (strip as a
@@ -605,9 +613,12 @@ def factor(plan: Plan, B_aa: Array, B_bb: Array, B_ab: Array, diag: Array,
         # (d, d)-minor buffers that TPU tiling pads 57x, 26 GB at
         # manhattan10000 — boundary diag as a fused broadcast-mask) and
         # the never-read (bnd, int) mirror is never built.
-        use_gather = (
-            _ASSEMBLY_MODE == "gather" and dp.gat_src is not None
-        )
+        use_gather = _ASSEMBLY_MODE == "gather"
+        if use_gather and dp.gat_src is None:
+            raise ValueError(
+                "multifrontal: _ASSEMBLY_MODE='gather' but this plan was "
+                "built without gather maps — set the mode BEFORE symbolic()"
+            )
         mb = dp.nb * d
         if use_gather:
             if dp.gat_src.size:

@@ -129,8 +129,16 @@ def _sim3_solve(
             J_qry = J_qry * w[:, :, None]
         m = edges.mask
         r = r * m[:, None]
-        J_ref = J_ref * (m * free_mask[ref_i])[:, None, None]
-        J_qry = J_qry * (m * free_mask[qry_i])[:, None, None]
+        # COLUMN masking by the per-component free mask (round-5 review
+        # fix): a pose with only its scale frozen (set_scale_constant)
+        # must contribute no gradient and no H coupling through that
+        # column — masking whole poses by free_mask alone left frozen
+        # scale columns in H (their delta was computed then discarded by
+        # retract) and a never-zero gradient component that could block
+        # the gradient_tolerance exit. Matches the sparse path exactly.
+        colm = col.reshape(P, 8)
+        J_ref = J_ref * m[:, None, None] * colm[ref_i][:, None, :]
+        J_qry = J_qry * m[:, None, None] * colm[qry_i][:, None, :]
 
         if edge_loss is not None:
             sq = jnp.sum(r * r, axis=1)
@@ -590,9 +598,11 @@ class Sim3GraphOptimizer:
                 jnp.asarray(scale_free, dtype), self.edge_loss, P, options,
             )
         x, summary = jax.device_get((x, summary))
+        # the fetched result carries the EXECUTED dtype (f64 silently
+        # truncates to f32 when x64 is off) — no extra device probe
+        ran_f64 = np.asarray(x).dtype == np.float64
         x = np.array(x, np.float64)
 
-        ran_f64 = jax.device_get(jnp.zeros((), dtype)).dtype == np.float64
         if polish == "always" or (polish == "auto" and not ran_f64):
             x, summary = self._polish_f64(x, summary, of, P, solver)
 

@@ -472,17 +472,28 @@ def test_gather_assembly_mode_matches_scatter():
     ea, eb, B_aa, B_bb, B_ab, diag, b, H = _random_block_system(
         P, 30, 3, seed=3, grid=n
     )
-    plan = mf.symbolic(P, ea, eb, 3, leaf_size=16)
     args = (jnp.asarray(ea), jnp.asarray(eb), jnp.asarray(B_aa),
             jnp.asarray(B_bb), jnp.asarray(B_ab), jnp.asarray(diag),
             jnp.asarray(b))
     old = mf._ASSEMBLY_MODE
     try:
+        # maps are only built when the mode is active at symbolic time
         mf._ASSEMBLY_MODE = "gather"
-        x_g = np.asarray(mf.solve(plan, *args))
+        plan_g = mf.symbolic(P, ea, eb, 3, leaf_size=16)
+        x_g = np.asarray(mf.solve(plan_g, *args))
     finally:
         mf._ASSEMBLY_MODE = old
+    plan = mf.symbolic(P, ea, eb, 3, leaf_size=16)
     x_s = np.asarray(mf.solve(plan, *args))
+    # a scatter-built plan refuses to run in gather mode (no silent
+    # fallback that would fake the ablation)
+    try:
+        mf._ASSEMBLY_MODE = "gather"
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="gather maps"):
+            mf.factor(plan, *args[2:6])
+    finally:
+        mf._ASSEMBLY_MODE = old
     x_ref = np.linalg.solve(H, b.ravel()).reshape(P, 3)
     np.testing.assert_allclose(x_g, x_ref, rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(x_s, x_ref, rtol=1e-9, atol=1e-11)
