@@ -2094,7 +2094,7 @@ def bench_slam_extras(runs):
             sm.add_pose(k, sq_noisy[k])
             for c in by_query.get(k, []):
                 if c["is_loop"]:
-                    if c["reference_index"] in sm._est:
+                    if c["reference_index"] in sm.active_ids:
                         sm.add_loop(c["reference_index"], k,
                                     c["relative_pose"])
                 else:

@@ -197,7 +197,10 @@ def main(n_frames=48, n_scan=1500, keyframe_every=6, lag=None, verbose=True,
         # coarse-D2D + full registration with an overlap test, and
         # reports the registration's own information — used directly as
         # the edge whitener in "information" mode
-        closure = det.detect(k, scan, est, eligible=set(sm.window))
+        # active_ids: non-flushing membership read — a sm.window read here
+        # would force a flush every frame and defeat the stream mode's
+        # marginalize_every amortization (round-5 review finding)
+        closure = det.detect(k, scan, est, eligible=set(sm.active_ids))
         if closure is not None:
             sm.add_loop(closure.reference_id, k, closure.relative_pose,
                         sqrt_info=closure.sqrt_info if use_info else LOOP_W)
@@ -210,7 +213,8 @@ def main(n_frames=48, n_scan=1500, keyframe_every=6, lag=None, verbose=True,
         if k == n_per_lap + 3:
             # planted outlier: claims an exact-identity relative pose to
             # the farthest-away keyframe still in the window
-            cands = [i for i in keyframes if i in sm.window and k - i > lag // 2]
+            cands = [i for i in keyframes
+                     if i in sm.active_ids and k - i > lag // 2]
             if cands:
                 i = max(
                     cands,
@@ -232,7 +236,7 @@ def main(n_frames=48, n_scan=1500, keyframe_every=6, lag=None, verbose=True,
             if k % 2 == 0 or k == n_frames - 1:
                 est = sm.get_pose(k)  # read forces the flush
                 for i in keyframes:
-                    if i in sm._est:
+                    if i in sm.active_ids:
                         det.update_pose(i, sm.get_pose(i))
             # off-flush frames keep the odometry-chained prediction
         else:

@@ -249,6 +249,18 @@ class FixedLagSmoother:
         self.flush()
         return list(self._window)
 
+    @property
+    def active_ids(self) -> List[int]:
+        """Window pose ids WITHOUT flushing a pending async update —
+        membership bookkeeping for streaming pipelines (a per-frame
+        ``window`` read would force a flush every frame and defeat
+        ``marginalize_every``'s amortization). Ids only change at flush
+        time; poses that the pending flush will marginalize are still
+        listed, which is correct for edge-eligibility checks (their
+        factors get absorbed). Use :attr:`window` when you need the
+        published (flushed) state."""
+        return list(self._window)
+
     def covariance(self, indices: Optional[List[int]] = None) -> Dict[int, np.ndarray]:
         """Marginal 6x6 TANGENT-space covariance blocks for active
         window poses, from ALL active factors (odometry, loops at their
@@ -418,7 +430,9 @@ class FixedLagSmoother:
         self._pending = None
         self._pending_age = 0
         if pending["kind"] == "empty":
-            summary = pending["summary"]
+            # fetch the (tiny) device scalars once so later summary
+            # field reads are free, same as the solve branch
+            summary = jax.device_get(pending["summary"])
         else:
             # the summary rides along in the ONE batched fetch so later
             # int(summary.iterations)/float(final_cost) reads are free
@@ -470,6 +484,10 @@ class FixedLagSmoother:
         """
         if options is None:
             options = Options().replace(max_iterations=self.max_iterations)
+        if not self._window:
+            raise ValueError(
+                "update: no poses registered — add_pose() first"
+            )
         W = len(self._window)
         local = {pi: i for i, pi in enumerate(self._window)}
         dtype = self.dtype

@@ -117,11 +117,9 @@ def _sim3_solve(
     rows_ref = 8 * ref_i[:, None] + eights[None, :]
     rows_qry = 8 * qry_i[:, None] + eights[None, :]
 
-    res_and_jac = _res_and_jac
-
     def quad(x):
         xs = x.reshape(P, 8)
-        r, J_ref, J_qry = res_and_jac(xs[ref_i], xs[qry_i], meas)
+        r, J_ref, J_qry = _res_and_jac(xs[ref_i], xs[qry_i], meas)
         if edges.sqrt_info is not None:
             w = edges.sqrt_info
             r = r * w
@@ -225,7 +223,6 @@ def _sim3_solve_sparse(
 
     P = num_poses
     dtype = x0.dtype
-    E = edges.mask.shape[0]
     ref_i = edges.reference_indices
     qry_i = edges.query_indices
     meas = jnp.concatenate(
@@ -283,17 +280,36 @@ def _sim3_solve_sparse(
 
     def solve_linear(H_rep, g, lam):
         J_ref, J_qry, d_p = H_rep
+        # JACOBI EQUILIBRATION in edge-block form (same rationale as the
+        # dense path's scaled Cholesky, which see): the Sim(3) diagonal
+        # spans exp(2*drift) across translation/rotation/scale columns
+        # and an unscaled f32 front Cholesky loses the small columns to
+        # roundoff. s = D^-1/2 of the TOTAL damped diagonal; scale the
+        # edge blocks by s_a (x) s_b, solve the ~unit-diagonal system,
+        # unscale the step. Exact in real arithmetic.
+        dtot = (1.0 + lam) * (d_p + (1.0 - colm) + 1e-8)
+        s = jax.lax.rsqrt(dtot)  # (P, 8)
+        sa = s[ref_i]
+        sb = s[qry_i]
         with jax.default_matmul_precision("highest"):
-            B_aa = jnp.einsum("eri,erj->eij", J_ref, J_ref)
-            B_bb = jnp.einsum("eri,erj->eij", J_qry, J_qry)
-            B_ab = jnp.einsum("eri,erj->eij", J_ref, J_qry)
-        # total diagonal matches the dense path's damped diagonal:
-        # (d_p + (1-col) + 1e-8) * (1 + lam), with d_p already present
-        # from the edge blocks
-        dvec = lam * d_p + (1.0 + lam) * ((1.0 - colm) + 1e-8)
-        return multifrontal.solve(
-            plan, ref_i, qry_i, B_aa, B_bb, B_ab, dvec, -g
+            B_aa = jnp.einsum("eri,erj->eij", J_ref, J_ref) * (
+                sa[:, :, None] * sa[:, None, :]
+            )
+            B_bb = jnp.einsum("eri,erj->eij", J_qry, J_qry) * (
+                sb[:, :, None] * sb[:, None, :]
+            )
+            B_ab = jnp.einsum("eri,erj->eij", J_ref, J_qry) * (
+                sa[:, :, None] * sb[:, None, :]
+            )
+        # total diagonal matches the dense path's damped diagonal
+        # (d_p + (1-col) + 1e-8)(1+lam), Jacobi-scaled to exactly 1:
+        # the scaled B blocks already carry s^2 d_p on the diagonal, so
+        # the separate term is s^2 (dtot - d_p) = 1 - s^2 d_p
+        dvec = 1.0 - s * s * d_p
+        dp_scaled = multifrontal.solve(
+            plan, ref_i, qry_i, B_aa, B_bb, B_ab, dvec, -(g * s)
         )
+        return dp_scaled * s
 
     def retract(xs, delta):
         return xs + delta * colm
@@ -318,6 +334,7 @@ class Sim3GraphOptimizer:
         if solver not in ("auto", "dense", "sparse"):
             raise ValueError(f"unknown solver {solver!r}")
         self.solver = solver
+        self.sparse_threshold = 600  # auto picks sparse above this P
         self.dtype = dtype
         self.edge_loss = edge_loss
         self._poses: Dict[int, np.ndarray] = {}  # (8,) [p, q, log_s]
@@ -583,7 +600,7 @@ class Sim3GraphOptimizer:
 
         solver = self.solver
         if solver == "auto":
-            solver = "sparse" if P > 600 else "dense"
+            solver = "sparse" if P > self.sparse_threshold else "dense"
         self.last_solver_choice = solver
         if solver == "sparse":
             plan, acc = self._sparse_symbolic(x0)

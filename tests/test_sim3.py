@@ -468,3 +468,16 @@ def test_sparse_solver_matches_dense():
     assert big.solver == "auto"
     with pytest.raises(ValueError, match="solver"):
         Sim3GraphOptimizer(solver="banded")
+
+
+def test_auto_solver_threshold():
+    """The auto branch actually selects sparse above sparse_threshold
+    (round-5 review: the forced-solver fixtures bypassed it)."""
+    opt, _ = _build_noisy_graph(solver="auto")
+    opt.sparse_threshold = 10  # far below the 60-kf fixture
+    opt.solve(Options().replace(max_iterations=2))
+    assert opt.last_solver_choice == "sparse"
+    opt2, _ = _build_noisy_graph(solver="auto")
+    assert opt2.sparse_threshold == 600
+    opt2.solve(Options().replace(max_iterations=2))
+    assert opt2.last_solver_choice == "dense"
