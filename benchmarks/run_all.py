@@ -2066,6 +2066,59 @@ def bench_slam_extras(runs):
             per_update.append((time.perf_counter() - t0) * 1e3)
         return float(np.median(per_update[20:]))
 
+    # round-5: the inertial fixed-lag smoother's async stream (same
+    # update_async + marginalize_every machinery as the pose smoother;
+    # the residual ~20 ms/frame is the HOST marginalization — central-
+    # difference IMU-factor Jacobians in numpy — not device round-trips)
+    from nonlinear_optimizer_for_slam_tpu.solvers.inertial import (
+        FixedLagInertialSmoother,
+    )
+
+    def _ins_stream(me):
+        r3 = np.random.default_rng(11)
+        params3 = ImuParams(gyro_noise=1e-4, accel_noise=1e-3)
+        smi = FixedLagInertialSmoother(lag=10, marginalize_every=me)
+        vel = np.array([1.0, 0.0, 0.1])
+        smi.add_state(0, Pose(np.eye(3), np.zeros(3)), velocity=vel)
+        smi.add_position_prior(0, np.zeros(3), 20.0)
+        per = []
+        for k in range(1, 50):
+            pre = ImuPreintegrator(params3)
+            for _ in range(40):
+                pre.integrate(1e-4 * r3.normal(size=3),
+                              -GRAVITY + 1e-3 * r3.normal(size=3), 0.005)
+            t0 = time.perf_counter()
+            smi.add_state(
+                k, Pose(np.eye(3), vel * 0.2 * k + 0.01 * r3.normal(size=3)),
+                velocity=vel,
+            )
+            smi.add_imu_factor(k - 1, k, pre)
+            smi.add_bias_walk(k - 1, k, (1e4, 1e3))
+            smi.add_position_prior(k, vel * 0.2 * k, 20.0)
+            if me > 1:
+                smi.update_async()
+            else:
+                smi.update()
+            per.append((time.perf_counter() - t0) * 1e3)
+        smi.flush()
+        return float(np.median(per[15:]))
+
+    _ins_stream(1)  # warm
+    ins_block = _ins_stream(1)
+    ins_async = _ins_stream(4)
+    rows.append(
+        ("inertial fixed-lag update (lag 10)", f"{ins_block:.1f} ms",
+         "(online)", "median steady-state update, 200Hz IMU keyframes")
+    )
+    rows.append(
+        ("inertial async stream (lag 10, flush/4)", f"{ins_async:.1f} ms",
+         "(online)",
+         "update_async + marginalize_every=4; residue is host "
+         "marginalization (finite-diff IMU Jacobians), not dispatch")
+    )
+    log(f"  inertial fixed-lag: {ins_block:.1f} ms blocking, "
+        f"{ins_async:.1f} ms async")
+
     _fixed_lag_stream()  # warm the window-shape programs
     med_update = _fixed_lag_stream()
     rows.append(
